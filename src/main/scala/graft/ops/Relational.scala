@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY.md §2B).
+  *
+  * The reference implements only trivial projection/filter/count
+  * (transfer_data_script.py:102-125); everything else here is the
+  * engine's analytics extension. All queries are pure DataFrame API so
+  * Catalyst plans them (pushdown, pruning, broadcast, whole-stage
+  * codegen). Every query ends in an orderBy over a unique key set and
+  * uses Det.* for float aggregates — the DuckDB oracle hash-compare
+  * requires bit-stable output.
+  *
+  * Scale notes (100 TB): filters/projections push into the scan;
+  * aggregations are partial-map-side by default; dims (region, nation,
+  * customer at TPC-H ratios, supplier, part) are broadcast explicitly so
+  * the fact table (lineitem) never shuffles for dim joins; the only
+  * unavoidable shuffles are fact-fact joins (orders⋈lineitem on
+  * orderkey) and final group-bys, both keyed well and AQE-coalesced.
+  */
+object Relational {
+  import Det._
+
+  /** TPC-H-Q1-style pricing summary: scan → filter → groupBy → agg.
+    * Partial aggregation happens map-side (4 groups), so the shuffle is
+    * tiny regardless of input scale. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(chargeTerm(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+          .cast("double").as("sum_charge"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + selective filter; both push into the parquet scan
+    * (PushedFilters + 3-column ReadSchema — verified via explain). */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+      // order by every output column so ties are only between equal rows.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** Compound predicate surface: between, isin, comparison, isNotNull. */
+  def filterPredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_discount") > 0.05 &&
+        col("l_quantity").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_discount"))
+
+  /** Global top-k: Catalyst plans TakeOrderedAndProject — each partition
+    * keeps k rows, so no full sort/shuffle at any scale. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** DISTINCT — a shuffle on the projected columns only (2 small cols). */
+  def distinctFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Equi inner join orders⋈customer, then agg by segment. The join key
+    * (o_custkey = c_custkey) shuffles both sides; at scale, customer is
+    * ~1/10 of orders so Catalyst/AQE picks broadcast or shuffled-hash. */
+  def joinEqui(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Star join with explicitly broadcast dims: revenue per region.
+    * lineitem⋈orders shuffles on orderkey (unavoidable fact-fact);
+    * customer/nation/region ride along broadcast — the fact table is
+    * never re-shuffled for them. */
+  def joinBroadcastDims(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left-semi join: customers having at least one order (EXISTS). Only
+    * the key column of orders crosses the wire. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join: customers with no finished ('F') order (NOT EXISTS
+    * with a pushed-down filter on the probe side — unfiltered anti is
+    * empty in this data). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left outer join preserving customers with zero orders; COUNT of the
+    * right key counts only matches (SQL COUNT(o_orderkey) semantics). */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+}

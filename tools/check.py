@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB differential oracle.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Registers each testdata parquet as a DuckDB view, runs every oracle SQL
+from <verifyOutDir>/oracle_sql.json, loads the Spark result parquet for
+the same query name, sorts columns by name (as the driver does), and
+compares cell-by-cell. Exact comparison — any float divergence is a
+bug in the query/oracle pair, not noise (see graft.ops.Det).
+
+Dev-only tool: the library itself has no Python dependency.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            oracle = con.execute(sql).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark result missing: {e}")
+            continue
+        oracle = oracle.reindex(sorted(oracle.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(oracle.columns) != list(got.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns differ oracle={list(oracle.columns)} "
+                  f"spark={list(got.columns)}")
+            continue
+        if len(oracle) != len(got):
+            failures.append(name)
+            print(f"FAIL {name}: rows differ oracle={len(oracle)} spark={len(got)}")
+            continue
+        bad = 0
+        for col in oracle.columns:
+            a, b = oracle[col].tolist(), got[col].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x is None and y is None:
+                    continue
+                if isinstance(x, float) and isinstance(y, float):
+                    if math.isnan(x) and math.isnan(y):
+                        continue
+                    if x != y:
+                        if bad < 3:
+                            print(f"  {name}.{col}[{i}]: oracle={x!r} spark={y!r} "
+                                  f"diff={abs(x - y):g}")
+                        bad += 1
+                elif str(x) != str(y):
+                    if bad < 3:
+                        print(f"  {name}.{col}[{i}]: oracle={x!r} spark={y!r}")
+                    bad += 1
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {bad} mismatched cells ({len(oracle)} rows)")
+        else:
+            print(f"OK   {name}: {len(oracle)} rows match")
+    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
