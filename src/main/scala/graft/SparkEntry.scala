@@ -31,6 +31,23 @@ object SparkEntry {
     "q09_join_anti"         -> (Relational.joinAnti _),
     "q10_join_outer"        -> (Relational.joinOuter _),
     "q00_flagship"          -> ((s: SparkSession, d: String) => Flagship.revenueTop3PerRegion(s, d)),
+    "q11_join_theta"        -> (Grouping.joinTheta _),
+    "q12_join_asof"         -> (AsOf.purchaseLastClick _),
+    "q13_set_union"         -> (SetOps.unionBuyers _),
+    "q14_set_intersect"     -> (SetOps.intersectBuyers _),
+    "q15_set_except"        -> (SetOps.exceptBuyers _),
+    "q16_rollup"            -> (Grouping.rollupPricing _),
+    "q17_cube"              -> (Grouping.cubePricing _),
+    "q18_grouping_sets"     -> (Grouping.groupingSetsPricing _),
+    "q19_count_distinct"    -> (Grouping.countDistinctPerFlag _),
+    "q20_window_rank"       -> (Windows.topOrdersPerCustomer _),
+    "q21_window_running"    -> (Windows.runningRevenuePerSupplier _),
+    "q22_window_lag_lead"   -> (Windows.orderPriceLagLead _),
+    "q23_string_funcs"      -> (Funcs.stringFuncs _),
+    "q24_date_funcs"        -> (Funcs.dateFuncs _),
+    "q25_math_funcs"        -> (Funcs.mathFuncs _),
+    "q26_array_funcs"       -> (Funcs.arrayFuncs _),
+    "q27_json_funcs"        -> (Funcs.jsonFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,6 +126,136 @@ object SparkEntry {
            |)
            |SELECT r_name, rnk, c_custkey, CAST(rev_d AS DOUBLE) AS revenue
            |FROM ranked WHERE rnk <= 3 ORDER BY r_name, rnk""".stripMargin,
+      "q11_join_theta" ->
+        """SELECT n_name, COUNT(*) AS n_pairs,
+          |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)) - CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_gap
+          |FROM supplier
+          |JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+          |JOIN nation ON n_nationkey = s_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q12_join_asof" ->
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+          |j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts,
+          |        c.event_id AS click_id, c.ts AS click_ts,
+          |        ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+          |          ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.purchase_ts)
+          |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+          |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+      "q13_set_union" ->
+        """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+          |UNION
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |ORDER BY c_custkey""".stripMargin,
+      "q14_set_intersect" ->
+        """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+          |INTERSECT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |ORDER BY c_custkey""".stripMargin,
+      "q15_set_except" ->
+        """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+          |EXCEPT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |ORDER BY c_custkey""".stripMargin,
+      "q16_rollup" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${exactSum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+           |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q17_cube" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${exactSum("l_extendedprice")} AS sum_price, COUNT(*) AS n,
+           |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q18_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q19_count_distinct" ->
+        """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+          |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q20_window_rank" ->
+        """SELECT o_custkey, rn, rnk, drnk, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+          |    DENSE_RANK() OVER w AS drnk
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+          |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "q21_window_running" ->
+        """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY l_suppkey
+          |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_price
+          |FROM lineitem WHERE l_suppkey <= 3
+          |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, running_price""".stripMargin,
+      "q22_window_lag_lead" ->
+        """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |  LAG(o_totalprice) OVER w AS prev_price,
+          |  LEAD(o_totalprice) OVER w AS next_price,
+          |  FIRST_VALUE(o_orderdate) OVER w AS first_date
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+      "q23_string_funcs" ->
+        """SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_type) AS type_l,
+          |  SUBSTRING(p_name, 1, 5) AS name5,
+          |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+          |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+          |  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS n_tokens,
+          |  REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+          |  TRIM(CONCAT('  ', p_brand, ' ')) AS trimmed,
+          |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+          |  CONTAINS(p_name, 'red') AS has_red,
+          |  STARTS_WITH(p_name, 'small') AS is_small
+          |FROM part ORDER BY p_partkey""".stripMargin,
+      "q24_date_funcs" ->
+        """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+          |  CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+          |  CAST(QUARTER(o_orderdate) AS BIGINT) AS o_quarter,
+          |  CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS o_day,
+          |  DATE_TRUNC('month', o_orderdate) AS month_start,
+          |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+          |  CAST(o_orderdate AS DATE) AS o_date
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+      "q25_math_funcs" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity,
+          |  ABS(l_quantity * -1) AS abs_q,
+          |  CAST(FLOOR(l_quantity / 2) AS BIGINT) AS half_floor,
+          |  CAST(CEIL(l_quantity / 2) AS BIGINT) AS half_ceil,
+          |  SQRT(l_quantity) AS sqrt_q,
+          |  POW(l_quantity, 2) AS q_sq,
+          |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+          |  CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+          |FROM lineitem WHERE l_orderkey < 500
+          |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+      "q26_array_funcs" ->
+        """SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim,
+          |  CAST(embedding[1] AS DOUBLE) AS e1,
+          |  CAST(embedding[-1] AS DOUBLE) AS e_last,
+          |  LIST_SUM(LIST_TRANSFORM(embedding,
+          |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm,
+          |  LIST_SUM(LIST_TRANSFORM(embedding[1:8],
+          |    x -> CAST(x AS DOUBLE))) AS head8_sum
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "q27_json_funcs" ->
+        """SELECT event_id,
+          |  JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+          |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val,
+          |  JSON_EXTRACT_STRING(props, '$.missing') AS k_missing,
+          |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_struct
+          |FROM events ORDER BY event_id""".stripMargin,
     )
   }
 }

@@ -25,7 +25,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by Verify/Bench/tests) it surfaces as a nanos-since-epoch
+    * long, converted here to a microsecond timestamp. Integer `div`
+    * keeps the full 63-bit range (a double division would lose
+    * precision above 2^53); the generated data has no sub-µs residue
+    * so the truncation is lossless. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2B): string, date, math, array,
+  * and JSON families. The JSON family is the engine form of the
+  * reference's JSONB columns (event-table.sql:15-16).
+  *
+  * All pure projections — narrow (no shuffle), fully inside whole-stage
+  * codegen, and column-pruned down to the referenced columns at the
+  * parquet scan.
+  */
+object Funcs {
+
+  /** String functions over part. Derived ints cast to long to match
+    * DuckDB's BIGINT results in the oracle compare. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"),
+        size(split(col("p_name"), " ")).cast("long").as("n_tokens"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        trim(concat(lit("  "), col("p_brand"), lit(" "))).as("trimmed"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        col("p_name").contains("red").as("has_red"),
+        col("p_name").startsWith("small").as("is_small"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions over orders. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-12-31").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_eoy"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math functions over lineitem; inputs chosen so results are exact
+    * in both engines (integral quantities, IEEE-exact sqrt). */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        abs(col("l_quantity") * -1).as("abs_q"),
+        floor(col("l_quantity") / 2).cast("long").as("half_floor"),
+        ceil(col("l_quantity") / 2).cast("long").as("half_ceil"),
+        sqrt(col("l_quantity")).as("sqrt_q"),
+        pow(col("l_quantity"), 2).as("q_sq"),
+        (col("l_orderkey") % 7).cast("long").as("key_mod"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** Array functions over embeddings: size, indexing, slice-sum, dot
+    * product with itself via higher-order aggregate — all in codegen'd
+    * builtins, no UDF. Output is scalar-only (array-valued outputs
+    * don't round-trip the oracle compare). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e1"),
+        element_at(col("embedding"), -1).cast("double").as("e_last"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+          .as("sq_norm"),
+        aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("head8_sum"))
+      .orderBy(col("vec_id"))
+
+  /** JSON functions over events.props — the JSONB surface. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        get_json_object(col("props"), "$.missing").as("k_missing"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k_struct"))
+      .orderBy(col("event_id"))
+}

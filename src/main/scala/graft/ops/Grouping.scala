@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional aggregation surface: ROLLUP / CUBE / GROUPING SETS,
+  * COUNT(DISTINCT), and the theta (non-equi) join. Absent in the
+  * reference; engine extension surface.
+  *
+  * Scale: rollup/cube expand each input row into its grouping
+  * combinations BEFORE the partial aggregate, so the shuffle still
+  * carries only (group, partial-agg) pairs — safe at any input size.
+  * COUNT(DISTINCT x, y) triggers Catalyst's expand+two-phase plan;
+  * approx_count_distinct (HLL) is the scale path when exactness isn't
+  * required and is covered in tests (no exact oracle by construction).
+  */
+object Grouping {
+  import Det._
+
+  /** ROLLUP (returnflag, linestatus) with grouping flags. */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+        col("l_linestatus"))
+
+  /** CUBE (returnflag, linestatus): all 4 grouping combinations. */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+        col("l_linestatus"))
+
+  /** Explicit GROUPING SETS: ((rf, ls), (rf), ()). */
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+        col("l_linestatus"))
+
+  /** Exact COUNT(DISTINCT) per group — parts and suppliers per flag. */
+  def countDistinctPerFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Theta join (equi on nation + non-equi residual on balance):
+    * supplier/customer pairs in the same nation where the supplier's
+    * balance exceeds the customer's. Planned as a hash/SMJ on the equi
+    * key with the range as a residual filter — NOT a nested loop. */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    s.join(c, s("s_nationkey") === c("c_nationkey") &&
+        s("s_acctbal") > c("c_acctbal"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("s_acctbal").cast("decimal(18,2)") -
+          col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_gap"))
+      .orderBy(col("n_name"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2B): ranking, running frames,
+  * lag/lead. Absent in the reference (single-table copy tool); this is
+  * engine extension surface.
+  *
+  * Scale: a window partitioned by a key is one shuffle on that key plus
+  * a per-partition sort — same cost shape as a groupBy, no broadcast of
+  * anything. Partition keys here (custkey, suppkey) are high-cardinality
+  * so there is no single-partition bottleneck; an ORDER BY-only window
+  * (no partitionBy) would be the anti-pattern at scale and is avoided.
+  */
+object Windows {
+  import Det._
+
+  /** row_number / rank / dense_rank: top-3 orders per customer. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("rnk"), col("drnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running (cumulative) revenue per supplier over ship time — ROWS
+    * UNBOUNDED PRECEDING frame, exact decimal arithmetic. */
+  def runningRevenuePerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 3) // keep output bounded; 3 suppliers
+      .withColumn("running_price",
+        sum(col("l_extendedprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("running_price"))
+      .orderBy(col("l_suppkey") +: order :+ col("running_price"): _*)
+  }
+
+  /** lag/lead of order price within each customer's order history. */
+  def orderPriceLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("first_date", first(col("o_orderdate")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("prev_price"), col("next_price"),
+        col("first_date"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.{Grouping, SetOps}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("set ops partition correctly: union = intersect + both excepts") {
+    val u = SetOps.unionBuyers(spark, sf).count()
+    val i = SetOps.intersectBuyers(spark, sf).count()
+    val fNotO = SetOps.exceptBuyers(spark, sf).count()
+    val all = SetOps.unionBuyers(spark, sf)
+    // |F ∪ O| = |F ∩ O| + |F \ O| + |O \ F|
+    val oNotF = u - i - fNotO
+    assert(oNotF >= 0 && i + fNotO + oNotF == u)
+    assert(all.count() == all.distinct().count())
+  }
+
+  test("unionAll keeps duplicates, intersectAll/exceptAll multiset") {
+    val a = Seq(1, 1, 2, 3).toDF("x")
+    val b = Seq(1, 2, 2).toDF("x")
+    assert(a.union(b).count() == 7)
+    assert(a.intersectAll(b).count() == 2)      // {1, 2}
+    assert(a.exceptAll(b).count() == 2)         // {1, 3}
+    assert(a.intersect(b).count() == 2)         // distinct {1, 2}
+  }
+
+  test("rollup has per-group, subtotal, and grand-total rows") {
+    val rows = Grouping.rollupPricing(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[Long]("g_rf") == 1)
+    assert(grand.length == 1)
+    val totalN = grand.head.getAs[Long]("n")
+    assert(totalN == Tables.lineitem(spark, sf).count())
+    // cube adds the linestatus-only subtotals rollup lacks
+    assert(Grouping.cubePricing(spark, sf).count() > rows.length)
+  }
+
+  test("approx_count_distinct within 5% of exact (HLL scale path)") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
