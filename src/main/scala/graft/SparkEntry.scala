@@ -48,6 +48,13 @@ object SparkEntry {
     "q25_math_funcs"        -> (Funcs.mathFuncs _),
     "q26_array_funcs"       -> (Funcs.arrayFuncs _),
     "q27_json_funcs"        -> (Funcs.jsonFuncs _),
+    "q28_events_tumbling"   -> (Events.tumbling _),
+    "q29_events_sliding"    -> (Events.sliding _),
+    "q30_events_session"    -> (Events.sessions _),
+    "q31_sanitize"          -> ((s: SparkSession, d: String) =>
+      graft.etl.Sanitize.sanitizeEvents(Tables.events(s, d))
+        .select("event_id", "k_val", "props_canonical", "value")
+        .orderBy("event_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -255,6 +262,44 @@ object SparkEntry {
           |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val,
           |  JSON_EXTRACT_STRING(props, '$.missing') AS k_missing,
           |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_struct
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q28_events_tumbling" ->
+        """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      "q29_events_sliding" ->
+        """SELECT MAKE_TIMESTAMP((EPOCH_US(ts) // 900000000 - k.k) * 900000000) AS win_start,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+          |GROUP BY 1 ORDER BY win_start""".stripMargin,
+      "q30_events_session" ->
+        """WITH e AS (
+          |  SELECT user_id, ts, value,
+          |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |  FROM events
+          |), m AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM e
+          |), s AS (
+          |  SELECT user_id, ts, value,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM m
+          |)
+          |SELECT user_id, MIN(ts) AS session_start,
+          |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+      "q31_sanitize" ->
+        """SELECT event_id,
+          |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val,
+          |  '{"k":' || JSON_EXTRACT_STRING(props, '$.k') || '}' AS props_canonical,
+          |  COALESCE(value, 0.0) AS value
           |FROM events ORDER BY event_id""".stripMargin,
     )
   }

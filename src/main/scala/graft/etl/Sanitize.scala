@@ -1,0 +1,52 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Data sanitization (reference op R12) — the capability the reference
+  * ADVERTISES but never implements: README.md:11 claims "Data
+  * Sanitization (JSON conversion, NumPy handling)" and pins
+  * pandas/numpy (requirements.txt:1-2), yet neither is imported in
+  * either script. We implement the claimed surface Spark-first: JSON
+  * normalization via from_json/to_json (the JSONB columns of
+  * event-table.sql:15-16), numeric coercion via cast (NULL on
+  * failure, never an exception), and explicit null policies.
+  *
+  * All pure column expressions — codegen'd, no UDFs, no shuffle.
+  */
+object Sanitize {
+
+  /** Parse a JSON string column against a schema; malformed input
+    * becomes NULL (PERMISSIVE), never a task failure. */
+  def parseJson(c: Column, schema: DataType): Column = from_json(c, schema)
+
+  /** Canonicalize a JSON string column: parse then re-serialize so key
+    * order/whitespace are engine-normalized (SURVEY.md §7 risk 4 —
+    * never compare raw JSONB strings). */
+  def canonicalJson(c: Column, schema: DataType): Column =
+    to_json(from_json(c, schema))
+
+  /** Numeric coercion: cast that yields NULL on garbage (ANSI off for
+    * this expression via try_cast semantics). */
+  def toLongOrNull(c: Column): Column = c.try_cast("long")
+  def toDoubleOrNull(c: Column): Column = c.try_cast("double")
+
+  /** Null policy: fill defaults for the given columns. */
+  def fillNulls(df: DataFrame, defaults: Map[String, Any]): DataFrame =
+    df.na.fill(defaults)
+
+  /** Null policy: drop rows missing any of the required columns. */
+  def requireColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop("any", cols)
+
+  /** Sanitized view of the events table: props parsed + canonicalized,
+    * numeric k extracted, value defaulted. */
+  def sanitizeEvents(events: DataFrame): DataFrame = {
+    val schema = StructType.fromDDL("k LONG")
+    events
+      .withColumn("k_val", from_json(col("props"), schema).getField("k"))
+      .withColumn("props_canonical", canonicalJson(col("props"), schema))
+      .na.fill(Map("value" -> 0.0))
+  }
+}
