@@ -55,6 +55,7 @@ object SparkEntry {
       graft.etl.Sanitize.sanitizeEvents(Tables.events(s, d))
         .select("event_id", "k_val", "props_canonical", "value")
         .orderBy("event_id")),
+    "q32_transfer_roundtrip" -> (graft.etl.Transfer.roundTripChecksum _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -301,6 +302,12 @@ object SparkEntry {
           |  '{"k":' || JSON_EXTRACT_STRING(props, '$.k') || '}' AS props_canonical,
           |  COALESCE(value, 0.0) AS value
           |FROM events ORDER BY event_id""".stripMargin,
+      "q32_transfer_roundtrip" ->
+        s"""SELECT COUNT(*) AS n_rows,
+           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+           |  CAST(SUM(l_partkey + l_suppkey) AS BIGINT) AS sum_keys,
+           |  ${exactSum("l_extendedprice")} AS sum_price
+           |FROM lineitem""".stripMargin,
     )
   }
 }

@@ -1,0 +1,149 @@
+package graft.etl
+
+import java.sql.Connection
+import java.util.Properties
+import scala.util.control.NonFatal
+import graft.meta.TableMeta
+import graft.pg.{PgCatalog, PgDdl, SequenceSync}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bulk table transfer (reference ops R3–R6, R11) — the reference's
+  * core capability, re-expressed Spark-first.
+  *
+  * The reference reads each table with unordered OFFSET/LIMIT pages
+  * (transfer_data_script.py:107-114) — O(R²/C) server work and rows can
+  * be duplicated/dropped between pages — and writes one INSERT round
+  * trip per row (:121-126). Here: a range-partitioned JDBC scan
+  * (deterministic, one pass, N parallel readers) and Spark's batched
+  * JDBC writer (`batchsize` rows per round trip, one writer per
+  * partition). At cluster scale both sides parallelize with the
+  * executor count; the database becomes the bottleneck, not the engine.
+  *
+  * Transactionality (SURVEY.md §7 risk 2): the reference commits per
+  * table and can roll back (:136,141-143); Spark JDBC commits per
+  * partition. [[atomicLoad]] restores all-or-nothing per table by
+  * writing to a staging table and publishing with a single
+  * INSERT..SELECT transaction on the driver.
+  */
+object Transfer {
+
+  final case class TransferResult(table: String, rows: Long, ok: Boolean,
+      error: Option[String] = None)
+
+  /** R3 replacement: deterministic parallel range scan. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+
+  /** Single-partition read for small tables (still one pass, no OFFSET). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** R5 replacement: batched append, one writer per partition.
+    * batchsize=1000 matches the reference's chunk_size so measured
+    * speedup is batching+parallelism, not bigger pages (BASELINE.md). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: Properties, batchSize: Int = 1000): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
+  /** All-or-nothing publish: batched write into a staging table, then
+    * a single transactional INSERT INTO target SELECT * FROM staging.
+    * The staging write can retry/fail freely; the target only ever
+    * sees zero or all rows. */
+  def atomicLoad(df: DataFrame, url: String, targetTable: String,
+      props: Properties, connFactory: () => Connection,
+      batchSize: Int = 1000): Unit = {
+    val staging = targetTable + "_staging"
+    writeJdbc(df, url, staging, props, batchSize)
+    val conn = connFactory()
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      // names pass through unquoted, matching Spark's JDBC writer (which
+      // creates the staging table unquoted → database-case-normalized);
+      // callers needing exotic identifiers pass them pre-quoted.
+      st.executeUpdate(s"INSERT INTO $targetTable SELECT * FROM $staging")
+      st.executeUpdate(s"DROP TABLE $staging")
+      conn.commit()
+    } catch {
+      case NonFatal(e) => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  /** Generic per-table copy with exclusion (R6) and per-table
+    * error-isolation (R11: the reference logs and continues;
+    * engine form returns a result report instead of throwing). */
+  def copyTables(tables: Seq[String], exclude: Set[String],
+      read: String => DataFrame,
+      write: (String, DataFrame) => Unit): Seq[TransferResult] =
+    tables.filterNot(exclude).map { t =>
+      try {
+        val df = read(t)
+        write(t, df)
+        TransferResult(t, df.count(), ok = true)
+      } catch {
+        case NonFatal(e) =>
+          TransferResult(t, 0L, ok = false, Some(e.getMessage))
+      }
+    }
+
+  /** Oracle-checked round-trip checksum (the reference's implied
+    * source/target-equivalence oracle, SURVEY.md §5): transfer the
+    * fact table through a partitioned write + read-back, then compute
+    * a multiset checksum that must equal the same checksum computed
+    * directly on the source. */
+  def roundTripChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = graft.Tables.lineitem(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    src.repartition(8).write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey")).as("sum_okey"),
+      sum(col("l_partkey") + col("l_suppkey")).as("sum_keys"),
+      graft.ops.Det.exactSum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** The reference's EP2 three-phase topology
+    * (transfer_data_with_constraints_script.py:235-253): create all
+    * tables without FKs → copy all data → add all FKs → sync
+    * sequences. Load order is independent of the FK graph. */
+  def migrate(metas: Seq[TableMeta], exclude: Set[String],
+      execDdl: String => Unit,
+      read: TableMeta => DataFrame,
+      write: (TableMeta, DataFrame) => Unit): Seq[TransferResult] = {
+    val selected = metas.filterNot(m => exclude.contains(m.qualifiedName))
+    // phase 1: DDL without FKs
+    selected.foreach(m => execDdl(PgDdl.createTable(m)))
+    // phase 2: data
+    val results = selected.map { m =>
+      try {
+        val df = read(m)
+        write(m, df)
+        TransferResult(m.qualifiedName, df.count(), ok = true)
+      } catch {
+        case NonFatal(e) =>
+          TransferResult(m.qualifiedName, 0L, ok = false, Some(e.getMessage))
+      }
+    }
+    // phase 3: FKs (per-FK isolation like reference :163-171)
+    selected.foreach { m =>
+      PgDdl.addForeignKeys(m).foreach { sql =>
+        try execDdl(sql) catch { case NonFatal(_) => () }
+      }
+    }
+    // phase 4: sequence sync (reference EP3)
+    selected.foreach { m =>
+      if (m.serialColumns.nonEmpty) {
+        try SequenceSync.syncStatements(m, read(m)).foreach(execDdl)
+        catch { case NonFatal(_) => () }
+      }
+    }
+    results
+  }
+}

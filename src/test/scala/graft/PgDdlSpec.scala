@@ -1,0 +1,51 @@
+package graft
+
+import graft.meta._
+import graft.pg.{PgDdl, SequenceSync}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PgDdlSpec extends AnyFunSuite {
+  private val t = Fixtures.analyticsEvent
+
+  test("createTable maps the full §1 type surface and quotes identifiers") {
+    val ddl = PgDdl.createTable(t)
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS \"public\".\"analytics_analyticsevent\""))
+    assert(ddl.contains("\"id\" BIGSERIAL NOT NULL"))
+    assert(ddl.contains("\"created\" TIMESTAMPTZ NOT NULL"))
+    assert(ddl.contains("\"name\" VARCHAR(255) NOT NULL"))
+    assert(ddl.contains("\"identify\" TEXT"))
+    assert(ddl.contains("\"synced_with_posthog\" BOOLEAN NOT NULL DEFAULT FALSE"))
+    assert(ddl.contains("PRIMARY KEY (\"id\")"))
+    // phase 1 must NOT contain FKs (two-phase topology)
+    assert(!ddl.contains("FOREIGN KEY"))
+  }
+
+  test("addForeignKeys emits the deferred phase-3 ALTERs with actions") {
+    val fks = PgDdl.addForeignKeys(t)
+    assert(fks.length == 3)
+    assert(fks.head ==
+      "ALTER TABLE \"public\".\"analytics_analyticsevent\" ADD CONSTRAINT " +
+        "\"analytics_event_org_fk\" FOREIGN KEY (\"organization_id\") " +
+        "REFERENCES \"public\".\"organization\" (\"id\") ON DELETE SET NULL")
+    assert(fks(2).contains("ON DELETE CASCADE"))
+  }
+
+  test("identifier quoting survives embedded quotes and dashes") {
+    assert(PgDdl.quote("fde-local") == "\"fde-local\"")
+    assert(PgDdl.quote("a\"b") == "\"a\"\"b\"")
+  }
+
+  test("array and decimal type mapping") {
+    assert(PgDdl.pgType(ColumnMeta("x", ArrayType(FloatType), true)) == "REAL[]")
+    assert(PgDdl.pgType(ColumnMeta("x", DecimalType(12, 2), true)) == "NUMERIC(12,2)")
+  }
+
+  test("setval uses COALESCE-hardened empty-table form") {
+    // loaded table: setval(max, true)
+    assert(SequenceSync.setvalSql(t, "id", 42L) ==
+      "SELECT setval(pg_get_serial_sequence('\"public\".\"analytics_analyticsevent\"', 'id'), 42, true)")
+    // empty table: is_called=false so nextval yields 1
+    assert(SequenceSync.setvalSql(t, "id", -1L).endsWith(", 1, false)"))
+  }
+}

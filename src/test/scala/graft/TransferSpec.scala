@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.util.Properties
+import graft.etl.Transfer
+import graft.pg.PgCatalog
+import org.apache.spark.sql.functions._
+
+/** Transfer + JDBC integration against embedded Derby (a real JDBC
+  * database, standing in for PostgreSQL which isn't in this env). */
+class TransferSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val derbyUrl = "jdbc:derby:memory:graftdb;create=true"
+  private val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("parquet copy preserves the row multiset and honors exclusion") {
+    val out = Files.createTempDirectory("graft_copy").toString
+    val results = Transfer.copyTables(
+      tables = Seq("nation", "region", "customer"),
+      exclude = Set("region"),
+      read = Tables(spark, sf, _),
+      write = (t, df) => df.write.parquet(s"$out/$t.parquet"))
+    assert(results.map(_.table) == Seq("nation", "customer"))
+    assert(results.forall(_.ok))
+    // multiset equality: except in both directions is empty
+    val src = Tables.customer(spark, sf)
+    val dst = spark.read.parquet(s"$out/customer.parquet")
+    assert(src.exceptAll(dst).isEmpty && dst.exceptAll(src).isEmpty)
+    assert(!new java.io.File(s"$out/region.parquet").exists())
+  }
+
+  test("partitioned write keeps the multiset for any partition count") {
+    // the invariant the reference's unordered OFFSET paging violates
+    val src = Tables.lineitem(spark, sf)
+    for (n <- Seq(1, 3, 8)) {
+      val out = Files.createTempDirectory(s"graft_p$n").toString
+      src.repartition(n).write.mode("overwrite").parquet(out)
+      val back = spark.read.parquet(out)
+      assert(back.count() == src.count())
+      assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+    }
+  }
+
+  test("JDBC round trip: batched write then partitioned read (Derby)") {
+    val src = Tables.nation(spark, sf)
+    Transfer.writeJdbc(src, derbyUrl, "nation_t", props)
+    val back = Transfer.readJdbcPartitioned(spark, derbyUrl, "nation_t",
+      "n_nationkey", 0, 25, 4, props)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("n_nationkey")).head().getLong(0) ==
+      src.agg(sum("n_nationkey")).head().getLong(0))
+  }
+
+  test("catalog reflection over JDBC metadata (Derby)") {
+    val conn = DriverManager.getConnection(derbyUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE APP.REFL_T (
+          |  ID BIGINT NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |  NAME VARCHAR(64) NOT NULL,
+          |  BAL DOUBLE,
+          |  CREATED TIMESTAMP)""".stripMargin)
+      val meta = PgCatalog.tableMeta(conn, Some("APP"), "REFL_T")
+      assert(meta.columns.map(_.name) == Seq("ID", "NAME", "BAL", "CREATED"))
+      assert(meta.primaryKey == Seq("ID"))
+      val byName = meta.columns.map(c => c.name -> c).toMap
+      assert(byName("ID").serial && !byName("ID").nullable)
+      assert(byName("ID").dataType == org.apache.spark.sql.types.LongType)
+      assert(byName("BAL").dataType == org.apache.spark.sql.types.DoubleType)
+      assert(byName("BAL").nullable)
+      val tables = PgCatalog.listTables(conn, Some("APP"),
+        exclude = Set("APP.NATION_T"))
+      assert(tables.contains("REFL_T") && !tables.contains("NATION_T"))
+    } finally conn.close()
+  }
+
+  test("atomicLoad publishes all-or-nothing through a staging table") {
+    val conn = DriverManager.getConnection(derbyUrl)
+    // Derby normalizes unquoted identifiers to uppercase; use uppercase
+    // names so the quoted staging references resolve.
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE ATOMIC_T (X BIGINT, Y VARCHAR(16))")
+    conn.close()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("X", "Y")
+    Transfer.atomicLoad(df, derbyUrl, "ATOMIC_T", props,
+      () => DriverManager.getConnection(derbyUrl))
+    val back = spark.read.jdbc(derbyUrl, "ATOMIC_T", props)
+    assert(back.count() == 3)
+    // staging table is gone
+    val c2 = DriverManager.getConnection(derbyUrl)
+    val rs = c2.getMetaData.getTables(null, null, "ATOMIC_T_STAGING", null)
+    assert(!rs.next()); c2.close()
+  }
+
+  test("migrate runs the three-phase topology end-to-end (DDL capture)") {
+    val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
+    val metas = Seq(Fixtures.analyticsEvent)
+    val data = Seq((1L, "e1"), (2L, "e2")).toDF("id", "name")
+    val results = Transfer.migrate(metas, exclude = Set.empty,
+      execDdl = ddl += _,
+      read = _ => data,
+      write = (_, _) => ())
+    assert(results.head.ok && results.head.rows == 2)
+    // phase order: CREATE before ALTER..FOREIGN KEY before setval
+    val createIdx = ddl.indexWhere(_.startsWith("CREATE TABLE"))
+    val fkIdx = ddl.indexWhere(_.contains("FOREIGN KEY"))
+    val seqIdx = ddl.indexWhere(_.contains("setval"))
+    assert(createIdx >= 0 && fkIdx > createIdx && seqIdx > fkIdx)
+    assert(ddl.count(_.contains("FOREIGN KEY")) == 3)
+    assert(ddl.last.contains("setval"))
+  }
+}
