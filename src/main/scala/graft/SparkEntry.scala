@@ -56,6 +56,17 @@ object SparkEntry {
         .select("event_id", "k_val", "props_canonical", "value")
         .orderBy("event_id")),
     "q32_transfer_roundtrip" -> (graft.etl.Transfer.roundTripChecksum _),
+    "q33_dedup_exact"       -> (Dedup.exactDedup _),
+    "q34_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q35_text_quality"      -> (TextAnalysis.qualityStats _),
+    "q36_text_langid"       -> (TextAnalysis.langId _),
+    "q37_token_counts"      -> (TextAnalysis.tokenCounts _),
+    "q38_fingerprints"      -> (TextAnalysis.fingerprints _),
+    "q39_multimodal"        -> (graft.multimodal.Multimodal.mediaFeatures _),
+    "q40_centroids"         -> (Similarity.centroids _),
+    "q41_dedup_minhash"     -> (Dedup.minhashNearDups _),
+    "q42_dedup_simhash"     -> (Dedup.simhashFingerprints _),
+    "q43_ann_buckets"       -> ((s: SparkSession, d: String) => Similarity.annBuckets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,6 +319,89 @@ object SparkEntry {
            |  CAST(SUM(l_partkey + l_suppkey) AS BIGINT) AS sum_keys,
            |  ${exactSum("l_extendedprice")} AS sum_price
            |FROM lineitem""".stripMargin,
+      "q33_dedup_exact" ->
+        """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+          |  SHA256(text) AS content_hash
+          |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+      "q34_cosine_topk" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          |           FROM embeddings WHERE vec_id = 0)
+          |SELECT e.vec_id, e.label,
+          |  ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qe) /
+          |    (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+          |                             CAST(e.embedding AS DOUBLE[]))) *
+          |     SQRT(LIST_INNER_PRODUCT(q.qe, q.qe))), 6) AS cos_sim
+          |FROM embeddings e, q WHERE e.vec_id <> 0
+          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+      "q35_text_quality" ->
+        """SELECT doc_id, lang,
+          |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+          |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+          |  ROUND(CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+          |      x -> LENGTH(x))) AS DOUBLE) /
+          |    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 4) AS avg_token_len,
+          |  ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 ]')) AS DOUBLE) /
+          |    CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio,
+          |  ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+          |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) /
+          |    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+          |  ROUND(0.4 * LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0) +
+          |    0.3 * (1.0 - CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 ]')) AS DOUBLE) /
+          |      CAST(LENGTH(text) AS DOUBLE)) +
+          |    0.3 * LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+          |        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) /
+          |      CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 5.0, 1.0), 6) AS quality_score
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q36_text_langid" ->
+        """SELECT doc_id, lang_label, s_en, s_de, s_fr, s_es, s_zh,
+          |  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+          |       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+          |       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+          |       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+          |       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+          |       ELSE 'zh' END AS lang_pred
+          |FROM (
+          |  SELECT doc_id, lang AS lang_label,
+          |    CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+          |      ['the', 'a', 'and', 'of', 'to'])) AS BIGINT) AS s_en,
+          |    CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+          |      ['der', 'die', 'und', 'das', 'ist'])) AS BIGINT) AS s_de,
+          |    CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+          |      ['le', 'la', 'les', 'et', 'des'])) AS BIGINT) AS s_fr,
+          |    CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+          |      ['el', 'los', 'las', 'y', 'una'])) AS BIGINT) AS s_es,
+          |    CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+          |      ['的', '了', '是', '在', '我'])) AS BIGINT) AS s_zh
+          |  FROM documents
+          |) t ORDER BY doc_id""".stripMargin,
+      "q37_token_counts" ->
+        """SELECT doc_id,
+          |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+          |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+          |  ROUND(CAST(LENGTH(text) AS DOUBLE) /
+          |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 4) AS chars_per_token
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q39_multimodal" ->
+        """SELECT doc_id,
+          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+          |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+          |    ELSE 64 + OCTET_LENGTH(ENCODE(text)) % 512 END AS BIGINT) AS width,
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+          |    ELSE 64 + (OCTET_LENGTH(ENCODE(text)) * 7 + ASCII(text)) % 512 END AS BIGINT) AS height,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0
+          |    ELSE 1 + OCTET_LENGTH(ENCODE(text)) % 30 END AS BIGINT) AS n_frames,
+          |  CAST(CASE WHEN doc_id % 3 = 1
+          |    THEN 8000 + (OCTET_LENGTH(ENCODE(text)) % 5) * 8000
+          |    ELSE 0 END AS BIGINT) AS sample_rate
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q40_centroids" ->
+        """SELECT label, CAST(i AS BIGINT) AS pos,
+          |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c_val,
+          |  COUNT(*) AS n_vecs
+          |FROM embeddings, GENERATE_SERIES(1, 64) s(i)
+          |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     )
   }
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2B [ext]):
+  * brute-force cosine top-k as the exactness baseline, random-
+  * hyperplane LSH bucketing as the scale path, per-label centroids.
+  *
+  * Scale shapes: brute-force against ONE query is a broadcast of the
+  * query + a narrow map + TakeOrderedAndProject — linear, fine at any
+  * size. All-pairs brute force is never materialized; the LSH variant
+  * joins only within buckets. Dot products run through zip_with +
+  * aggregate (codegen'd builtins, no UDF); float×float products are
+  * exact in double, and the sequential array fold is order-stable.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision via higher-order builtins. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k by cosine against the vec_id=0 embedding.
+    * Rounded to 6dp so the (order-stable but engine-specific) float
+    * fold can't flip the ranking vs the oracle. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seed 42) for LSH bucketing. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-of-projection LSH bucket id (one bit per hyperplane). Two
+    * vectors at cosine angle θ land in the same bucket with
+    * probability (1 - θ/π)^numPlanes. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
+      val planeCol = array(p.map(lit): _*)
+      acc.bitwiseOR(
+        when(dot(emb, planeCol) > 0, shiftleft(lit(1L), j)).otherwise(0L))
+    }
+
+  /** Per-vector LSH bucket assignment (the ANN index build). */
+  def annBuckets(spark: SparkSession, dir: String, numPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        lshBucket(col("embedding"), planes).as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ANN search: probe only the query's bucket, exact cosine re-rank
+    * inside it. Recall vs brute force is measured in SimilaritySpec. */
+  def annSearch(emb: DataFrame, queryVec: Array[Float], k: Int,
+      numPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val qCol = array(queryVec.map(lit): _*)
+    val qBucket = lshBucket(qCol, planes)
+    emb.withColumn("bucket", lshBucket(col("embedding"), planes))
+      .filter(col("bucket") === qBucket)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-label centroid via posexplode + avg: SQL-expressible (and so
+    * oracle-checkable), one shuffle of (label, pos) pairs. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c_val"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Typed Aggregator form of the centroid — the showcase custom
+    * aggregate (SURVEY.md §2B): no builtin aggregates array<float>
+    * directly; this one merges (sum-vector, count) buffers. */
+  class VecCentroid(dim: Int)
+      extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+    def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
+    def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { b._1(i) += a(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(r: (Array[Double], Long)): Array[Double] =
+      if (r._2 == 0) r._1 else r._1.map(_ / r._2)
+    // kryo keeps the buffer opaque — fine for a typed showcase op whose
+    // results are consumed via collect(), and immune to encoder-API churn
+    def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.kryo[(Array[Double], Long)]
+    def outputEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]
+  }
+}

