@@ -57,9 +57,14 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 
 /** Session registration for graft's custom expressions; idempotent. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash64(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash64", exprs => MinHashSignature(exprs.head, 64), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle8", exprs => ShingleHashes(exprs.head, 8), "internal")
+  }
 
   /** Plain-Scala reference implementation for differential testing. */
   def rollingHash64Reference(s: String): Long = {

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct hashed k-byte shingles of a string, as one native codegen
+  * loop (companion to [[MinHashSignature]]; k fixed at construction).
+  *
+  * Replaces `array_distinct(transform(sequence(...), i ->
+  * xxhash64(substr(text, i, k))))`, which allocates a substring per
+  * position and runs the lambda interpreted. Here: one pass over the
+  * UTF-8 bytes, a rolling window hashed with an FNV/splitmix mix, and
+  * in-loop dedup via an open-addressing table.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    new GenericArrayData(ShingleHashes.distinctWindowHashes(bytes, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleHashes.distinctWindowHashes($c.getBytes(), $k));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Hash every k-byte window (FNV-1a then splitmix finalizer) and
+    * return the distinct values. Static so generated code can call it —
+    * a tight JIT-friendly loop beats inlined codegen here and keeps the
+    * generated method small. */
+  def distinctWindowHashes(bytes: Array[Byte], k: Int): Array[Long] = {
+    val n = math.max(bytes.length - k + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(i + k, bytes.length)
+      var p = i
+      while (p < end) {
+        h = (h ^ (bytes(p) & 0xffL)) * 1099511628211L
+        p += 1
+      }
+      h = MinHashSignature.mix(h)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+}
