@@ -67,6 +67,7 @@ object SparkEntry {
     "q41_dedup_minhash"     -> (Dedup.minhashNearDups _),
     "q42_dedup_simhash"     -> (Dedup.simhashFingerprints _),
     "q43_ann_buckets"       -> ((s: SparkSession, d: String) => Similarity.annBuckets(s, d)),
+    "q44_embed_neardup"     -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,6 +403,17 @@ object SparkEntry {
           |  COUNT(*) AS n_vecs
           |FROM embeddings, GENERATE_SERIES(1, 64) s(i)
           |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+      "q44_embed_neardup" ->
+        """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |  ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          |    (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          |     SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+          |FROM embeddings a JOIN embeddings b
+          |  ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+          |WHERE ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          |    (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          |     SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2
+          |ORDER BY vec_a, vec_b""".stripMargin,
     )
   }
 }

@@ -81,6 +81,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding near-duplicate pairs, exact form over an id-bounded
+    * subset (the oracle-checkable shape: one side is 200 rows and
+    * broadcasts). Cosine is rounded BEFORE thresholding so the float
+    * fold can't flip a boundary decision vs the oracle. */
+  def embeddingNearDups(spark: SparkSession, dir: String,
+      maxId: Long = 200, minCos: Double = 0.2): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Scale path: near-dup pairs via LSH bucket join — only vectors in
+    * the same bucket are compared (recall/threshold trade measured in
+    * AnalyticsSpec with planted duplicates). */
+  def lshEmbeddingNearDups(emb: DataFrame, minCos: Double,
+      numPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
   /** Per-label centroid via posexplode + avg: SQL-expressible (and so
     * oracle-checkable), one shuffle of (label, pos) pairs. */
   def centroids(spark: SparkSession, dir: String): DataFrame =

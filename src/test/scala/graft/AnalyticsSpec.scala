@@ -88,6 +88,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(brute == 7L)
   }
 
+  test("LSH embedding near-dup finds a planted duplicate vector") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    // plant: vector 3's embedding duplicated under a new id
+    val v3 = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val planted = Seq((100000L, v3, 0)).toDF("vec_id", "embedding", "label")
+    val all = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    val pairs = Similarity.lshEmbeddingNearDups(all, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((3L, 100000L)),
+      s"planted duplicate not found; got ${pairs.take(5).toSeq}")
+  }
+
   test("typed centroid Aggregator agrees with the posexplode centroid") {
     val agg = new Similarity.VecCentroid(64)
     val byLabel = Tables.embeddings(spark, sf)

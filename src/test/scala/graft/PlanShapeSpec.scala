@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Dedup, Relational, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the 100 TB contract (SCALE.md):
+  * filters/projections reach the scan, dims broadcast, top-k avoids a
+  * global sort, similarity ops never plan a cartesian product. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter and projection push into the parquet scan") {
+    val p = plan(Relational.scanProject(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,1000)]"),
+      s"missing pushed filter:\n$p")
+    // pruned read schema: only the 3 selected columns are read
+    assert(p.contains("ReadSchema") &&
+      p.contains("l_quantity") && !p.contains("l_extendedprice"))
+  }
+
+  test("dim joins plan as BroadcastHashJoin, not shuffle") {
+    val p = plan(Relational.joinBroadcastDims(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.topkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+  }
+
+  test("whole-stage codegen covers the pricing-summary pipeline") {
+    // AQE hides codegen until the plan is finalized — execute, then
+    // inspect the executed plan ("*(n)" marks codegen stages)
+    val df = Relational.pricingSummary(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage in executed plan:\n${p.take(800)}")
+  }
+
+  test("minhash LSH plans no cartesian product and no nested loop") {
+    val p = plan(Dedup.nearDupPairs(Tables.documents(spark, sf), "doc_id", 0.8))
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$p")
+  }
+
+  test("brute-force cosine top-k broadcasts the single query row") {
+    val p = plan(Similarity.cosineTopK(spark, sf))
+    assert(p.contains("Broadcast"), s"query vector not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+  }
+
+  test("theta join keeps the equi conjunct as the join key") {
+    val p = plan(graft.ops.Grouping.joinTheta(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"theta join degenerated:\n$p")
+  }
+}
