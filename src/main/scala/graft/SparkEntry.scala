@@ -68,6 +68,7 @@ object SparkEntry {
     "q42_dedup_simhash"     -> (Dedup.simhashFingerprints _),
     "q43_ann_buckets"       -> ((s: SparkSession, d: String) => Similarity.annBuckets(s, d)),
     "q44_embed_neardup"     -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
+    "q45_sql_subqueries"    -> (SqlSurface.maxQuantityLineitems _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -414,6 +415,13 @@ object SparkEntry {
           |    (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
           |     SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2
           |ORDER BY vec_a, vec_b""".stripMargin,
+      "q45_sql_subqueries" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity
+          |FROM lineitem
+          |WHERE l_quantity = (SELECT MAX(l_quantity) FROM lineitem)
+          |  AND l_orderkey IN (SELECT o_orderkey FROM orders
+          |                     WHERE o_orderstatus = 'F')
+          |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     )
   }
 }

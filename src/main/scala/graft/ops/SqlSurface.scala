@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry point: the engine's tables exposed as temp views and
+  * queried through spark.sql — same Catalyst plans as the DataFrame
+  * API, proving a reference user could bring existing SQL unchanged.
+  */
+object SqlSurface {
+
+  /** Register every testdata table as a temp view (idempotent). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** Correlated scalar subquery + IN subquery, via SQL. MAX-based
+    * comparisons only (exact under floats, unlike AVG thresholds). */
+  def maxQuantityLineitems(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity = (SELECT MAX(l_quantity) FROM lineitem)
+        |  AND l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderstatus = 'F')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
+  }
+}

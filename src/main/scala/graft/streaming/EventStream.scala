@@ -48,6 +48,76 @@ object EventStream {
         graft.etl.Transfer.writeJdbc(batch, url, table, props)
       }
 
+  // ---- custom stateful sessionization (flatMapGroupsWithState) ----
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  /** start/last are MICROSECONDS since epoch — java.sql.Timestamp
+    * getTime() is millis and silently truncates the µs the testdata
+    * carries. */
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long)
+
+  def toMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+  def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000))
+    t.setNanos((Math.floorMod(us, 1000000L)).toInt * 1000)
+    t
+  }
+
+  /** Custom state-machine sessionization: per-user inactivity-gap
+    * sessions via flatMapGroupsWithState with event-time timeout — the
+    * KeyValueGroupedDataset state API the built-in session_window
+    * doesn't expose (per-event custom logic, arbitrary state shape).
+    * Emits a session when the watermark passes its gap deadline. */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[Ev],
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val gapUs = gapMs * 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, fromMicros(s.start), s.n))
+          } else {
+            // flatMapGroupsWithState does NOT auto-filter late rows —
+            // enforce the watermark contract here, otherwise an
+            // out-of-order batch walks the session state backwards
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val sorted = rows.map(e => toMicros(e.ts)).filter(_ >= wmUs)
+              .toSeq.sorted
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last < gapUs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  out ::= SessionOut(user, fromMicros(s.start), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // a timeout at-or-before the current watermark throws;
+              // clamp so late-arriving groups time out on the next batch
+              state.setTimeoutTimestamp(
+                math.max(s.last / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Memory-sink harness for synchronous testing: process everything
     * currently in the source, then stop. */
   def runOnce(agg: DataFrame, name: String): StreamingQuery = {

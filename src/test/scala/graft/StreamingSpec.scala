@@ -6,6 +6,44 @@ import graft.streaming.EventStream
 
 class StreamingSpec extends SparkSpec {
 
+  test("stateful sessionization emits sessions that match batch sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stage time-ordered ARRIVAL: the file source orders batches by
+    // file modification time, so write the early half strictly before
+    // the late half (two separate jobs, distinct mtimes)
+    val staged = Files.createTempDirectory("graft_sess").toString
+    val ev = Tables.events(spark, sf).select("user_id", "ts")
+    val mid = ev.selectExpr("percentile_approx(cast(ts as double), 0.5)")
+      .head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= mid).coalesce(1)
+      .sortWithinPartitions("ts").write.mode("append").parquet(staged)
+    Thread.sleep(1100)
+    ev.filter(col("ts").cast("double") > mid).coalesce(1)
+      .sortWithinPartitions("ts").write.mode("append").parquet(staged)
+
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .as[EventStream.Ev]
+    val sessions = EventStream.sessionizeStateful(stream, gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(emitted.nonEmpty, "no sessions emitted before the watermark")
+      // every emitted session must exactly match a batch-mode session
+      val batch = Events.sessions(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getLong(3))).toSet
+      val bad = emitted -- batch
+      assert(bad.isEmpty, s"streaming-only sessions: ${bad.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
