@@ -69,6 +69,9 @@ object SparkEntry {
     "q43_ann_buckets"       -> ((s: SparkSession, d: String) => Similarity.annBuckets(s, d)),
     "q44_embed_neardup"     -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q45_sql_subqueries"    -> (SqlSurface.maxQuantityLineitems _),
+    "q46_ivf_cells"         -> (Ivf.cellSummary _),
+    "q47_percentiles"       -> (Grouping.percentiles _),
+    "q48_pivot"             -> (Grouping.pivotFlags _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,6 +425,19 @@ object SparkEntry {
           |  AND l_orderkey IN (SELECT o_orderkey FROM orders
           |                     WHERE o_orderstatus = 'F')
           |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+      "q47_percentiles" ->
+        """SELECT l_returnflag,
+          |  QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
+          |  QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+          |  QUANTILE_CONT(l_quantity, 0.25) AS p25_qty,
+          |  COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q48_pivot" ->
+        s"""SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+           |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+           |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+           |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+           |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin,
     )
   }
 }

@@ -62,6 +62,30 @@ object Grouping {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact interpolated percentiles per group — both engines use the
+    * same linear interpolation (Spark percentile / DuckDB
+    * quantile_cont); quantities are integral doubles so the single
+    * interpolation division is IEEE-exact in both. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, array(0.25, 0.75))[0]").as("p25_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot: quantity totals per order-year, one column per return
+    * flag. Spark plans pivot as a single two-phase aggregate; the
+    * oracle states it as CASE-WHEN conditional aggregation. */
+  def pivotFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(exactSum(col("l_quantity")))
+      .orderBy(col("ship_year"))
+
   /** Theta join (equi on nation + non-equi residual on balance):
     * supplier/customer pairs in the same nation where the supplier's
     * balance exceeds the customer's. Planned as a hash/SMJ on the equi

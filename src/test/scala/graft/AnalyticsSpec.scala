@@ -18,6 +18,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("GraftExtensions wires builders that eval like the references") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // a second SparkContext can't exist in this JVM, so exercise the
+    // injection object + the registered builders' eval paths directly
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val h = graft.functions.RollingHash64(Literal("abc")).eval(null)
+    assert(h == GraftFunctions.rollingHash64Reference("abc"))
+    val sh = graft.functions.ShingleHashes(Literal("abcdefghij"), 8).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(sh.numElements() == 3)
+    val sig = graft.functions.MinHashSignature(
+        graft.functions.ShingleHashes(Literal("hello world, a doc"), 8), 64)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(sig.numElements() == 64)
+  }
+
   test("rolling_hash interpreted path (codegen off) agrees") {
     GraftFunctions.register(spark)
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",
@@ -100,6 +117,26 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((3L, 100000L)),
       s"planted duplicate not found; got ${pairs.take(5).toSeq}")
+  }
+
+  test("IVF search finds the query vector's own cell and beats random recall") {
+    import graft.ops.{Ivf, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Ivf.build(emb, k = 8)
+    val q = emb.filter(col("vec_id") === 11).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val got = Ivf.search(idx, q, topK = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(11L), "query's own vector not retrieved")
+    // recall vs brute force top-10 with nProbe=4 of 8 cells
+    val brute = emb.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), array(q.map(lit): _*)).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val wide = Ivf.search(idx, q, topK = 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(wide).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall below probing half the cells")
   }
 
   test("typed centroid Aggregator agrees with the posexplode centroid") {
