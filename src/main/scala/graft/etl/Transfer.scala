@@ -59,6 +59,14 @@ object Transfer {
       props: Properties, connFactory: () => Connection,
       batchSize: Int = 1000): Unit = {
     val staging = targetTable + "_staging"
+    // a previously failed run can leave partial rows in staging (the
+    // staging write commits per partition); start from a clean slate or
+    // the retry would publish leftovers + the new copy
+    locally {
+      val c = connFactory()
+      try c.createStatement().executeUpdate(s"DROP TABLE $staging")
+      catch { case NonFatal(_) => () } finally c.close()
+    }
     writeJdbc(df, url, staging, props, batchSize)
     val conn = connFactory()
     try {
@@ -77,15 +85,22 @@ object Transfer {
 
   /** Generic per-table copy with exclusion (R6) and per-table
     * error-isolation (R11: the reference logs and continues;
-    * engine form returns a result report instead of throwing). */
+    * engine form returns a result report instead of throwing).
+    *
+    * `countRows=false` skips the per-table count: the count is a second
+    * full scan of the SOURCE (for a JDBC source that doubles the load
+    * on the database this module exists to protect) and can disagree
+    * with the written rows if the source changes between scans —
+    * callers wanting an exact written count should count the target. */
   def copyTables(tables: Seq[String], exclude: Set[String],
       read: String => DataFrame,
-      write: (String, DataFrame) => Unit): Seq[TransferResult] =
+      write: (String, DataFrame) => Unit,
+      countRows: Boolean = true): Seq[TransferResult] =
     tables.filterNot(exclude).map { t =>
       try {
         val df = read(t)
         write(t, df)
-        TransferResult(t, df.count(), ok = true)
+        TransferResult(t, if (countRows) df.count() else -1L, ok = true)
       } catch {
         case NonFatal(e) =>
           TransferResult(t, 0L, ok = false, Some(e.getMessage))
@@ -100,13 +115,22 @@ object Transfer {
   def roundTripChecksum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val src = graft.Tables.lineitem(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
-    src.repartition(8).write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).agg(
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rt")
+    src.repartition(8).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // materialize the checksum BEFORE deleting the staged copy (the
+    // returned plan must not depend on the temp files), then clean up —
+    // otherwise every Verify/Bench/Explain run leaks a full copy of the
+    // fact table under /tmp
+    val rows = spark.read.parquet(tmp.toString).agg(
       count(lit(1)).as("n_rows"),
       sum(col("l_orderkey")).as("sum_okey"),
       sum(col("l_partkey") + col("l_suppkey")).as("sum_keys"),
       graft.ops.Det.exactSum(col("l_extendedprice")).as("sum_price"))
+    val (schema, collected) = (rows.schema, rows.collect().toSeq)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.createDataFrame(collected.asJava, schema)
   }
 
   /** The reference's EP2 three-phase topology

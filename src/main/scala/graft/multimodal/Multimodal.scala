@@ -41,12 +41,17 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** FAKE decode — deterministic arithmetic on payload size/first byte
-    * in place of a real codec. A production build swaps `fakeDecode`
-    * for the native decoder; nothing else changes. */
+  /** FAKE decode — deterministic arithmetic on payload size and first
+    * CODEPOINT in place of a real codec (codepoint, not first UTF-8
+    * byte, so this path is bit-identical to the column-expression form
+    * which uses ascii(text) — they'd diverge on multibyte-leading
+    * text otherwise). A production build swaps `fakeDecode` for the
+    * native decoder; nothing else changes. */
   def fakeDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Int) = {
-    val n = payload.length
-    val first = if (n > 0) payload(0) & 0xff else 0
+    val n = if (payload == null) 0 else payload.length
+    val first =
+      if (n == 0) 0
+      else new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
     mediaType match {
       case "image" => (64 + n % 512, 64 + (n * 7 + first) % 512, 1, 0)
       case "audio" => (0, 0, 0, 8000 + (n % 5) * 8000)
@@ -71,10 +76,11 @@ object Multimodal {
     media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
       // per-partition codec init would happen HERE (once, not per row)
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
+        val payload = r.getAs[Array[Byte]]("payload") // null allowed by schema
         val mt = r.getAs[String]("media_type")
         val (w, h, f, sr) = fakeDecode(mt, payload)
-        Row(r.getAs[Long]("doc_id"), mt, payload.length.toLong, w, h, f, sr)
+        val nBytes = if (payload == null) 0L else payload.length.toLong
+        Row(r.getAs[Long]("doc_id"), mt, nBytes, w, h, f, sr)
       }
     }(enc)
   }

@@ -41,12 +41,19 @@ object AsOf {
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withMatch = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    val matched = withMatch.filter(col("__side") === 1)
+    // carry the payload as ONE struct: per-column last(ignoreNulls)
+    // would backfill a NULL field of the matching row from an older
+    // right row, stitching together a row that never existed. The
+    // struct is non-null exactly for right rows, so last(ignoreNulls)
+    // picks the whole matching row atomically.
+    val withStruct = unioned.withColumn("__r",
+      when(col("__side") === 0,
+        struct(rightPayload.map(c => col(s"__r_$c").as(c)): _*)))
+    val matched = withStruct
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
     val out = left.columns.map(col) ++
-      rightPayload.map(c => col(s"__m_$c").as(s"asof_$c"))
+      rightPayload.map(c => col("__m").getField(c).as(s"asof_$c"))
     matched.select(out: _*)
   }
 

@@ -31,8 +31,12 @@ object Skew {
     * across `saltBuckets` tasks instead of one. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int = 16): DataFrame = {
+    // salt from the full row content — a nondeterministic source
+    // (monotonically_increasing_id, rand) feeding a shuffle key can
+    // duplicate/lose rows on task retry (recomputed rows land in
+    // different reduce partitions than already-fetched copies)
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

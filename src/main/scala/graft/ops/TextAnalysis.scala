@@ -33,8 +33,9 @@ object TextAnalysis {
     val t = col("text")
     val nTokens = size(tokens(t)).cast("long")
     val punct = expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long")
+    val enMarkers = markers.toMap.apply("en")
     val stop = size(filter(tokens(t),
-      tk => tk.isin("the", "a", "of", "and", "to"))).cast("long")
+      tk => tk.isin(enMarkers: _*))).cast("long")
     val punctRatio = punct.cast("double") / length(t).cast("double")
     val stopRatio = stop.cast("double") / nTokens.cast("double")
     Tables.documents(spark, dir)

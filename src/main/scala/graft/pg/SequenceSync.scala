@@ -28,7 +28,10 @@ object SequenceSync {
   def setvalSql(t: TableMeta, column: String, maxVal: Long): String = {
     val qualified = t.schema.fold(PgDdl.quote(t.name))(s =>
       s"${PgDdl.quote(s)}.${PgDdl.quote(t.name)}")
-    val seq = s"pg_get_serial_sequence('$qualified', '$column')"
+    // the identifiers are embedded in SQL STRING literals here — escape
+    // apostrophes or a table named o'brien breaks the statement
+    def sq(s: String) = s.replace("'", "''")
+    val seq = s"pg_get_serial_sequence('${sq(qualified)}', '${sq(column)}')"
     if (maxVal >= 1) s"SELECT setval($seq, $maxVal, true)"
     else s"SELECT setval($seq, 1, false)"
   }

@@ -39,11 +39,16 @@ object EventStream {
     spark.readStream.schema(eventSchema).parquet(dir)
 
   /** JDBC sink via foreachBatch: per micro-batch batched append
-    * (streaming reuse of the bulk writer — same batchsize semantics). */
+    * (streaming reuse of the bulk writer — same batchsize semantics).
+    * Append output mode: with the watermark on the agg, a window row is
+    * emitted exactly once, after it can no longer change — an
+    * append-only sink table stays correct. (Update mode would re-emit
+    * evolving rows and an append sink would accumulate stale versions;
+    * that combination needs an upsert writer instead.) */
   def jdbcSink(agg: DataFrame, url: String, table: String,
       props: java.util.Properties): DataStreamWriter[Row] =
     agg.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.etl.Transfer.writeJdbc(batch, url, table, props)
       }

@@ -35,6 +35,20 @@ class AsOfSpec extends SparkSpec {
     assert(out(4L) == -1L)   // no right rows for key -> null
   }
 
+  test("null payload field on the matching row is NOT backfilled from older rows") {
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00")))
+      .toDF("purchase_id", "user_id", "purchase_ts")
+    val right = Seq(
+      (300L, 5L, ts("2024-01-01 08:00:00"), Some("x")),
+      (301L, 5L, ts("2024-01-01 09:00:00"), None))  // matching row, extra=NULL
+      .toDF("event_id", "user_id", "ts", "extra")
+    val row = AsOf.join(left, right, Seq("user_id"),
+        "purchase_ts", "ts", Seq("event_id", "extra"), "event_id")
+      .select(col("asof_event_id"), col("asof_extra")).head()
+    assert(row.getLong(0) == 301L)
+    assert(row.isNullAt(1), "NULL field stitched from an older right row")
+  }
+
   test("as-of tie between right rows at same ts resolves to max tiebreak") {
     val left = Seq((1L, 5L, ts("2024-01-01 10:00:00")))
       .toDF("purchase_id", "user_id", "purchase_ts")

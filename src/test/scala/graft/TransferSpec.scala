@@ -99,6 +99,24 @@ class TransferSpec extends SparkSpec {
     assert(!rs.next()); c2.close()
   }
 
+  test("atomicLoad retry after leftover staging rows publishes exactly once") {
+    val conn = DriverManager.getConnection(derbyUrl)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE ATOMIC_R (X BIGINT)")
+    // simulate a previous failed run that left partial staging rows
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE ATOMIC_R_STAGING (X BIGINT)")
+    conn.createStatement().executeUpdate(
+      "INSERT INTO ATOMIC_R_STAGING VALUES (999)")
+    conn.close()
+    val df = Seq(1L, 2L).toDF("X")
+    Transfer.atomicLoad(df, derbyUrl, "ATOMIC_R", props,
+      () => DriverManager.getConnection(derbyUrl))
+    val got = spark.read.jdbc(derbyUrl, "ATOMIC_R", props)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L), s"leftover staging rows published: ${got.toSeq}")
+  }
+
   test("migrate runs the three-phase topology end-to-end (DDL capture)") {
     val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
     val metas = Seq(Fixtures.analyticsEvent)
