@@ -72,6 +72,8 @@ object SparkEntry {
     "q46_ivf_cells"         -> (Ivf.cellSummary _),
     "q47_percentiles"       -> (Grouping.percentiles _),
     "q48_pivot"             -> (Grouping.pivotFlags _),
+    "q49_shipping_priority" -> (Relational.shippingPriority _),
+    "q50_winnow_fingerprints" -> (TextAnalysis.winnowSummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -438,6 +440,17 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
            |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
            |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin,
+      "q49_shipping_priority" ->
+        s"""SELECT o_orderkey, o_orderdate,
+           |  CAST(SUM(${revenueTerm("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY o_orderkey, o_orderdate
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     )
   }
 }

@@ -64,6 +64,9 @@ object GraftFunctions {
       "minhash64", exprs => MinHashSignature(exprs.head, 64), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle8", exprs => ShingleHashes(exprs.head, 8), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle8_seq",
+      exprs => ShingleHashes(exprs.head, 8, distinct = false), "internal")
   }
 
   /** Plain-Scala reference implementation for differential testing. */

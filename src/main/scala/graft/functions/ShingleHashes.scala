@@ -15,21 +15,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF-8 bytes, a rolling window hashed with an FNV/splitmix mix, and
   * in-loop dedup via an open-addressing table.
   */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    new GenericArrayData(ShingleHashes.distinctWindowHashes(bytes, k))
+    new GenericArrayData(
+      if (distinct) ShingleHashes.distinctWindowHashes(bytes, k)
+      else ShingleHashes.windowHashes(bytes, k))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.ShingleHashes.distinctWindowHashes($c.getBytes(), $k));
+         |  graft.functions.ShingleHashes.${if (distinct) "distinctWindowHashes" else "windowHashes"}($c.getBytes(), $k));
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -41,6 +44,26 @@ object ShingleHashes {
     * return the distinct values. Static so generated code can call it —
     * a tight JIT-friendly loop beats inlined codegen here and keeps the
     * generated method small. */
+  /** All k-byte window hashes in POSITIONAL order (no dedup) — the
+    * input shape winnowing needs. */
+  def windowHashes(bytes: Array[Byte], k: Int): Array[Long] = {
+    val n = math.max(bytes.length - k + 1, 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(i + k, bytes.length)
+      var p = i
+      while (p < end) {
+        h = (h ^ (bytes(p) & 0xffL)) * 1099511628211L
+        p += 1
+      }
+      out(i) = MinHashSignature.mix(h)
+      i += 1
+    }
+    out
+  }
+
   def distinctWindowHashes(bytes: Array[Byte], k: Int): Array[Long] = {
     val n = math.max(bytes.length - k + 1, 1)
     val seen = new java.util.HashSet[java.lang.Long](n * 2)

@@ -139,6 +139,25 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** TPC-H-Q3-style shipping priority: top unshipped revenue orders for
+    * one segment — selective filters on all three tables push to the
+    * scans, broadcast customer-key set, one fact-fact shuffle, top-10
+    * via TakeOrdered. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** Left outer join preserving customers with zero orders; COUNT of the
     * right key counts only matches (SQL COUNT(o_orderkey) semantics). */
   def joinOuter(spark: SparkSession, dir: String): DataFrame = {

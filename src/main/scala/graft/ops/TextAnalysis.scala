@@ -85,6 +85,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing (the MOSS local-fingerprint scheme): minimum shingle
+    * hash per sliding window of W consecutive positional shingles,
+    * deduplicated. Guarantees any shared substring of length
+    * ≥ W + shingle - 1 yields at least one shared fingerprint, while
+    * keeping ~2/(W+1) of the shingles — the robust fingerprint set for
+    * plagiarism/containment detection. Oracle-exempt (hash-based);
+    * invariants tested in AnalyticsSpec. */
+  def winnowed(df: org.apache.spark.sql.DataFrame, textCol: String = "text",
+      w: Int = 8): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("__seq", expr(s"shingle8_seq($textCol)"))
+      .withColumn("fingerprints", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(__seq) - ${w - 1}, 1)), " +
+          s"i -> array_min(slice(__seq, i, $w))))"))
+      .drop("__seq")
+  }
+
+  /** Query: winnowing fingerprint summary per document. */
+  def winnowSummary(spark: SparkSession, dir: String): DataFrame =
+    winnowed(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(col("fingerprints")).cast("long").as("n_fps"),
+        array_min(col("fingerprints")).as("fp_min"),
+        array_max(col("fingerprints")).as("fp_max"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprinting: full-document rolling hash (custom
     * codegen Expression) + min-hash over 8-char shingles. xxhash64 and
     * rolling_hash have no DuckDB equivalent — oracle-exempt, verified

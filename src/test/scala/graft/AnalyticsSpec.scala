@@ -179,6 +179,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
   }
 
+  test("winnowing: identical docs share all fingerprints; a shared substring yields overlap") {
+    import graft.ops.TextAnalysis
+    val shared = "the catalyst optimizer rewrites logical plans into physical plans efficiently"
+    val docs = Seq(
+      (1L, shared),
+      (2L, shared),                                     // identical
+      (3L, "PREFIX padding words here " + shared),      // contains shared substring
+      (4L, "entirely different content with no overlap at all in any window"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowed(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    val overlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap > 0.5, s"containment overlap only $overlap")
+    assert(fps(1L).intersect(fps(4L)).isEmpty)
+  }
+
   test("multimodal mapPartitions decode equals the column-expression form") {
     val viaPartitions = Multimodal.decodeFeatures(
         Multimodal.mediaTable(spark, sf))
