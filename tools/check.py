@@ -29,6 +29,22 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = []
+    # oracle-exempt queries still get the driver's rows-only check:
+    # flag empty or missing outputs
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or name in oracles:
+            continue
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            status = f"OK   {name}: {n} rows (no oracle)" if n else \
+                f"WARN {name}: EMPTY output (rows-only check would look bad)"
+            print(status)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: unreadable exempt output: {e}")
     for name, sql in sorted(oracles.items()):
         try:
             oracle = con.execute(sql).fetchdf()
