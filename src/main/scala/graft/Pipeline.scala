@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline — the north-star use of
+  * this engine at 100 TB: ingest → quality filter → language ID →
+  * exact dedup → near-dedup → fingerprint → curated corpus + stats.
+  *
+  * Every stage is one of the engine's tested operators; the pipeline
+  * composes them into a single Catalyst job graph per output. Stage
+  * order is the scale-correct one: cheap narrow filters (quality,
+  * lang) shrink the corpus BEFORE the shuffling stages (dedup), and
+  * the near-dup stage only ever shuffles ids + signatures.
+  */
+object Pipeline {
+
+  final case class CurationReport(
+      input: Long, afterQuality: Long, afterExact: Long, afterNear: Long)
+
+  /** Curate a document corpus: returns (curated corpus, report). */
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+      nearDupJaccard: Double = 0.9): (DataFrame, CurationReport) = {
+    val input = docs.count()
+
+    // 1. narrow stages: quality score + language id (no shuffle)
+    val t = col("text")
+    val nTokens = size(split(t, " ")).cast("double")
+    val punct = expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))")
+      .cast("double")
+    val quality = lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punct / length(t).cast("double")) +
+      lit(0.3) * least(size(filter(split(t, " "),
+        tk => tk.isin(TextAnalysis.markers.toMap.apply("en"): _*)))
+        .cast("double") / nTokens * 5.0, lit(1.0))
+    val scored = docs
+      .withColumn("quality_score", quality)
+      .filter(col("quality_score") >= minQuality)
+    val afterQuality = scored.count()
+
+    // 2. exact dedup: keep the lowest doc_id per content hash
+    val keep = scored.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = scored.join(keep, "doc_id")
+    val afterExact = exact.count()
+
+    // 3. near-dedup: drop the higher doc_id of each near-dup pair
+    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val curatedBase = exact.join(nearPairs, Seq("doc_id"), "left_anti")
+    val afterNear = curatedBase.count()
+
+    // 4. fingerprint the survivors (downstream incremental dedup key)
+    val curated = TextAnalysis.winnowed(curatedBase)
+      .withColumn("content_hash", sha2(col("text"), 256))
+
+    (curated, CurationReport(input, afterQuality, afterExact, afterNear))
+  }
+
+  /** Demo main: curate the documents table, print the funnel, write
+    * the curated corpus.
+    *   sbt "runMain graft.Pipeline /root/testdata/sf0.01 /tmp/curated"
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_curated"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (curated, report) = curate(Tables.documents(spark, sfDir))
+    curated.write.mode("overwrite").parquet(outDir)
+    println(s"""{"input":${report.input},"after_quality":${report.afterQuality},""" +
+      s""""after_exact_dedup":${report.afterExact},"after_near_dedup":${report.afterNear},""" +
+      s""""out":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   * concrete 100 TB co-location strategy, proven on the local catalog. */
 class BucketingSpec extends SparkSpec {
 
+  test("IVF cell table written partitioned-by-cell prunes probes to one partition") {
+    import graft.ops.Ivf
+    val idx = Ivf.build(Tables.embeddings(spark, sf), k = 8)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
+    val probe = spark.read.parquet(out).filter(col("cell") === 3)
+    val plan = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"probe not partition-pruned:\n${plan.take(600)}")
+    // pruned scan reads only cell 3's files
+    assert(probe.count() ==
+      idx.assigned.filter(col("cell") === 3).count())
+  }
+
   test("bucketed fact-fact join plans without an exchange on the join key") {
     // warehouse dir is static conf, set in TestSpark's builder
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation funnel removes planted low-quality and duplicate docs") {
+    val good = "the catalyst optimizer rewrites logical plans into " +
+      "physical plans of the engine and a broadcast join is the fast path"
+    val docs = Seq(
+      (1L, good),
+      (2L, good),                                   // exact dup of 1
+      (3L, good.replace("broadcast", "shuffle")),   // near dup of 1
+      (4L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"), // punctuation garbage
+      (5L, "the quick brown fox jumps over a lazy dog and the day is long " +
+        "and of the morning a walk to the river is the best of plans"))
+      .toDF("doc_id", "text")
+    val (curated, report) = Pipeline.curate(docs,
+      minQuality = 0.4, nearDupJaccard = 0.7)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(report.input == 5)
+    assert(!ids.contains(4L), "garbage doc survived the quality filter")
+    assert(!ids.contains(2L), "exact duplicate survived")
+    assert(!ids.contains(3L), "near duplicate survived")
+    assert(ids.contains(1L) && ids.contains(5L))
+    assert(report.afterQuality >= report.afterExact &&
+      report.afterExact >= report.afterNear)
+    // survivors carry fingerprints + content hash
+    assert(curated.filter(size(col("fingerprints")) === 0).count() == 0)
+    assert(curated.filter(length(col("content_hash")) =!= 64).count() == 0)
+  }
+
+  test("pipeline is idempotent: curating a curated corpus removes nothing") {
+    val docs = Tables.documents(spark, sf)
+    val (curated, r1) = Pipeline.curate(docs)
+    val (_, r2) = Pipeline.curate(curated.select("doc_id", "text",
+      "lang", "source", "n_chars"))
+    assert(r2.input == r1.afterNear)
+    assert(r2.afterNear == r2.input, "second pass removed documents")
+  }
+}
