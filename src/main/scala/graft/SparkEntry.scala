@@ -74,6 +74,15 @@ object SparkEntry {
     "q48_pivot"             -> (Grouping.pivotFlags _),
     "q49_shipping_priority" -> (Relational.shippingPriority _),
     "q50_winnow_fingerprints" -> (TextAnalysis.winnowSummary _),
+    "q51_decontaminate"     -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      // treat source src0 as the "eval set", the rest as the corpus
+      val docs = Tables.documents(s, d)
+      Decontaminate.contaminated(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), minShared = 2)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

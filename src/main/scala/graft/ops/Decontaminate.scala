@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination + incremental dedup — the two corpus
+  * maintenance ops a continuously-ingesting training-data pipeline
+  * needs beyond one-shot dedup.
+  *
+  * Both reuse the winnowing/minhash machinery and keep the 100 TB
+  * shape: the corpus side is reduced to (fingerprint, id) pairs once;
+  * the small side (eval set, daily increment) broadcasts or
+  * bucket-joins against it. Documents never shuffle — ids and 8-byte
+  * fingerprints do.
+  */
+object Decontaminate {
+
+  /** Training docs sharing at least `minShared` winnowing fingerprints
+    * with any eval doc — the n-gram-overlap contamination definition.
+    * Winnowing guarantees any shared run of ≥ 15 bytes (w=8 windows of
+    * 8-byte shingles) produces a shared fingerprint. */
+  def contaminated(corpus: DataFrame, evalSet: DataFrame,
+      minShared: Int = 2): DataFrame = {
+    val corpusFp = TextAnalysis.winnowed(corpus)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    val evalFp = TextAnalysis.winnowed(evalSet)
+      .select(explode(col("fingerprints")).as("fp")).distinct()
+    corpusFp.join(broadcast(evalFp), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
+  /** Remove contaminated docs from the corpus. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      minShared: Int = 2): DataFrame =
+    corpus.join(contaminated(corpus, evalSet, minShared)
+      .select("doc_id"), Seq("doc_id"), "left_anti")
+
+  /** Incremental near-dedup: which NEW docs near-duplicate the
+    * EXISTING corpus. The corpus side is its (band, hash) index —
+    * computed once and persisted in practice; the increment's bands
+    * join against it, then candidates verify with exact Jaccard.
+    * Returns (new_doc_id, corpus_doc_id, jaccard). */
+  def incrementalNearDups(corpusIndexed: DataFrame, newDocs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val corpusSigs = Dedup.minHashSignatures(corpusIndexed)
+    val newSigs = Dedup.minHashSignatures(newDocs)
+    // band join carries IDS ONLY (same discipline as Dedup.nearDupPairs
+    // — candidate rows can outnumber docs, every byte multiplies)
+    def bands(sigs: DataFrame, idAs: String): DataFrame =
+      sigs.select(col("doc_id").as(idAs),
+        posexplode(array((0 until Dedup.Bands).map(b =>
+          hash(slice(col("sig"), b * Dedup.RowsPerBand + 1,
+            Dedup.RowsPerBand), lit(b))): _*))
+          .as(Seq("band_id", "band_hash")))
+    val candidates = bands(newSigs, "new_doc_id")
+      .join(bands(corpusSigs, "corpus_doc_id"), Seq("band_id", "band_hash"))
+      .select("new_doc_id", "corpus_doc_id")
+      .dropDuplicates("new_doc_id", "corpus_doc_id")
+    candidates
+      .join(newSigs.select(col("doc_id").as("new_doc_id"),
+        col("sh").as("sh_new")), "new_doc_id")
+      .join(corpusSigs.select(col("doc_id").as("corpus_doc_id"),
+        col("sh").as("sh_corpus")), "corpus_doc_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_corpus"))).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_doc_id"), col("corpus_doc_id"), col("jaccard"))
+  }
+}
