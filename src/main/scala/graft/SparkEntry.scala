@@ -83,6 +83,9 @@ object SparkEntry {
           docs.filter(col("source") === "src0"), minShared = 2)
         .orderBy(col("doc_id"))
     }),
+    "q52_conditional_aggs"  -> (Funcs.conditionalAggs _),
+    "q53_unpivot"           -> (Funcs.unpivotFlags _),
+    "q54_null_funcs"        -> (Funcs.nullFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -460,6 +463,38 @@ object SparkEntry {
            |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
            |GROUP BY o_orderkey, o_orderdate
            |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      "q52_conditional_aggs" ->
+        """SELECT o_orderpriority,
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished_price,
+          |  BOOL_OR(o_totalprice > 400000) AS any_jumbo,
+          |  BOOL_AND(o_totalprice > 0) AS all_positive,
+          |  COUNT(*) AS n
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q53_unpivot" ->
+        s"""WITH wide AS (
+           |  SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+           |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+           |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+           |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+           |  FROM lineitem GROUP BY 1
+           |)
+           |SELECT ship_year, flag, sum_qty FROM (
+           |  SELECT ship_year, 'A' AS flag, "A" AS sum_qty FROM wide
+           |  UNION ALL SELECT ship_year, 'N', "N" FROM wide
+           |  UNION ALL SELECT ship_year, 'R', "R" FROM wide
+           |) t WHERE sum_qty IS NOT NULL ORDER BY ship_year, flag""".stripMargin,
+      "q54_null_funcs" ->
+        """SELECT c_custkey,
+          |  COALESCE(o_custkey, -1) AS key_or_default,
+          |  o_custkey IS NULL AS no_f_order,
+          |  NULLIF(c_mktsegment, 'BUILDING') AS segment_nb,
+          |  CASE WHEN o_custkey IS NOT NULL THEN 'buyer' ELSE 'prospect' END AS kind
+          |FROM customer LEFT JOIN (
+          |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |) o ON c_custkey = o.o_custkey
+          |ORDER BY c_custkey""".stripMargin,
     )
   }
 }

@@ -82,6 +82,50 @@ object Funcs {
           (acc, x) => acc + x.cast("double")).as("head8_sum"))
       .orderBy(col("vec_id"))
 
+  /** Conditional aggregates: count_if / FILTER-style sums / bool
+    * aggregates per group. */
+  def conditionalAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        sum(when(col("o_orderstatus") === "F",
+          col("o_totalprice").cast("decimal(18,2)"))).cast("double")
+          .as("sum_finished_price"),
+        bool_or(col("o_totalprice") > 400000).as("any_jumbo"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (melt): the inverse of q48's pivot — wide per-flag sums
+    * back to (year, flag, sum_qty) rows. */
+  def unpivotFlags(spark: SparkSession, dir: String): DataFrame = {
+    import Det._
+    Grouping.pivotFlags(spark, dir)
+      .unpivot(Array(col("ship_year")),
+        Array(col("A"), col("N"), col("R")), "flag", "sum_qty")
+      .orderBy(col("ship_year"), col("flag"))
+  }
+
+  /** Null-handling functions: coalesce / nullif / nvl2-style / null
+    * predicates over the outer-join result (the one place this data
+    * produces NULLs naturally). */
+  def nullFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("o_custkey"), lit(-1L)).as("key_or_default"),
+        col("o_custkey").isNull.as("no_f_order"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("segment_nb"),
+        when(col("o_custkey").isNotNull, lit("buyer"))
+          .otherwise(lit("prospect")).as("kind"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** JSON functions over events.props — the JSONB surface. */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
