@@ -86,6 +86,8 @@ object SparkEntry {
     "q52_conditional_aggs"  -> (Funcs.conditionalAggs _),
     "q53_unpivot"           -> (Funcs.unpivotFlags _),
     "q54_null_funcs"        -> (Funcs.nullFuncs _),
+    "q55_langid_ngram"      -> (TextAnalysis.langIdNgram _),
+    "q56_range_join"        -> (Relational.rangeJoinQuarters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -495,6 +497,40 @@ object SparkEntry {
           |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
           |) o ON c_custkey = o.o_custkey
           |ORDER BY c_custkey""".stripMargin,
+      "q55_langid_ngram" ->
+        """SELECT doc_id, lang_label, g_en, g_de, g_fr, g_es,
+          |  CASE WHEN GREATEST(g_en, g_de, g_fr, g_es) = 0 THEN 'und'
+          |       WHEN g_en = GREATEST(g_en, g_de, g_fr, g_es) THEN 'en'
+          |       WHEN g_de = GREATEST(g_en, g_de, g_fr, g_es) THEN 'de'
+          |       WHEN g_fr = GREATEST(g_en, g_de, g_fr, g_es) THEN 'fr'
+          |       ELSE 'es' END AS lang_pred_ngram
+          |FROM (
+          |  SELECT doc_id, lang AS lang_label,
+          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+          |      ['th', 'he', 'in', 'er', 'an'])) AS BIGINT) AS g_en,
+          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+          |      ['ch', 'ei', 'ie', 'sc', 'un'])) AS BIGINT) AS g_de,
+          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+          |      ['es', 'le', 'ou', 'qu', 'ai'])) AS BIGINT) AS g_fr,
+          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+          |      ['de', 'la', 'os', 'el', 'ón'])) AS BIGINT) AS g_es
+          |  FROM documents
+          |) t ORDER BY doc_id""".stripMargin,
+      "q56_range_join" ->
+        s"""SELECT quarter, COUNT(*) AS n_items,
+           |  ${exactSum("l_quantity")} AS sum_qty
+           |FROM (VALUES
+           |  ('1996-Q1', TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01'),
+           |  ('1996-Q2', TIMESTAMP '1996-04-01', TIMESTAMP '1996-07-01'),
+           |  ('1996-Q3', TIMESTAMP '1996-07-01', TIMESTAMP '1996-10-01'),
+           |  ('1996-Q4', TIMESTAMP '1996-10-01', TIMESTAMP '1997-01-01')
+           |) q(quarter, q_start, q_end)
+           |JOIN lineitem ON l_shipdate >= q_start AND l_shipdate < q_end
+           |GROUP BY quarter ORDER BY quarter""".stripMargin,
     )
   }
 }

@@ -67,6 +67,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle8_seq",
       exprs => ShingleHashes(exprs.head, 8, distinct = false), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow8_8", exprs => WinnowFingerprints(exprs.head, 8, 8), "internal")
   }
 
   /** Plain-Scala reference implementation for differential testing. */

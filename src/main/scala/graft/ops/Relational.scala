@@ -139,6 +139,29 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Pure range join (no equi conjunct): lineitems bucketed into
+    * literal quarter intervals. The interval dim is tiny and broadcast,
+    * so Catalyst's BroadcastNestedLoopJoin is the RIGHT plan — each
+    * fact row tests 4 intervals in codegen, no shuffle of the fact. */
+  def rangeJoinQuarters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quarters = Seq(
+      ("1996-Q1", "1996-01-01", "1996-04-01"),
+      ("1996-Q2", "1996-04-01", "1996-07-01"),
+      ("1996-Q3", "1996-07-01", "1996-10-01"),
+      ("1996-Q4", "1996-10-01", "1997-01-01"))
+      .toDF("quarter", "q_start", "q_end")
+      .select(col("quarter"), col("q_start").cast("timestamp"),
+        col("q_end").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(quarters),
+        col("l_shipdate") >= col("q_start") && col("l_shipdate") < col("q_end"))
+      .groupBy(col("quarter"))
+      .agg(count(lit(1)).as("n_items"),
+        exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("quarter"))
+  }
+
   /** TPC-H-Q3-style shipping priority: top unshipped revenue orders for
     * one segment — selective filters on all three tables push to the
     * scans, broadcast customer-key set, one fact-fact shuffle, top-10

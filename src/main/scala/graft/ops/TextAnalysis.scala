@@ -71,6 +71,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Characteristic character-bigram profiles per language (tiny and
+    * deterministic so the oracle can replicate the scoring). */
+  val bigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "de" -> Seq("ch", "ei", "ie", "sc", "un"),
+    "fr" -> Seq("es", "le", "ou", "qu", "ai"),
+    "es" -> Seq("de", "la", "os", "el", "ón"))
+
+  /** Language ID via character-n-gram profile scoring: count how many
+    * of each language's characteristic bigrams appear in the text's
+    * bigram set; argmax with fixed precedence. The second (n-gram)
+    * signal next to the marker-word scorer in [[langId]]. */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1))," +
+        " i -> substr(text, i, 2)))")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id") +: col("lang").as("lang_label") +:
+        bigramProfiles.map { case (l, ps) =>
+          size(array_intersect(bigrams, array(ps.map(lit): _*)))
+            .cast("long").as(s"g_$l")
+        }: _*)
+    val m = greatest(bigramProfiles.map { case (l, _) => col(s"g_$l") }: _*)
+    val pred = bigramProfiles.foldLeft(when(m === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"g_$l") === m, l)
+    }
+    scored.withColumn("lang_pred_ngram", coalesce(pred, lit("und")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace tokens vs a BPE-ish regex token split
     * (letter runs, digit runs, single punctuation marks). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -94,12 +124,13 @@ object TextAnalysis {
     * invariants tested in AnalyticsSpec. */
   def winnowed(df: org.apache.spark.sql.DataFrame, textCol: String = "text",
       w: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(w == 8, "the registered native winnow expression is fixed at w=8")
     GraftFunctions.register(df.sparkSession)
-    df.withColumn("__seq", expr(s"shingle8_seq($textCol)"))
-      .withColumn("fingerprints", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(__seq) - ${w - 1}, 1)), " +
-          s"i -> array_min(slice(__seq, i, $w))))"))
-      .drop("__seq")
+    // native single-pass expression (monotonic-deque window minima);
+    // the composable transform/array_min/slice form is semantically
+    // identical but interpreted, and was the measured bottleneck of
+    // corpus-scale fingerprinting
+    df.withColumn("fingerprints", expr(s"winnow8_8($textCol)"))
   }
 
   /** Query: winnowing fingerprint summary per document. */

@@ -196,6 +196,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(4L)).isEmpty)
   }
 
+  test("native winnow expression equals the composable transform form") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 30L).map(i =>
+      (i, rnd.alphanumeric.take(rnd.nextInt(120)).mkString)) :+
+      (31L, "") :+ (32L, "abc") // shorter than shingle and window
+    val df = docs.toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+        expr("winnow8_8(text)").as("native"),
+        expr("array_distinct(transform(sequence(1, greatest(size(shingle8_seq(text)) - 7, 1))," +
+          " i -> array_min(slice(shingle8_seq(text), i, 8))))").as("composable"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"mismatch at doc ${r.getLong(0)}")
+    }
+  }
+
   test("multimodal mapPartitions decode equals the column-expression form") {
     val viaPartitions = Multimodal.decodeFeatures(
         Multimodal.mediaTable(spark, sf))
