@@ -88,6 +88,7 @@ object SparkEntry {
     "q54_null_funcs"        -> (Funcs.nullFuncs _),
     "q55_langid_ngram"      -> (TextAnalysis.langIdNgram _),
     "q56_range_join"        -> (Relational.rangeJoinQuarters _),
+    "q57_hll_sketch_rollup" -> (Grouping.hllSketchRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

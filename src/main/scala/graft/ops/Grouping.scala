@@ -62,6 +62,27 @@ object Grouping {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Re-aggregatable HLL sketches (Apache DataSketches builtins): build
+    * one sketch per (day, type) partition, then MERGE sketches to
+    * coarser granularities without touching raw data — the only
+    * distinct-counting pattern that works at 100 TB (precompute daily,
+    * roll up monthly/yearly by unioning kilobyte sketches).
+    * Hash-based → oracle-exempt; accuracy vs exact is asserted in
+    * OpsSpec. */
+  def hllSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(
+        date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    // roll the per-day sketches up to per-type totals: a merge of
+    // sketches, NOT a rescan of events
+    daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("distinct_users_est"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact interpolated percentiles per group — both engines use the
     * same linear interpolation (Spark percentile / DuckDB
     * quantile_cont); quantities are integral doubles so the single

@@ -36,6 +36,19 @@ class OpsSpec extends SparkSpec {
     assert(Grouping.cubePricing(spark, sf).count() > rows.length)
   }
 
+  test("HLL sketch rollup estimates match exact distinct users per type") {
+    val est = Grouping.hllSketchRollup(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n).toDouble / n < 0.05,
+        s"$t: est=${est(t)} exact=$n")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact (HLL scale path)") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
