@@ -19,38 +19,40 @@ object Pipeline {
   final case class CurationReport(
       input: Long, afterQuality: Long, afterExact: Long, afterNear: Long)
 
-  /** Curate a document corpus: returns (curated corpus, report). */
+  /** Curate a document corpus: returns (curated corpus, report).
+    *
+    * The funnel counts are actions, so the expensive intermediates
+    * (scored, exact) are persisted — without that, each count (and the
+    * final write) would re-run every upstream stage including the LSH
+    * band join. They are unpersisted once the curated base is
+    * materialized; `curatedBase` itself stays cached for the caller's
+    * write (lineage remains valid if it's ever evicted). */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       nearDupJaccard: Double = 0.9): (DataFrame, CurationReport) = {
     val input = docs.count()
 
-    // 1. narrow stages: quality score + language id (no shuffle)
-    val t = col("text")
-    val nTokens = size(split(t, " ")).cast("double")
-    val punct = expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))")
-      .cast("double")
-    val quality = lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - punct / length(t).cast("double")) +
-      lit(0.3) * least(size(filter(split(t, " "),
-        tk => tk.isin(TextAnalysis.markers.toMap.apply("en"): _*)))
-        .cast("double") / nTokens * 5.0, lit(1.0))
+    // 1. narrow stage: quality filter (shared scoring expression)
     val scored = docs
-      .withColumn("quality_score", quality)
+      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality_score") >= minQuality)
+      .persist()
     val afterQuality = scored.count()
 
     // 2. exact dedup: keep the lowest doc_id per content hash
     val keep = scored.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exact = scored.join(keep, "doc_id")
+    val exact = scored.join(keep, "doc_id").persist()
     val afterExact = exact.count()
 
     // 3. near-dedup: drop the higher doc_id of each near-dup pair
     val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     val curatedBase = exact.join(nearPairs, Seq("doc_id"), "left_anti")
+      .persist()
     val afterNear = curatedBase.count()
+    scored.unpersist()
+    exact.unpersist()
 
     // 4. fingerprint the survivors (downstream incremental dedup key)
     val curated = TextAnalysis.winnowed(curatedBase)

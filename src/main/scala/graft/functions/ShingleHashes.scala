@@ -99,12 +99,10 @@ object ShingleHashes {
     }
     java.util.Arrays.copyOf(out, m)
   }
-  /** Hash every k-byte window (FNV-1a then splitmix finalizer) and
-    * return the distinct values. Static so generated code can call it —
-    * a tight JIT-friendly loop beats inlined codegen here and keeps the
-    * generated method small. */
-  /** All k-byte window hashes in POSITIONAL order (no dedup) — the
-    * input shape winnowing needs. */
+  /** All k-byte window hashes (FNV-1a then splitmix finalizer) in
+    * POSITIONAL order (no dedup) — the input shape winnowing needs.
+    * Static so generated code can call it: a tight JIT-friendly loop
+    * beats inlined codegen and keeps the generated method small. */
   def windowHashes(bytes: Array[Byte], k: Int): Array[Long] = {
     val n = math.max(bytes.length - k + 1, 1)
     val out = new Array[Long](n)
@@ -123,6 +121,8 @@ object ShingleHashes {
     out
   }
 
+  /** Distinct k-byte window hashes (first-occurrence order, in-loop
+    * dedup) — the shingle SET for MinHash/Jaccard. */
   def distinctWindowHashes(bytes: Array[Byte], k: Int): Array[Long] = {
     val n = math.max(bytes.length - k + 1, 1)
     val seen = new java.util.HashSet[java.lang.Long](n * 2)

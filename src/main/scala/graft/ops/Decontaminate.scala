@@ -46,19 +46,21 @@ object Decontaminate {
       minJaccard: Double): DataFrame = {
     val corpusSigs = Dedup.minHashSignatures(corpusIndexed)
     val newSigs = Dedup.minHashSignatures(newDocs)
-    // band join carries IDS ONLY (same discipline as Dedup.nearDupPairs
-    // — candidate rows can outnumber docs, every byte multiplies)
-    def bands(sigs: DataFrame, idAs: String): DataFrame =
-      sigs.select(col("doc_id").as(idAs),
-        posexplode(array((0 until Dedup.Bands).map(b =>
-          hash(slice(col("sig"), b * Dedup.RowsPerBand + 1,
-            Dedup.RowsPerBand), lit(b))): _*))
-          .as(Seq("band_id", "band_hash")))
-    val candidates = bands(newSigs, "new_doc_id")
-      .join(bands(corpusSigs, "corpus_doc_id"), Seq("band_id", "band_hash"))
+    // shared banding scheme + estimate-prune discipline (Dedup.bandedIds/
+    // estimatePrune): band join carries ids only; only estimate
+    // survivors pay for the full shingle arrays
+    val candidates = Dedup.bandedIds(
+        newSigs.select(col("doc_id"), col("sig")), "new_doc_id")
+      .join(Dedup.bandedIds(
+          corpusSigs.select(col("doc_id"), col("sig")), "corpus_doc_id"),
+        Seq("band_id", "band_hash"))
       .select("new_doc_id", "corpus_doc_id")
       .dropDuplicates("new_doc_id", "corpus_doc_id")
-    candidates
+    val pruned = Dedup.estimatePrune(candidates,
+      newSigs.select(col("doc_id"), col("sig")),
+      corpusSigs.select(col("doc_id"), col("sig")),
+      "new_doc_id", "corpus_doc_id", minJaccard)
+    pruned
       .join(newSigs.select(col("doc_id").as("new_doc_id"),
         col("sh").as("sh_new")), "new_doc_id")
       .join(corpusSigs.select(col("doc_id").as("corpus_doc_id"),

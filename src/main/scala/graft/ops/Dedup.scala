@@ -53,18 +53,42 @@ object Dedup {
     shingles(df).withColumn("sig", expr("minhash64(sh)"))
   }
 
-  /** LSH candidate pairs — IDs ONLY. The band self-join must never
-    * carry shingle arrays or signatures: at scale the candidate set can
-    * be orders of magnitude larger than the corpus, so every byte on
-    * the candidate row multiplies the shuffle. Payloads are re-joined
-    * per stage afterwards. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
-    val banded = sigs.select(col(idCol),
+  /** (id, band_id, band_hash) rows for a signature table — THE banding
+    * scheme, shared by same-corpus and incremental candidate
+    * generation. Ids only: the band join must never carry shingle
+    * arrays or signatures — at scale the candidate set can be orders
+    * of magnitude larger than the corpus, so every byte on the
+    * candidate row multiplies the shuffle. */
+  def bandedIds(sigs: DataFrame, idAs: String): DataFrame =
+    sigs.select(col(sigs.columns.head).as(idAs),
       posexplode(array((0 until Bands).map(b =>
         hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*))
         .as(Seq("band_id", "band_hash")))
-    banded.select(col(idCol).as("doc_a"), col("band_id"), col("band_hash"))
-      .join(banded.select(col(idCol).as("doc_b"), col("band_id"),
+
+  /** Candidate-pruning by signature estimate: keep pairs whose
+    * matching-minhash fraction is within the estimator's noise margin
+    * of the threshold (σ ≈ sqrt(J(1-J)/64) ≈ 0.06; margin 0.2 ≈ 3σ).
+    * `sigsA`/`sigsB` are (id, sig) frames (same frame for a
+    * within-corpus self-join; distinct frames for incremental). */
+  def estimatePrune(pairs: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+      aCol: String, bCol: String, minJaccard: Double): DataFrame =
+    pairs
+      .join(sigsA.select(col(sigsA.columns.head).as(aCol),
+        col("sig").as("sig_a")), aCol)
+      .join(sigsB.select(col(sigsB.columns.head).as(bCol),
+        col("sig").as("sig_b")), bCol)
+      .withColumn("est_j",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / NumHashes)
+      .filter(col("est_j") >= minJaccard - 0.2)
+      .select(aCol, bCol)
+
+  /** LSH candidate pairs within one corpus (ids only). */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val banded = bandedIds(sigs.select(col(idCol), col("sig")), "__band_id_col")
+    banded.select(col("__band_id_col").as("doc_a"), col("band_id"),
+        col("band_hash"))
+      .join(banded.select(col("__band_id_col").as("doc_b"), col("band_id"),
         col("band_hash")), Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -77,18 +101,10 @@ object Dedup {
     * survivors pay for the exact shingle-set Jaccard. */
   def nearDupPairs(df: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
     val sigs = minHashSignatures(df)
-    val sigOnly = sigs.select(col(idCol), col("sig"))
     val shOnly = sigs.select(col(idCol), col("sh"))
-    val estimated = lshCandidatePairs(sigs, idCol)
-      .join(sigOnly.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigOnly.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_j",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / NumHashes)
-      // estimator margin: keep anything whose estimate is within ~3σ
-      // (σ ≈ sqrt(J(1-J)/64) ≈ 0.06) of the threshold
-      .filter(col("est_j") >= minJaccard - 0.2)
-      .select(col("doc_a"), col("doc_b"))
+    val sigOnly = sigs.select(col(idCol), col("sig"))
+    val estimated = estimatePrune(lshCandidatePairs(sigs, idCol),
+      sigOnly, sigOnly, "doc_a", "doc_b", minJaccard)
     estimated
       .join(shOnly.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shOnly.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")

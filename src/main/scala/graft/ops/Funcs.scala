@@ -98,14 +98,15 @@ object Funcs {
       .orderBy(col("o_orderpriority"))
 
   /** Unpivot (melt): the inverse of q48's pivot — wide per-flag sums
-    * back to (year, flag, sum_qty) rows. */
-  def unpivotFlags(spark: SparkSession, dir: String): DataFrame = {
-    import Det._
+    * back to (year, flag, sum_qty) rows. Null cells (a year with no
+    * rows for a flag) are dropped to match SQL UNION-ALL-unpivot
+    * semantics — Spark's unpivot keeps them. */
+  def unpivotFlags(spark: SparkSession, dir: String): DataFrame =
     Grouping.pivotFlags(spark, dir)
       .unpivot(Array(col("ship_year")),
         Array(col("A"), col("N"), col("R")), "flag", "sum_qty")
+      .filter(col("sum_qty").isNotNull)
       .orderBy(col("ship_year"), col("flag"))
-  }
 
   /** Null-handling functions: coalesce / nullif / nvl2-style / null
     * predicates over the outer-join result (the one place this data

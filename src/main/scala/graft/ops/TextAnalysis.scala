@@ -27,6 +27,20 @@ object TextAnalysis {
   private def markerScore(text: Column, ms: Seq[String]): Column =
     size(array_intersect(tokens(text), array(ms.map(lit): _*))).cast("long")
 
+  /** Composite quality score in [0,1] — THE scoring expression, shared
+    * by qualityStats (rounded, oracle-checked) and Pipeline.curate
+    * (raw, as a filter) so the two can't drift. */
+  def qualityScore(t: Column): Column = {
+    val nTokens = size(tokens(t)).cast("double")
+    val punct = expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))")
+      .cast("double")
+    val stop = size(filter(tokens(t),
+      tk => tk.isin(markers.toMap.apply("en"): _*))).cast("double")
+    lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punct / length(t).cast("double")) +
+      lit(0.3) * least(stop / nTokens * 5.0, lit(1.0))
+  }
+
   /** Quality scoring: length, token stats, punctuation + stopword
     * ratios, composite score in [0,1]. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame = {
@@ -46,9 +60,7 @@ object TextAnalysis {
           .cast("double") / nTokens.cast("double"), 4).as("avg_token_len"),
         round(punctRatio, 6).as("punct_ratio"),
         round(stopRatio, 6).as("stop_ratio"),
-        round(lit(0.4) * least(nTokens.cast("double") / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - punctRatio) +
-          lit(0.3) * least(stopRatio * 5.0, lit(1.0)), 6).as("quality_score"))
+        round(qualityScore(t), 6).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -122,9 +134,8 @@ object TextAnalysis {
     * keeping ~2/(W+1) of the shingles — the robust fingerprint set for
     * plagiarism/containment detection. Oracle-exempt (hash-based);
     * invariants tested in AnalyticsSpec. */
-  def winnowed(df: org.apache.spark.sql.DataFrame, textCol: String = "text",
-      w: Int = 8): org.apache.spark.sql.DataFrame = {
-    require(w == 8, "the registered native winnow expression is fixed at w=8")
+  def winnowed(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // native single-pass expression (monotonic-deque window minima);
     // the composable transform/array_min/slice form is semantically
