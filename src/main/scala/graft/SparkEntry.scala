@@ -89,6 +89,7 @@ object SparkEntry {
     "q55_langid_ngram"      -> (TextAnalysis.langIdNgram _),
     "q56_range_join"        -> (Relational.rangeJoinQuarters _),
     "q57_hll_sketch_rollup" -> (Grouping.hllSketchRollup _),
+    "q58_join_full_outer"   -> (Relational.joinFullOuter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -532,6 +533,23 @@ object SparkEntry {
            |) q(quarter, q_start, q_end)
            |JOIN lineitem ON l_shipdate >= q_start AND l_shipdate < q_end
            |GROUP BY quarter ORDER BY quarter""".stripMargin,
+      "q58_join_full_outer" ->
+        s"""WITH f AS (
+           |  SELECT o_custkey, COUNT(*) AS n_f,
+           |    ${exactSum("o_totalprice")} AS sum_f
+           |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+           |), o AS (
+           |  SELECT o_custkey, COUNT(*) AS n_o,
+           |    ${exactSum("o_totalprice")} AS sum_o
+           |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+           |)
+           |SELECT COALESCE(f.o_custkey, o.o_custkey) AS custkey,
+           |  COALESCE(n_f, 0) AS n_f, COALESCE(n_o, 0) AS n_o,
+           |  sum_f, sum_o,
+           |  f.o_custkey IS NULL AS only_open,
+           |  o.o_custkey IS NULL AS only_finished
+           |FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+           |ORDER BY custkey""".stripMargin,
     )
   }
 }

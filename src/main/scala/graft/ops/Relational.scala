@@ -139,6 +139,27 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full outer join with unmatched rows on BOTH sides: per-customer
+    * finished-order stats vs open-order stats — customers having only
+    * one of the two appear with nulls on the other side. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def side(status: String, n: String, s: String) =
+      Tables.orders(spark, dir).filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(n), exactSum(col("o_totalprice")).as(s))
+    val f = side("F", "n_f", "sum_f")
+    val o = side("O", "n_o", "sum_o")
+    f.join(o, f("o_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(f("o_custkey"), o("o_custkey")).as("custkey"),
+        coalesce(col("n_f"), lit(0L)).as("n_f"),
+        coalesce(col("n_o"), lit(0L)).as("n_o"),
+        col("sum_f"), col("sum_o"),
+        f("o_custkey").isNull.as("only_open"),
+        o("o_custkey").isNull.as("only_finished"))
+      .orderBy(col("custkey"))
+  }
+
   /** Pure range join (no equi conjunct): lineitems bucketed into
     * literal quarter intervals. The interval dim is tiny and broadcast,
     * so Catalyst's BroadcastNestedLoopJoin is the RIGHT plan — each
