@@ -44,8 +44,11 @@ object Decontaminate {
     * Returns (new_doc_id, corpus_doc_id, jaccard). */
   def incrementalNearDups(corpusIndexed: DataFrame, newDocs: DataFrame,
       minJaccard: Double): DataFrame = {
-    val corpusSigs = Dedup.minHashSignatures(corpusIndexed)
-    val newSigs = Dedup.minHashSignatures(newDocs)
+    // each side is referenced from three plan branches (banding,
+    // estimate-prune, exact verify) — materialize each ONCE so the
+    // corpus is shingled once, not three times (Dedup.signatureTable)
+    val corpusSigs = Dedup.signatureTable(corpusIndexed, "doc_id")
+    val newSigs = Dedup.signatureTable(newDocs, "doc_id")
     // shared banding scheme + estimate-prune discipline (Dedup.bandedIds/
     // estimatePrune): band join carries ids only; only estimate
     // survivors pay for the full shingle arrays

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family for a training-data pipeline (SURVEY.md §2B
   * [ext]): exact (content-hash groupBy), MinHash+LSH, SimHash — all
@@ -95,12 +96,26 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Materialized (id, sig, sh) signature table. Shingling + minhashing
+    * is the most expensive linear pass over the corpus, and the LSH
+    * pipeline references it from up to six plan branches (band
+    * self-join ×2, estimate-prune ×2, exact verify ×2) — without
+    * materialization Catalyst recomputes it per branch, i.e. six full
+    * corpus re-shinglings at 100 TB. MEMORY_AND_DISK keeps the shape
+    * single-scan within a session; a multi-job production pipeline
+    * would stage this table to parquet once and join against it. */
+  def signatureTable(df: DataFrame, idCol: String): DataFrame =
+    minHashSignatures(df).select(col(idCol), col("sig"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** LSH → estimate → exact verify (the scalable three-stage shape):
     * candidates are id pairs; the 64-long signatures are joined back to
     * estimate Jaccard (matching-minhash fraction) and prune; only the
-    * survivors pay for the exact shingle-set Jaccard. */
+    * survivors pay for the exact shingle-set Jaccard. The signature
+    * table is computed ONCE (signatureTable) — every stage joins
+    * against the same materialized frame. */
   def nearDupPairs(df: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
-    val sigs = minHashSignatures(df)
+    val sigs = signatureTable(df, idCol)
     val shOnly = sigs.select(col(idCol), col("sh"))
     val sigOnly = sigs.select(col(idCol), col("sig"))
     val estimated = estimatePrune(lshCandidatePairs(sigs, idCol),
@@ -155,7 +170,10 @@ object Dedup {
     * pair within hamming distance 3 shares at least one of 4 bands),
     * verified by exact popcount. Bucket-join only — no all-pairs. */
   def simhashNearDups(df: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    // materialize (id, simhash) before the band self-join — otherwise
+    // both join branches re-tokenize + re-hash the corpus
     val sims = df.select(col(idCol), simhashExpr("text").as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sims.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -46,6 +46,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$p")
   }
 
+  test("minhash LSH scans documents once (signature table materialized)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Dedup.nearDupPairs(Tables.documents(spark, sf), "doc_id", 0.8)
+    df.collect()
+    // every branch must read the cached signature table: walking the
+    // executed plan (descending into AQE stages but NOT into the cached
+    // relation) must find zero direct file scans and >=1 cache scan
+    var cacheScans = 0
+    var fileScans = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _: InMemoryTableScanExec => cacheScans += 1
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec => fileScans += 1
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(fileScans == 0, s"$fileScans file scans outside the signature cache")
+    assert(cacheScans >= 4, s"only $cacheScans cache scans — signature table not reused")
+  }
+
   test("brute-force cosine top-k broadcasts the single query row") {
     val p = plan(Similarity.cosineTopK(spark, sf))
     assert(p.contains("Broadcast"), s"query vector not broadcast:\n$p")
