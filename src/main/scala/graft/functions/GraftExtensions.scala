@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle8"),
       info("shingle8", "shingle8(str) - distinct hashed 8-byte shingles"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 8)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(str) - 64-bit SimHash over space tokens"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

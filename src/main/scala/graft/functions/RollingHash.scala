@@ -69,6 +69,8 @@ object GraftFunctions {
       exprs => ShingleHashes(exprs.head, 8, distinct = false), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow8_8", exprs => WinnowFingerprints(exprs.head, 8, 8), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "internal")
   }
 
   /** Plain-Scala reference implementation for differential testing. */

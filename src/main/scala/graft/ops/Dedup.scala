@@ -138,11 +138,16 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens: per-bit vote of token
-    * hashes, assembled in one array-aggregate pass per doc. Written as
-    * a SQL expression because the inner zip_with lambda must reference
-    * the outer aggregate lambda's variable. */
-  def simhashExpr(textCol: String): Column = {
+  /** 64-bit SimHash over whitespace tokens via the native codegen
+    * expression (graft.functions.SimHash64): one JIT'd byte-walk per
+    * row instead of nested interpreted aggregate/zip_with lambdas. */
+  def simhashExpr(textCol: String): Column = expr(s"simhash64($textCol)")
+
+  /** The interpreted higher-order-function form of the same SimHash —
+    * kept as the differential-test reference for SimHash64 (the inner
+    * zip_with lambda references the outer aggregate lambda's variable,
+    * which is why it must be written as a SQL expression). */
+  def simhashExprInterpreted(textCol: String): Column = {
     val counts =
       s"""aggregate(
          |  transform(split($textCol, ' '), t -> xxhash64(t)),
@@ -158,6 +163,7 @@ object Dedup {
 
   /** Per-document simhash + its 4×16-bit bands (the hamming-LSH keys). */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val withSim = Tables.documents(spark, dir)
       .select(col("doc_id"), simhashExpr("text").as("simhash"))
     (0 until 4).foldLeft(withSim) { (df, c) =>
@@ -170,6 +176,7 @@ object Dedup {
     * pair within hamming distance 3 shares at least one of 4 bands),
     * verified by exact popcount. Bucket-join only — no all-pairs. */
   def simhashNearDups(df: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // materialize (id, simhash) before the band self-join — otherwise
     // both join branches re-tokenize + re-hash the corpus
     val sims = df.select(col(idCol), simhashExpr("text").as("simhash"))

@@ -78,6 +78,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(groups(10L) == 2 && groups(12L) == 1)
   }
 
+  test("simhash64 native codegen matches the interpreted HOF form") {
+    GraftFunctions.register(spark)
+    // edge cases: empty, single token, consecutive/leading/trailing
+    // spaces (empty tokens kept, per split() limit -1), unicode
+    val samples = Seq("", "one", "two tokens", "a  b", " lead", "trail ",
+      "héllo wörld ⚡ tokens", Array.tabulate(80)(i => s"t$i").mkString(" "))
+    val df = samples.toDF("text")
+    val got = df.select(Dedup.simhashExpr("text")).collect().map(_.getLong(0))
+    val want = df.select(Dedup.simhashExprInterpreted("text"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == want.toSeq)
+    // corpus-wide agreement on real documents
+    val docs = Tables.documents(spark, sf)
+    val mismatches = docs.select(
+        Dedup.simhashExpr("text").as("native"),
+        Dedup.simhashExprInterpreted("text").as("interp"))
+      .filter(col("native") =!= col("interp")).count()
+    assert(mismatches == 0)
+  }
+
+  test("simhash64 interpreted path (codegen off) agrees with codegen") {
+    GraftFunctions.register(spark)
+    val texts = Seq("a b c", "x  y", "").toDF("text")
+    val codegen = texts.select(Dedup.simhashExpr("text")).collect().map(_.getLong(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = texts.select(Dedup.simhashExpr("text")).collect().map(_.getLong(0))
+      assert(codegen.toSeq == interp.toSeq)
+    }
+  }
+
   test("simhash near-dups: small edit within hamming 3, unrelated far") {
     val base = Array.tabulate(60)(i => s"tok$i").mkString(" ")
     val oneEdit = base.replace("tok30", "tokX")
