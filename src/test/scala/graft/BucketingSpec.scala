@@ -8,18 +8,31 @@ import org.apache.spark.sql.functions._
   * concrete 100 TB co-location strategy, proven on the local catalog. */
 class BucketingSpec extends SparkSpec {
 
-  test("IVF cell table written partitioned-by-cell prunes probes to one partition") {
-    import graft.ops.Ivf
-    val idx = Ivf.build(Tables.embeddings(spark, sf), k = 8)
+  test("IVF persisted index: search probes are partition-pruned, recall holds") {
+    import graft.ops.{Ivf, Similarity}
+    val emb = Tables.embeddings(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
-    val probe = spark.read.parquet(out).filter(col("cell") === 3)
+    Ivf.writeIndex(Ivf.build(emb, k = 8), out)
+    val idx = Ivf.readIndex(spark, out)
+    assert(idx.centroids.length == 8)
+    val q = emb.filter(col("vec_id") === 11).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probe = Ivf.search(idx, q, topK = 10, nProbe = 2)
+    // the probe plan must prune the cell table scan to the probed cells
     val plan = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
-      s"probe not partition-pruned:\n${plan.take(600)}")
-    // pruned scan reads only cell 3's files
-    assert(probe.count() ==
-      idx.assigned.filter(col("cell") === 3).count())
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe not partition-pruned:\n${plan.take(900)}")
+    assert(probe.collect().map(_.getLong(0)).contains(11L),
+      "query's own vector not retrieved from the persisted index")
+    // recall@nProbe=4 (half the cells) vs brute-force top-10
+    val brute = emb.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), array(q.map(lit): _*)).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val wide = Ivf.search(idx, q, topK = 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.intersect(wide).size >= 4,
+      s"recall@4 too low: ${brute.intersect(wide).size}/10")
   }
 
   test("bucketed fact-fact join plans without an exchange on the join key") {
