@@ -18,7 +18,13 @@ final case class ColumnMeta(
       * owned sequence that SequenceSync must reset after load. */
     serial: Boolean = false,
     /** raw SQL default expression, e.g. "FALSE" (event-table.sql:17) */
-    default: Option[String] = None) {
+    default: Option[String] = None,
+    /** the source database's own rendered type (e.g. "JSONB",
+      * "VARCHAR(255)"), captured at reflection so DDL can clone the
+      * exact source type like the reference's column.copy()
+      * (transfer_data_script.py:59-64) — without it JSONB silently
+      * downgrades to TEXT through the Spark-type round trip. */
+    sourceTypeName: Option[String] = None) {
   def toField: StructField = StructField(name, dataType, nullable)
 }
 

@@ -37,6 +37,27 @@ object PgCatalog {
       case _                                          => StringType
     }
 
+  /** The source database's own type for a column, rendered as DDL text
+    * (type-fidelity counterpart of the reference's column.copy(),
+    * transfer_data_script.py:59-64). JDBC TYPE_NAME carries the exact
+    * source type ("JSONB", "VARCHAR") but not its arguments, so char
+    * and decimal types get their size re-attached — only when the name
+    * is a plain word, so composite names like Derby's
+    * "VARCHAR () FOR BIT DATA" pass through unmangled. */
+  def renderSourceType(typeName: String, sqlType: Int,
+      size: Int, scale: Int): Option[String] = {
+    val tn = typeName.trim
+    val plain = tn.nonEmpty && !tn.contains("(") && !tn.contains(" ")
+    if (tn.isEmpty) None
+    else sqlType match {
+      case Types.CHAR | Types.VARCHAR | Types.NCHAR | Types.NVARCHAR
+          if plain && size > 0 => Some(s"$tn($size)")
+      case Types.NUMERIC | Types.DECIMAL
+          if plain && size > 0 => Some(s"$tn($size,${math.max(scale, 0)})")
+      case _ => Some(tn)
+    }
+  }
+
   /** All table names in a schema, minus an exclusion list keyed on the
     * QUALIFIED name (reference op R6 — and its key inconsistency, §0,
     * resolved here by always matching qualified names). */
@@ -65,12 +86,16 @@ object PgCatalog {
     while (crs.next()) {
       val auto = "YES".equalsIgnoreCase(
         Option(crs.getString("IS_AUTOINCREMENT")).getOrElse(""))
+      val sqlType = crs.getInt("DATA_TYPE")
+      val size = crs.getInt("COLUMN_SIZE")
+      val scale = crs.getInt("DECIMAL_DIGITS")
       cols += ColumnMeta(
         name = crs.getString("COLUMN_NAME"),
-        dataType = jdbcTypeToSpark(crs.getInt("DATA_TYPE"),
-          crs.getInt("COLUMN_SIZE"), crs.getInt("DECIMAL_DIGITS")),
+        dataType = jdbcTypeToSpark(sqlType, size, scale),
         nullable = crs.getInt("NULLABLE") != DatabaseMetaData.columnNoNulls,
-        serial = auto)
+        serial = auto,
+        sourceTypeName = renderSourceType(
+          Option(crs.getString("TYPE_NAME")).getOrElse(""), sqlType, size, scale))
     }
     crs.close()
 

@@ -26,10 +26,17 @@ object PgDdl {
   private def qualified(t: TableMeta): String =
     t.schema.fold(quote(t.name))(s => s"${quote(s)}.${quote(t.name)}")
 
-  /** Spark type → PostgreSQL type (inverse of the §1 mapping table). */
+  /** Target column type: the reflected source type verbatim when
+    * available (exact-clone fidelity, like the reference's
+    * column.copy() — a JSONB column stays JSONB instead of degrading
+    * to TEXT through the Spark-type round trip), otherwise the Spark
+    * type → PostgreSQL inverse of the §1 mapping table. Serial columns
+    * always map to SERIAL/BIGSERIAL (the sequence-ownership semantics
+    * the source TYPE_NAME may not carry). */
   def pgType(c: ColumnMeta): String = c.dataType match {
     case LongType if c.serial    => "BIGSERIAL"
     case IntegerType if c.serial => "SERIAL"
+    case _ if c.sourceTypeName.isDefined => c.sourceTypeName.get
     case LongType                => "BIGINT"
     case IntegerType             => "INTEGER"
     case ShortType               => "SMALLINT"

@@ -1,7 +1,7 @@
 package graft
 
 import graft.meta._
-import graft.pg.{PgDdl, SequenceSync}
+import graft.pg.{PgCatalog, PgDdl, SequenceSync}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -39,6 +39,43 @@ class PgDdlSpec extends AnyFunSuite {
   test("array and decimal type mapping") {
     assert(PgDdl.pgType(ColumnMeta("x", ArrayType(FloatType), true)) == "REAL[]")
     assert(PgDdl.pgType(ColumnMeta("x", DecimalType(12, 2), true)) == "NUMERIC(12,2)")
+  }
+
+  test("source type fidelity: JSONB and VARCHAR(255) clone exactly") {
+    import java.sql.Types
+    // reflection renders the source's own type text
+    assert(PgCatalog.renderSourceType("jsonb", Types.OTHER, 0, 0) == Some("jsonb"))
+    assert(PgCatalog.renderSourceType("VARCHAR", Types.VARCHAR, 255, 0) == Some("VARCHAR(255)"))
+    assert(PgCatalog.renderSourceType("NUMERIC", Types.NUMERIC, 12, 2) == Some("NUMERIC(12,2)"))
+    // composite names pass through unmangled (Derby binary types)
+    assert(PgCatalog.renderSourceType("VARCHAR () FOR BIT DATA", Types.VARBINARY, 64, 0) ==
+      Some("VARCHAR () FOR BIT DATA"))
+    // DDL prefers the source type: JSONB no longer downgrades to TEXT
+    assert(PgDdl.pgType(ColumnMeta("props", StringType, true,
+      sourceTypeName = Some("JSONB"))) == "JSONB")
+    assert(PgDdl.pgType(ColumnMeta("name", StringType, false,
+      sourceTypeName = Some("VARCHAR(255)"))) == "VARCHAR(255)")
+    // serial semantics win over the raw source name
+    assert(PgDdl.pgType(ColumnMeta("id", LongType, false, serial = true,
+      sourceTypeName = Some("bigserial"))) == "BIGSERIAL")
+    // absent source type falls back to the §1 inverse mapping
+    assert(PgDdl.pgType(ColumnMeta("x", StringType, true)) == "TEXT")
+  }
+
+  test("Derby reflection captures source types and DDL round-trips them") {
+    val conn = java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:ddlfidelity;create=true")
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE typed_t (name VARCHAR(255) NOT NULL, amt DECIMAL(12,2), note CLOB)")
+      val meta = PgCatalog.tableMeta(conn, None, "TYPED_T")
+      val byName = meta.columns.map(c => c.name -> c.sourceTypeName).toMap
+      assert(byName("NAME") == Some("VARCHAR(255)"))
+      assert(byName("AMT") == Some("DECIMAL(12,2)"))
+      val ddl = PgDdl.createTable(meta)
+      assert(ddl.contains("\"NAME\" VARCHAR(255) NOT NULL"))
+      assert(ddl.contains("\"AMT\" DECIMAL(12,2)"))
+    } finally conn.close()
   }
 
   test("setval uses COALESCE-hardened empty-table form") {
