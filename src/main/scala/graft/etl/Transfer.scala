@@ -51,10 +51,10 @@ object Transfer {
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, props)
 
-  /** All-or-nothing publish: batched write into a staging table, then
-    * a single transactional INSERT INTO target SELECT * FROM staging.
-    * The staging write can retry/fail freely; the target only ever
-    * sees zero or all rows. */
+  /** All-or-nothing publish: batched write into a staging table named
+    * `<target>_staging` (dropped and rebuilt each run), then a single
+    * transactional INSERT INTO target. The staging write can retry/fail
+    * freely; the target only ever sees zero or all rows. */
   def atomicLoad(df: DataFrame, url: String, targetTable: String,
       props: Properties, connFactory: () => Connection,
       batchSize: Int = 1000): Unit = {
@@ -75,7 +75,12 @@ object Transfer {
       // names pass through unquoted, matching Spark's JDBC writer (which
       // creates the staging table unquoted → database-case-normalized);
       // callers needing exotic identifiers pass them pre-quoted.
-      st.executeUpdate(s"INSERT INTO $targetTable SELECT * FROM $staging")
+      // Explicit column list on both sides: SELECT * is positional, so
+      // a target whose DDL order differs from the DataFrame's would
+      // mis-load columns (or fail) after the staging write succeeded.
+      val colList = df.schema.fieldNames.mkString(", ")
+      st.executeUpdate(
+        s"INSERT INTO $targetTable ($colList) SELECT $colList FROM $staging")
       st.executeUpdate(s"DROP TABLE $staging")
       conn.commit()
     } catch {
@@ -112,24 +117,33 @@ object Transfer {
     * fact table through a partitioned write + read-back, then compute
     * a multiset checksum that must equal the same checksum computed
     * directly on the source. */
-  def roundTripChecksum(spark: SparkSession, dir: String): DataFrame = {
+  def roundTripChecksum(spark: SparkSession, dir: String): DataFrame =
+    roundTripChecksum(spark, dir,
+      sys.env.getOrElse("SPARK_GRAFT_STAGING_DIR", sys.props("java.io.tmpdir")))
+
+  /** Staging-root-parameterized form: `stagingRoot` may be any
+    * Hadoop-FS path (local tmp by default; a distributed FS on a
+    * cluster, where /tmp of one node is not visible to executors).
+    * Cleanup goes through the Hadoop FileSystem API so both work. */
+  def roundTripChecksum(spark: SparkSession, dir: String,
+      stagingRoot: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val src = graft.Tables.lineitem(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rt")
-    src.repartition(8).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val tmp = s"$stagingRoot/graft_rt_${java.util.UUID.randomUUID().toString.take(8)}"
+    src.repartition(8).write.mode(SaveMode.Overwrite).parquet(tmp)
     // materialize the checksum BEFORE deleting the staged copy (the
     // returned plan must not depend on the temp files), then clean up —
     // otherwise every Verify/Bench/Explain run leaks a full copy of the
-    // fact table under /tmp
-    val rows = spark.read.parquet(tmp.toString).agg(
+    // fact table under the staging root
+    val rows = spark.read.parquet(tmp).agg(
       count(lit(1)).as("n_rows"),
       sum(col("l_orderkey")).as("sum_okey"),
       sum(col("l_partkey") + col("l_suppkey")).as("sum_keys"),
       graft.ops.Det.exactSum(col("l_extendedprice")).as("sum_price"))
     val (schema, collected) = (rows.schema, rows.collect().toSeq)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
     spark.createDataFrame(collected.asJava, schema)
   }
 

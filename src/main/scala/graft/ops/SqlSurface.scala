@@ -9,10 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurface {
 
-  /** Register every testdata table as a temp view (idempotent). */
+  /** Register every testdata table as a temp view (idempotent).
+    * `events` goes through Tables.events so SQL users see the
+    * microsecond timestamp, not the raw nanos long the parquet file
+    * carries under nanosAsLong=true. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    Tables.names.foreach { n =>
-      Tables(spark, dir, n).createOrReplaceTempView(n)
+    Tables.names.foreach {
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case n        => Tables(spark, dir, n).createOrReplaceTempView(n)
     }
 
   /** Correlated scalar subquery + IN subquery, via SQL. MAX-based

@@ -32,7 +32,7 @@ object TextAnalysis {
     * (raw, as a filter) so the two can't drift. */
   def qualityScore(t: Column): Column = {
     val nTokens = size(tokens(t)).cast("double")
-    val punct = expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))")
+    val punct = size(regexp_extract_all(t, lit("[^a-z0-9 ]"), lit(0)))
       .cast("double")
     val stop = size(filter(tokens(t),
       tk => tk.isin(markers.toMap.apply("en"): _*))).cast("double")

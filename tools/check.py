@@ -29,6 +29,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = []
+    # exempt failures tracked separately: they affect the exit code but
+    # not the "N/N oracles match" summary denominator
+    exempt_failures = []
     # oracle-exempt queries still get the driver's rows-only check:
     # flag empty or missing outputs
     import os
@@ -43,7 +46,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 f"WARN {name}: EMPTY output (rows-only check would look bad)"
             print(status)
         except Exception as e:
-            failures.append(name)
+            exempt_failures.append(name)
             print(f"FAIL {name}: unreadable exempt output: {e}")
     for name, sql in sorted(oracles.items()):
         try:
@@ -94,7 +97,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"OK   {name}: {len(oracle)} rows match")
     print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
-    return 1 if failures else 0
+    if exempt_failures:
+        print(f"({len(exempt_failures)} exempt outputs unreadable: "
+              f"{', '.join(exempt_failures)})")
+    return 1 if failures or exempt_failures else 0
 
 
 if __name__ == "__main__":
