@@ -90,6 +90,8 @@ object SparkEntry {
     "q56_range_join"        -> (Relational.rangeJoinQuarters _),
     "q57_hll_sketch_rollup" -> (Grouping.hllSketchRollup _),
     "q58_join_full_outer"   -> (Relational.joinFullOuter _),
+    "q59_window_range_frame" -> (Windows.trailingRevenuePerSupplier _),
+    "q60_join_right_outer"  -> (Relational.joinRightOuter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,7 +335,9 @@ object SparkEntry {
       "q31_sanitize" ->
         """SELECT event_id,
           |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val,
-          |  '{"k":' || JSON_EXTRACT_STRING(props, '$.k') || '}' AS props_canonical,
+          |  CASE WHEN JSON_EXTRACT_STRING(props, '$.k') IS NULL THEN '{}'
+          |       ELSE '{"k":' || JSON_EXTRACT_STRING(props, '$.k') || '}'
+          |  END AS props_canonical,
           |  COALESCE(value, 0.0) AS value
           |FROM events ORDER BY event_id""".stripMargin,
       "q32_transfer_roundtrip" ->
@@ -550,6 +554,22 @@ object SparkEntry {
            |  o.o_custkey IS NULL AS only_finished
            |FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
            |ORDER BY custkey""".stripMargin,
+      "q59_window_range_frame" ->
+        """SELECT l_suppkey,
+          |  DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+          |  l_orderkey, l_linenumber, l_extendedprice,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY l_suppkey
+          |    ORDER BY DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+          |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_rev
+          |FROM lineitem WHERE l_suppkey <= 3
+          |ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber,
+          |  l_extendedprice, trailing_rev""".stripMargin,
+      "q60_join_right_outer" ->
+        """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+          |  MIN(o_orderdate) AS first_order
+          |FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     )
   }
 }

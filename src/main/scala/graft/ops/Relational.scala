@@ -212,4 +212,18 @@ object Relational {
       .agg(count(col("o_orderkey")).as("n_orders"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Right outer join — the genuine RightOuter variant (orders on the
+    * left, every customer preserved from the right), not a rewritten
+    * left join; min order date instead of a count so the unmatched-row
+    * NULL passes through visibly. */
+  def joinRightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        min(col("o_orderdate")).as("first_order"))
+      .orderBy(col("c_custkey"))
+  }
 }

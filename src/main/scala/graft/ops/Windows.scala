@@ -49,6 +49,27 @@ object Windows {
       .orderBy(col("l_suppkey") +: order :+ col("running_price"): _*)
   }
 
+  /** 90-day trailing revenue per supplier — RANGE frame over a numeric
+    * day column (rangeBetween), the time-window complement of the ROWS
+    * frame above: every row whose ship day falls in [day-90, day]
+    * contributes, including same-day peers beyond the current row
+    * (which a ROWS frame would exclude). */
+  def trailingRevenuePerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_day"))
+      .rangeBetween(-90, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 3) // keep output bounded; 3 suppliers
+      .withColumn("ship_day",
+        datediff(col("l_shipdate"), lit("1995-01-01").cast("date")).cast("long"))
+      .withColumn("trailing_rev",
+        sum(col("l_extendedprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("ship_day"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("trailing_rev"))
+      .orderBy(col("l_suppkey"), col("ship_day"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("trailing_rev"))
+  }
+
   /** lag/lead of order price within each customer's order history. */
   def orderPriceLagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
