@@ -51,12 +51,22 @@ object Decontaminate {
     val newSigs = Dedup.signatureTable(newDocs, "doc_id")
     // shared banding scheme + estimate-prune discipline (Dedup.bandedIds/
     // estimatePrune): band join carries ids only; only estimate
-    // survivors pay for the full shingle arrays
+    // survivors pay for the full shingle arrays.
+    // Degenerate-bucket guard (Dedup.MaxBucket): a mega-bucket on the
+    // corpus side (10k-copy boilerplate cluster) would multiply every
+    // matching new doc by the whole cluster; keep the maxBucket
+    // smallest ids per bucket — a new doc near the cluster still
+    // matches its retained representatives
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_id"), col("band_hash"))
+      .orderBy(col("corpus_doc_id"))
+    val cappedCorpusBands = Dedup.bandedIds(
+        corpusSigs.select(col("doc_id"), col("sig")), "corpus_doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= Dedup.MaxBucket).drop("__rn")
     val candidates = Dedup.bandedIds(
         newSigs.select(col("doc_id"), col("sig")), "new_doc_id")
-      .join(Dedup.bandedIds(
-          corpusSigs.select(col("doc_id"), col("sig")), "corpus_doc_id"),
-        Seq("band_id", "band_hash"))
+      .join(cappedCorpusBands, Seq("band_id", "band_hash"))
       .select("new_doc_id", "corpus_doc_id")
       .dropDuplicates("new_doc_id", "corpus_doc_id")
     val pruned = Dedup.estimatePrune(candidates,

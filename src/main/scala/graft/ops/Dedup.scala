@@ -84,16 +84,44 @@ object Dedup {
       .filter(col("est_j") >= minJaccard - 0.2)
       .select(aCol, bCol)
 
-  /** LSH candidate pairs within one corpus (ids only). */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
-    val banded = bandedIds(sigs.select(col(idCol), col("sig")), "__band_id_col")
-    banded.select(col("__band_id_col").as("doc_a"), col("band_id"),
-        col("band_hash"))
-      .join(banded.select(col("__band_id_col").as("doc_b"), col("band_id"),
+  /** Band-join bucket-size cap: above this, a bucket's pairs switch
+    * from all-pairs to star pairing. A corpus with a 10k-copy
+    * boilerplate cluster puts all 10k ids into ONE (band, hash) bucket
+    * in every band — 10^8 candidate pairs from a single key, the
+    * quadratic blowup the banding scheme exists to avoid. */
+  val MaxBucket = 256
+
+  /** LSH candidate pairs within one corpus (ids only).
+    *
+    * Degenerate-bucket guard: buckets with more than `maxBucket`
+    * members emit (bucket-min-id, member) star pairs instead of
+    * all-pairs — O(n) per bucket instead of O(n²), and every member
+    * stays connected to the representative, so dedup-cluster
+    * connectivity is preserved (a mega-bucket is near-identical
+    * content, which all verifies against the representative; the
+    * estimate/exact stages still prune false edges). Salting would
+    * only split the bucket while silently LOSING cross-salt pairs —
+    * star pairing keeps the linear cost without that recall hole.
+    * The bucket-size window shuffles on the same (band, hash) key the
+    * join needs anyway, so no extra exchange is planned. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_id"), col("band_hash"))
+    val sized = bandedIds(sigs.select(col(idCol), col("sig")), "__band_id_col")
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("rep", min(col("__band_id_col")).over(w))
+    val small = sized.filter(col("bucket_n") <= maxBucket)
+    val smallPairs = small.select(col("__band_id_col").as("doc_a"),
+        col("band_id"), col("band_hash"))
+      .join(small.select(col("__band_id_col").as("doc_b"), col("band_id"),
         col("band_hash")), Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val starPairs = sized
+      .filter(col("bucket_n") > maxBucket && col("__band_id_col") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("__band_id_col").as("doc_b"))
+    smallPairs.unionByName(starPairs).dropDuplicates("doc_a", "doc_b")
   }
 
   /** Materialized (id, sig, sh) signature table. Shingling + minhashing

@@ -26,4 +26,35 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).isEmpty)
   }
+
+  test("LSH band join survives a planted mega-duplicate cluster") {
+    import graft.ops.Dedup
+    // 1200 identical docs land in ONE (band, hash) bucket in every
+    // band: all-pairs would be ~719k candidate pairs from one key
+    val boiler = "the same boilerplate legal disclaimer text repeated " +
+      "across the whole corpus many times word for word without change"
+    val cluster = (0 until 1200).map(i => (i.toLong, boiler))
+    val a = "an ordinary document about catalyst plans pushdown pruning " +
+      "broadcast joins and whole stage code generation in spark engines"
+    val pairDocs = Seq(
+      (5000L, a), (5001L, a.replace("ordinary", "unusual")),
+      (6000L, "unrelated text about cooking pasta with basil and garlic " +
+        "on a quiet sunday afternoon for the extended family dinner"))
+    val docs = (cluster ++ pairDocs).toDF("doc_id", "text")
+    val candidates = Dedup.lshCandidatePairs(
+      Dedup.signatureTable(docs, "doc_id"), "doc_id")
+    val n = candidates.count()
+    assert(n < 5000, s"mega-bucket went quadratic: $n candidate pairs")
+    // connectivity: every cluster member still pairs with the
+    // representative (min id 0), so dedup keeps the whole cluster
+    assert(candidates.filter(col("doc_a") === 0L).count() == 1199)
+    // and the full verify pipeline confirms the star edges + the
+    // normal small-bucket pair, leaving the unrelated doc alone
+    val verified = Dedup.nearDupPairs(docs, "doc_id", 0.8)
+    assert(verified.filter(col("doc_a") === 0L && col("jaccard") === 1.0)
+      .count() == 1199)
+    val flat = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flat.contains((5000L, 5001L)))
+    assert(!flat.exists(p => p._1 == 6000L || p._2 == 6000L))
+  }
 }
