@@ -429,6 +429,27 @@ object SparkEntry {
           |  COUNT(*) AS n_vecs
           |FROM embeddings, GENERATE_SERIES(1, 64) s(i)
           |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+      "q43_ann_buckets" -> {
+        // the seeded hyperplanes are deterministic literals — emit them
+        // into the oracle so DuckDB computes the same sign-of-projection
+        // buckets; both sides round the dot product to 6dp before the
+        // sign test so float-summation order can't flip a bucket bit
+        val planeValues = Similarity.hyperplanes(8, 64).zipWithIndex
+          .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+          .mkString(",\n  ")
+        s"""WITH planes(j, plane) AS (VALUES
+           |  $planeValues),
+           |dots AS (
+           |  SELECT e.vec_id, e.label, p.j,
+           |    ROUND(list_sum(list_transform(range(1, 65),
+           |      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])), 6) AS d
+           |  FROM embeddings e CROSS JOIN planes p
+           |)
+           |SELECT vec_id, label,
+           |  CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+           |FROM dots GROUP BY vec_id, label
+           |ORDER BY vec_id, label, bucket""".stripMargin
+      },
       "q44_embed_neardup" ->
         """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
           |  ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

@@ -49,12 +49,15 @@ object Similarity {
 
   /** Sign-of-projection LSH bucket id (one bit per hyperplane). Two
     * vectors at cosine angle θ land in the same bucket with
-    * probability (1 - θ/π)^numPlanes. */
+    * probability (1 - θ/π)^numPlanes. The projection is rounded to 6dp
+    * before the sign test so bucket ids are reproducible across
+    * engines regardless of float-summation order (the DuckDB oracle
+    * computes the same rounded dot from the same plane literals). */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
       val planeCol = array(p.map(lit): _*)
       acc.bitwiseOR(
-        when(dot(emb, planeCol) > 0, shiftleft(lit(1L), j)).otherwise(0L))
+        when(round(dot(emb, planeCol), 6) > 0, shiftleft(lit(1L), j)).otherwise(0L))
     }
 
   /** Per-vector LSH bucket assignment (the ANN index build). */
@@ -63,7 +66,7 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         lshBucket(col("embedding"), planes).as("bucket"))
-      .orderBy(col("vec_id"))
+      .orderBy(col("vec_id"), col("label"), col("bucket"))
   }
 
   /** ANN search: probe only the query's bucket, exact cosine re-rank
