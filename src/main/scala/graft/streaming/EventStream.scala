@@ -34,6 +34,29 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming sliding-window twin of ops.Events.sliding: 1-hour
+    * windows every 15 minutes, one state row per open window. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("n"), col("sum_value"))
+
+  /** Streaming session-window twin of ops.Events.sessions: built-in
+    * session_window with a 30-minute gap; state per open session,
+    * closed (and emitted, in append mode) once the watermark passes
+    * session end + gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** File-source stream over a directory of event parquet/json files. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)

@@ -66,6 +66,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding agg equals the batch result") {
+    val staged = Files.createTempDirectory("graft_slide").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(staged)
+    val stream = EventStream.readEventStream(spark, staged)
+    val q = EventStream.runOnce(EventStream.slidingCounts(stream), "s_out")
+    try {
+      val streamed = spark.table("s_out").orderBy("win_start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      val batch = Events.sliding(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming session agg equals the batch result") {
+    val staged = Files.createTempDirectory("graft_sessw").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(staged)
+    val stream = EventStream.readEventStream(spark, staged)
+    val q = EventStream.runOnce(EventStream.sessionCounts(stream), "sw_out")
+    try {
+      val streamed = spark.table("sw_out").orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      val batch = Events.sessions(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("foreachBatch JDBC sink lands watermark-closed windows in Derby") {
+    import org.apache.spark.sql.functions.col
+    // two time-ordered files so the second batch advances the watermark
+    // past the first's windows (append mode emits only closed windows)
+    val staged = Files.createTempDirectory("graft_sink").toString
+    val ev = Tables.events(spark, sf)
+    val mid = ev.selectExpr("percentile_approx(cast(ts as double), 0.5)")
+      .head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= mid).coalesce(1)
+      .sortWithinPartitions("ts").write.mode("append").parquet(staged)
+    Thread.sleep(1100)
+    ev.filter(col("ts").cast("double") > mid).coalesce(1)
+      .sortWithinPartitions("ts").write.mode("append").parquet(staged)
+
+    val url = "jdbc:derby:memory:streamsink;create=true"
+    val props = new java.util.Properties()
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = EventStream.jdbcSink(EventStream.tumblingCounts(stream),
+      url, "tumbling_sink", props).start()
+    try {
+      q.processAllAvailable()
+      val landed = spark.read.jdbc(url, "tumbling_sink", props)
+      // Derby case-normalizes identifiers; read positionally
+      val got = landed.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.nonEmpty, "no windows closed by the final watermark")
+      // every landed row must exactly match a batch-mode window row
+      val batch = Events.tumbling(spark, sf).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val bad = got -- batch
+      assert(bad.isEmpty, s"sink-only rows: ${bad.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
