@@ -26,5 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(str) - 64-bit SimHash over space tokens"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dotf"),
+      info("dotf", "dotf(arr, arr) - double-precision array dot product"),
+      (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
   }
 }

@@ -71,6 +71,8 @@ object GraftFunctions {
       "winnow8_8", exprs => WinnowFingerprints(exprs.head, 8, 8), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dotf", exprs => DotProductF(exprs.head, exprs(1)), "internal")
   }
 
   /** Plain-Scala reference implementation for differential testing. */

@@ -89,6 +89,7 @@ object Ivf {
     * probe the nProbe nearest, exact cosine re-rank inside them. */
   def search(index: Index, queryVec: Array[Float], topK: Int,
       nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(index.assigned.sparkSession)
     val q = queryVec.map(_.toDouble)
     def dist2(c: Array[Double]): Double =
       c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum

@@ -12,14 +12,24 @@ import org.apache.spark.sql.functions._
   * Scale shapes: brute-force against ONE query is a broadcast of the
   * query + a narrow map + TakeOrderedAndProject — linear, fine at any
   * size. All-pairs brute force is never materialized; the LSH variant
-  * joins only within buckets. Dot products run through zip_with +
-  * aggregate (codegen'd builtins, no UDF); float×float products are
-  * exact in double, and the sequential array fold is order-stable.
+  * joins only within buckets. Dot products run through the native
+  * DotProductF codegen expression (no UDF, no interpreted lambdas);
+  * float×float products are exact in double, and the sequential
+  * accumulation order is stable.
   */
 object Similarity {
 
-  /** dot(a, b) in double precision via higher-order builtins. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) in double precision via the native codegen expression
+    * (graft.functions.DotProductF, registered as `dotf`): one JIT'd
+    * loop instead of interpreted zip_with/aggregate lambdas —
+    * bit-identical results (same cast + summation order). Callers'
+    * sessions must have GraftFunctions registered; every public entry
+    * point in this object and Ivf does so. */
+  def dot(a: Column, b: Column): Column = call_function("dotf", a, b)
+
+  /** The interpreted higher-order-function form — kept as the
+    * differential-test reference for DotProductF. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -30,6 +40,7 @@ object Similarity {
     * Rounded to 6dp so the (order-stable but engine-specific) float
     * fold can't flip the ranking vs the oracle. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
@@ -62,6 +73,7 @@ object Similarity {
 
   /** Per-vector LSH bucket assignment (the ANN index build). */
   def annBuckets(spark: SparkSession, dir: String, numPlanes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val planes = hyperplanes(numPlanes, 64)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -73,6 +85,7 @@ object Similarity {
     * inside it. Recall vs brute force is measured in SimilaritySpec. */
   def annSearch(emb: DataFrame, queryVec: Array[Float], k: Int,
       numPlanes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(numPlanes, 64)
     val qCol = array(queryVec.map(lit): _*)
     val qBucket = lshBucket(qCol, planes)
@@ -90,6 +103,7 @@ object Similarity {
     * fold can't flip a boundary decision vs the oracle. */
   def embeddingNearDups(spark: SparkSession, dir: String,
       maxId: Long = 200, minCos: Double = 0.2): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
@@ -105,6 +119,7 @@ object Similarity {
     * AnalyticsSpec with planted duplicates). */
   def lshEmbeddingNearDups(emb: DataFrame, minCos: Double,
       numPlanes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(numPlanes, 64)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), planes).as("bucket"))

@@ -96,14 +96,17 @@ object TextAnalysis {
     * bigram set; argmax with fixed precedence. The second (n-gram)
     * signal next to the marker-word scorer in [[langId]]. */
   def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = expr(
-      "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1))," +
-        " i -> substr(text, i, 2)))")
+    // "profile bigram ∈ text's bigram set" is exactly contains(text,
+    // bigram) — scoring as a sum of codegen'd contains() calls instead
+    // of materializing the distinct-bigram array per row (the
+    // transform/array_intersect form runs interpreted and re-built the
+    // array once per language profile: 4 passes over every document)
+    val t = col("text")
     val scored = Tables.documents(spark, dir).select(
       col("doc_id") +: col("lang").as("lang_label") +:
         bigramProfiles.map { case (l, ps) =>
-          size(array_intersect(bigrams, array(ps.map(lit): _*)))
-            .cast("long").as(s"g_$l")
+          ps.map(bg => when(t.contains(lit(bg)), 1L).otherwise(0L))
+            .reduce(_ + _).as(s"g_$l")
         }: _*)
     val m = greatest(bigramProfiles.map { case (l, _) => col(s"g_$l") }: _*)
     val pred = bigramProfiles.foldLeft(when(m === 0, "und")) {
@@ -154,17 +157,18 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** Document fingerprinting: full-document rolling hash (custom
-    * codegen Expression) + min-hash over 8-char shingles. xxhash64 and
-    * rolling_hash have no DuckDB equivalent — oracle-exempt, verified
-    * differentially against a Scala reference in FingerprintSpec. */
+    * codegen Expression) + min positional-shingle hash, both native
+    * codegen (the earlier transform/xxhash64-per-substr form allocated
+    * a substring per position and ran interpreted). Hash-based — no
+    * DuckDB equivalent, oracle-exempt; the expressions are verified
+    * differentially against Scala references in AnalyticsSpec. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("rolling_hash(text)").as("fp64"),
-        expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
-          " i -> xxhash64(substr(text, i, 8))))").as("min_shingle"),
-        expr("greatest(length(text) - 7, 1)").cast("long").as("n_shingles"))
+        expr("array_min(shingle8_seq(text))").as("min_shingle"),
+        expr("size(shingle8_seq(text))").cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
   }
 }

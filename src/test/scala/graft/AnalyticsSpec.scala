@@ -55,6 +55,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint min_shingle/n_shingles match the Scala window-hash reference") {
+    val got = graft.ops.TextAnalysis.fingerprints(spark, sf).limit(20)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select("doc_id", "min_shingle", "n_shingles", "text")
+      .collect()
+    got.foreach { r =>
+      val hashes = graft.functions.ShingleHashes.windowHashes(
+        r.getString(3).getBytes("UTF-8"), 8)
+      assert(r.getLong(1) == hashes.min, s"doc ${r.getLong(0)} min mismatch")
+      assert(r.getLong(2) == hashes.length, s"doc ${r.getLong(0)} count mismatch")
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates, not unrelated docs") {
     val base = "spark catalyst optimizer rewrites logical plans into physical plans " +
       "with pushdown pruning broadcast and codegen for large scale analytics"
@@ -96,6 +109,27 @@ class AnalyticsSpec extends SparkSpec {
         Dedup.simhashExprInterpreted("text").as("interp"))
       .filter(col("native") =!= col("interp")).count()
     assert(mismatches == 0)
+  }
+
+  test("dotf native codegen matches the interpreted HOF dot product") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    // float×float (self dot) and float×double-literal (plane dot) paths
+    val plane = graft.ops.Similarity.hyperplanes(1, 64).head
+    val planeCol = array(plane.map(lit): _*)
+    val mismatches = emb.select(
+        graft.ops.Similarity.dot(col("embedding"), col("embedding")).as("n_ff"),
+        graft.ops.Similarity.dotHof(col("embedding"), col("embedding")).as("h_ff"),
+        graft.ops.Similarity.dot(col("embedding"), planeCol).as("n_fd"),
+        graft.ops.Similarity.dotHof(col("embedding"), planeCol).as("h_fd"))
+      .filter(col("n_ff") =!= col("h_ff") || col("n_fd") =!= col("h_fd"))
+      .count()
+    assert(mismatches == 0, "native dotf differs from HOF form")
+    // length mismatch yields NULL like the HOF null-poisoned sum
+    val short = array((0 until 3).map(i => lit(i.toDouble)): _*)
+    val r = emb.select(graft.ops.Similarity.dot(col("embedding"), short))
+      .head()
+    assert(r.isNullAt(0))
   }
 
   test("simhash64 interpreted path (codegen off) agrees with codegen") {
