@@ -92,6 +92,7 @@ object SparkEntry {
     "q58_join_full_outer"   -> (Relational.joinFullOuter _),
     "q59_window_range_frame" -> (Windows.trailingRevenuePerSupplier _),
     "q60_join_right_outer"  -> (Relational.joinRightOuter _),
+    "q61_ann_multiprobe"    -> (Similarity.annMultiProbeTop10 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -591,6 +592,34 @@ object SparkEntry {
           |  MIN(o_orderdate) AS first_order
           |FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      "q61_ann_multiprobe" -> {
+        // same plane literals + rounded-sign bucketing as the q43
+        // oracle; the probe ring (hamming<=1 of vec 7's bucket) and the
+        // exact cosine re-rank are all recomputed inside DuckDB
+        val planeValues = Similarity.hyperplanes(8, 64).zipWithIndex
+          .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+          .mkString(",\n  ")
+        s"""WITH planes(j, plane) AS (VALUES
+           |  $planeValues),
+           |buckets AS (
+           |  SELECT e.vec_id,
+           |    CAST(SUM(CASE WHEN ROUND(list_sum(list_transform(range(1, 65),
+           |      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])), 6) > 0
+           |      THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS b
+           |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+           |),
+           |qb AS (SELECT b FROM buckets WHERE vec_id = 7),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
+           |SELECT e.vec_id,
+           |  ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) /
+           |    (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |     SQRT(LIST_INNER_PRODUCT(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 6) AS cos_sim
+           |FROM embeddings e
+           |JOIN buckets v ON v.vec_id = e.vec_id
+           |CROSS JOIN qb CROSS JOIN q
+           |WHERE bit_count(xor(v.b, qb.b)) <= 1
+           |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+      },
     )
   }
 }

@@ -97,6 +97,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side bucket id of a concrete query vector — same dot
+    * order, rounding (Scala BigDecimal HALF_UP == Spark round), and
+    * bit layout as [[lshBucket]], so the enumerated probe list hits
+    * exactly the buckets the table-side expression assigns. */
+  def bucketOf(queryVec: Array[Float], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, j)) =>
+      var d = 0.0
+      var i = 0
+      while (i < p.length) { d += queryVec(i).toDouble * p(i); i += 1 }
+      val r = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (r > 0) acc | (1L << j) else acc
+    }
+
+  /** Multi-probe ANN: probe every bucket within `maxHamming` bits of
+    * the query's bucket — the standard recall fix for sign-LSH (a
+    * projection near zero flips one bit and hides the neighbour one
+    * bucket away). The probe set is enumerated driver-side as an
+    * explicit id list (C(P,0..H) ids, 9 for P=8 H=1), so a
+    * bucket-partitioned cell table still partition-prunes the probe
+    * instead of scanning for a bit_count predicate. */
+  def annSearchMultiProbe(emb: DataFrame, queryVec: Array[Float], k: Int,
+      numPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    require(numPlanes <= 20, "probe enumeration is 2^numPlanes")
+    val planes = hyperplanes(numPlanes, 64)
+    val qb = bucketOf(queryVec, planes)
+    val probes = (0 until (1 << numPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= maxHamming)
+      .map(m => qb ^ m.toLong)
+    val qCol = array(queryVec.map(lit): _*)
+    emb.withColumn("bucket", lshBucket(col("embedding"), planes))
+      .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Query entry: multi-probe search for vec_id 7's embedding
+    * (hamming<=1 probe ring, top-10 by exact cosine re-rank). */
+  def annMultiProbeTop10(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    annSearchMultiProbe(emb, q, k = 10)
+  }
+
   /** Embedding near-duplicate pairs, exact form over an id-bounded
     * subset (the oracle-checkable shape: one side is 200 rows and
     * broadcasts). Cosine is rounded BEFORE thresholding so the float

@@ -24,8 +24,17 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "una"),
     "zh" -> Seq("的", "了", "是", "在", "我"))
 
-  private def markerScore(text: Column, ms: Seq[String]): Column =
-    size(array_intersect(tokens(text), array(ms.map(lit): _*))).cast("long")
+  /** "marker ∈ token set" as a codegen'd substring test on the
+    * space-padded text (token boundaries become ' m ' matches) —
+    * replaces size(array_intersect(split(...), markers)), which
+    * materialized the token array per language profile and ran
+    * interpreted. Counts distinct markers present, like the
+    * array_intersect form. */
+  private def markerScore(text: Column, ms: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    ms.map(m => when(padded.contains(lit(s" $m ")), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
 
   /** Composite quality score in [0,1] — THE scoring expression, shared
     * by qualityStats (rounded, oracle-checked) and Pipeline.curate

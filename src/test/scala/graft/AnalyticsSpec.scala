@@ -170,6 +170,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(brute == 7L)
   }
 
+  test("multi-probe ANN: bucketOf matches lshBucket, recall >= single probe") {
+    import graft.ops.Similarity
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val planes = Similarity.hyperplanes(8, 64)
+    // the driver-side bucket must agree with the table-side expression
+    // for every probed vector, or the probe list misses its targets
+    val rows = emb.limit(50).select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), planes).as("b")).collect()
+    rows.foreach { r =>
+      assert(Similarity.bucketOf(r.getSeq[Float](1).toArray, planes) == r.getLong(2),
+        s"vec ${r.getLong(0)} bucket mismatch")
+    }
+    val q = emb.filter(col("vec_id") === 11).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = emb.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), array(q.map(lit): _*)).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val single = Similarity.annSearch(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annSearchMultiProbe(emb, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(multi.contains(11L), "query's own vector not in the probe ring")
+    assert(brute.intersect(multi).size >= brute.intersect(single).size,
+      "widening the probe ring reduced recall")
+  }
+
   test("LSH embedding near-dup finds a planted duplicate vector") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, sf)
