@@ -44,9 +44,10 @@ object Decontaminate {
     * Returns (new_doc_id, corpus_doc_id, jaccard). */
   def incrementalNearDups(corpusIndexed: DataFrame, newDocs: DataFrame,
       minJaccard: Double): DataFrame = {
-    // each side is referenced from three plan branches (banding,
-    // estimate-prune, exact verify) — materialize each ONCE so the
-    // corpus is shingled once, not three times (Dedup.signatureTable)
+    // each side's signatures are referenced from two plan branches
+    // (banding, estimate-prune) — materialize each ONCE so the corpus
+    // is shingled once (Dedup.signatureTable); exact verify fetches
+    // texts by id and shingles survivors only
     val corpusSigs = Dedup.signatureTable(corpusIndexed, "doc_id")
     val newSigs = Dedup.signatureTable(newDocs, "doc_id")
     // shared banding scheme + estimate-prune discipline (Dedup.bandedIds/
@@ -69,19 +70,9 @@ object Decontaminate {
       .join(cappedCorpusBands, Seq("band_id", "band_hash"))
       .select("new_doc_id", "corpus_doc_id")
       .dropDuplicates("new_doc_id", "corpus_doc_id")
-    val pruned = Dedup.estimatePrune(candidates,
-      newSigs.select(col("doc_id"), col("sig")),
-      corpusSigs.select(col("doc_id"), col("sig")),
+    val pruned = Dedup.estimatePrune(candidates, newSigs, corpusSigs,
       "new_doc_id", "corpus_doc_id", minJaccard)
-    pruned
-      .join(newSigs.select(col("doc_id").as("new_doc_id"),
-        col("sh").as("sh_new")), "new_doc_id")
-      .join(corpusSigs.select(col("doc_id").as("corpus_doc_id"),
-        col("sh").as("sh_corpus")), "corpus_doc_id")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
-          size(array_union(col("sh_new"), col("sh_corpus"))).cast("double"), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("new_doc_id"), col("corpus_doc_id"), col("jaccard"))
+    Dedup.exactVerify(pruned, newDocs, "doc_id", "new_doc_id",
+      corpusIndexed, "doc_id", "corpus_doc_id", minJaccard)
   }
 }

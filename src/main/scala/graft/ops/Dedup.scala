@@ -124,38 +124,53 @@ object Dedup {
     smallPairs.unionByName(starPairs).dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Materialized (id, sig, sh) signature table. Shingling + minhashing
-    * is the most expensive linear pass over the corpus, and the LSH
-    * pipeline references it from up to six plan branches (band
-    * self-join ×2, estimate-prune ×2, exact verify ×2) — without
-    * materialization Catalyst recomputes it per branch, i.e. six full
-    * corpus re-shinglings at 100 TB. MEMORY_AND_DISK keeps the shape
-    * single-scan within a session; a multi-job production pipeline
-    * would stage this table to parquet once and join against it. */
+  /** Materialized (id, sig) signature table. Shingling + minhashing is
+    * the most expensive linear pass over the corpus, and the LSH
+    * pipeline references signatures from four plan branches (band
+    * self-join ×2, estimate-prune ×2) — without materialization
+    * Catalyst recomputes the shingling per branch (six corpus
+    * re-shinglings in the round-1 q41 plan). Only the 512-byte
+    * signatures are cached, NOT the shingle arrays (~8 bytes per
+    * character — caching them is a corpus-sized copy at 100 TB); the
+    * exact-verify stage re-shingles just the estimate survivors
+    * instead ([[exactVerify]]). A multi-job production pipeline would
+    * stage this table to parquet once and join against it. */
   def signatureTable(df: DataFrame, idCol: String): DataFrame =
-    minHashSignatures(df).select(col(idCol), col("sig"), col("sh"))
+    minHashSignatures(df).select(col(idCol), col("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** LSH → estimate → exact verify (the scalable three-stage shape):
-    * candidates are id pairs; the 64-long signatures are joined back to
-    * estimate Jaccard (matching-minhash fraction) and prune; only the
-    * survivors pay for the exact shingle-set Jaccard. The signature
-    * table is computed ONCE (signatureTable) — every stage joins
-    * against the same materialized frame. */
-  def nearDupPairs(df: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
-    val sigs = signatureTable(df, idCol)
-    val shOnly = sigs.select(col(idCol), col("sh"))
-    val sigOnly = sigs.select(col(idCol), col("sig"))
-    val estimated = estimatePrune(lshCandidatePairs(sigs, idCol),
-      sigOnly, sigOnly, "doc_a", "doc_b", minJaccard)
-    estimated
-      .join(shOnly.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shOnly.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+  /** Exact shingle-set Jaccard over candidate id pairs: texts are
+    * fetched by id-join and shingled AFTER the join, so only the
+    * (rare) estimate survivors pay for shingle arrays — nothing
+    * corpus-sized is cached or shuffled. */
+  def exactVerify(pairs: DataFrame, docsA: DataFrame, idA: String, aCol: String,
+      docsB: DataFrame, idB: String, bCol: String, minJaccard: Double,
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    pairs
+      .join(docsA.select(col(idA).as(aCol), col(textCol).as("__text_a")), aCol)
+      .join(docsB.select(col(idB).as(bCol), col(textCol).as("__text_b")), bCol)
+      .withColumn("sh_a", expr("shingle8(__text_a)"))
+      .withColumn("sh_b", expr("shingle8(__text_b)"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col(aCol), col(bCol), col("jaccard"))
+  }
+
+  /** LSH → estimate → exact verify (the scalable three-stage shape):
+    * candidates are id pairs; the 64-long signatures are joined back to
+    * estimate Jaccard (matching-minhash fraction) and prune; only the
+    * survivors pay for the exact shingle-set Jaccard (shingled
+    * post-join in exactVerify). The signature computation runs ONCE
+    * (signatureTable) — every band/estimate stage joins against the
+    * same materialized frame. */
+  def nearDupPairs(df: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
+    val sigs = signatureTable(df, idCol)
+    val estimated = estimatePrune(lshCandidatePairs(sigs, idCol),
+      sigs, sigs, "doc_a", "doc_b", minJaccard)
+    exactVerify(estimated, df, idCol, "doc_a", df, idCol, "doc_b", minJaccard)
   }
 
   /** Query: near-duplicate pairs (J ≥ 0.8) in documents. */

@@ -46,15 +46,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$p")
   }
 
-  test("minhash LSH scans documents once (signature table materialized)") {
+  test("minhash LSH shingles once: sig stages read cache, verify joins text") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val df = Dedup.nearDupPairs(Tables.documents(spark, sf), "doc_id", 0.8)
     df.collect()
-    // every branch must read the cached signature table: walking the
-    // executed plan (descending into AQE stages but NOT into the cached
-    // relation) must find zero direct file scans and >=1 cache scan
+    // banding + estimate branches read the cached (id, sig) table —
+    // the expensive shingling runs exactly once, inside the cache
+    // build; the only direct file scans are the two exact-verify text
+    // joins (shingled post-join, survivors only). Walk the executed
+    // plan, descending into AQE stages but not the cached relation.
     var cacheScans = 0
     var fileScans = 0
     def walk(p: SparkPlan): Unit = p match {
@@ -65,7 +67,7 @@ class PlanShapeSpec extends SparkSpec {
       case other => other.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    assert(fileScans == 0, s"$fileScans file scans outside the signature cache")
+    assert(fileScans <= 2, s"$fileScans file scans — signature work not shared")
     assert(cacheScans >= 4, s"only $cacheScans cache scans — signature table not reused")
   }
 
