@@ -93,6 +93,7 @@ object SparkEntry {
     "q59_window_range_frame" -> (Windows.trailingRevenuePerSupplier _),
     "q60_join_right_outer"  -> (Relational.joinRightOuter _),
     "q61_ann_multiprobe"    -> (Similarity.annMultiProbeTop10 _),
+    "q62_stratified_sample" -> (Sampling.stratifiedDocSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -619,6 +620,15 @@ object SparkEntry {
            |CROSS JOIN qb CROSS JOIN q
            |WHERE bit_count(xor(v.b, qb.b)) <= 1
            |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+      },
+      "q62_stratified_sample" -> {
+        val b = Sampling.idBucketSql("doc_id")
+        s"""SELECT doc_id, lang, CAST($b AS BIGINT) AS keep_bucket
+           |FROM documents
+           |WHERE CAST($b AS DOUBLE) <
+           |  (CASE WHEN lang = 'en' THEN 0.5
+           |        WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * ${Sampling.Prime}
+           |ORDER BY doc_id, lang, keep_bucket""".stripMargin
       },
     )
   }

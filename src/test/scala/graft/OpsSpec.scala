@@ -57,4 +57,24 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("stratified sample: deterministic, near-rate, stable under growth") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(Sampling.stratifiedSample(docs, "doc_id", "lang", rates, 0.1))
+    val s2 = ids(Sampling.stratifiedSample(docs, "doc_id", "lang", rates, 0.1))
+    assert(s1 == s2, "sample not deterministic across runs")
+    // per-stratum rate lands near target (loose: n_en ~ 193 at sf0.001)
+    val en = docs.filter(col("lang") === "en")
+    val enKept = Sampling.stratifiedSample(en, "doc_id", "lang", rates, 0.1).count()
+    val enRate = enKept.toDouble / en.count()
+    assert(math.abs(enRate - 0.5) < 0.15, s"en rate $enRate far from 0.5")
+    // growth stability: sampling a subset = subset of the full sample
+    val subset = docs.filter(col("doc_id") < 250)
+    val subsetSample = ids(Sampling.stratifiedSample(subset, "doc_id", "lang", rates, 0.1))
+    assert(subsetSample == s1.filter(_ < 250), "keep decision not id-stable")
+  }
 }
