@@ -94,6 +94,9 @@ object SparkEntry {
     "q60_join_right_outer"  -> (Relational.joinRightOuter _),
     "q61_ann_multiprobe"    -> (Similarity.annMultiProbeTop10 _),
     "q62_stratified_sample" -> (Sampling.stratifiedDocSample _),
+    "q63_incremental_exact" -> (Dedup.incrementalExactQuery _),
+    "q64_pii_redaction"     -> (graft.etl.Sanitize.redactDocuments _),
+    "q65_dedup_clusters"    -> (Similarity.embeddingClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -630,6 +633,50 @@ object SparkEntry {
            |        WHEN lang = 'de' THEN 0.25 ELSE 0.1 END) * ${Sampling.Prime}
            |ORDER BY doc_id, lang, keep_bucket""".stripMargin
       },
+      // Spark side anti-joins on sha2(text); the oracle states the same
+      // semantics as text equality (content-hash equality == content
+      // equality, and the digests never cross the engine boundary)
+      "q63_incremental_exact" ->
+        """SELECT n.doc_id FROM documents n
+          |WHERE n.doc_id >= 400
+          |  AND n.doc_id = (SELECT MIN(m.doc_id) FROM documents m
+          |                  WHERE m.doc_id >= 400 AND m.text = n.text)
+          |  AND NOT EXISTS (SELECT 1 FROM documents c
+          |                  WHERE c.doc_id < 400 AND c.text = n.text)
+          |ORDER BY doc_id""".stripMargin,
+      "q64_pii_redaction" -> {
+        // identical pattern list on both sides (RE2-safe by design);
+        // DuckDB needs the 'g' flag to match Spark's replace-all
+        val redacted = graft.etl.Sanitize.PiiPatterns.foldLeft("text") {
+          case (acc, (re, tag)) =>
+            s"regexp_replace($acc, '${re.replace("'", "''")}', '$tag', 'g')"
+        }
+        s"""SELECT doc_id, $redacted AS text_redacted,
+           |  ($redacted != text) AS was_redacted
+           |FROM documents
+           |ORDER BY doc_id, text_redacted, was_redacted""".stripMargin
+      },
+      // Spark runs distributed min-label propagation; the oracle states
+      // the same fixpoint as a recursive transitive closure over the
+      // identical (q44) edge set — cluster id = min id reachable
+      "q65_dedup_clusters" ->
+        """WITH RECURSIVE pairs AS (
+          |  SELECT a.vec_id AS va, b.vec_id AS vb
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+          |  WHERE ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          |      (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          |       SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2
+          |),
+          |e AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+          |reach AS (
+          |  SELECT a, b FROM e
+          |  UNION
+          |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+          |)
+          |SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY a
+          |ORDER BY vec_id, cluster_id""".stripMargin,
     )
   }
 }

@@ -40,6 +40,34 @@ object Sanitize {
   def requireColumns(df: DataFrame, cols: Seq[String]): DataFrame =
     df.na.drop("any", cols)
 
+  /** PII redaction patterns — deliberately simple RE2-compatible
+    * regexes (no backreferences, no lookaround) so the same patterns
+    * run under Java regex (Spark) and RE2 (DuckDB oracle, 'g' flag).
+    * Order matters: emails before the bare-number patterns so the
+    * local part isn't half-eaten. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"              -> "<IP>",
+    "\\b[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\\b"      -> "<PHONE>")
+
+  /** Redact emails / IPv4s / phone-shaped numbers from a text column —
+    * the scrub pass a training-data pipeline runs before anything else
+    * ships. Pure chained regexp_replace: codegen'd, narrow, no UDF. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Query entry: redacted documents + a was-changed audit flag. */
+  def redactDocuments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    docs.select(col("doc_id"),
+        redactPii(col("text")).as("text_redacted"),
+        (redactPii(col("text")) =!= col("text")).as("was_redacted"))
+      .orderBy(col("doc_id"), col("text_redacted"), col("was_redacted"))
+  }
+
   /** Sanitized view of the events table: props parsed + canonicalized,
     * numeric k extracted, value defaulted. */
   def sanitizeEvents(events: DataFrame): DataFrame = {

@@ -26,6 +26,32 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"), col("content_hash"))
       .orderBy(col("keep_id"))
 
+  /** Incremental exact dedup: rows of the increment whose content is
+    * new to the corpus AND first-in-increment for their hash — the
+    * daily-ingest complement of [[exactDedup]]. Both sides reduce to
+    * 32-byte digests before the anti-join; documents never shuffle. */
+  def incrementalExactNew(corpus: DataFrame, increment: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val hashed = increment.withColumn("__h", sha2(col("text"), 256))
+    val firstPerHash = hashed
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    hashed.select(col(idCol), col("__h"))
+      .join(firstPerHash, Seq("__h", idCol), "left_semi")
+      .join(corpus.select(sha2(col("text"), 256).as("__h")),
+        Seq("__h"), "left_anti")
+      .select(col(idCol))
+  }
+
+  /** Query: docs with id >= 400 are "today's ingest"; keep those whose
+    * content appears in neither the id < 400 corpus nor earlier in the
+    * ingest itself. */
+  def incrementalExactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalExactNew(docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   val NumHashes = 64
@@ -178,6 +204,51 @@ object Dedup {
     nearDupPairs(Tables.documents(spark, dir), "doc_id", 0.8)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
+
+  // ------------------------------------------------------------- clusters
+
+  /** Dedup clusters from near-dup pairs: distributed connected
+    * components by iterative min-label propagation. Each round is two
+    * key-partitioned shuffles (neighbour-min aggregate + label join) —
+    * no driver-side graph, no collect; rounds needed = eccentricity of
+    * each component's min node, and the star pairs emitted by the
+    * degenerate-bucket guard keep mega-cluster diameter <= 2. Labels
+    * are checkpointed per round — each round's plan references the
+    * previous one TWICE (neighbour aggregate + change count), so
+    * without lineage truncation the logical plan doubles per
+    * iteration; `localCheckpoint` cuts it (a cluster deployment would
+    * use reliable `checkpoint` for executor-loss tolerance). The loop
+    * stops on a converged round (no label changed) or `maxIter`.
+    * Returns (node, cluster_id = min id reachable). */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
 
   // -------------------------------------------------------------- simhash
 

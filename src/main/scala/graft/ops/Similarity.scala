@@ -182,6 +182,14 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Query entry: dedup clusters over the embedding near-dup graph
+    * (q44's oracle-checked pairs) — every vector labeled with the min
+    * id reachable through cos >= 0.2 edges. */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(embeddingNearDups(spark, dir), "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"), col("cluster_id"))
+
   /** Per-label centroid via posexplode + avg: SQL-expressible (and so
     * oracle-checkable), one shuffle of (label, pos) pairs. */
   def centroids(spark: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,58 @@ class OpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("PII redaction scrubs planted emails, IPs, and phone numbers") {
+    import spark.implicits._
+    import graft.etl.Sanitize
+    val planted = Seq(
+      (1L, "contact Jane.Doe+spam@example.co.uk for details"),
+      (2L, "server at 192.168.1.254 port 8080"),
+      (3L, "call 555-867-5309 today"),
+      (4L, "clean text with numbers 12345 and a dot. end"),
+      (5L, "multi: a@b.io then 10.0.0.1 then 020-1234-5678"))
+      .toDF("doc_id", "text")
+    val out = planted.select(col("doc_id"),
+        Sanitize.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> for details")
+    assert(out(2L) == "server at <IP> port 8080")
+    assert(out(3L) == "call <PHONE> today")
+    assert(out(4L) == "clean text with numbers 12345 and a dot. end")
+    assert(out(5L) == "multi: <EMAIL> then <IP> then <PHONE>")
+  }
+
+  test("incremental exact dedup keeps only first-seen new content") {
+    import spark.implicits._
+    val corpus = Seq((1L, "old content"), (2L, "shared content"))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      (400L, "brand new"), (401L, "shared content"), // dup of corpus
+      (402L, "brand new"),                           // dup within increment
+      (403L, "also new"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.incrementalExactNew(corpus, increment)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(400L, 403L))
+  }
+
+  test("dedup clusters: min-label propagation equals connected components") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // triangle + chain + isolated pair
+    val pairs = Seq((20L, 21L), (21L, 22L), (20L, 22L),
+      (1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a 15-node chain needs one full propagation sweep per hop —
+    // exercises the multi-round convergence loop
+    val chain = (0 until 15).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.dedupClusters(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.forall(_._2 == 0L), s"chain not fully converged: ${labels.toSeq.sortBy(_._1)}")
+  }
+
   test("stratified sample: deterministic, near-rate, stable under growth") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, sf)
