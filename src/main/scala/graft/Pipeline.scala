@@ -1,12 +1,13 @@
 package graft
 
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline — the north-star use of
-  * this engine at 100 TB: ingest → quality filter → language ID →
-  * exact dedup → near-dedup → fingerprint → curated corpus + stats.
+  * this engine at 100 TB: ingest → PII scrub → quality filter →
+  * language ID → exact dedup → near-dedup → stratified sample →
+  * fingerprint → curated corpus + stats.
   *
   * Every stage is one of the engine's tested operators; the pipeline
   * composes them into a single Catalyst job graph per output. Stage
@@ -17,7 +18,8 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   final case class CurationReport(
-      input: Long, afterQuality: Long, afterExact: Long, afterNear: Long)
+      input: Long, afterQuality: Long, afterExact: Long, afterNear: Long,
+      afterSample: Long)
 
   /** Curate a document corpus: returns (curated corpus, report).
     *
@@ -28,11 +30,17 @@ object Pipeline {
     * materialized; `curatedBase` itself stays cached for the caller's
     * write (lineage remains valid if it's ever evicted). */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-      nearDupJaccard: Double = 0.9): (DataFrame, CurationReport) = {
+      nearDupJaccard: Double = 0.9,
+      sampleRates: Map[String, Double] = Map.empty,
+      defaultSampleRate: Double = 1.0): (DataFrame, CurationReport) = {
     val input = docs.count()
 
-    // 1. narrow stage: quality filter (shared scoring expression)
-    val scored = docs
+    // 1. narrow stages first: PII scrub (pure regexp projections) and
+    // quality filter (shared scoring expression) shrink/clean the
+    // corpus before anything shuffles
+    val scrubbed = docs.withColumn("text",
+      graft.etl.Sanitize.redactPii(col("text")))
+    val scored = scrubbed
       .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality_score") >= minQuality)
       .persist()
@@ -54,11 +62,20 @@ object Pipeline {
     scored.unpersist()
     exact.unpersist()
 
-    // 4. fingerprint the survivors (downstream incremental dedup key)
-    val curated = TextAnalysis.winnowed(curatedBase)
+    // 4. dataset mixing: deterministic per-language sampling (rand-free
+    // keep decision — retries and corpus growth can't change it)
+    val sampled =
+      if (sampleRates.isEmpty && defaultSampleRate >= 1.0) curatedBase
+      else Sampling.stratifiedSample(curatedBase, "doc_id", "lang",
+        sampleRates, defaultSampleRate)
+    val afterSample = if (sampled eq curatedBase) afterNear else sampled.count()
+
+    // 5. fingerprint the survivors (downstream incremental dedup key)
+    val curated = TextAnalysis.winnowed(sampled)
       .withColumn("content_hash", sha2(col("text"), 256))
 
-    (curated, CurationReport(input, afterQuality, afterExact, afterNear))
+    (curated,
+      CurationReport(input, afterQuality, afterExact, afterNear, afterSample))
   }
 
   /** Demo main: curate the documents table, print the funnel, write
@@ -81,7 +98,7 @@ object Pipeline {
     curated.write.mode("overwrite").parquet(outDir)
     println(s"""{"input":${report.input},"after_quality":${report.afterQuality},""" +
       s""""after_exact_dedup":${report.afterExact},"after_near_dedup":${report.afterNear},""" +
-      s""""out":"$outDir"}""")
+      s""""after_sample":${report.afterSample},"out":"$outDir"}""")
     spark.stop()
   }
 }

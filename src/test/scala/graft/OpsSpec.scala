@@ -102,9 +102,10 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // a 15-node chain needs one full propagation sweep per hop —
-    // exercises the multi-round convergence loop
-    val chain = (0 until 15).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    // a 40-node chain would need 40 rounds under plain 1-hop
+    // propagation (over maxIter=20); pointer jumping must converge it
+    // in O(log n) rounds
+    val chain = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
     val labels = Dedup.dedupClusters(chain, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.forall(_._2 == 0L), s"chain not fully converged: ${labels.toSeq.sortBy(_._1)}")

@@ -31,6 +31,23 @@ class PipelineSpec extends SparkSpec {
     assert(curated.filter(length(col("content_hash")) =!= 64).count() == 0)
   }
 
+  test("curation scrubs PII and applies deterministic stratified sampling") {
+    val docs = Tables.documents(spark, sf)
+    val (_, r) = Pipeline.curate(docs,
+      sampleRates = Map("en" -> 0.5), defaultSampleRate = 0.2)
+    assert(r.afterSample < r.afterNear, "sampling removed nothing")
+    val (_, r2) = Pipeline.curate(docs,
+      sampleRates = Map("en" -> 0.5), defaultSampleRate = 0.2)
+    assert(r2.afterSample == r.afterSample, "sample not deterministic")
+    // planted email is scrubbed before anything downstream sees it
+    val pii = Seq((9001L, "the of and a to reach me at bob@example.com " +
+      "for the plan of the day and the rest of the story of the trip"))
+      .toDF("doc_id", "text")
+    val (c3, _) = Pipeline.curate(pii, minQuality = 0.0)
+    val text = c3.select("text").head().getString(0)
+    assert(text.contains("<EMAIL>") && !text.contains("bob@example.com"))
+  }
+
   test("pipeline is idempotent: curating a curated corpus removes nothing") {
     val docs = Tables.documents(spark, sf)
     val (curated, r1) = Pipeline.curate(docs)
