@@ -25,8 +25,12 @@ object Explain {
       val fn = SparkEntry.queries(name)
       println(s"\n===== $name =====")
       fn(spark, sfDir).explain("formatted")
-      val t0 = System.nanoTime(); fn(spark, sfDir).count()
-      val t1 = System.nanoTime(); fn(spark, sfDir).count()
+      // full materialization via noop, mirroring Bench — count() lets
+      // Catalyst prune projection expressions and under-times them
+      def mat(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime(); mat()
+      val t1 = System.nanoTime(); mat()
       val t2 = System.nanoTime()
       println(f"[time] $name cold=${(t1 - t0) / 1e9}%.2fs warm=${(t2 - t1) / 1e9}%.2fs")
     }

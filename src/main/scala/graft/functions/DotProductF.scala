@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * each element is cast to double, products accumulate sequentially
   * left-to-right (IEEE ops in the same order), and a length mismatch
   * yields NULL (zip_with pads with null, which poisons the HOF sum).
+  * Caveat: NULL *elements* inside an array are read as 0 here where
+  * the HOF form would null the whole sum — embedding columns carry no
+  * null elements (and the differential spec covers the real data).
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
