@@ -117,6 +117,35 @@ class TransferSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L), s"leftover staging rows published: ${got.toSeq}")
   }
 
+  test("atomicLoad is column-order-safe against a reordered target") {
+    val conn = DriverManager.getConnection(derbyUrl)
+    // target DDL order (Y, X) differs from the DataFrame order (X, Y):
+    // a positional INSERT .. SELECT * would mis-load or fail; the
+    // explicit column lists must route values by name
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE ATOMIC_O (Y VARCHAR(16), X BIGINT)")
+    conn.close()
+    val df = Seq((7L, "g"), (8L, "h")).toDF("X", "Y")
+    Transfer.atomicLoad(df, derbyUrl, "ATOMIC_O", props,
+      () => DriverManager.getConnection(derbyUrl))
+    val back = spark.read.jdbc(derbyUrl, "ATOMIC_O", props)
+      .collect().map(r => (r.getAs[Long]("X"), r.getAs[String]("Y"))).sorted
+    assert(back.toSeq == Seq((7L, "g"), (8L, "h")))
+  }
+
+  test("round-trip checksum accepts an injected staging root (cluster path)") {
+    val custom = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val viaCustom = Transfer.roundTripChecksum(spark, sf, custom)
+      .collect().map(_.toSeq).toSeq
+    val viaDefault = Transfer.roundTripChecksum(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCustom == viaDefault)
+    // the staged copy under the custom root is cleaned up
+    val leftovers = new java.io.File(custom).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"staging leak: ${leftovers.map(_.getName).toSeq}")
+  }
+
   test("migrate runs the three-phase topology end-to-end (DDL capture)") {
     val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
     val metas = Seq(Fixtures.analyticsEvent)
