@@ -236,23 +236,23 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       val hopped = labels
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       // pointer jumping: follow the label one more step
       // (label := label(label)) — plain 1-hop propagation needs a round
       // per hop (O(diameter)); the extra indirection join compresses
       // paths so convergence is O(log diameter) rounds, the difference
-      // between ~40 and ~6 shuffles on a long chain
+      // between ~40 and ~6 shuffles on a long chain. The previous label
+      // rides along so convergence detection is a filter on the
+      // checkpointed frame, not another join.
       val next = hopped
         .join(hopped.select(col("node").as("label"),
           col("label").as("jump")), Seq("label"), "left")
-        .select(col("node"),
+        .select(col("node"), col("old"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       it += 1
     }
