@@ -61,6 +61,9 @@ object Pipeline {
     val afterNear = curatedBase.count()
     scored.unpersist()
     exact.unpersist()
+    // the LSH signature cache pinned inside nearDupPairs is no longer
+    // needed once curatedBase is materialized
+    Dedup.unpersistCaches()
 
     // 4. dataset mixing: deterministic per-language sampling (rand-free
     // keep decision — retries and corpus growth can't change it)

@@ -72,15 +72,19 @@ object Transfer {
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      // names pass through unquoted, matching Spark's JDBC writer (which
-      // creates the staging table unquoted → database-case-normalized);
-      // callers needing exotic identifiers pass them pre-quoted.
       // Explicit column list on both sides: SELECT * is positional, so
       // a target whose DDL order differs from the DataFrame's would
       // mis-load columns (or fail) after the staging write succeeded.
-      val colList = df.schema.fieldNames.mkString(", ")
+      // Each side follows its creator's quoting convention: Spark's
+      // JDBC writer creates the STAGING table with QUOTED
+      // (case-preserved) column names, so the SELECT side must quote;
+      // the TARGET is caller-created, so its names pass through
+      // unquoted (database-case-normalized) like the table name itself.
+      val targetCols = df.schema.fieldNames.mkString(", ")
+      val stagingCols = df.schema.fieldNames
+        .map(n => "\"" + n.replace("\"", "\"\"") + "\"").mkString(", ")
       st.executeUpdate(
-        s"INSERT INTO $targetTable ($colList) SELECT $colList FROM $staging")
+        s"INSERT INTO $targetTable ($targetCols) SELECT $stagingCols FROM $staging")
       st.executeUpdate(s"DROP TABLE $staging")
       conn.commit()
     } catch {

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types._
 
 /** Dot product of two numeric arrays in double precision, as a native
   * codegen Expression.
@@ -15,9 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * each element is cast to double, products accumulate sequentially
   * left-to-right (IEEE ops in the same order), and a length mismatch
   * yields NULL (zip_with pads with null, which poisons the HOF sum).
-  * Caveat: NULL *elements* inside an array are read as 0 here where
-  * the HOF form would null the whole sum — embedding columns carry no
-  * null elements (and the differential spec covers the real data).
+  * Element types beyond float/double/int/long are rejected at analysis
+  * time rather than silently mis-read. Caveat: NULL *elements* inside
+  * an array are read as 0 here where the HOF form would null the whole
+  * sum — embedding columns carry no null elements (and the
+  * differential spec covers the real data).
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -25,15 +28,28 @@ case class DotProductF(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dotf"
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  // element-type dispatch code: constant at each call site so the
+  // branch hoists out of the JIT'd loop
+  private def elemCode(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _)   => 0
+    case ArrayType(DoubleType, _)  => 1
+    case ArrayType(LongType, _)    => 2
+    case ArrayType(IntegerType, _) => 3
+    case _                         => -1
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemCode(left) >= 0 && elemCode(right) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double|int|bigint> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (x.numElements() != y.numElements()) null
-    else DotProductF.compute(x, isFloat(left), y, isFloat(right))
+    else DotProductF.compute(x, elemCode(left), y, elemCode(right))
   }
 
   override def nullable: Boolean = true
@@ -45,7 +61,7 @@ case class DotProductF(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.DotProductF.compute(
-         |    $a, ${isFloat(left)}, $b, ${isFloat(right)});
+         |    $a, ${elemCode(left)}, $b, ${elemCode(right)});
          |}
        """.stripMargin)
 
@@ -56,15 +72,25 @@ case class DotProductF(left: Expression, right: Expression)
 
 object DotProductF {
   /** Static so generated code calls one tight JIT-friendly loop. The
-    * float flags are compile-time constants at each call site, so the
-    * branch hoists out of the loop. */
-  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    * element-type codes are compile-time constants at each call site,
+    * so the dispatch hoists out of the loop. */
+  def compute(a: ArrayData, ac: Int, b: ArrayData, bc: Int): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = ac match {
+        case 0 => a.getFloat(i).toDouble
+        case 1 => a.getDouble(i)
+        case 2 => a.getLong(i).toDouble
+        case _ => a.getInt(i).toDouble
+      }
+      val y = bc match {
+        case 0 => b.getFloat(i).toDouble
+        case 1 => b.getDouble(i)
+        case 2 => b.getLong(i).toDouble
+        case _ => b.getInt(i).toDouble
+      }
       acc += x * y
       i += 1
     }

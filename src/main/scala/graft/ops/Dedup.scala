@@ -162,8 +162,26 @@ object Dedup {
     * instead ([[exactVerify]]). A multi-job production pipeline would
     * stage this table to parquet once and join against it. */
   def signatureTable(df: DataFrame, idCol: String): DataFrame =
-    minHashSignatures(df).select(col(idCol), col("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    register(minHashSignatures(df).select(col(idCol), col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+  // internal caches pinned by signatureTable/simhashNearDups; a
+  // long-lived session composing many dedup runs releases them with
+  // [[unpersistCaches]] once results are materialized (Pipeline.curate
+  // does) — otherwise each distinct input corpus would pin its
+  // signature cache for the JVM lifetime
+  private val cached =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def register(df: DataFrame): DataFrame = { cached.add(df); df }
+
+  /** Unpersist every signature cache pinned so far. Safe any time:
+    * downstream lineage stays valid, at worst an evicted frame
+    * recomputes. */
+  def unpersistCaches(): Unit = {
+    var df = cached.poll()
+    while (df != null) { df.unpersist(); df = cached.poll() }
+  }
 
   /** Exact shingle-set Jaccard over candidate id pairs: texts are
     * fetched by id-join and shingled AFTER the join, so only the
@@ -303,8 +321,8 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // materialize (id, simhash) before the band self-join — otherwise
     // both join branches re-tokenize + re-hash the corpus
-    val sims = df.select(col(idCol), simhashExpr("text").as("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sims = register(df.select(col(idCol), simhashExpr("text").as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = sims.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -68,17 +68,25 @@ object Ivf {
     Index(centroids, spark.read.parquet(s"$path/cells"))
   }
 
-  // one persisted index per corpus dir per JVM — queries share it
-  // instead of re-fitting (indexRoot is parameterized for cluster use,
-  // where it must be a distributed FS path)
+  // one persisted index per (indexRoot, corpus dir) per JVM — queries
+  // share it instead of re-fitting. Keyed by BOTH root and dir so an
+  // explicit cluster root (distributed FS) is never shadowed by an
+  // earlier default-root build; the on-disk name is a SHA-256 prefix
+  // of the dir (String.hashCode collisions would cross-contaminate
+  // two corpora's indexes)
   private val indexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The persisted index for a corpus dir: built + written on first
-    * use (sampled fit), read from the partitioned parquet after. */
+    * use (sampled fit), read from the partitioned parquet after.
+    * `indexRoot` may be any Hadoop-FS path (local tmp by default; a
+    * distributed FS on a cluster). */
   def persistedIndex(spark: SparkSession, dir: String,
       indexRoot: String = sys.props("java.io.tmpdir") + "/graft_ivf"): Index = {
-    val path = indexPaths.computeIfAbsent(dir, _ => {
-      val p = s"$indexRoot/${java.lang.Integer.toHexString(dir.hashCode)}"
+    val path = indexPaths.computeIfAbsent(s"$indexRoot|$dir", _ => {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val p = s"$indexRoot/$digest"
       writeIndex(build(Tables.embeddings(spark, dir), fitFraction = 0.25), p)
       p
     })

@@ -26,17 +26,39 @@ object PgDdl {
   private def qualified(t: TableMeta): String =
     t.schema.fold(quote(t.name))(s => s"${quote(s)}.${quote(t.name)}")
 
-  /** Target column type: the reflected source type verbatim when
-    * available (exact-clone fidelity, like the reference's
-    * column.copy() — a JSONB column stays JSONB instead of degrading
-    * to TEXT through the Spark-type round trip), otherwise the Spark
-    * type → PostgreSQL inverse of the §1 mapping table. Serial columns
-    * always map to SERIAL/BIGSERIAL (the sequence-ownership semantics
-    * the source TYPE_NAME may not carry). */
+  /** PostgreSQL type names (and aliases) a reflected source type may
+    * be cloned into DDL verbatim. A Postgres source reflects Postgres
+    * names ("jsonb", "varchar", "int8", ...) so fidelity holds on the
+    * reference's pg→pg path; a non-Postgres source (Derby in tests)
+    * reflects names like CLOB or DOUBLE that are NOT valid PG DDL —
+    * those fall back to the Spark-type inverse mapping instead of
+    * producing unexecutable CREATE statements. */
+  private val ClonablePgTypes: Set[String] = Set(
+    "text", "varchar", "character varying", "char", "character", "bpchar",
+    "citext", "uuid", "json", "jsonb", "xml", "name",
+    "int2", "int4", "int8", "smallint", "integer", "bigint",
+    "numeric", "decimal", "real", "float4", "float8", "double precision",
+    "boolean", "bool", "date", "time", "timetz", "timestamp", "timestamptz",
+    "time with time zone", "time without time zone",
+    "timestamp with time zone", "timestamp without time zone",
+    "bytea", "inet", "cidr", "macaddr", "macaddr8", "interval", "money",
+    "tsvector", "tsquery", "point", "oid")
+
+  private def clonable(t: String): Boolean =
+    ClonablePgTypes.contains(t.replaceAll("\\(.*\\)", "").trim.toLowerCase)
+
+  /** Target column type: the reflected source type verbatim when it is
+    * a valid PostgreSQL type (exact-clone fidelity, like the
+    * reference's column.copy() — a JSONB column stays JSONB instead of
+    * degrading to TEXT through the Spark-type round trip), otherwise
+    * the Spark type → PostgreSQL inverse of the §1 mapping table.
+    * Serial columns always map to SERIAL/BIGSERIAL (the
+    * sequence-ownership semantics the source TYPE_NAME may not
+    * carry). */
   def pgType(c: ColumnMeta): String = c.dataType match {
     case LongType if c.serial    => "BIGSERIAL"
     case IntegerType if c.serial => "SERIAL"
-    case _ if c.sourceTypeName.isDefined => c.sourceTypeName.get
+    case _ if c.sourceTypeName.exists(clonable) => c.sourceTypeName.get
     case LongType                => "BIGINT"
     case IntegerType             => "INTEGER"
     case ShortType               => "SMALLINT"

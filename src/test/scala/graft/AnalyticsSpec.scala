@@ -130,6 +130,10 @@ class AnalyticsSpec extends SparkSpec {
     val r = emb.select(graft.ops.Similarity.dot(col("embedding"), short))
       .head()
     assert(r.isNullAt(0))
+    // integral arrays are read as their own type, not bit-reinterpreted
+    val ints = emb.limit(1).select(graft.ops.Similarity.dot(
+      array(lit(1L), lit(2L)), array(lit(3), lit(4))))
+    assert(ints.head().getDouble(0) == 11.0)
   }
 
   test("simhash64 interpreted path (codegen off) agrees with codegen") {

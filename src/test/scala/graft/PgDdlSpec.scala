@@ -75,7 +75,22 @@ class PgDdlSpec extends AnyFunSuite {
       val ddl = PgDdl.createTable(meta)
       assert(ddl.contains("\"NAME\" VARCHAR(255) NOT NULL"))
       assert(ddl.contains("\"AMT\" DECIMAL(12,2)"))
+      // Derby's CLOB is not valid PG DDL — falls back to the inverse
+      // mapping instead of cloning an unexecutable type
+      assert(ddl.contains("\"NOTE\" TEXT"))
     } finally conn.close()
+  }
+
+  test("non-PG source types fall back to the inverse mapping") {
+    assert(PgDdl.pgType(ColumnMeta("x", StringType, true,
+      sourceTypeName = Some("CLOB"))) == "TEXT")
+    assert(PgDdl.pgType(ColumnMeta("x", DoubleType, true,
+      sourceTypeName = Some("DOUBLE"))) == "DOUBLE PRECISION")
+    assert(PgDdl.pgType(ColumnMeta("x", BinaryType, true,
+      sourceTypeName = Some("VARCHAR () FOR BIT DATA"))) == "BYTEA")
+    // pg's own aliases still clone verbatim
+    assert(PgDdl.pgType(ColumnMeta("x", LongType, false,
+      sourceTypeName = Some("int8"))) == "int8")
   }
 
   test("setval uses COALESCE-hardened empty-table form") {

@@ -117,6 +117,23 @@ class TransferSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L), s"leftover staging rows published: ${got.toSeq}")
   }
 
+  test("atomicLoad handles lowercase DataFrame columns (quoted staging)") {
+    // Spark's JDBC writer creates staging columns QUOTED, so lowercase
+    // frame names must be quoted on the SELECT side while the unquoted
+    // target side case-normalizes — the common real-world shape, since
+    // every table in this repo has lowercase columns
+    val conn = DriverManager.getConnection(derbyUrl)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE ATOMIC_LC (ID BIGINT, NAME VARCHAR(16))")
+    conn.close()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Transfer.atomicLoad(df, derbyUrl, "ATOMIC_LC", props,
+      () => DriverManager.getConnection(derbyUrl))
+    val back = spark.read.jdbc(derbyUrl, "ATOMIC_LC", props)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("atomicLoad is column-order-safe against a reordered target") {
     val conn = DriverManager.getConnection(derbyUrl)
     // target DDL order (Y, X) differs from the DataFrame order (X, Y):
