@@ -154,7 +154,13 @@ object Transfer {
   /** The reference's EP2 three-phase topology
     * (transfer_data_with_constraints_script.py:235-253): create all
     * tables without FKs → copy all data → add all FKs → sync
-    * sequences. Load order is independent of the FK graph. */
+    * sequences. Load order is independent of the FK graph.
+    *
+    * The reference also carries a phase-2 lazy create-if-missing
+    * fallback (transfer_data_with_constraints_script.py:193-197);
+    * phase 1 here creates every selected table up front
+    * (IF NOT EXISTS), so that fallback has no work left to do and is
+    * deliberately not replicated. */
   def migrate(metas: Seq[TableMeta], exclude: Set[String],
       execDdl: String => Unit,
       read: TableMeta => DataFrame,
