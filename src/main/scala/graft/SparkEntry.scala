@@ -97,6 +97,8 @@ object SparkEntry {
     "q63_incremental_exact" -> (Dedup.incrementalExactQuery _),
     "q64_pii_redaction"     -> (graft.etl.Sanitize.redactDocuments _),
     "q65_dedup_clusters"    -> (Similarity.embeddingClusters _),
+    "q66_complex_types"     -> (Funcs.complexTypeFuncs _),
+    "q67_regexp_funcs"      -> (Funcs.regexpFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -677,6 +679,29 @@ object SparkEntry {
           |SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY a
           |ORDER BY vec_id, cluster_id""".stripMargin,
+      // each output column's SEMANTIC reduction — the struct/map
+      // machinery runs Spark-side, the compare is flat scalars
+      "q66_complex_types" ->
+        """SELECT o_orderkey,
+          |  o_custkey AS s_cust,
+          |  o_orderstatus AS s_status,
+          |  o_totalprice * 2 AS m_hi,
+          |  CAST(NULL AS BIGINT) AS m_missing,
+          |  CAST(2 AS BIGINT) AS m_size,
+          |  o_custkey + 1 AS aos_second
+          |FROM orders
+          |ORDER BY o_orderkey, s_cust, s_status, m_hi, m_missing,
+          |  m_size, aos_second""".stripMargin,
+      "q67_regexp_funcs" ->
+        """SELECT p_partkey,
+          |  NULLIF(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+          |  NULLIF(regexp_extract(p_name, '([a-z]+)$', 1), '') AS last_word,
+          |  regexp_matches(p_type, '[A-Z]{2,}') AS has_caps_run,
+          |  CAST(length(regexp_extract_all(p_name, '[aeiou]+', 0)) AS BIGINT) AS vowel_runs,
+          |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+          |FROM part
+          |ORDER BY p_partkey, first_word, last_word, has_caps_run,
+          |  vowel_runs, devoweled""".stripMargin,
     )
   }
 }

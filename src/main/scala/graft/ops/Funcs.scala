@@ -139,4 +139,56 @@ object Funcs {
           org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
           .getField("k").as("k_struct"))
       .orderBy(col("event_id"))
+
+  /** Complex-type (struct/map) functions over orders: build, access,
+    * and transform nested values. Output columns are scalars so the
+    * oracle can state each value's SEMANTIC reduction (e.g.
+    * element_at(map('lo', p, 'hi', 2p), 'hi') IS 2p) — the nested
+    * machinery runs on the Spark side, the compare stays flat. */
+  def complexTypeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        // struct build + field access
+        struct(col("o_custkey").as("c"), col("o_totalprice").as("p"))
+          .getField("c").as("s_cust"),
+        // nested struct through a field path
+        struct(struct(col("o_orderstatus").as("st")).as("inner"))
+          .getField("inner").getField("st").as("s_status"),
+        // map build + lookup (hit and miss)
+        element_at(map_from_arrays(
+          array(lit("lo"), lit("hi")),
+          array(col("o_totalprice"), col("o_totalprice") * 2)), "hi")
+          .as("m_hi"),
+        element_at(map(lit("only"), col("o_custkey")), "absent")
+          .as("m_missing"),
+        // map introspection
+        size(map_from_arrays(array(lit("a"), lit("b")),
+          array(col("o_custkey"), col("o_custkey")))).cast("long").as("m_size"),
+        // array-of-struct access
+        element_at(array(struct(col("o_custkey").as("k")),
+          struct((col("o_custkey") + 1).as("k"))), 2)
+          .getField("k").as("aos_second"))
+      .orderBy(col("o_orderkey"), col("s_cust"), col("s_status"),
+        col("m_hi"), col("m_missing"), col("m_size"), col("aos_second"))
+
+  /** Regexp function family over part names — extract, match test,
+    * match count, replace. Patterns are RE2-safe (no backreferences or
+    * lookaround) so the identical strings run under Java regex here
+    * and RE2 in the oracle; extract results are NULLIF-normalized
+    * because Spark returns '' and engines differ on no-match. */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        nullif(regexp_extract(col("p_name"), "([a-z]+)", 1), lit(""))
+          .as("first_word"),
+        nullif(regexp_extract(col("p_name"), "([a-z]+)$", 1), lit(""))
+          .as("last_word"),
+        col("p_type").rlike("[A-Z]{2,}").as("has_caps_run"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("vowel_runs"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy(col("p_partkey"), col("first_word"), col("last_word"),
+        col("has_caps_run"), col("vowel_runs"), col("devoweled"))
 }
