@@ -99,6 +99,7 @@ object SparkEntry {
     "q65_dedup_clusters"    -> (Similarity.embeddingClusters _),
     "q66_complex_types"     -> (Funcs.complexTypeFuncs _),
     "q67_regexp_funcs"      -> (Funcs.regexpFuncs _),
+    "q68_merge_upsert"      -> (graft.etl.Transfer.upsertQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -702,6 +703,20 @@ object SparkEntry {
           |FROM part
           |ORDER BY p_partkey, first_word, last_word, has_caps_run,
           |  vowel_runs, devoweled""".stripMargin,
+      // MERGE semantics as full outer join + update-wins selection
+      "q68_merge_upsert" ->
+        """WITH t AS (
+          |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |  WHERE o_custkey % 2 = 0
+          |), u AS (
+          |  SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 2, 2) AS o_totalprice
+          |  FROM orders WHERE o_custkey % 3 = 0
+          |)
+          |SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+          |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+          |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+          |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+          |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin,
     )
   }
 }

@@ -6,6 +6,7 @@ import scala.util.control.NonFatal
 import graft.meta.TableMeta
 import graft.pg.{PgCatalog, PgDdl, SequenceSync}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, round, when}
 
 /** Bulk table transfer (reference ops R3–R6, R11) — the reference's
   * core capability, re-expressed Spark-first.
@@ -149,6 +150,41 @@ object Transfer {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(collected.asJava, schema)
+  }
+
+  /** Keyed upsert (SCD-1 merge): updates override matching target rows
+    * by key, unmatched updates insert, unmatched target rows carry
+    * over — MERGE semantics expressed as one full outer join plus
+    * per-column coalesce (update side wins). Both sides must share the
+    * schema. One shuffle on the key; at scale the key partitioning
+    * carries into the output write, and a small update batch broadcasts
+    * automatically. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame,
+      key: String): DataFrame = {
+    val dataCols = target.columns.filterNot(_ == key)
+    val u = dataCols.foldLeft(updates) { (df, c) =>
+      df.withColumnRenamed(c, s"__u_$c")
+    }.withColumn("__u_present", lit(true))
+    val joined = target.join(u, Seq(key), "full_outer")
+    // a presence MARKER (not value-coalesce) decides the winner, so an
+    // update that explicitly sets a column NULL still wins on a
+    // matched row
+    val updatePresent = coalesce(col("__u_present"), lit(false))
+    joined.select(col(key) +: dataCols.map(c =>
+      when(updatePresent, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Query entry: upsert 'O'-status orders (with a recomputed price)
+    * into the 'F'-status snapshot of the orders table. */
+  def upsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val target = base.filter(col("o_custkey") % 2 === 0)
+    val updates = base.filter(col("o_custkey") % 3 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+    mergeUpsert(target, updates, "o_orderkey")
+      .orderBy("o_orderkey", "o_custkey", "o_totalprice")
   }
 
   /** The reference's EP2 three-phase topology

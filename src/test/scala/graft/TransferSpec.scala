@@ -163,6 +163,15 @@ class TransferSpec extends SparkSpec {
       s"staging leak: ${leftovers.map(_.getName).toSeq}")
   }
 
+  test("mergeUpsert: update wins, inserts new, keeps unmatched, honors NULL sets") {
+    val target = Seq((1L, Option("a")), (2L, Option("b"))).toDF("k", "v")
+    val updates = Seq((2L, None: Option[String]), (3L, Option("c"))).toDF("k", "v")
+    val got = Transfer.mergeUpsert(target, updates, "k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // 1 carried over, 2 explicitly nulled by the update, 3 inserted
+    assert(got == Set((1L, Option("a")), (2L, None), (3L, Option("c"))))
+  }
+
   test("migrate runs the three-phase topology end-to-end (DDL capture)") {
     val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
     val metas = Seq(Fixtures.analyticsEvent)
