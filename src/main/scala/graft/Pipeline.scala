@@ -53,17 +53,20 @@ object Pipeline {
     val exact = scored.join(keep, "doc_id").persist()
     val afterExact = exact.count()
 
-    // 3. near-dedup: drop the higher doc_id of each near-dup pair
-    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard)
+    // 3. near-dedup: drop the higher doc_id of each near-dup pair.
+    // The signature table is built HERE so this run can unpersist
+    // exactly its own cache once results materialize (the global
+    // registry would strip other concurrent runs' caches)
+    val sigs = Dedup.signatureTable(exact, "doc_id")
+    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard,
+        sigsOpt = Some(sigs))
       .select(col("doc_b").as("doc_id")).distinct()
     val curatedBase = exact.join(nearPairs, Seq("doc_id"), "left_anti")
       .persist()
     val afterNear = curatedBase.count()
     scored.unpersist()
     exact.unpersist()
-    // the LSH signature cache pinned inside nearDupPairs is no longer
-    // needed once curatedBase is materialized
-    Dedup.unpersistCaches()
+    sigs.unpersist()
 
     // 4. dataset mixing: deterministic per-language sampling (rand-free
     // keep decision — retries and corpus growth can't change it)

@@ -59,7 +59,11 @@ object Transfer {
   def atomicLoad(df: DataFrame, url: String, targetTable: String,
       props: Properties, connFactory: () => Connection,
       batchSize: Int = 1000): Unit = {
-    val staging = targetTable + "_staging"
+    // a pre-quoted target ("t", the convention for Spark-created
+    // case-sensitive names) gets the suffix INSIDE the quotes
+    val staging =
+      if (targetTable.endsWith("\"")) targetTable.dropRight(1) + "_staging\""
+      else targetTable + "_staging"
     // a previously failed run can leave partial rows in staging (the
     // staging write commits per partition); start from a clean slate or
     // the retry would publish leftovers + the new copy
@@ -76,14 +80,39 @@ object Transfer {
       // Explicit column list on both sides: SELECT * is positional, so
       // a target whose DDL order differs from the DataFrame's would
       // mis-load columns (or fail) after the staging write succeeded.
-      // Each side follows its creator's quoting convention: Spark's
-      // JDBC writer creates the STAGING table with QUOTED
-      // (case-preserved) column names, so the SELECT side must quote;
-      // the TARGET is caller-created, so its names pass through
-      // unquoted (database-case-normalized) like the table name itself.
-      val targetCols = df.schema.fieldNames.mkString(", ")
-      val stagingCols = df.schema.fieldNames
-        .map(n => "\"" + n.replace("\"", "\"\"") + "\"").mkString(", ")
+      // Quoting: Spark's JDBC writer creates the STAGING table with
+      // QUOTED (case-preserved) column names, so the SELECT side
+      // quotes the DataFrame names verbatim. The TARGET may have been
+      // created by anyone (unquoted DDL → database-case-normalized, or
+      // a previous Spark write → quoted as-is), so its names are
+      // resolved case-insensitively from the table's own metadata and
+      // quoted exactly as stored — both conventions publish correctly.
+      def q(n: String) = "\"" + n.replace("\"", "\"\"") + "\""
+      def columnsOf(pattern: String): Map[String, String] = {
+        val m = scala.collection.mutable.Map.empty[String, String]
+        val crs = conn.getMetaData.getColumns(null, null, pattern, "%")
+        while (crs.next()) {
+          val n = crs.getString("COLUMN_NAME")
+          m(n.toLowerCase) = n
+        }
+        crs.close()
+        m.toMap
+      }
+      // metadata lookup is case-sensitive while SQL references
+      // case-normalize — try the name as given, then both foldings
+      // (a Spark-created table stores an UNQUOTED normalized table
+      // name but QUOTED case-preserved column names)
+      val tableOnly =
+        targetTable.split('.').last.stripPrefix("\"").stripSuffix("\"")
+      val stored = Seq(tableOnly, tableOnly.toUpperCase, tableOnly.toLowerCase)
+        .view.map(columnsOf).find(_.nonEmpty).getOrElse(Map.empty)
+      // metadata miss (exotic qualified name): keep the pre-round-2
+      // unquoted pass-through rather than guessing a quoting
+      val targetCols =
+        if (stored.isEmpty) df.schema.fieldNames.mkString(", ")
+        else df.schema.fieldNames
+          .map(n => q(stored.getOrElse(n.toLowerCase, n))).mkString(", ")
+      val stagingCols = df.schema.fieldNames.map(q).mkString(", ")
       st.executeUpdate(
         s"INSERT INTO $targetTable ($targetCols) SELECT $stagingCols FROM $staging")
       st.executeUpdate(s"DROP TABLE $staging")
@@ -154,13 +183,25 @@ object Transfer {
 
   /** Keyed upsert (SCD-1 merge): updates override matching target rows
     * by key, unmatched updates insert, unmatched target rows carry
-    * over — MERGE semantics expressed as one full outer join plus
-    * per-column coalesce (update side wins). Both sides must share the
-    * schema. One shuffle on the key; at scale the key partitioning
-    * carries into the output write, and a small update batch broadcasts
-    * automatically. */
+    * over — MERGE semantics expressed as one full outer join with an
+    * update-presence marker (so an update that explicitly sets a
+    * column NULL still wins). Both sides must share the schema. One
+    * shuffle on the key; at scale the key partitioning carries into
+    * the output write, and a small update batch broadcasts.
+    *
+    * Like SQL MERGE, the updates must be key-unique — duplicates would
+    * silently fan out matched target rows, so `validate=true`
+    * (default) fails fast with one aggregation over the (small) update
+    * batch; pass false only for pre-deduplicated feeds. */
   def mergeUpsert(target: DataFrame, updates: DataFrame,
-      key: String): DataFrame = {
+      key: String, validate: Boolean = true): DataFrame = {
+    if (validate) {
+      val dup = updates.groupBy(col(key))
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"mergeUpsert: updates contain duplicate rows for key " +
+          s"${dup.head.get(0)} — MERGE requires key-unique updates")
+    }
     val dataCols = target.columns.filterNot(_ == key)
     val u = dataCols.foldLeft(updates) { (df, c) =>
       df.withColumnRenamed(c, s"__u_$c")
@@ -174,8 +215,9 @@ object Transfer {
       when(updatePresent, col(s"__u_$c")).otherwise(col(c)).as(c)): _*)
   }
 
-  /** Query entry: upsert 'O'-status orders (with a recomputed price)
-    * into the 'F'-status snapshot of the orders table. */
+  /** Query entry: upsert the mod-3 customer-key slice of orders (with
+    * a recomputed price) into the mod-2 slice — overlapping key sets,
+    * so matched-override, insert, and carry-over paths all execute. */
   def upsertQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.Tables
     val base = Tables.orders(spark, dir)

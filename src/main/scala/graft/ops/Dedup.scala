@@ -167,17 +167,22 @@ object Dedup {
 
   // internal caches pinned by signatureTable/simhashNearDups; a
   // long-lived session composing many dedup runs releases them with
-  // [[unpersistCaches]] once results are materialized (Pipeline.curate
-  // does) — otherwise each distinct input corpus would pin its
-  // signature cache for the JVM lifetime
+  // [[unpersistCaches]] once all in-flight results are materialized —
+  // otherwise each distinct input corpus would pin its signature cache
+  // for the JVM lifetime. Runs needing per-call lifecycle build the
+  // signature table themselves and unpersist exactly that frame
+  // (nearDupPairs' sigsOpt; Pipeline.curate does this), since this
+  // registry is JVM-global: draining it mid-flight would strip another
+  // concurrent run's cache.
   private val cached =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private def register(df: DataFrame): DataFrame = { cached.add(df); df }
 
-  /** Unpersist every signature cache pinned so far. Safe any time:
-    * downstream lineage stays valid, at worst an evicted frame
-    * recomputes. */
+  /** Unpersist every signature cache pinned so far, session-wide. Safe
+    * for correctness any time (downstream lineage stays valid; an
+    * evicted frame recomputes) but meant for idle points — concurrent
+    * dedup runs would lose their caches and pay recomputation. */
   def unpersistCaches(): Unit = {
     var df = cached.poll()
     while (df != null) { df.unpersist(); df = cached.poll() }
@@ -210,8 +215,12 @@ object Dedup {
     * post-join in exactVerify). The signature computation runs ONCE
     * (signatureTable) — every band/estimate stage joins against the
     * same materialized frame. */
-  def nearDupPairs(df: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
-    val sigs = signatureTable(df, idCol)
+  def nearDupPairs(df: DataFrame, idCol: String, minJaccard: Double,
+      sigsOpt: Option[DataFrame] = None): DataFrame = {
+    // callers that need deterministic cache lifecycle (Pipeline.curate)
+    // build the signature table themselves, pass it here, and
+    // unpersist exactly that frame once their results materialize
+    val sigs = sigsOpt.getOrElse(signatureTable(df, idCol))
     val estimated = estimatePrune(lshCandidatePairs(sigs, idCol),
       sigs, sigs, "doc_a", "doc_b", minJaccard)
     exactVerify(estimated, df, idCol, "doc_a", df, idCol, "doc_b", minJaccard)

@@ -26,13 +26,9 @@ object PgDdl {
   private def qualified(t: TableMeta): String =
     t.schema.fold(quote(t.name))(s => s"${quote(s)}.${quote(t.name)}")
 
-  /** PostgreSQL type names (and aliases) a reflected source type may
-    * be cloned into DDL verbatim. A Postgres source reflects Postgres
-    * names ("jsonb", "varchar", "int8", ...) so fidelity holds on the
-    * reference's pg→pg path; a non-Postgres source (Derby in tests)
-    * reflects names like CLOB or DOUBLE that are NOT valid PG DDL —
-    * those fall back to the Spark-type inverse mapping instead of
-    * producing unexecutable CREATE statements. */
+  /** Widely-used type names (and PG aliases) a reflected source type
+    * may always be cloned into DDL verbatim, whatever case the driver
+    * reports them in. */
   private val ClonablePgTypes: Set[String] = Set(
     "text", "varchar", "character varying", "char", "character", "bpchar",
     "citext", "uuid", "json", "jsonb", "xml", "name",
@@ -44,8 +40,21 @@ object PgDdl {
     "bytea", "inet", "cidr", "macaddr", "macaddr8", "interval", "money",
     "tsvector", "tsquery", "point", "oid")
 
-  private def clonable(t: String): Boolean =
-    ClonablePgTypes.contains(t.replaceAll("\\(.*\\)", "").trim.toLowerCase)
+  /** Whether a reflected TYPE_NAME may be cloned verbatim into
+    * PostgreSQL DDL. Two paths: the cross-dialect whitelist above
+    * (case-insensitive), or any all-lowercase identifier — the PG JDBC
+    * driver reports every type, INCLUDING user-defined enums, domains,
+    * and extension types (hstore, vector, geometry), in lowercase, so
+    * pg→pg fidelity covers UDTs the way the reference's column.copy()
+    * does. Non-PG dialects report their dialect-only types in
+    * UPPERCASE (Derby CLOB, DOUBLE, "VARCHAR () FOR BIT DATA"), which
+    * this heuristic routes to the Spark-type inverse mapping instead
+    * of emitting unexecutable DDL. */
+  private def clonable(t: String): Boolean = {
+    val base = t.replaceAll("\\(.*\\)", "").trim
+    ClonablePgTypes.contains(base.toLowerCase) ||
+      base.matches("[a-z_][a-z0-9_]*")
+  }
 
   /** Target column type: the reflected source type verbatim when it is
     * a valid PostgreSQL type (exact-clone fidelity, like the

@@ -91,6 +91,12 @@ class PgDdlSpec extends AnyFunSuite {
     // pg's own aliases still clone verbatim
     assert(PgDdl.pgType(ColumnMeta("x", LongType, false,
       sourceTypeName = Some("int8"))) == "int8")
+    // pg reflects user-defined/extension types in lowercase — those
+    // clone too (enums, hstore, vector), preserving pg->pg fidelity
+    assert(PgDdl.pgType(ColumnMeta("x", StringType, true,
+      sourceTypeName = Some("mood"))) == "mood")
+    assert(PgDdl.pgType(ColumnMeta("x", StringType, true,
+      sourceTypeName = Some("hstore"))) == "hstore")
   }
 
   test("setval uses COALESCE-hardened empty-table form") {

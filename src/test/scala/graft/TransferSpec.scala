@@ -170,6 +170,25 @@ class TransferSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     // 1 carried over, 2 explicitly nulled by the update, 3 inserted
     assert(got == Set((1L, Option("a")), (2L, None), (3L, Option("c"))))
+    // MERGE requires key-unique updates: duplicates fail fast instead
+    // of silently fanning out matched rows
+    val dups = Seq((2L, Option("x")), (2L, Option("y"))).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Transfer.mergeUpsert(target, dups, "k")
+    }
+  }
+
+  test("atomicLoad publishes into a Spark-created target (quoted columns)") {
+    // a target created by Spark's own JDBC writer has an unquoted
+    // (normalized) TABLE name but QUOTED case-preserved COLUMN names;
+    // the publish resolves column names from target metadata
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    df.limit(0).write.jdbc(derbyUrl, "atomic_sp", props)
+    Transfer.atomicLoad(df, derbyUrl, "atomic_sp", props,
+      () => DriverManager.getConnection(derbyUrl))
+    val back = spark.read.jdbc(derbyUrl, "atomic_sp", props)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
   test("migrate runs the three-phase topology end-to-end (DDL capture)") {
