@@ -57,6 +57,27 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream inner join: each purchase matched to the same
+    * user's clicks in the preceding hour. Both sides are watermarked
+    * and the join condition carries a time RANGE, so the state store
+    * can evict: a buffered click older than (watermark - 1 hour) can
+    * never match a future purchase and is dropped — without the range
+    * bound, stream-stream join state grows forever. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** File-source stream over a directory of event parquet/json files. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)

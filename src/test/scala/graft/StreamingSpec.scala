@@ -133,6 +133,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream time-range join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val stagedP = Files.createTempDirectory("graft_ssp").toString
+    val stagedC = Files.createTempDirectory("graft_ssc").toString
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 40)
+    ev.filter(col("event_type") === "purchase").write.mode("overwrite").parquet(stagedP)
+    ev.filter(col("event_type") === "click").write.mode("overwrite").parquet(stagedC)
+    val joined = EventStream.purchaseClickJoin(
+      spark.readStream.schema(EventStream.eventSchema).parquet(stagedP),
+      spark.readStream.schema(EventStream.eventSchema).parquet(stagedC))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val batch = p.join(c, col("user_id") === col("c_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select("user_id", "purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty, "stream-stream join emitted nothing")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)

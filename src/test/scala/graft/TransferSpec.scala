@@ -191,6 +191,20 @@ class TransferSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("JDBC scan pushes filters to the source database") {
+    val df = Seq((1L, "a"), (50L, "b"), (99L, "c")).toDF("id", "name")
+    df.write.mode("overwrite").jdbc(derbyUrl, "push_t", props)
+    val filtered = spark.read.jdbc(derbyUrl, "push_t", props)
+      .filter(col("id") > 10).select("id")
+    val plan = filtered.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the predicate must reach the JDBC source (WHERE on the remote
+    // query), not run as a post-scan Spark filter over a full dump
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"JDBC filter not pushed:\n${plan.take(800)}")
+    assert(filtered.count() == 2)
+  }
+
   test("migrate runs the three-phase topology end-to-end (DDL capture)") {
     val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
     val metas = Seq(Fixtures.analyticsEvent)
