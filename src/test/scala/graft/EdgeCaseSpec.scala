@@ -19,6 +19,13 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashNearDups(emptyDocs, "doc_id", 3).count() == 0)
   }
 
+  test("incremental exact dedup and cluster propagation on empty inputs") {
+    assert(Dedup.incrementalExactNew(emptyDocs, emptyDocs).count() == 0)
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClusters(noPairs, "doc_a", "doc_b").count() == 0)
+  }
+
   test("winnowing on empty and single-char docs yields one fingerprint") {
     val docs = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
     val fps = TextAnalysis.winnowed(docs).collect()

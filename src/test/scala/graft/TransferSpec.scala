@@ -176,6 +176,13 @@ class TransferSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Transfer.mergeUpsert(target, dups, "k")
     }
+    // degenerate sides: empty updates = target unchanged; empty target
+    // = pure insert
+    val none = Seq.empty[(Long, Option[String])].toDF("k", "v")
+    assert(Transfer.mergeUpsert(target, none, "k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Transfer.mergeUpsert(none, updates, "k")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
   test("atomicLoad publishes into a Spark-created target (quoted columns)") {
