@@ -100,6 +100,8 @@ object SparkEntry {
     "q66_complex_types"     -> (Funcs.complexTypeFuncs _),
     "q67_regexp_funcs"      -> (Funcs.regexpFuncs _),
     "q68_merge_upsert"      -> (graft.etl.Transfer.upsertQuery _),
+    "q69_frame_sample"      -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.frameSampleSummary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,6 +719,16 @@ object SparkEntry {
           |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
           |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
           |ORDER BY o_orderkey, o_custkey, o_totalprice""".stripMargin,
+      // the fake-decode frame count is pure arithmetic on payload size
+      // (UTF-8 text bytes stand in for the encoded payload)
+      "q69_frame_sample" ->
+        """SELECT doc_id,
+          |  1 + octet_length(encode(text)) % 30 AS n_frames,
+          |  CAST(CEIL((1 + octet_length(encode(text)) % 30) / 4.0) AS BIGINT) AS n_sampled,
+          |  CAST(0 AS BIGINT) AS first_idx,
+          |  CAST(FLOOR((octet_length(encode(text)) % 30) / 4.0) AS BIGINT) * 4 AS last_idx
+          |FROM documents WHERE doc_id % 3 = 2
+          |ORDER BY doc_id, n_frames, n_sampled, first_idx, last_idx""".stripMargin,
     )
   }
 }

@@ -85,6 +85,91 @@ object Multimodal {
     }(enc)
   }
 
+  /** FAKE resize — deterministic byte-level stand-in for an image
+    * scaler: output payload is exactly targetW*targetH bytes (input
+    * bytes cycled), meta updated. The Spark-side design points are
+    * real: 1:1 mapPartitions (scaler state init once per partition),
+    * payload stays a binary column, bytes never shuffle. */
+  def resizePayload(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](targetW * targetH)
+    if (payload != null && payload.length > 0) {
+      var i = 0
+      while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+    }
+    out
+  }
+
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
+      // per-partition scaler init would happen HERE
+      rows.map { r =>
+        Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+          resizePayload(r.getAs[Array[Byte]]("payload"), targetW, targetH),
+          targetW, targetH)
+      }
+    }(enc)
+  }
+
+  /** FAKE frame sampling — the generator-shaped multimodal op: one
+    * input video row fans out to one row per sampled frame (every
+    * `everyK`-th of the fake-decoded frame count), each frame's
+    * payload slice reduced to an FNV hash feature. Payload bytes are
+    * dropped before output, so the fan-out never shuffles media. */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "media_type", "payload")
+      .filter(col("media_type") === "video")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val nFrames = fakeDecode("video", payload)._3
+          val chunk = math.max(
+            (if (payload == null) 0 else payload.length) / math.max(nFrames, 1), 1)
+          (0 until nFrames by everyK).iterator.map { f =>
+            var h = 0xcbf29ce484222325L
+            if (payload != null) {
+              var i = f * chunk
+              val end = math.min(i + chunk, payload.length)
+              while (i < end) { h = (h ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
+            }
+            Row(r.getAs[Long]("doc_id"), f, h)
+          }
+        }
+      }(enc)
+  }
+
+  /** Oracle-checkable query: per-video frame-sampling summary — the
+    * sampled-frame count and index bounds are pure arithmetic over the
+    * fake-decode frame count, so DuckDB verifies the generator
+    * plumbing end-to-end (the frame hashes themselves are
+    * differential-spec'd against the mapPartitions path). */
+  def frameSampleSummary(spark: SparkSession, dir: String,
+      everyK: Int = 4): DataFrame = {
+    val n = octet_length(col("payload")).cast("long")
+    val nFrames = (lit(1) + n % 30).cast("long")
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), nFrames.as("n_frames"),
+        ceil(nFrames.cast("double") / everyK).cast("long").as("n_sampled"),
+        lit(0L).as("first_idx"),
+        (floor((nFrames - 1).cast("double") / everyK).cast("long") * everyK)
+          .as("last_idx"))
+      .orderBy(col("doc_id"), col("n_frames"), col("n_sampled"),
+        col("first_idx"), col("last_idx"))
+  }
+
   /** Oracle-checkable query: the fake-decode arithmetic restated as
     * pure column expressions (bit-identical to the mapPartitions path,
     * asserted in MultimodalSpec), so the DuckDB oracle can verify the

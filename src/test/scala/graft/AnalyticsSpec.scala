@@ -253,6 +253,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling fan-out matches summary arithmetic; resize is exact") {
+    val media = Multimodal.mediaTable(spark, sf)
+    // generator path: one row per sampled frame
+    val perDoc = Multimodal.sampleFrames(media, 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        min("frame_idx").as("lo"), max("frame_idx").as("hi"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2).toLong, r.getInt(3).toLong))
+      .toMap
+    // oracle-checked arithmetic path must describe the same fan-out
+    val summary = Multimodal.frameSampleSummary(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(perDoc.keySet == summary.keySet)
+    assert(perDoc.forall { case (id, v) => summary(id) == v },
+      s"fan-out drift, e.g. ${perDoc.find { case (id, v) => summary(id) != v }}")
+    // sampled-frame hashes are deterministic across runs
+    val h1 = Multimodal.sampleFrames(media, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val h2 = Multimodal.sampleFrames(media, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(h1 == h2)
+    // resize: payload is exactly targetW*targetH bytes, input cycled
+    val resized = Multimodal.resize(media, 8, 5)
+    val row = resized.filter(col("doc_id") === 0).head()
+    val out = row.getAs[Array[Byte]]("payload")
+    assert(out.length == 40 && row.getInt(3) == 8 && row.getInt(4) == 5)
+    val orig = media.filter(col("doc_id") === 0)
+      .head().getAs[Array[Byte]]("payload")
+    assert(out.toSeq == Array.tabulate(40)(i => orig(i % orig.length)).toSeq)
+  }
+
   test("langId classifies real multilingual samples") {
     val samples = Seq(
       (1L, "the cat sat on a mat and looked of the window to see"),
