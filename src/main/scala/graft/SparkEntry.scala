@@ -727,7 +727,7 @@ object SparkEntry {
           |  CAST(CEIL((1 + octet_length(encode(text)) % 30) / 4.0) AS BIGINT) AS n_sampled,
           |  CAST(0 AS BIGINT) AS first_idx,
           |  CAST(FLOOR((octet_length(encode(text)) % 30) / 4.0) AS BIGINT) * 4 AS last_idx
-          |FROM documents WHERE doc_id % 3 = 2
+          |FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
           |ORDER BY doc_id, n_frames, n_sampled, first_idx, last_idx""".stripMargin,
     )
   }

@@ -100,6 +100,9 @@ object Multimodal {
   }
 
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0 &&
+      targetW.toLong * targetH <= Int.MaxValue,
+      s"resize dimensions out of range: ${targetW}x$targetH")
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("media_type", StringType, nullable = false),
@@ -129,8 +132,10 @@ object Multimodal {
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame_hash", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // a NULL payload contributes no frames — matching the arithmetic
+    // summary/oracle, where octet_length(NULL) would null the row out
     media.select("doc_id", "media_type", "payload")
-      .filter(col("media_type") === "video")
+      .filter(col("media_type") === "video" && col("payload").isNotNull)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val payload = r.getAs[Array[Byte]]("payload")
@@ -160,7 +165,7 @@ object Multimodal {
     val n = octet_length(col("payload")).cast("long")
     val nFrames = (lit(1) + n % 30).cast("long")
     mediaTable(spark, dir)
-      .filter(col("media_type") === "video")
+      .filter(col("media_type") === "video" && col("payload").isNotNull)
       .select(col("doc_id"), nFrames.as("n_frames"),
         ceil(nFrames.cast("double") / everyK).cast("long").as("n_sampled"),
         lit(0L).as("first_idx"),

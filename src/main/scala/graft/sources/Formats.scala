@@ -21,21 +21,29 @@ object Formats {
   val Supported: Seq[String] = Seq("json", "csv", "orc")
 
   /** Write `df` under `dir` in the given format. CSV quotes/escapes
-    * embedded delimiters and newlines (multiLine on read restores
-    * them). */
+    * embedded delimiters and quotes, writes NULL as an explicit \N
+    * token and the empty string as a quoted "" so the two stay
+    * distinguishable on read (Spark's defaults collapse both to
+    * null). */
   def writeAs(df: DataFrame, dir: String, format: String): Unit = {
     val w = df.write.mode("overwrite").format(format)
-    (if (format == "csv") w.option("header", "true").option("escape", "\"")
+    (if (format == "csv")
+       w.option("header", "true").option("escape", "\"")
+         .option("nullValue", "\\N").option("emptyValue", "\"\"")
      else w).save(dir)
   }
 
-  /** Read `dir` in the given format with an explicit schema. */
+  /** Read `dir` in the given format with an explicit schema.
+    * `multiLine` is opt-in for CSV payloads with embedded newlines:
+    * it forces whole-file parsing (non-splittable), so the default
+    * keeps line-boundary splits — the at-scale ingest shape. */
   def readAs(spark: SparkSession, dir: String, format: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, multiLine: Boolean = false): DataFrame = {
     val r = spark.read.format(format).schema(schema)
     (if (format == "csv")
        r.option("header", "true").option("escape", "\"")
-         .option("multiLine", "true")
+         .option("nullValue", "\\N")
+         .option("multiLine", multiLine.toString)
      else r).load(dir)
   }
 }

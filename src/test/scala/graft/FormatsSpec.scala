@@ -22,23 +22,27 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
-  test("csv round-trips embedded delimiters, quotes, and newlines") {
+  test("csv round-trips delimiters, quotes, newlines, and empty-vs-null") {
     val tricky = Seq(
-      (1L, "plain text"),
-      (2L, "comma, separated, values"),
-      (3L, "a \"quoted\" phrase"),
-      (4L, "line one\nline two"),
-      (5L, ""))
+      (1L, Option("plain text")),
+      (2L, Option("comma, separated, values")),
+      (3L, Option("a \"quoted\" phrase")),
+      (4L, Option("line one\nline two")),
+      (5L, Option("")),
+      (6L, None: Option[String]))
       .toDF("doc_id", "text")
     val dir = Files.createTempDirectory("graft_fmt_tricky").toString
     Formats.writeAs(tricky, dir, "csv")
-    val back = Formats.readAs(spark, dir, "csv", tricky.schema)
-      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
-      .toMap
-    assert(back(2L) == "comma, separated, values")
-    assert(back(3L) == "a \"quoted\" phrase")
-    assert(back(4L) == "line one\nline two")
-    assert(back(5L) == "")
+    // multiLine opt-in: row 4 embeds a newline
+    val back = Formats.readAs(spark, dir, "csv", tricky.schema,
+        multiLine = true)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(back(2L) == Option("comma, separated, values"))
+    assert(back(3L) == Option("a \"quoted\" phrase"))
+    assert(back(4L) == Option("line one\nline two"))
+    // empty string and NULL stay distinguishable
+    assert(back(5L) == Option(""))
+    assert(back(6L).isEmpty)
   }
 
   test("ORC scans get predicate pushdown like parquet") {
