@@ -433,12 +433,19 @@ object SparkEntry {
           |    THEN 8000 + (OCTET_LENGTH(ENCODE(text)) % 5) * 8000
           |    ELSE 0 END AS BIGINT) AS sample_rate
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // FNV+splitmix replayed in SQL (HashSql) — ground truth for the
+      // hash-based fingerprint family
+      "q38_fingerprints" -> HashSql.fingerprintsOracle,
       "q40_centroids" ->
         """SELECT label, CAST(i AS BIGINT) AS pos,
           |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c_val,
           |  COUNT(*) AS n_vecs
           |FROM embeddings, GENERATE_SERIES(1, 64) s(i)
           |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+      // brute-force all-pairs shingle Jaccard — proves end-to-end LSH
+      // recall (band→estimate→verify) is 100% on this corpus, and that
+      // hash-based Jaccard equals gram-based Jaccard
+      "q41_dedup_minhash" -> HashSql.minhashNearDupsOracle(0.8, 100),
       "q43_ann_buckets" -> {
         // the seeded hyperplanes are deterministic literals — emit them
         // into the oracle so DuckDB computes the same sign-of-projection
@@ -502,6 +509,8 @@ object SparkEntry {
            |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
            |GROUP BY o_orderkey, o_orderdate
            |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      "q50_winnow_fingerprints" -> HashSql.winnowSummaryOracle,
+      "q51_decontaminate" -> HashSql.decontaminateOracle(minShared = 2),
       "q52_conditional_aggs" ->
         """SELECT o_orderpriority,
           |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,

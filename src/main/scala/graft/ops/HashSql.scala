@@ -1,0 +1,136 @@
+package graft.ops
+
+/** DuckDB SQL generators that REPLAY the engine's hash primitives
+  * (graft.functions.ShingleHashes / RollingHash64: FNV-1a over UTF-8
+  * bytes + the splitmix64 finalizer) in pure SQL, so the hash-based
+  * query family (fingerprints, winnowing, decontamination) gets full
+  * ground-truth oracles instead of oracle exemptions.
+  *
+  * Arithmetic notes:
+  *  - Java `long` wraparound is emulated as unsigned mod-2^64 HUGEINT
+  *    arithmetic; values convert to signed BIGINT only at the end.
+  *  - The FNV step's multiply fits INT128 (2^64 * 2^40 = 2^104), but
+  *    the splitmix constants are ~2^63.6, so `h * C` is split into
+  *    32-bit halves: h*C mod 2^64 = (h*C_lo + (h*C_hi mod 2^32)*2^32)
+  *    mod 2^64 — every intermediate stays under 2^97.
+  *  - XOR with a byte only touches the low 8 bits:
+  *    h XOR b = h - h%256 + xor(h%256, b), avoiding 128-bit xor of the
+  *    sign-extended forms. Full-width xor(HUGEINT, HUGEINT) is used for
+  *    the splitmix shift-xors (both operands < 2^64, so it is exact).
+  *  - `ascii(substr(text, i, 1))` yields the byte value because the
+  *    documents corpus is pure ASCII (asserted: octet_length(encode) ==
+  *    length for every row at every SF). A non-ASCII corpus would need
+  *    hex(encode(..)) pair-parsing instead.
+  */
+object HashSql {
+
+  private val M64 = "18446744073709551616" // 2^64
+  private val Signed63 = "9223372036854775808" // 2^63
+  /** FNV-1a offset basis 0xcbf29ce484222325 as unsigned. */
+  private val FnvOffset = "14695981039346656037"
+  private val FnvPrime = "1099511628211"
+
+  /** (x * c) mod 2^64 with INT128-safe 32-bit splitting. */
+  def mulmod64(x: String, c: BigInt): String = {
+    val hi = c >> 32
+    val lo = c & 0xffffffffL
+    s"(($x) * $lo % $M64 + (($x) * $hi % 4294967296) * 4294967296) % $M64"
+  }
+
+  /** One FNV-1a step folded over a HUGEINT byte list via list_reduce
+    * (list_prepend supplies the offset basis as the fold seed). */
+  private def fnvReduce(byteList: String): String =
+    s"""list_reduce(list_prepend($FnvOffset::HUGEINT, $byteList),
+       |    (h, bb) -> (h - h%256 + xor(h%256, bb)) * $FnvPrime % $M64)""".stripMargin
+
+  /** Unsigned HUGEINT -> signed BIGINT (two's-complement). */
+  def toSigned(x: String): String =
+    s"(CASE WHEN $x >= $Signed63 THEN $x - $M64 ELSE $x END)::BIGINT"
+
+  /** CTE chain producing, per documents row: doc_id, source, and `wh` —
+    * the SIGNED 8-byte positional window hashes, exactly
+    * ShingleHashes.windowHashes(bytes, 8) (FNV-1a + splitmix, one hash
+    * per position, short texts hash as a single whole-text window). */
+  def windowHashCtes: String = {
+    val c1 = BigInt("bf58476d1ce4e5b9", 16)
+    val c2 = BigInt("94d049bb133111eb", 16)
+    s"""b AS (SELECT doc_id, source,
+       |       [ascii(substr(text, i, 1))::HUGEINT FOR i IN range(1, length(text)+1)] AS bl,
+       |       length(text) AS n FROM documents),
+       |w AS (SELECT doc_id, source, n, list_transform(range(1, greatest(n-7,1)+1), i ->
+       |        ${fnvReduce("bl[i:least(i+7, n)]")}) AS fh FROM b),
+       |m1 AS (SELECT doc_id, source, n, list_transform(fh, h -> xor(h, h // 1073741824)) AS l FROM w),
+       |m2 AS (SELECT doc_id, source, n, list_transform(l, h -> ${mulmod64("h", c1)}) AS l FROM m1),
+       |m3 AS (SELECT doc_id, source, n, list_transform(l, h -> xor(h, h // 134217728)) AS l FROM m2),
+       |m4 AS (SELECT doc_id, source, n, list_transform(l, h -> ${mulmod64("h", c2)}) AS l FROM m3),
+       |m5 AS (SELECT doc_id, source, n, list_transform(l, h -> xor(h, h // 2147483648)) AS l FROM m4),
+       |whs AS (SELECT doc_id, source, n, list_transform(l, x -> ${toSigned("x")}) AS wh FROM m5)""".stripMargin
+  }
+
+  /** Winnowing minima per doc: sliding-window-of-8 minima over `wh`
+    * (signed comparison, matching ShingleHashes.winnow), positional —
+    * dedup is the consumer's job, as in the native expression. */
+  def winnowMinsCte: String =
+    s"""mins AS (SELECT doc_id, source, list_transform(range(1, greatest(len(wh)-7,1)+1), j ->
+       |           list_min(wh[j:least(j+7, len(wh))])) AS mn FROM whs)""".stripMargin
+
+  /** q38: full-document rolling hash + window-hash summary. */
+  def fingerprintsOracle: String =
+    s"""WITH $windowHashCtes,
+       |r AS (SELECT doc_id AS rid,
+       |        ${fnvReduce("[ascii(substr(text, i, 1))::HUGEINT FOR i IN range(1, length(text)+1)]")} AS rh
+       |      FROM documents)
+       |SELECT w.doc_id, ${toSigned("rh")} AS fp64,
+       |  list_min(wh) AS min_shingle,
+       |  len(wh)::BIGINT AS n_shingles
+       |FROM whs w JOIN r ON w.doc_id = r.rid
+       |ORDER BY doc_id""".stripMargin
+
+  /** q50: winnowing fingerprint summary (distinct minima count + span). */
+  def winnowSummaryOracle: String =
+    s"""WITH $windowHashCtes,
+       |$winnowMinsCte
+       |SELECT doc_id, len(list_distinct(mn))::BIGINT AS n_fps,
+       |  list_min(mn) AS fp_min, list_max(mn) AS fp_max
+       |FROM mins ORDER BY doc_id""".stripMargin
+
+  /** q51: corpus docs sharing >= `minShared` winnowing fingerprints
+    * with the src0 eval set — the decontamination contamination list. */
+  def decontaminateOracle(minShared: Int): String =
+    s"""WITH $windowHashCtes,
+       |$winnowMinsCte,
+       |fp AS (SELECT doc_id, source, unnest(list_distinct(mn)) AS fp FROM mins),
+       |ev AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0')
+       |SELECT f.doc_id, count(*) AS n_shared_fps
+       |FROM fp f JOIN ev ON f.fp = ev.fp
+       |WHERE f.source != 'src0'
+       |GROUP BY f.doc_id HAVING count(*) >= $minShared
+       |ORDER BY doc_id""".stripMargin
+
+  /** q41: brute-force ground truth for MinHash+LSH near-dup pairs —
+    * ALL-pairs exact Jaccard over distinct 8-char shingles (feasible
+    * only at oracle scale; the engine's banded plan is the 100-TB
+    * shape). Equality of the two outputs proves end-to-end LSH recall
+    * of 100% on this corpus: band collision -> estimate survival ->
+    * exact verification loses no true pair, and exact verification's
+    * Jaccard-over-hashes equals Jaccard-over-grams (no collisions). */
+  def minhashNearDupsOracle(minJaccard: Double, limit: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+       |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+       |  FROM documents
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 6) >= $minJaccard
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT $limit""".stripMargin
+}

@@ -144,8 +144,9 @@ object TextAnalysis {
     * deduplicated. Guarantees any shared substring of length
     * ≥ W + shingle - 1 yields at least one shared fingerprint, while
     * keeping ~2/(W+1) of the shingles — the robust fingerprint set for
-    * plagiarism/containment detection. Oracle-exempt (hash-based);
-    * invariants tested in AnalyticsSpec. */
+    * plagiarism/containment detection. Oracle-checked: the FNV+splitmix
+    * hash replays in DuckDB HUGEINT arithmetic (graft.ops.HashSql);
+    * invariants also tested in AnalyticsSpec. */
   def winnowed(df: org.apache.spark.sql.DataFrame,
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     GraftFunctions.register(df.sparkSession)
@@ -168,9 +169,9 @@ object TextAnalysis {
   /** Document fingerprinting: full-document rolling hash (custom
     * codegen Expression) + min positional-shingle hash, both native
     * codegen (the earlier transform/xxhash64-per-substr form allocated
-    * a substring per position and ran interpreted). Hash-based — no
-    * DuckDB equivalent, oracle-exempt; the expressions are verified
-    * differentially against Scala references in AnalyticsSpec. */
+    * a substring per position and ran interpreted). Oracle-checked via
+    * the SQL FNV+splitmix replay (graft.ops.HashSql); the expressions
+    * are also verified against Scala references in AnalyticsSpec. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.documents(spark, dir)
