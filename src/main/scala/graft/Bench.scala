@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line (driver contract) and also
+  * writes the same JSON atomically (temp file + rename) to
+  * `bench_out.json` so a truncated stdout capture can't lose the tail.
+  *
+  * Noise control: the sandbox showed a 3× total-time spread on
+  * identical code between runs, so a single sample per query is
+  * scheduler noise, not signal. Each query now runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) in round-robin order
+  * (repetition r of every query before repetition r+1, so a transient
+  * system stall lands on one ROUND, not one query's whole sample set);
+  * the reported per-query number and the headline total are per-query
+  * MEDIANS, with mins alongside as the low-noise floor.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,15 +44,42 @@ object Bench {
       // steady-state probe cost, not index construction
       graft.ops.Ivf.persistedIndex(spark, sfDir)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to runs) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+      // each dedup/simhash call pins a fresh signature cache; release
+      // between rounds so repetition r+1 re-pays the build honestly
+      // (and the repeated rounds don't accumulate pinned memory)
+      graft.ops.Dedup.unpersistCaches()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val med = names.map(n => n -> median(samples(n)))
+    val min = names.map(n => n -> (if (samples(n).isEmpty) 0.0 else samples(n).min))
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":${med.map(_._2).sum},"unit":"sec","runs":$runs,""" +
+        s""""total_min":${min.map(_._2).sum},"queries":${obj(med)},""" +
+        s""""queries_min":${obj(min)},"sf":"$sfDir"}"""
+    // atomic self-contained copy: temp + rename can't leave a torn tail
+    val out = java.nio.file.Paths.get("bench_out.json")
+    val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
+    java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, out,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    println(json)
     spark.stop()
   }
 }
