@@ -102,6 +102,7 @@ object SparkEntry {
     "q68_merge_upsert"      -> (graft.etl.Transfer.upsertQuery _),
     "q69_frame_sample"      -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.frameSampleSummary(s, d)),
+    "q70_join_bucketed"     -> (Relational.joinBucketed _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -738,6 +739,13 @@ object SparkEntry {
           |  CAST(FLOOR((octet_length(encode(text)) % 30) / 4.0) AS BIGINT) * 4 AS last_idx
           |FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
           |ORDER BY doc_id, n_frames, n_sampled, first_idx, last_idx""".stripMargin,
+      // same join semantics as the shuffling form — the bucketed layout
+      // must change the PLAN (no exchange on the join), never the answer
+      "q70_join_bucketed" ->
+        s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+           |  ${exactSum("l_quantity")} AS sum_qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     )
   }
 }

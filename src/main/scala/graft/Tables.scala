@@ -42,4 +42,49 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Number of buckets for the co-located fact layout. Local value —
+    * at 100 TB this becomes O(cluster cores) (e.g. 4096); the bucket
+    * count must MATCH on both sides for the exchange-free join, which
+    * is why both writes share this constant. */
+  val FactBuckets = 8
+
+  // one bucketed layout per (root, dir) per JVM, like Ivf.persistedIndex;
+  // the on-disk name is a SHA-256 prefix of the dir (hashCode collisions
+  // would cross-contaminate two corpora's layouts)
+  private val bucketedNames =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The bucketed fact-table layout: lineitem and orders both written
+    * `bucketBy(FactBuckets, orderkey)` + sorted within buckets, so a
+    * fact-fact join on the order key plans WITHOUT an exchange on
+    * either side (bucket co-location — see BucketingSpec and SCALE.md
+    * "Joins"). Built once per corpus dir and registered as external
+    * tables under `root`; subsequent calls (and sessions sharing the
+    * metastore) reuse the files. This is the batch analogue of the
+    * reference's one-pass-per-table scan (transfer_data_script.py:
+    * 107-114): pay one organized write, then every downstream join is
+    * shuffle-free. */
+  def bucketedFacts(spark: SparkSession, dir: String,
+      root: String = sys.props("java.io.tmpdir") + "/graft_buckets")
+      : (DataFrame, DataFrame) = {
+    val (liName, oName) = bucketedNames.computeIfAbsent(s"$root|$dir", _ => {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$root|$dir".getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString
+      (s"li_bucketed_$digest", s"o_bucketed_$digest")
+    })
+    if (!spark.catalog.tableExists(liName)) {
+      val digest = liName.stripPrefix("li_bucketed_")
+      lineitem(spark, dir).write.mode("overwrite")
+        .bucketBy(FactBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/$digest/lineitem")
+        .saveAsTable(liName)
+      orders(spark, dir).write.mode("overwrite")
+        .bucketBy(FactBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/$digest/orders")
+        .saveAsTable(oName)
+    }
+    (spark.table(liName), spark.table(oName))
+  }
 }

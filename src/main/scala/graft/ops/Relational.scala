@@ -96,6 +96,23 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Fact-fact join over the BUCKETED layout (Tables.bucketedFacts):
+    * both sides pre-bucketed by the order key, so the sort-merge join
+    * plans with ZERO exchange on either input — the co-location
+    * strategy that removes the one big shuffle from every
+    * lineitem⋈orders query at 100 TB. `hint("merge")` pins SMJ (a
+    * broadcast would also avoid the shuffle locally but proves
+    * nothing about the layout); the only exchange left in the plan is
+    * the final tiny groupBy. PlanShapeSpec asserts the shape. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Star join with explicitly broadcast dims: revenue per region.
     * lineitem⋈orders shuffles on orderkey (unavoidable fact-fact);
     * customer/nation/region ride along broadcast — the fact table is

@@ -77,6 +77,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
   }
 
+  test("q70 bucketed fact-fact join: zero exchange below the join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = Relational.joinBucketed(spark, sf)
+    df.collect()
+    // walk the executed plan (descending AQE stages): the sort-merge
+    // join must sit directly on the bucketed scans — no shuffle at or
+    // below it; the single allowed exchange is the final tiny groupBy
+    var smj = 0
+    var shufflesBelowJoin = 0
+    var shufflesTotal = 0
+    def walk(p: SparkPlan, below: Boolean): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, below)
+      case q: QueryStageExec => walk(q.plan, below)
+      case j: SortMergeJoinExec =>
+        smj += 1; j.children.foreach(walk(_, true))
+      case s: ShuffleExchangeLike =>
+        shufflesTotal += 1
+        if (below) shufflesBelowJoin += 1
+        s.children.foreach(walk(_, below))
+      case other => other.children.foreach(walk(_, below))
+    }
+    walk(df.queryExecution.executedPlan, below = false)
+    assert(smj == 1, s"expected one sort-merge join, saw $smj")
+    assert(shufflesBelowJoin == 0,
+      s"bucketed join still shuffles an input ($shufflesBelowJoin)")
+    // post-join: one tiny groupBy exchange + the deterministic-output
+    // orderBy's range exchange — both over the 3-row aggregate result
+    assert(shufflesTotal <= 2,
+      s"more than the groupBy+orderBy exchanges: $shufflesTotal")
+  }
+
   test("theta join keeps the equi conjunct as the join key") {
     val p = plan(graft.ops.Grouping.joinTheta(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
