@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming twin of the batch incremental exact dedup
+  * (graft.ops.Dedup.incrementalExactNew) — the shape a daily-ingest
+  * pipeline actually runs: new documents arrive as a stream, and a doc
+  * is admitted iff its content is new to BOTH the historical corpus
+  * and the stream so far.
+  *
+  * Scale shape, mirroring the batch op's discipline:
+  *  - the stream reduces to (doc_id, 32-byte digest) before any
+  *    stateful op — document text never enters the state store;
+  *  - within-stream dedup is `dropDuplicatesWithinWatermark` on the
+  *    digest, so state is bounded by the watermark horizon instead of
+  *    growing with corpus lifetime (the batch op's first-in-batch
+  *    semi-join, re-expressed as bounded streaming state);
+  *  - the corpus check is a stream-static LEFT ANTI join against the
+  *    corpus digest set — stateless per micro-batch, and the static
+  *    side prunes to the digest column only.
+  */
+object DocStream {
+
+  val docSchema: StructType = StructType.fromDDL(
+    "doc_id LONG, text STRING, ingest_ts TIMESTAMP")
+
+  /** Admit stream docs whose content digest is unseen in `corpus` and
+    * first-arriving within the stream (watermark-bounded). Arrival
+    * order decides within-stream ties — the batch op's min-doc_id rule
+    * under an id-ordered ingest, which is what a monotonic ingest
+    * pipeline delivers. */
+  def incrementalDedup(docs: DataFrame, corpus: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val fresh = docs
+      .select(col("doc_id"), col("ingest_ts"),
+        sha2(col("text"), 256).as("content_hash"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+    fresh.join(
+      corpus.select(sha2(col("text"), 256).as("content_hash")),
+      Seq("content_hash"), "left_anti")
+      .select(col("doc_id"))
+  }
+}

@@ -164,6 +164,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup equals the batch incremental dedup") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val increment = docs.filter(col("doc_id") >= 400)
+    // stage the increment as two id-ordered files (arrival order =
+    // doc_id order, matching the batch op's min-doc_id tie rule) with a
+    // synthetic monotonic ingest timestamp
+    val staged = Files.createTempDirectory("graft_incdedup").toString
+    val stagedInc = increment.withColumn("ingest_ts",
+      timestamp_seconds(lit(1767225600L) + col("doc_id")))
+      .select("doc_id", "text", "ingest_ts")
+    stagedInc.filter(col("doc_id") < 450).coalesce(1)
+      .sortWithinPartitions("doc_id").write.mode("append").parquet(staged)
+    Thread.sleep(1100)
+    stagedInc.filter(col("doc_id") >= 450).coalesce(1)
+      .sortWithinPartitions("doc_id").write.mode("append").parquet(staged)
+
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.incrementalDedup(stream, corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup_out")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Dedup.incrementalExactNew(corpus, increment)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed.nonEmpty, "streaming dedup admitted nothing")
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
