@@ -103,6 +103,8 @@ object SparkEntry {
     "q69_frame_sample"      -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.frameSampleSummary(s, d)),
     "q70_join_bucketed"     -> (Relational.joinBucketed _),
+    "q71_ivf_search"        -> ((s: SparkSession, d: String) =>
+      Ivf.deterministicSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -746,6 +748,9 @@ object SparkEntry {
            |  ${exactSum("l_quantity")} AS sum_qty
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      // the deterministic IVF build+probe replayed end-to-end in SQL:
+      // integer micro-unit Lloyd rounds, probe routing, cosine re-rank
+      "q71_ivf_search" -> Ivf.deterministicOracleSql(),
     )
   }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbour — the second ANN
@@ -121,5 +121,145 @@ object Ivf {
     idx.assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("cell"))
+  }
+
+  // ---- deterministic, oracle-replayable IVF (integer micro-units) ----
+  //
+  // The ML-KMeans index above is the production path; its k-means||
+  // init is not replayable outside Spark, so its queries carry recall
+  // specs instead of a hash oracle. This variant trades init quality
+  // for EXACT cross-engine determinism: seed centroids are the k
+  // lowest-vec_id embeddings, Lloyd refinement runs a fixed number of
+  // rounds, and every number in play is an integer count of 1e-6
+  // "micro-units" (vectors quantized via round(v * 1e6)) — distances
+  // and sums stay in exact BIGINT arithmetic (max |term| ~1.6e13,
+  // far under 2^63), the only division is the centroid mean
+  // (exact-int numerator, rounded half-away-from-zero, identical in
+  // Spark, JVM BigDecimal and DuckDB), so the DuckDB oracle replays
+  // the ENTIRE build+probe bit-exactly with zero float ambiguity.
+
+  final case class DetIndex(centroids: Seq[(Long, Array[Long])],
+      assigned: DataFrame)
+
+  private def muCol: Column =
+    expr("transform(embedding, v -> cast(round(cast(v as double) * 1000000, 0) as bigint))")
+
+  private def d2ToLiteral(x: Column, c: Array[Long]): Column =
+    c.indices.map { i =>
+      val diff = element_at(x, i + 1) - lit(c(i))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** min-by-(d2, cell) over centroid literals: struct ordering gives
+    * the argmin with the cell id as the deterministic tie-break. */
+  private def assignCol(cents: Seq[(Long, Array[Long])]): Column =
+    least(cents.map { case (id, c) =>
+      struct(d2ToLiteral(col("x"), c).as("d"), lit(id).as("cell"))
+    }: _*).getField("cell")
+
+  private def halfUp(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  private val detIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, DetIndex]()
+
+  /** Build (or reuse) the deterministic index for a corpus dir. The
+    * per-round aggregate collects k rows of (cell, 64 sums, count) —
+    * centroid state is O(k·dim) regardless of corpus size, the same
+    * driver-side footprint as readIndex. */
+  def deterministicIndex(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DetIndex =
+    detIndexes.computeIfAbsent(s"$dir|$k|$iters", _ => {
+      val xi = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), muCol.as("x"))
+      var cents: Seq[(Long, Array[Long])] = xi.filter(col("vec_id") < k)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+      for (_ <- 1 to iters) {
+        val sumCols = (0 until 64).map(i =>
+          sum(element_at(col("x"), i + 1)).as(s"s$i"))
+        val rows = xi.withColumn("cell", assignCol(cents))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), sumCols: _*)
+          .collect()
+        cents = rows.map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0),
+            (0 until 64).map(i => halfUp(r.getLong(2 + i).toDouble / n)).toArray)
+        }.sortBy(_._1).toSeq
+      }
+      DetIndex(cents, xi.withColumn("cell", assignCol(cents))
+        .select(col("vec_id"), col("cell")))
+    })
+
+  /** Query entry: probe the deterministic index for the query vector's
+    * topK cosine neighbours over the nProbe nearest cells. Cell
+    * ranking is exact integer distance on the driver (centroids are
+    * driver state, as in [[search]]); candidate fetch + cosine re-rank
+    * are the distributed part. Output carries the probed cell so the
+    * oracle checks BOTH the routing and the ranking. */
+  def deterministicSearch(spark: SparkSession, dir: String,
+      queryId: Long = 7, nProbe: Int = 2, topK: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = deterministicIndex(spark, dir)
+    val qEmb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val qMu = qEmb.map(v => halfUp(v.toDouble * 1e6)).toArray
+    def d2(c: Array[Long]): Long =
+      c.zip(qMu).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probed = idx.centroids.map { case (id, c) => (d2(c), id) }
+      .sorted.take(nProbe).map(_._2)
+    val qCol = array(qEmb.map(lit): _*)
+    idx.assigned
+      .filter(col("cell").isin(probed.map(java.lang.Long.valueOf): _*))
+      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        round(Similarity.cosine(col("embedding"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"), col("cell"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle replaying [[deterministicIndex]] + [[deterministicSearch]]
+    * end-to-end: seeds → `iters` unrolled Lloyd rounds (assignment by
+    * exact integer distance with cell tie-break, means re-rounded to
+    * micro-units) → probe ranking → cosine re-rank. */
+  def deterministicOracleSql(k: Int = 8, iters: Int = 2, queryId: Long = 7,
+      nProbe: Int = 2, topK: Int = 10): String = {
+    val mu = "list_transform(range(1, 65), i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
+    def d2(x: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])))"
+    val rounds = (0 until iters).map { r =>
+      s"""d$r AS (SELECT x.vec_id, c.cell, ${d2("x.x", "c.c")} AS d2
+         |        FROM xi x CROSS JOIN cent$r c),
+         |a$r AS (SELECT vec_id, cell FROM d$r
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+         |s$r AS (SELECT a.cell, s.i AS pos,
+         |          CAST(ROUND(CAST(SUM(x.x[s.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |        FROM a$r a JOIN xi x ON a.vec_id = x.vec_id
+         |        CROSS JOIN generate_series(1, 64) s(i)
+         |        GROUP BY a.cell, s.i),
+         |cent${r + 1} AS (SELECT cell, list(m ORDER BY pos) AS c FROM s$r GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xi AS (SELECT vec_id, $mu AS x FROM embeddings),
+       |cent0 AS (SELECT vec_id AS cell, x AS c FROM xi WHERE vec_id < $k),
+       |$rounds,
+       |afin AS (SELECT x.vec_id, c.cell FROM xi x CROSS JOIN cent$iters c
+       |         QUALIFY ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |           ORDER BY ${d2("x.x", "c.c")}, c.cell) = 1),
+       |q AS (SELECT x AS qx FROM xi WHERE vec_id = $queryId),
+       |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = $queryId),
+       |probe AS (SELECT c.cell FROM cent$iters c CROSS JOIN q
+       |          QUALIFY ROW_NUMBER() OVER (ORDER BY ${d2("q.qx", "c.c")}, c.cell) <= $nProbe)
+       |SELECT a.vec_id, a.cell,
+       |  ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), qe.qemb) /
+       |    (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |     SQRT(LIST_INNER_PRODUCT(qe.qemb, qe.qemb))), 6) AS cos_sim
+       |FROM afin a
+       |JOIN probe p ON a.cell = p.cell
+       |JOIN embeddings e ON e.vec_id = a.vec_id
+       |CROSS JOIN qe
+       |ORDER BY cos_sim DESC, a.vec_id, a.cell LIMIT $topK""".stripMargin
   }
 }
