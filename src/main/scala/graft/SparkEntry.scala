@@ -105,6 +105,7 @@ object SparkEntry {
     "q70_join_bucketed"     -> (Relational.joinBucketed _),
     "q71_ivf_search"        -> ((s: SparkSession, d: String) =>
       Ivf.deterministicSearch(s, d)),
+    "q72_scd2_history"      -> (graft.etl.Transfer.scd2Query _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -751,6 +752,25 @@ object SparkEntry {
       // the deterministic IVF build+probe replayed end-to-end in SQL:
       // integer micro-unit Lloyd rounds, probe routing, cosine re-rank
       "q71_ivf_search" -> Ivf.deterministicOracleSql(),
+      // SCD-2 from a change log: dedupe consecutive same-status rows
+      // per key, then validity intervals via LEAD over the survivors
+      "q72_scd2_history" ->
+        """WITH ch AS (
+          |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+          |    LAG(o_orderstatus) OVER w AS prev
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |), kept AS (
+          |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+          |  FROM ch WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderstatus
+          |)
+          |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+          |  LEAD(o_orderdate) OVER w AS valid_to,
+          |  LEAD(o_orderdate) OVER w IS NULL AS is_current
+          |FROM kept
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderstatus, valid_from,
+          |  valid_to NULLS FIRST, is_current""".stripMargin,
     )
   }
 }

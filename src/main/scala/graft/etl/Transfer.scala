@@ -6,7 +6,8 @@ import scala.util.control.NonFatal
 import graft.meta.TableMeta
 import graft.pg.{PgCatalog, PgDdl, SequenceSync}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, round, when}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, lag, lead, lit, round, struct, when}
 
 /** Bulk table transfer (reference ops R3–R6, R11) — the reference's
   * core capability, re-expressed Spark-first.
@@ -227,6 +228,95 @@ object Transfer {
       .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
     mergeUpsert(target, updates, "o_orderkey")
       .orderBy("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** SCD-2 history build from a change log: one output row per
+    * attribute *change* per key, with [valid_from, valid_to) validity
+    * and an is_current marker on the open row — the history-preserving
+    * half of the MERGE surface (q68/[[mergeUpsert]] is the overwrite
+    * half). Rows are ordered within a key by (ts, tieBreak) so change
+    * detection is deterministic even when a key has several changes at
+    * one timestamp; consecutive duplicates (no attribute change) are
+    * collapsed. Null-safe comparison (`<=>`) means an attribute
+    * flipping to NULL still opens a new version.
+    *
+    * Scale shape: one shuffle on the key; both windows share the
+    * (partitionBy, orderBy) so Catalyst plans a single Exchange+Sort
+    * feeding two Window nodes — linear per partition, no join. */
+  def scd2FromChangeLog(changes: DataFrame, key: String, ts: String,
+      tieBreak: String, attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val attrStruct = struct(attrs.map(col): _*)
+    changes
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrStruct))
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key) +: attrs.map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+  }
+
+  /** Incremental SCD-2 merge: apply one batch of updates (key-unique,
+    * each stamped with its effective `ts`) to an existing SCD-2
+    * history. A matched key whose attributes changed gets its current
+    * row closed (valid_to = update ts) and a new open row; an
+    * identical update is a no-op (so re-applying a batch is
+    * idempotent); a new key inserts an open row; closed history rows
+    * pass through untouched. Like [[mergeUpsert]], updates must be
+    * key-unique — and additionally non-null-keyed, since a NULL key
+    * can never match its own current row on re-apply (every re-upsert
+    * would append a duplicate open row).
+    *
+    * Scale shape: one shuffle — a full-outer join on the key between
+    * the (small) current slice and the update batch; the closed
+    * history is a union pass-through that never shuffles. */
+  def scd2Apply(history: DataFrame, updates: DataFrame, key: String,
+      ts: String, attrs: Seq[String], validate: Boolean = true): DataFrame = {
+    if (validate) {
+      require(updates.filter(col(key).isNull).limit(1).collect().isEmpty,
+        s"scd2Apply: updates contain a NULL $key — SCD-2 requires " +
+          "non-null keys (a NULL key cannot match its own current row)")
+      val dup = updates.groupBy(col(key))
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"scd2Apply: updates contain duplicate rows for key " +
+          s"${dup.head.get(0)} — SCD-2 merge requires key-unique updates")
+    }
+    val validToType = history.schema("valid_to").dataType
+    val closed = history.filter(!col("is_current"))
+    val cur = history.filter(col("is_current"))
+    val u = updates.select(col(key).as("__u_key") +:
+      col(ts).as("__u_ts") +: attrs.map(c => col(c).as(s"__u_$c")): _*)
+    val j = cur.join(u, col(key) === col("__u_key"), "full_outer")
+    val uPresent = col("__u_key").isNotNull
+    val curPresent = col(key).isNotNull
+    val changedAttrs = attrs.map(c => !(col(c) <=> col(s"__u_$c")))
+      .reduce(_ || _)
+    val closedOld = j.filter(curPresent && uPresent && changedAttrs)
+      .select(col(key) +: attrs.map(col) :+ col("valid_from") :+
+        col("__u_ts").as("valid_to") :+ lit(false).as("is_current"): _*)
+    val newCur = j.filter(uPresent && (!curPresent || changedAttrs))
+      .select(col("__u_key").as(key) +:
+        attrs.map(c => col(s"__u_$c").as(c)) :+
+        col("__u_ts").as("valid_from") :+
+        lit(null).cast(validToType).as("valid_to") :+
+        lit(true).as("is_current"): _*)
+    val keepCur = j.filter(curPresent && (!uPresent || !changedAttrs))
+      .select(col(key) +: attrs.map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+    closed.unionByName(closedOld).unionByName(newCur).unionByName(keepCur)
+  }
+
+  /** Query entry: SCD-2 history of each customer's order-status
+    * attribute over the orders change log (o_orderdate event time,
+    * o_orderkey as the deterministic within-day tie-break). */
+  def scd2Query(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    scd2FromChangeLog(Tables.orders(spark, dir), "o_custkey",
+      "o_orderdate", "o_orderkey", Seq("o_orderstatus"))
+      .orderBy("o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        "is_current")
   }
 
   /** The reference's EP2 three-phase topology

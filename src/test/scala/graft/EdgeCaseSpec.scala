@@ -45,6 +45,61 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.pg.SequenceSync.maxId(empty, "id") == -1L)
   }
 
+  private def scdRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (Option(r.get(0)).map(_.toString).orNull,
+      r.getString(1), r.getInt(2),
+      if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4))).toSet
+
+  test("scd2Apply: change closes old version, re-upsert is idempotent, null key rejected") {
+    import graft.etl.Transfer
+    // history: k=1 open at t=10 with v=a; k=2 closed [5,8) + open at 8
+    val history = Seq(
+      ("1", "a", 10, None: Option[Int], true),
+      ("2", "x", 5, Option(8), false),
+      ("2", "y", 8, None: Option[Int], true)
+    ).toDF("k", "v", "valid_from", "valid_to", "is_current")
+    val batch = Seq(("1", "b", 20), ("3", "c", 20)).toDF("k", "v", "ts")
+    val applied = Transfer.scd2Apply(history, batch, "k", "ts", Seq("v"))
+    assert(scdRows(applied) == Set(
+      ("1", "a", 10, 20, false),   // changed: old version closed at 20
+      ("1", "b", 20, -1, true),    // ...and a new open version
+      ("2", "x", 5, 8, false),     // closed history passes through
+      ("2", "y", 8, -1, true),     // unmatched current carries over
+      ("3", "c", 20, -1, true)))   // new key inserts open
+    // re-applying the SAME batch is a no-op (idempotent re-upsert):
+    // identical attributes → no close, no new version
+    val again = Transfer.scd2Apply(applied, batch.withColumn("ts", lit(30)),
+      "k", "ts", Seq("v"))
+    assert(scdRows(again) == scdRows(applied))
+    // a NULL key can never re-match its own current row → fail fast
+    val nullKey = Seq((null: String, "z", 40)).toDF("k", "v", "ts")
+    intercept[IllegalArgumentException] {
+      Transfer.scd2Apply(applied, nullKey, "k", "ts", Seq("v"))
+    }
+    // duplicate-key batch rejected like mergeUpsert
+    val dups = Seq(("1", "p", 40), ("1", "q", 40)).toDF("k", "v", "ts")
+    intercept[IllegalArgumentException] {
+      Transfer.scd2Apply(applied, dups, "k", "ts", Seq("v"))
+    }
+  }
+
+  test("scd2FromChangeLog collapses consecutive duplicates, null-safe on attrs") {
+    import graft.etl.Transfer
+    val log = Seq(
+      (1L, Option("a"), 1, 101L), (1L, Option("a"), 2, 102L), // dup collapsed
+      (1L, None: Option[String], 3, 103L),                    // change to NULL opens a version
+      (1L, Option("a"), 4, 104L)
+    ).toDF("k", "v", "t", "seq")
+    val hist = Transfer.scd2FromChangeLog(log, "k", "t", "seq", Seq("v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3),
+        r.getBoolean(4))).toSet
+    assert(hist == Set(
+      (1L, Option("a"), 1, 3, false),
+      (1L, None, 3, 4, false),
+      (1L, Option("a"), 4, -1, true)))
+  }
+
   test("as-of join with an empty right side yields null matches") {
     val left = Seq((1L, 7L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("purchase_id", "user_id", "purchase_ts")
