@@ -184,7 +184,14 @@ object Similarity {
 
   /** Query entry: dedup clusters over the embedding near-dup graph
     * (q44's oracle-checked pairs) — every vector labeled with the min
-    * id reachable through cos >= 0.2 edges. */
+    * id reachable through cos >= 0.2 edges.
+    *
+    * The edge generator here is the exact all-pairs form, deliberately
+    * id-bounded (< 200 vectors) so the oracle can replay it; at corpus
+    * scale swap in [[lshEmbeddingNearDups]] as the edge source — the
+    * component algorithm is agnostic to the generator, and
+    * AnalyticsSpec proves both edge paths produce identical clusters
+    * on planted duplicates. */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupClusters(embeddingNearDups(spark, dir), "vec_a", "vec_b")
       .select(col("node").as("vec_id"), col("cluster_id"))

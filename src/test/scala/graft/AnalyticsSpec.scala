@@ -215,6 +215,44 @@ class AnalyticsSpec extends SparkSpec {
       s"planted duplicate not found; got ${pairs.take(5).toSeq}")
   }
 
+  test("LSH and exact edge sources feed dedupClusters identically on planted clusters") {
+    import graft.ops.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    // plant three exact-duplicate clusters (copies share the base id's
+    // embedding, so cos=1 and the LSH bucket is identical by
+    // construction) plus an edge-free singleton
+    val bases = emb.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val planted = Seq(
+      (1001L, bases(1L)), (1002L, bases(1L)), (1003L, bases(1L)),
+      (2001L, bases(2L)),
+      (3001L, bases(3L)), (3002L, bases(3L)), (3003L, bases(3L)),
+      (4000L, bases(4L).map(-_))) // inverted: cos=-1, joins nothing
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val all = emb.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+      .select("vec_id", "embedding", "label").unionByName(planted)
+    // exact all-pairs edges (the q65/q44 oracle shape)
+    val a = all.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = all.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val exactEdges = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(Similarity.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos_sim") >= 0.99)
+      .select("vec_a", "vec_b", "cos_sim")
+    val lshEdges = Similarity.lshEmbeddingNearDups(all, minCos = 0.99)
+    def clusters(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupClusters(edges, "vec_a", "vec_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExact = clusters(exactEdges)
+    val viaLsh = clusters(lshEdges)
+    assert(viaExact == viaLsh,
+      s"edge generators disagree: exact=$viaExact lsh=$viaLsh")
+    // sanity: the planted topology is what we think it is
+    assert(viaExact(1003L) == 1L && viaExact(2001L) == 2L &&
+      viaExact(3003L) == 3L && !viaExact.contains(4000L))
+  }
+
   test("IVF search finds the query vector's own cell and beats random recall") {
     import graft.ops.{Ivf, Similarity}
     val emb = Tables.embeddings(spark, sf)
