@@ -106,6 +106,10 @@ object SparkEntry {
     "q71_ivf_search"        -> ((s: SparkSession, d: String) =>
       Ivf.deterministicSearch(s, d)),
     "q72_scd2_history"      -> (graft.etl.Transfer.scd2Query _),
+    "q73_bm25"              -> ((s: SparkSession, d: String) => Ranking.bm25(s, d)),
+    "q74_repetition"        -> (TextAnalysis.repetitionStats _),
+    "q75_passage_dedup"     -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
+    "q76_sq_ann"            -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -771,6 +775,63 @@ object SparkEntry {
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           |ORDER BY o_custkey, o_orderstatus, valid_from,
           |  valid_to NULLS FIRST, is_current""".stripMargin,
+      // BM25: term-filter before aggregation, DECIMAL partial-score sum
+      "q73_bm25" -> Ranking.bm25OracleSql(),
+      // Gopher-style repetition signals: top token / bigram fractions
+      "q74_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+          |), t AS (
+          |  SELECT doc_id, unnest(s) AS term FROM toks
+          |), term_stats AS (
+          |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          |    COUNT(*) AS n_distinct, MAX(tf) AS top_tf
+          |  FROM (SELECT doc_id, term, COUNT(*) AS tf FROM t
+          |        GROUP BY doc_id, term)
+          |  GROUP BY doc_id
+          |), bg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(s)),
+          |    i -> s[i] || ' ' || s[i + 1])) AS bigram
+          |  FROM toks
+          |), bigram_stats AS (
+          |  SELECT doc_id, SUM(bf) AS n_bigrams, MAX(bf) AS top_bf
+          |  FROM (SELECT doc_id, bigram, COUNT(*) AS bf FROM bg
+          |        GROUP BY doc_id, bigram)
+          |  GROUP BY doc_id
+          |)
+          |SELECT ts.doc_id, ts.n_tokens,
+          |  ROUND(ts.n_distinct / CAST(ts.n_tokens AS DOUBLE), 6) AS distinct_ratio,
+          |  ROUND(ts.top_tf / CAST(ts.n_tokens AS DOUBLE), 6) AS top_token_frac,
+          |  COALESCE(ROUND(bs.top_bf / CAST(bs.n_bigrams AS DOUBLE), 6), 0.0)
+          |    AS top_bigram_frac
+          |FROM term_stats ts LEFT JOIN bigram_stats bs USING (doc_id)
+          |ORDER BY doc_id, n_tokens, distinct_ratio, top_token_frac,
+          |  top_bigram_frac""".stripMargin,
+      // passage dedup: 8-token chunks, corpus-wide first occurrence wins
+      "q75_passage_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+          |), cid AS (
+          |  SELECT doc_id, s,
+          |    unnest(range(0, (len(s) + 7) // 8)) AS cidx
+          |  FROM toks
+          |), chunks AS (
+          |  SELECT doc_id, cidx,
+          |    array_to_string(list_slice(s, cidx * 8 + 1, cidx * 8 + 8), ' ') AS chunk
+          |  FROM cid
+          |), marked AS (
+          |  SELECT doc_id, cidx,
+          |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY chunk
+          |      ORDER BY doc_id, cidx) = 1 THEN 1 ELSE 0 END AS kept
+          |  FROM chunks
+          |)
+          |SELECT doc_id, COUNT(*) AS n_chunks,
+          |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+          |  ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+          |FROM marked GROUP BY doc_id
+          |ORDER BY doc_id, n_chunks, n_kept, kept_frac""".stripMargin,
+      // int8 scalar-quantized ANN: integer candidate cut + cosine re-rank
+      "q76_sq_ann" -> Similarity.sqAnnOracleSql(),
     )
   }
 }

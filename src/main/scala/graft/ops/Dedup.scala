@@ -52,6 +52,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Passage-level dedup (the sub-document half of corpus dedup):
+    * split each document into fixed `w`-token chunks, keep only the
+    * corpus-wide FIRST occurrence of each chunk text (ordered by
+    * (doc_id, chunk index)), and report per-doc survival — the
+    * boilerplate-paragraph removal step of a web-corpus pipeline.
+    *
+    * Scale shape: chunks shuffle by chunk text exactly once (the
+    * first-occurrence window); at 100 TB replace the raw chunk string
+    * with its sha2 digest as the partition key to cap key width —
+    * semantics are unchanged because equality is all that's used. */
+  def passageDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    passageDedupDocs(Tables.documents(spark, dir), w)
+
+  /** Core passage dedup over any (doc_id, text) frame. */
+  def passageDedupDocs(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // transform() runs interpreted, but it is amortized over a whole
+    // row's chunks; the per-chunk work downstream dominates
+    val chunks = docs
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, (size(split(text, ' ')) + ${w - 1}) div $w - 1),
+                 i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))""")
+          .as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("cidx", "chunk")))
+    val firstWin = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("cidx"))
+    chunks
+      .withColumn("kept",
+        (row_number().over(firstWin) === 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        round(col("n_kept").cast("double") /
+          col("n_chunks").cast("double"), 6).as("kept_frac"))
+      .orderBy(col("doc_id"), col("n_chunks"), col("n_kept"),
+        col("kept_frac"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   val NumHashes = 64

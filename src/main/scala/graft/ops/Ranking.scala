@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking for a training-data pipeline: BM25 over
+  * the documents table — the scoring half of corpus curation (pick the
+  * documents most relevant to a seed query / domain-term set).
+  *
+  * Scale shape: tokens are filtered to the query-term set BEFORE any
+  * shuffle, so the aggregation state is |matching (doc, term) pairs|,
+  * not |corpus tokens|; document-frequency and corpus stats are
+  * O(#terms) and O(1) aggregates. No all-token shuffle ever happens.
+  */
+object Ranking {
+
+  /** Fixed seed-query terms: deterministic, present in the synthetic
+    * vocabulary, and replayable in the DuckDB oracle. */
+  val QueryTerms: Seq[String] = Seq("data", "merge", "stream")
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25(doc, query) for every document matching at least one query
+    * term. Per-(doc, term) partial scores are rounded to 6 decimals
+    * and summed as DECIMAL(18,6) (exact, order-independent) so the
+    * cross-engine hash compare can't be flipped by double-summation
+    * order (graft.ops.Det discipline). */
+  def bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame =
+    bm25Docs(Tables.documents(spark, dir), terms)
+
+  /** Core scorer over any (doc_id, text) frame — see [[bm25]]. */
+  def bm25Docs(docs: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    // corpus stats: one tiny aggregate (driver scalar, like the
+    // transfer checksum) — N docs and mean doc length
+    val statsRow = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    // term filter BEFORE the (doc, term) aggregation: only query-term
+    // occurrences survive the explode, so the shuffle is tiny
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val partial = tf
+      .join(broadcast(df.withColumn("idf", idf)), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score", col("idf") * col("tf") * lit(K1 + 1) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
+    partial.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(col("score"), 6).cast("decimal(18,6)"))
+          .cast("double").as("bm25"))
+      .orderBy(col("doc_id"), col("n_terms"), col("bm25"))
+  }
+
+  /** DuckDB oracle replaying [[bm25]] term-for-term. */
+  def bm25OracleSql(terms: Seq[String] = QueryTerms): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+       |)
+       |SELECT tf.doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM(CAST(ROUND(
+       |    LN(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      tf.tf * ${K1 + 1} /
+       |      (tf.tf + $K1 * (${1 - B} + $B * dl.dl / stats.avgdl)), 6)
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |FROM tf
+       |JOIN df USING (term)
+       |JOIN dl ON tf.doc_id = dl.doc_id
+       |CROSS JOIN stats
+       |GROUP BY tf.doc_id
+       |ORDER BY tf.doc_id, n_terms, bm25""".stripMargin
+  }
+}

@@ -145,6 +145,80 @@ object Similarity {
     annSearchMultiProbe(emb, q, k = 10)
   }
 
+  // ------------------------------------------- scalar-quantized ANN
+
+  /** Fixed symmetric int8 quantization scale: embeddings here live in
+    * (-0.5, 0.5), so round(v*255) fills (-128, 128) — at 100 TB the
+    * quantized corpus is stored as tinyint (4× smaller scan than
+    * float32) and candidate ranking is pure integer arithmetic. */
+  val SqScale = 255
+
+  private def sqHalfUp(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Scalar-quantized (int8-style) ANN: rank the corpus by EXACT
+    * integer dot product over round(v*255) codes, take the top
+    * `candidates` (deterministic (score desc, vec_id) cut), then
+    * re-rank the survivors by exact float cosine — the compression
+    * complement of the LSH/IVF pruning paths (those prune WHICH
+    * vectors are scored; this shrinks WHAT is scored). Quantization
+    * and integer math are bit-exact across engines, so unlike
+    * ML-KMeans IVF this path is fully oracle-checkable. The query's
+    * codes are unrolled as 64 literal terms — a codegen'd integer
+    * multiply-add chain, no interpreted lambdas. */
+  def sqAnnTopK(spark: SparkSession, dir: String, queryId: Long = 7,
+      topK: Int = 10, candidates: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val qEmb = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qCodes = qEmb.map(v => sqHalfUp(v.toDouble * SqScale)).toArray
+    val codes = expr(
+      s"transform(embedding, v -> cast(round(cast(v as double) * $SqScale, 0) as bigint))")
+    val intScore = qCodes.zipWithIndex.map { case (q, i) =>
+      element_at(col("__codes"), i + 1) * lit(q)
+    }.reduce(_ + _)
+    val qCol = array(qEmb.map(lit): _*)
+    emb.withColumn("__codes", codes)
+      .withColumn("int_score", intScore)
+      .orderBy(col("int_score").desc, col("vec_id"))
+      .limit(candidates)
+      .select(col("vec_id"), col("int_score"),
+        round(cosine(col("embedding"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"), col("int_score"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle replaying [[sqAnnTopK]]: same quantization, integer
+    * candidate cut, and rounded-cosine re-rank. */
+  def sqAnnOracleSql(queryId: Long = 7, topK: Int = 10,
+      candidates: Int = 50): String =
+    s"""WITH xi AS (
+       |  SELECT vec_id, list_transform(range(1, 65),
+       |    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * $SqScale) AS BIGINT)) AS x
+       |  FROM embeddings
+       |), q AS (SELECT x AS qx FROM xi WHERE vec_id = $queryId),
+       |scored AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(1, 65), i -> x[i] * q.qx[i])) AS int_score
+       |  FROM xi CROSS JOIN q
+       |), cand AS (
+       |  SELECT vec_id, int_score FROM scored
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY int_score DESC, vec_id) <= $candidates
+       |), qe AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings
+       |  WHERE vec_id = $queryId
+       |)
+       |SELECT c.vec_id, CAST(c.int_score AS BIGINT) AS int_score,
+       |  ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), qe.qemb) /
+       |    (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |     SQRT(LIST_INNER_PRODUCT(qe.qemb, qe.qemb))), 6) AS cos_sim
+       |FROM cand c
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |CROSS JOIN qe
+       |ORDER BY cos_sim DESC, c.vec_id, c.int_score LIMIT $topK""".stripMargin
+
   /** Embedding near-duplicate pairs, exact form over an id-bounded
     * subset (the oracle-checkable shape: one side is 200 rows and
     * broadcasts). Cosine is rounded BEFORE thresholding so the float

@@ -139,6 +139,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition-ratio quality signals (the Gopher-rules family): how
+    * much of a document is the same token / the same token bigram
+    * repeated. High top-fraction or low distinct-ratio flags
+    * boilerplate and degenerate generations for corpus filtering.
+    *
+    * Scale shape: posexplode + one window (lead) and two aggregations,
+    * all keyed by doc_id — a single shuffle partitioning carries
+    * through the whole plan; state per doc is its token multiset. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsDocs(Tables.documents(spark, dir))
+
+  /** Core repetition scorer over any (doc_id, text) frame. */
+  def repetitionStatsDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withBigram = toks.withColumn("bigram",
+      when(lead(col("term"), 1).over(w).isNotNull,
+        concat(col("term"), lit(" "), lead(col("term"), 1).over(w))))
+    val termStats = withBigram.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+    val bigramStats = withBigram.filter(col("bigram").isNotNull)
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("bf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"), max(col("bf")).as("top_bf"))
+    termStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_distinct").cast("double") /
+          col("n_tokens").cast("double"), 6).as("distinct_ratio"),
+        round(col("top_tf").cast("double") /
+          col("n_tokens").cast("double"), 6).as("top_token_frac"),
+        coalesce(round(col("top_bf").cast("double") /
+          col("n_bigrams").cast("double"), 6), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+        col("top_token_frac"), col("top_bigram_frac"))
+  }
+
   /** Winnowing (the MOSS local-fingerprint scheme): minimum shingle
     * hash per sliding window of W consecutive positional shingles,
     * deduplicated. Guarantees any shared substring of length

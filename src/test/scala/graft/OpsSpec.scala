@@ -130,4 +130,81 @@ class OpsSpec extends SparkSpec {
     val subsetSample = ids(Sampling.stratifiedSample(subset, "doc_id", "lang", rates, 0.1))
     assert(subsetSample == s1.filter(_ < 250), "keep decision not id-stable")
   }
+
+  test("bm25: rarer term outweighs commoner term; tf saturates; non-matching docs drop") {
+    import graft.ops.Ranking
+    // 'data' appears in 3 docs, 'merge' in 1 → idf(merge) > idf(data);
+    // all docs same length so the length normalizer cancels
+    val docs = Seq(
+      (1L, "data alpha beta gamma"),
+      (2L, "data delta epsilon zeta"),
+      (3L, "data data data data"),     // tf saturation: 4 occurrences
+      (4L, "merge alpha beta gamma"),
+      (5L, "other words only here"))
+      .toDF("doc_id", "text")
+    val got = Ranking.bm25Docs(docs, Seq("data", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(5L), "non-matching doc must not be scored")
+    assert(got(4L) > got(1L),
+      s"rare-term doc must outscore common-term doc: $got")
+    // k1-saturation: 4× the tf must score < 4× the single-occurrence doc
+    assert(got(3L) > got(1L) && got(3L) < 4 * got(1L),
+      s"tf saturation violated: $got")
+    assert(got(1L) == got(2L), "equal tf/dl docs must tie")
+  }
+
+  test("repetition stats flag degenerate docs and pass diverse ones") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "spam spam spam spam"),       // pure repetition
+      (2L, "one two three four"),        // fully diverse
+      (3L, "ab ab cd ab ab"))            // top bigram 'ab ab' ×2 of 4
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStatsDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 0.25, 1.0, 1.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((4L, 1.0, 0.25, 0.333333)), s"got ${got(2L)}")
+    // doc 3: 5 tokens, 2 distinct; 'ab'×4/5; bigrams: ab-ab, ab-cd,
+    // cd-ab, ab-ab → top 'ab ab' 2/4
+    assert(got(3L) == ((5L, 0.4, 0.8, 0.5)), s"got ${got(3L)}")
+  }
+
+  test("passage dedup keeps first occurrence of a shared chunk only") {
+    import graft.ops.Dedup
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$eight u1 u2 u3"),          // chunk0 = eight, chunk1 = 'u1 u2 u3'
+      (2L, s"$eight v1 v2 v3"),          // chunk0 duplicates doc 1's
+      (3L, "v1 v2 v3"))                  // = doc2's truncated trailing chunk
+      .toDF("doc_id", "text")
+    val got = Dedup.passageDedupDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 2L)), s"doc1 all kept: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L)), s"doc2 shared chunk dropped: ${got(2L)}")
+    // a short final chunk joins to the same text as a short document —
+    // chunk equality is by TEXT, so doc3's only chunk is a duplicate
+    assert(got(3L) == ((1L, 0L)), s"doc3 chunk matches doc2 tail: ${got(3L)}")
+  }
+
+  test("sq-ANN: query's own vector ranks first; int candidate cut preserves brute-force top-k") {
+    import graft.ops.Similarity
+    val top = Similarity.sqAnnTopK(spark, sf, queryId = 7, topK = 10,
+      candidates = 50).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(2) == 1.0,
+      "query vector must rank first at cos 1.0")
+    // brute-force exact cosine top-10 (same rounding + tie order)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0)
+    val brute = emb.select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"),
+          array(q.map(lit): _*)), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val got = top.map(_.getLong(0)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8,
+      s"int8 quantization recall $recall too low vs brute force")
+  }
 }
