@@ -189,9 +189,22 @@ object Ivf {
             (0 until 64).map(i => halfUp(r.getLong(2 + i).toDouble / n)).toArray)
         }.sortBy(_._1).toSeq
       }
+      // persist the tiny (vec_id, cell) table: every probe would
+      // otherwise re-evaluate the k×64-literal assignment expression
+      // over the whole corpus (measured as the slowest bench entry);
+      // the production path persists its cell table partitionBy(cell)
+      // the same way
       DetIndex(cents, xi.withColumn("cell", assignCol(cents))
-        .select(col("vec_id"), col("cell")))
+        .select(col("vec_id"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  /** Release the persisted deterministic indexes (test/driver hygiene —
+    * mirrors Dedup.unpersistCaches). */
+  def clearDetIndexes(): Unit = {
+    detIndexes.values.forEach(i => i.assigned.unpersist())
+    detIndexes.clear()
+  }
 
   /** Query entry: probe the deterministic index for the query vector's
     * topK cosine neighbours over the nProbe nearest cells. Cell
