@@ -31,31 +31,40 @@ object Ranking {
       terms: Seq[String] = QueryTerms): DataFrame =
     bm25Docs(Tables.documents(spark, dir), terms)
 
-  /** Core scorer over any (doc_id, text) frame — see [[bm25]]. */
+  /** Core scorer over any (doc_id, text) frame — see [[bm25]].
+    *
+    * Exactly TWO corpus scans: a narrow stats aggregate (N, avgdl) and
+    * the token scan that feeds tf — doc length rides along the token
+    * rows (constant per doc) instead of a third scan + join, and
+    * document frequency is a window over the already-tiny tf table
+    * instead of a re-scan. */
   def bm25Docs(docs: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
+    import org.apache.spark.sql.expressions.Window
     // corpus stats: one tiny aggregate (driver scalar, like the
     // transfer checksum) — N docs and mean doc length
-    val statsRow = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val statsRow = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
       .head()
     val n = statsRow.getLong(0)
     val avgdl = statsRow.getDouble(1)
     // term filter BEFORE the (doc, term) aggregation: only query-term
     // occurrences survive the explode, so the shuffle is tiny
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+    val df = count(lit(1)).over(Window.partitionBy(col("term")))
+      .cast("double")
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)))
     val partial = tf
-      .join(broadcast(df.withColumn("idf", idf)), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .withColumn("score", col("idf") * col("tf") * lit(K1 + 1) /
+      .withColumn("df", df)
+      .withColumn("score", idf * col("tf") * lit(K1 + 1) /
         (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
     partial.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
