@@ -110,6 +110,8 @@ object SparkEntry {
     "q74_repetition"        -> (TextAnalysis.repetitionStats _),
     "q75_passage_dedup"     -> ((s: SparkSession, d: String) => Dedup.passageDedup(s, d)),
     "q76_sq_ann"            -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d)),
+    "q77_ngram_counts"      -> (Ranking.ngramQuery _),
+    "q78_tfidf_keywords"    -> (Ranking.tfidfQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -832,6 +834,40 @@ object SparkEntry {
           |ORDER BY doc_id, n_chunks, n_kept, kept_frac""".stripMargin,
       // int8 scalar-quantized ANN: integer candidate cut + cosine re-rank
       "q76_sq_ann" -> Similarity.sqAnnOracleSql(),
+      // corpus n-gram LM statistics: top-50 token trigrams
+      "q77_ngram_counts" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+          |), tg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+          |    i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS ngram
+          |  FROM toks
+          |)
+          |SELECT ngram, COUNT(*) AS n_occurrences,
+          |  COUNT(DISTINCT doc_id) AS n_docs
+          |FROM tg GROUP BY ngram
+          |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+      // per-doc top-3 TF-IDF keywords, score rounded before the rank cut
+      "q78_tfidf_keywords" ->
+        """WITH stats AS (SELECT COUNT(*) AS n FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |        FROM documents)
+          |  GROUP BY doc_id, term
+          |), scored AS (
+          |  SELECT doc_id, term,
+          |    ROUND(tf * LN(stats.n /
+          |      CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE)), 6) AS tfidf
+          |  FROM tf CROSS JOIN stats
+          |)
+          |SELECT doc_id,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          |    ORDER BY tfidf DESC, term) AS BIGINT) AS rk,
+          |  term, tfidf
+          |FROM scored
+          |QUALIFY rk <= 3
+          |ORDER BY doc_id, rk, term, tfidf""".stripMargin,
     )
   }
 }

@@ -73,6 +73,69 @@ object Ranking {
       .orderBy(col("doc_id"), col("n_terms"), col("bm25"))
   }
 
+  /** Corpus-wide token-trigram frequency table, top `topK` by
+    * (occurrences desc, ngram) — the n-gram LM-statistics op of a
+    * pretraining pipeline (boilerplate detection, contamination
+    * screens, quality priors all start from this table).
+    *
+    * Scale shape: trigrams are formed with two window leads inside the
+    * doc_id partitioning (one shuffle of token rows), then partially
+    * aggregated before the (ngram)-keyed exchange; the top-k is a
+    * TakeOrdered, never a full sort. The ngram key space is huge at
+    * 100 TB but the aggregation state is (ngram, count) pairs with
+    * map-side combine — the standard count shape. */
+  def ngramCounts(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t0")))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t0"), col("t1"), col("t2")).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(topK)
+  }
+
+  def ngramQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramCounts(Tables.documents(spark, dir))
+
+  /** Per-document top-`k` TF-IDF keywords — the keyword-extraction /
+    * topic-tagging op. idf = ln(N / df) over the full vocabulary;
+    * scores are rounded to 6dp BEFORE ranking (ties broken by term)
+    * so the rank cut is engine-stable.
+    *
+    * Scale shape: one token explode feeding a (doc,term) aggregate;
+    * df is a window over the distinct (doc,term) pairs (no second
+    * corpus scan); the per-doc rank is a window over each doc's
+    * vocabulary. Three exchanges, all over aggregated pairs. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = count(lit(1)).over(Window.partitionBy(col("term")))
+    val scored = tf
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(lit(n.toDouble) / df.cast("double")), 6))
+    val rank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+  }
+
+  def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywords(Tables.documents(spark, dir))
+
   /** DuckDB oracle replaying [[bm25]] term-for-term. */
   def bm25OracleSql(terms: Seq[String] = QueryTerms): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")

@@ -187,6 +187,43 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L)), s"doc3 chunk matches doc2 tail: ${got(3L)}")
   }
 
+  test("ngram counts: repeated trigram dominates; distinct docs counted; short docs skipped") {
+    import graft.ops.Ranking
+    val docs = Seq(
+      (1L, "a b c a b c"),   // 'a b c' twice, 'b c a'/'c a b' once each
+      (2L, "a b c x y z"),   // 'a b c' again in a second doc
+      (3L, "p q"))           // too short for a trigram
+      .toDF("doc_id", "text")
+    val got = Ranking.ngramCounts(docs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.head == (("a b c", 3L, 2L)), s"got ${got.toSeq}")
+    assert(got.forall(_._1 != "p q"), "2-token doc produced a trigram")
+    // ties (count 1) break on ngram text ascending
+    assert(got.tail.map(_._1).toSeq == got.tail.map(_._1).toSeq.sorted)
+  }
+
+  test("tfidf keywords: corpus-wide term is worthless, rare term wins") {
+    import graft.ops.Ranking
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2 other common"),
+      (3L, "common filler words common"))
+      .toDF("doc_id", "text")
+    val got = Ranking.tfidfKeywords(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    // 'common' is in every doc → idf = ln(1) = 0: it scores exactly
+    // 0.0 and can only surface where a doc has nothing else to offer
+    got.values.filter(_._1 == "common").foreach { case (_, s) =>
+      assert(s == 0.0, s"corpus-wide term must score 0, got $s")
+    }
+    // doc 2: 'other' and 'rare2' tie on tfidf; term-asc tiebreak wins
+    assert(got((1L, 1L))._1 == "rare1" && got((2L, 1L))._1 == "other" &&
+      got((2L, 2L))._1 == "rare2")
+    assert(got.filterKeys(_._2 == 1L).values.forall(_._2 > 0.0),
+      s"rank-1 keyword with zero score: $got")
+  }
+
   test("sq-ANN: query's own vector ranks first; int candidate cut preserves brute-force top-k") {
     import graft.ops.Similarity
     val top = Similarity.sqAnnTopK(spark, sf, queryId = 7, topK = 10,
