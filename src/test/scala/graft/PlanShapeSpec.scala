@@ -116,4 +116,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"theta join degenerated:\n$p")
   }
+
+  test("runtime bloom filter injects into a selective shuffled fact join") {
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    // filtered (creation) side of a shuffle join and pushes a
+    // BloomFilterMightContain probe onto the big (application) side's
+    // scan — at 100 TB this prunes most of the fact scan's rows before
+    // the exchange. Default thresholds require a >10 GB application
+    // side, so lower them to demonstrate the mechanism at test scale;
+    // broadcast is disabled to force the shuffle-join shape the filter
+    // exists for.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F")     // selective creation side
+      val li = Tables.lineitem(spark, sf)
+      val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(orders("o_orderstatus")).count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${p.take(1500)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
