@@ -112,6 +112,7 @@ object SparkEntry {
     "q76_sq_ann"            -> ((s: SparkSession, d: String) => Similarity.sqAnnTopK(s, d)),
     "q77_ngram_counts"      -> (Ranking.ngramQuery _),
     "q78_tfidf_keywords"    -> (Ranking.tfidfQuery _),
+    "q79_pack_sequences"    -> (Ranking.packQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -868,6 +869,25 @@ object SparkEntry {
           |FROM scored
           |QUALIFY rk <= 3
           |ORDER BY doc_id, rk, term, tfidf""".stripMargin,
+      // greedy training-sequence packing: doc joins the sequence where
+      // its first token lands; cumsum windowed per source shard
+      "q79_pack_sequences" ->
+        """WITH dl AS (
+          |  SELECT source, doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          |  FROM documents
+          |), pos AS (
+          |  SELECT source, doc_id, dl,
+          |    SUM(dl) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) - dl AS start_tok
+          |  FROM dl
+          |)
+          |SELECT source, CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS seq_id,
+          |  COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_tokens,
+          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          |FROM pos GROUP BY source, seq_id
+          |ORDER BY source, seq_id, n_docs, n_tokens, first_doc,
+          |  last_doc""".stripMargin,
     )
   }
 }

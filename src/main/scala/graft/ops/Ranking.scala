@@ -136,6 +136,36 @@ object Ranking {
   def tfidfQuery(spark: SparkSession, dir: String): DataFrame =
     tfidfKeywords(Tables.documents(spark, dir))
 
+  /** Training-sequence packing: greedy concatenation of documents into
+    * fixed token-budget sequences, the step that turns a curated
+    * corpus into pretraining examples. Documents are packed in
+    * deterministic (doc_id) order within each source shard; a document
+    * belongs to the sequence where its first token lands (greedy
+    * concat semantics — long docs may spill over the boundary, split
+    * at tokenization time downstream).
+    *
+    * Scale shape: one scan; the cumulative sum is a window inside the
+    * source partitioning, so parallelism = shard count — at 100 TB the
+    * shard key is (source, day) or a hash bucket, exactly how packing
+    * shards in a real pipeline; nothing is global. */
+  def packSequences(docs: DataFrame, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      .withColumn("start_tok", sum(col("dl")).over(w) - col("dl"))
+      .withColumn("seq_id", floor(col("start_tok") / lit(seqLen)).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"), col("n_docs"),
+        col("n_tokens"), col("first_doc"), col("last_doc"))
+  }
+
+  def packQuery(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir))
+
   /** DuckDB oracle replaying [[bm25]] term-for-term. */
   def bm25OracleSql(terms: Seq[String] = QueryTerms): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")

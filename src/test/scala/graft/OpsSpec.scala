@@ -224,6 +224,24 @@ class OpsSpec extends SparkSpec {
       s"rank-1 keyword with zero score: $got")
   }
 
+  test("sequence packing: greedy fill, boundary doc stays with its start, shards independent") {
+    import graft.ops.Ranking
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("a", 1L, words(6)),  // seq 0: tokens 0-5
+      ("a", 2L, words(3)),  // seq 0: tokens 6-8
+      ("a", 3L, words(4)),  // starts at token 9 < 10 → seq 0 (spills)
+      ("a", 4L, words(2)),  // starts at 13 → seq 1
+      ("b", 5L, words(12))) // own shard: starts at 0 → seq 0
+      .toDF("source", "doc_id", "text")
+    val got = Ranking.packSequences(docs, seqLen = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("a", 0L)) == ((3L, 13L, 1L, 3L)), s"got ${got(("a", 0L))}")
+    assert(got(("a", 1L)) == ((1L, 2L, 4L, 4L)), s"got ${got(("a", 1L))}")
+    assert(got(("b", 0L)) == ((1L, 12L, 5L, 5L)), s"got ${got(("b", 0L))}")
+  }
+
   test("sq-ANN: query's own vector ranks first; int candidate cut preserves brute-force top-k") {
     import graft.ops.Similarity
     val top = Similarity.sqAnnTopK(spark, sf, queryId = 7, topK = 10,
