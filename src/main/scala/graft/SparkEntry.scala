@@ -764,12 +764,16 @@ object SparkEntry {
       "q72_scd2_history" ->
         """WITH ch AS (
           |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-          |    LAG(o_orderstatus) OVER w AS prev
+          |    LAG(o_orderstatus) OVER w AS prev,
+          |    LAG(TRUE) OVER w AS has_prev
           |  FROM orders
           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           |), kept AS (
+          |  -- has_prev (not prev IS NULL) detects the first row of a
+          |  -- key: a lagged NULL *attribute* must still compare via
+          |  -- IS DISTINCT FROM, matching Spark's lagged-struct check
           |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
-          |  FROM ch WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderstatus
+          |  FROM ch WHERE has_prev IS NULL OR prev IS DISTINCT FROM o_orderstatus
           |)
           |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
           |  LEAD(o_orderdate) OVER w AS valid_to,

@@ -74,7 +74,11 @@ object Tables {
         .map(b => f"${b & 0xff}%02x").mkString
       (s"li_bucketed_$digest", s"o_bucketed_$digest")
     })
-    if (!spark.catalog.tableExists(liName)) {
+    // guard on BOTH tables: a build interrupted between the two writes
+    // must retry on the next call, not take the fast path into a
+    // missing-orders AnalysisException forever
+    if (!spark.catalog.tableExists(liName) ||
+        !spark.catalog.tableExists(oName)) {
       val digest = liName.stripPrefix("li_bucketed_")
       lineitem(spark, dir).write.mode("overwrite")
         .bucketBy(FactBuckets, "l_orderkey").sortBy("l_orderkey")

@@ -274,14 +274,18 @@ object Transfer {
   def scd2Apply(history: DataFrame, updates: DataFrame, key: String,
       ts: String, attrs: Seq[String], validate: Boolean = true): DataFrame = {
     if (validate) {
-      require(updates.filter(col(key).isNull).limit(1).collect().isEmpty,
-        s"scd2Apply: updates contain a NULL $key — SCD-2 requires " +
-          "non-null keys (a NULL key cannot match its own current row)")
-      val dup = updates.groupBy(col(key))
-        .count().filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"scd2Apply: updates contain duplicate rows for key " +
-          s"${dup.head.get(0)} — SCD-2 merge requires key-unique updates")
+      // one aggregation job catches both invariants (NULL keys group
+      // together, so they surface as a "key" row like any duplicate)
+      val bad = updates.groupBy(col(key)).count()
+        .filter(col("count") > 1 || col(key).isNull).limit(1).collect()
+      bad.headOption.foreach { r =>
+        require(!r.isNullAt(0),
+          s"scd2Apply: updates contain a NULL $key — SCD-2 requires " +
+            "non-null keys (a NULL key cannot match its own current row)")
+        require(false,
+          s"scd2Apply: updates contain duplicate rows for key " +
+            s"${r.get(0)} — SCD-2 merge requires key-unique updates")
+      }
     }
     val validToType = history.schema("valid_to").dataType
     val closed = history.filter(!col("is_current"))

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * strings (see the `Sql` mirror below) — keep them in lockstep.
   */
 object Det {
+  /** Driver-side half-away-from-zero rounding to a whole Long —
+    * matches Spark's `round(x, 0)` and DuckDB's `ROUND(x)` exactly, so
+    * driver-computed constants (quantized query vectors, Lloyd
+    * centroid means) replay bit-identically in both engines. The ONE
+    * implementation of this rule; do not inline new copies. */
+  def halfUpLong(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
   /** Exact, order-independent sum of a money-like double column. */
   def exactSum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")

@@ -157,10 +157,6 @@ object Ivf {
       struct(d2ToLiteral(col("x"), c).as("d"), lit(id).as("cell"))
     }: _*).getField("cell")
 
-  private def halfUp(x: Double): Long =
-    new java.math.BigDecimal(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-
   private val detIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, DetIndex]()
 
@@ -170,7 +166,12 @@ object Ivf {
     * driver-side footprint as readIndex. */
   def deterministicIndex(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DetIndex =
-    detIndexes.computeIfAbsent(s"$dir|$k|$iters", _ => {
+    // keyed by sessionUUID too: DetIndex.assigned is a persisted
+    // DataFrame BOUND to its session (unlike persistedIndex, which
+    // stores an on-disk path any session can re-read) — a cached entry
+    // from a stopped session would poison later sessions in this JVM
+    detIndexes.computeIfAbsent(
+        s"${System.identityHashCode(spark)}|$dir|$k|$iters", _ => {
       val xi = Tables.embeddings(spark, dir)
         .select(col("vec_id"), muCol.as("x"))
       var cents: Seq[(Long, Array[Long])] = xi.filter(col("vec_id") < k)
@@ -186,7 +187,7 @@ object Ivf {
         cents = rows.map { r =>
           val n = r.getLong(1)
           (r.getLong(0),
-            (0 until 64).map(i => halfUp(r.getLong(2 + i).toDouble / n)).toArray)
+            (0 until 64).map(i => Det.halfUpLong(r.getLong(2 + i).toDouble / n)).toArray)
         }.sortBy(_._1).toSeq
       }
       // persist the tiny (vec_id, cell) table: every probe would
@@ -219,7 +220,7 @@ object Ivf {
     val qEmb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId).select(col("embedding"))
       .head().getSeq[Float](0)
-    val qMu = qEmb.map(v => halfUp(v.toDouble * 1e6)).toArray
+    val qMu = qEmb.map(v => Det.halfUpLong(v.toDouble * 1e6)).toArray
     def d2(c: Array[Long]): Long =
       c.zip(qMu).map { case (a, b) => (a - b) * (a - b) }.sum
     val probed = idx.centroids.map { case (id, c) => (d2(c), id) }

@@ -153,10 +153,6 @@ object Similarity {
     * float32) and candidate ranking is pure integer arithmetic. */
   val SqScale = 255
 
-  private def sqHalfUp(x: Double): Long =
-    new java.math.BigDecimal(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-
   /** Scalar-quantized (int8-style) ANN: rank the corpus by EXACT
     * integer dot product over round(v*255) codes, take the top
     * `candidates` (deterministic (score desc, vec_id) cut), then
@@ -173,7 +169,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val qEmb = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0)
-    val qCodes = qEmb.map(v => sqHalfUp(v.toDouble * SqScale)).toArray
+    val qCodes = qEmb.map(v => Det.halfUpLong(v.toDouble * SqScale)).toArray
     val codes = expr(
       s"transform(embedding, v -> cast(round(cast(v as double) * $SqScale, 0) as bigint))")
     val intScore = qCodes.zipWithIndex.map { case (q, i) =>

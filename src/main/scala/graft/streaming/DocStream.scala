@@ -34,6 +34,12 @@ object DocStream {
   def incrementalDedup(docs: DataFrame, corpus: DataFrame,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val fresh = docs
+      // NULL text admits nothing in the batch twin (its equi semi-join
+      // drops null digests); filter explicitly here because
+      // dropDuplicatesWithinWatermark + anti-join would instead admit
+      // the FIRST null-text doc (nulls compare equal in dedup state,
+      // and a null key never matches the anti-join's corpus side)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("ingest_ts"),
         sha2(col("text"), 256).as("content_hash"))
       .withWatermark("ingest_ts", watermarkDelay)
