@@ -113,6 +113,9 @@ object SparkEntry {
     "q77_ngram_counts"      -> (Ranking.ngramQuery _),
     "q78_tfidf_keywords"    -> (Ranking.tfidfQuery _),
     "q79_pack_sequences"    -> (Ranking.packQuery _),
+    "q80_window_dist"       -> (Windows.windowDistribution _),
+    "q81_fuzzy_match"       -> ((s: SparkSession, d: String) =>
+      Dedup.fuzzyNameMatches(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -892,6 +895,32 @@ object SparkEntry {
           |FROM pos GROUP BY source, seq_id
           |ORDER BY source, seq_id, n_docs, n_tokens, first_doc,
           |  last_doc""".stripMargin,
+      // distribution window family; unique (price, orderkey) ordering
+      // keeps NTILE's row numbering deterministic under price ties
+      "q80_window_dist" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+          |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+          |  NTH_VALUE(o_totalprice, 2) OVER
+          |    (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |    AS second_price
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey, o_totalprice, quartile,
+          |  pct_rank, cume, second_price NULLS FIRST""".stripMargin,
+      // blocked fuzzy match: first-token blocking + levenshtein verify
+      "q81_fuzzy_match" ->
+        """WITH names AS (
+          |  SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS blk
+          |  FROM part
+          |)
+          |SELECT a.p_name AS name_a, b.p_name AS name_b,
+          |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+          |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+          |WHERE levenshtein(a.p_name, b.p_name) <= 3
+          |ORDER BY name_a, name_b, edit_dist""".stripMargin,
     )
   }
 }

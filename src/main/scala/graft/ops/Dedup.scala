@@ -90,6 +90,28 @@ object Dedup {
         col("kept_frac"))
   }
 
+  /** Fuzzy entity matching: distinct-name pairs within `maxDist` edit
+    * distance, joined only inside a blocking key (first token) — the
+    * block-then-verify shape every entity-resolution pipeline uses so
+    * the quadratic verify runs per block, never corpus-wide. At 100 TB
+    * the blocking key graduates to (first token, length bucket) or a
+    * q-gram LSH; the join shape is unchanged. Distinct names (not
+    * part ids) keep the pair space the vocabulary's, not the table's. */
+  def fuzzyNameMatches(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("edit_dist"))
+      .orderBy(col("name_a"), col("name_b"), col("edit_dist"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   val NumHashes = 64

@@ -70,6 +70,26 @@ object Windows {
         col("l_linenumber"), col("l_extendedprice"), col("trailing_rev"))
   }
 
+  /** Distribution window functions (the analytic-SQL tail of the
+    * window family): quartile assignment, percentile rank, cumulative
+    * distribution, and a whole-partition nth_value. Ordering includes
+    * the unique o_orderkey so NTILE's row numbering — which is
+    * order-dependent under ties — is deterministic cross-engine. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("quartile"), col("pct_rank"), col("cume"), col("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("quartile"), col("pct_rank"), col("cume"), col("second_price"))
+  }
+
   /** lag/lead of order price within each customer's order history. */
   def orderPriceLagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

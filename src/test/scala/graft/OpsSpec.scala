@@ -224,6 +224,35 @@ class OpsSpec extends SparkSpec {
       s"rank-1 keyword with zero score: $got")
   }
 
+  test("window distribution: quartiles split evenly, pct_rank spans [0,1], nth_value sees whole partition") {
+    import graft.ops.Windows
+    val rows = Windows.windowDistribution(spark, sf).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    val (_, some) = byCust.find(_._2.length >= 8).get
+    // quartiles within a customer differ by at most 1 in size
+    val sizes = some.groupBy(_.getLong(3)).view.mapValues(_.length).values
+    assert(sizes.max - sizes.min <= 1, s"uneven quartiles: $sizes")
+    // pct_rank: min row is 0, max row is 1
+    val pr = some.map(_.getDouble(4))
+    assert(pr.min == 0.0 && pr.max == 1.0)
+    // second_price = the 2nd-cheapest price, constant across the partition
+    val sorted = some.map(_.getDouble(2)).sorted
+    assert(some.forall(r => r.getDouble(6) == sorted(1)))
+  }
+
+  test("fuzzy match blocks by first token and verifies by edit distance") {
+    import graft.ops.Dedup
+    val got = Dedup.fuzzyNameMatches(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty, "no fuzzy pairs found in the part vocabulary")
+    // every pair shares its blocking token and respects the cutoff
+    assert(got.forall { case (a, b, d) =>
+      a.split(" ").head == b.split(" ").head && d >= 1 && d <= 3 })
+    // spot-check a known near-pair shape: X bolt / X rod at distance 3
+    assert(got.exists { case (a, b, d) =>
+      a.endsWith(" bolt") && b.endsWith(" rod") && d == 3 }, s"${got.toSeq}")
+  }
+
   test("sequence packing: greedy fill, boundary doc stays with its start, shards independent") {
     import graft.ops.Ranking
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
