@@ -116,6 +116,8 @@ object SparkEntry {
     "q80_window_dist"       -> (Windows.windowDistribution _),
     "q81_fuzzy_match"       -> ((s: SparkSession, d: String) =>
       Dedup.fuzzyNameMatches(s, d)),
+    "q82_regional_revenue"  -> ((s: SparkSession, d: String) =>
+      Flagship.regionalRevenue(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -921,6 +923,21 @@ object SparkEntry {
           |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
           |WHERE levenshtein(a.p_name, b.p_name) <= 3
           |ORDER BY name_a, name_b, edit_dist""".stripMargin,
+      // TPC-H Q5 shape: local supply chains per nation, one region/year
+      "q82_regional_revenue" ->
+        s"""SELECT n_name,
+           |  CAST(SUM(${revenueTerm("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name""".stripMargin,
     )
   }
 }

@@ -46,4 +46,36 @@ object Flagship {
         col("rev_d").cast("double").as("revenue"))
       .orderBy(col("r_name"), col("rnk"))
   }
+
+  /** TPC-H Q5-shaped composite: revenue per nation from LOCAL supply
+    * chains (customer and supplier in the same nation) within one
+    * region and one order year — the 6-table join-ordering showcase.
+    *
+    * Scale shape: the only fact-fact shuffle is lineitem⋈orders on
+    * orderkey; the date filter cuts orders BEFORE that shuffle
+    * (pushed to the scan), and every dimension broadcasts. customer
+    * broadcasts here because SF-scale customers fit; at 100 TB the
+    * customer join becomes the second key-shuffle while the plan
+    * shape otherwise holds. */
+  def regionalRevenue(spark: SparkSession, dir: String,
+      region: String = "ASIA"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
 }

@@ -35,6 +35,46 @@ class BucketingSpec extends SparkSpec {
       s"recall@4 too low: ${brute.intersect(wide).size}/10")
   }
 
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
+    // the other half of the pruning story next to static
+    // PartitionFilters: when the fact is partitioned by a join key and
+    // the dim side carries a selective filter, Catalyst injects a
+    // dynamicpruning subquery so only the dim-selected partitions of
+    // the fact are read — at 100 TB this is the date/tenant-partition
+    // mechanism that turns a full scan into a handful of directories
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(s"$root/orders_by_status")
+    val fact = spark.read.parquet(s"$root/orders_by_status")
+    import spark.implicits._
+    // the dim must be a real source scan: a Seq-backed LocalRelation
+    // gets constant-folded (ConvertToLocalRelation), the Filter node
+    // vanishes, and the pruning rule no longer sees a selective
+    // predicate to derive the subquery from
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label")
+      .write.mode("overwrite").parquet(s"$root/status_dim")
+    val dim = spark.read.parquet(s"$root/status_dim")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      val joined = fact
+        .join(dim.filter(col("label") === "finished"),
+          fact("o_orderstatus") === dim("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("dynamicpruning"),
+        s"no DPP subquery injected:\n${plan.take(1200)}")
+      // and the pruned result is still the right answer
+      val n = joined.head().getLong(1)
+      val expected = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F").count()
+      assert(n == expected, s"DPP changed the answer: $n vs $expected")
+    } finally
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+  }
+
   test("bucketed fact-fact join plans without an exchange on the join key") {
     // warehouse dir is static conf, set in TestSpark's builder
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
