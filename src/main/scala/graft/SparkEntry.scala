@@ -118,6 +118,7 @@ object SparkEntry {
       Dedup.fuzzyNameMatches(s, d)),
     "q82_regional_revenue"  -> ((s: SparkSession, d: String) =>
       Flagship.regionalRevenue(s, d)),
+    "q83_simhash_det"       -> (Dedup.simhashDetFingerprints _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -938,6 +939,8 @@ object SparkEntry {
            |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
            |GROUP BY n_name
            |ORDER BY revenue DESC, n_name""".stripMargin,
+      // SimHash with the FNV+splitmix token hash: full bit-level replay
+      "q83_simhash_det" -> HashSql.simhashDetOracle,
     )
   }
 }

@@ -373,6 +373,38 @@ object Dedup {
   }
 
   /** Per-document simhash + its 4×16-bit bands (the hamming-LSH keys). */
+  /** Deterministic SimHash: identical semantics to [[simhashExpr]] but
+    * with the FNV+splitmix token hash (`rolling_hash`) in place of
+    * xxhash64 — the one piece of the SimHash pipeline DuckDB cannot
+    * replay. This sibling turns the SimHash *capability* into a full
+    * hash-checked oracle row (q83), the q71-for-q46 move; the xxhash64
+    * form stays the production default (built-in, codegen'd). */
+  def simhashDetExpr(textCol: String): Column = {
+    val counts =
+      s"""aggregate(
+         |  transform(split($textCol, ' '), t -> rolling_hash(t)),
+         |  array_repeat(0L, 64),
+         |  (acc, h) -> zip_with(acc, sequence(0, 63),
+         |    (a, i) -> a + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin
+    expr(
+      s"""aggregate(
+         |  zip_with($counts, sequence(0, 63),
+         |    (c, i) -> CASE WHEN c >= 0 THEN shiftleft(1L, i) ELSE 0L END),
+         |  0L, (acc, b) -> acc | b)""".stripMargin)
+  }
+
+  /** Query entry: deterministic SimHash + 16-bit band split per doc. */
+  def simhashDetFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val withSim = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhashDetExpr("text").as("simhash_det"))
+    (0 until 4).foldLeft(withSim) { (df, c) =>
+      df.withColumn(s"band_$c",
+        shiftrightunsigned(col("simhash_det"), c * 16).bitwiseAND(lit(0xFFFFL)))
+    }.orderBy(col("doc_id"), col("simhash_det"), col("band_0"),
+      col("band_1"), col("band_2"), col("band_3"))
+  }
+
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val withSim = Tables.documents(spark, dir)

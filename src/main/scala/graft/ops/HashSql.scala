@@ -107,6 +107,41 @@ object HashSql {
        |GROUP BY f.doc_id HAVING count(*) >= $minShared
        |ORDER BY doc_id""".stripMargin
 
+  /** q83: deterministic SimHash — the engine's SimHash semantics (per-
+    * token 64-bit hash, ±1 bit balances, bit set when balance >= 0,
+    * 4×16-bit bands) with the replayable FNV+splitmix token hash in
+    * place of xxhash64. Bit tests and reassembly run as division by
+    * power-of-two literals (HUGEINT `>>`/`<<` support is not assumed;
+    * this is the same discipline as the splitmix shift emulation). */
+  def simhashDetOracle: String = {
+    val powers = (0 until 64)
+      .map(i => s"(${i}, ${BigInt(1) << i}::HUGEINT)").mkString(", ")
+    def band(c: Int): String =
+      s"((hu // ${BigInt(1) << (c * 16)}) % 65536)::BIGINT AS band_$c"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |),
+       |f5 AS (SELECT doc_id,
+       |  ${fnvReduce("[ascii(substr(t, i, 1))::HUGEINT FOR i IN range(1, length(t)+1)]")} AS h
+       |  FROM tok),
+       |powers(i, p) AS (VALUES $powers),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+       |  FROM f5 CROSS JOIN powers GROUP BY doc_id, i
+       |),
+       |sim AS (
+       |  SELECT b.doc_id,
+       |    SUM(CASE WHEN b.bal >= 0 THEN pw.p ELSE 0::HUGEINT END) AS hu
+       |  FROM bits b JOIN powers pw ON b.i = pw.i
+       |  GROUP BY b.doc_id
+       |)
+       |SELECT doc_id, ${toSigned("hu")} AS simhash_det,
+       |  ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
+       |FROM sim
+       |ORDER BY doc_id, simhash_det, band_0, band_1, band_2, band_3""".stripMargin
+  }
+
   /** q41: brute-force ground truth for MinHash+LSH near-dup pairs —
     * ALL-pairs exact Jaccard over distinct 8-char shingles (feasible
     * only at oracle scale; the engine's banded plan is the 100-TB

@@ -224,6 +224,28 @@ class OpsSpec extends SparkSpec {
       s"rank-1 keyword with zero score: $got")
   }
 
+  test("deterministic simhash keeps the locality property: small edit = small hamming") {
+    import graft.ops.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again"),
+      (2L, "the quick brown fox jumps over the lazy cat today again"), // 1 token
+      (3L, "entirely different content with no shared tokens at all"))
+      .toDF("doc_id", "text")
+    val sims = docs.select(col("doc_id"),
+        Dedup.simhashDetExpr("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sims(1L), sims(2L))
+    val far = hamming(sims(1L), sims(3L))
+    assert(near < far, s"locality violated: near=$near far=$far")
+    assert(near <= 16, s"one-token edit moved $near bits")
+    // determinism: recomputation is bit-identical
+    val again = docs.select(Dedup.simhashDetExpr("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == sims.values.toSet)
+  }
+
   test("window distribution: quartiles split evenly, pct_rank spans [0,1], nth_value sees whole partition") {
     import graft.ops.Windows
     val rows = Windows.windowDistribution(spark, sf).collect()
