@@ -119,6 +119,8 @@ object SparkEntry {
     "q82_regional_revenue"  -> ((s: SparkSession, d: String) =>
       Flagship.regionalRevenue(s, d)),
     "q83_simhash_det"       -> (Dedup.simhashDetFingerprints _),
+    "q84_kmv_sketch"        -> ((s: SparkSession, d: String) =>
+      Grouping.kmvSketchRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -941,6 +943,8 @@ object SparkEntry {
            |ORDER BY revenue DESC, n_name""".stripMargin,
       // SimHash with the FNV+splitmix token hash: full bit-level replay
       "q83_simhash_det" -> HashSql.simhashDetOracle,
+      // k-mins sketch: HLL's build->merge topology, fully replayable
+      "q84_kmv_sketch" -> HashSql.kmvSketchOracle(),
     )
   }
 }

@@ -73,6 +73,16 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotf", exprs => DotProductF(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "splitmix64", exprs => Splitmix64(exprs.head), "internal")
+  }
+
+  /** Plain-Scala splitmix64 reference for differential testing. */
+  def splitmix64Reference(h0: Long): Long = {
+    var h = h0
+    h = (h ^ (h >>> 30)) * java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+    h = (h ^ (h >>> 27)) * java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+    h ^ (h >>> 31)
   }
 
   /** Plain-Scala reference implementation for differential testing. */

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional aggregation surface: ROLLUP / CUBE / GROUPING SETS,
@@ -69,6 +69,51 @@ object Grouping {
     * roll up monthly/yearly by unioning kilobyte sketches).
     * Hash-based → oracle-exempt; accuracy vs exact is asserted in
     * OpsSpec. */
+  /** Re-aggregatable distinct-count sketch with a FULL oracle — the
+    * deterministic sibling of [[hllSketchRollup]] (whose HLL binary
+    * state DuckDB cannot replay). A k-mins sketch: k=16 seeded FNV
+    * hashes per user, per-(type, day) state is the k minima (bounded,
+    * distributive), the rollup merges by element-wise MIN — exactly
+    * HLL's build→merge topology — and the estimator k/Σ(m_j/2^63) - 1
+    * is a fixed-order fold of 16 doubles, bit-identical across
+    * engines. The exact distinct rides along so the oracle also pins
+    * the sketch's accuracy, not just its arithmetic. */
+  def kmvSketchRollup(spark: SparkSession, dir: String,
+      k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // splitmix64 finalizer for uniformity (raw FNV of short strings
+    // clusters in the high bits and biases order statistics); sign bit
+    // dropped so MIN agrees with the oracle's unsigned order
+    def h(j: Int): Column =
+      call_function("splitmix64", call_function("rolling_hash",
+        concat(col("user_id").cast("string"), lit(s"#$j"))))
+        .bitwiseAND(lit(Long.MaxValue))
+    val ev = Tables.events(spark, dir)
+    val dailyAggs = (1 to k).map(j => min(h(j)).as(s"m$j"))
+    val daily = ev.groupBy(
+        date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(dailyAggs.head, dailyAggs.tail: _*)
+    val mergeAggs = (1 to k).map(j => min(col(s"m$j")).as(s"m$j"))
+    val mergedAll = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), mergeAggs: _*)
+    // Σm_j computed EXACTLY in decimal (order-independent), then one
+    // correctly-rounded double division: est = k·2^63 / Σm - 1.
+    // k·2^63 = 2^67 is an exact double
+    val totalM = (1 to k).map(j => col(s"m$j").cast("decimal(38,0)"))
+      .reduce(_ + _)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    mergedAll
+      .withColumn("kmv_est",
+        round(lit(k * 9223372036854775808.0) /
+          totalM.cast("double") - 1.0, 4))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("kmv_est"),
+        col("exact_distinct"))
+      .orderBy(col("event_type"), col("n_days"), col("kmv_est"),
+        col("exact_distinct"))
+  }
+
   def hllSketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val daily = ev.groupBy(

@@ -142,6 +142,57 @@ object HashSql {
        |ORDER BY doc_id, simhash_det, band_0, band_1, band_2, band_3""".stripMargin
   }
 
+  /** q84: k-mins distinct sketch rollup — per-(type, day) minima of k
+    * seeded FNV hashes, merged by element-wise MIN, estimated by the
+    * fixed-order k/Σ(m_j/2^63) - 1 fold. The sign bit is dropped on
+    * both sides (mod 2^63 here, `& Long.MaxValue` in Spark) so MIN
+    * agrees between signed and unsigned representations. */
+  def kmvSketchOracle(k: Int = 16): String = {
+    val c1 = BigInt("bf58476d1ce4e5b9", 16)
+    val c2 = BigInt("94d049bb133111eb", 16)
+    // the seed index j is a ROW dimension (not k generated columns):
+    // the staged splitmix CTEs then touch one h column each, and the
+    // exact HUGEINT sum over j-rows is order-independent
+    s"""WITH jx AS (SELECT unnest(range(1, ${k + 1})) AS j),
+       |s0 AS (
+       |  SELECT event_type, DATE_TRUNC('day', ts) AS day, jx.j,
+       |    (user_id::VARCHAR || '#' || jx.j::VARCHAR) AS s
+       |  FROM events CROSS JOIN jx
+       |),
+       |f0 AS (SELECT event_type, day, j,
+       |  ${fnvReduce("[ascii(substr(s, i, 1))::HUGEINT FOR i IN range(1, length(s)+1)]")} AS h
+       |  FROM s0),
+       |f1 AS (SELECT event_type, day, j, xor(h, h // 1073741824) AS h FROM f0),
+       |f2 AS (SELECT event_type, day, j, ${mulmod64("h", c1)} AS h FROM f1),
+       |f3 AS (SELECT event_type, day, j, xor(h, h // 134217728) AS h FROM f2),
+       |f4 AS (SELECT event_type, day, j, ${mulmod64("h", c2)} AS h FROM f3),
+       |f5 AS (SELECT event_type, day, j, xor(h, h // 2147483648) % $Signed63 AS h FROM f4),
+       |daily AS (
+       |  SELECT event_type, day, j, MIN(h) AS m FROM f5
+       |  GROUP BY event_type, day, j
+       |),
+       |merged AS (
+       |  SELECT event_type, j, MIN(m) AS m FROM daily GROUP BY event_type, j
+       |),
+       |tot AS (SELECT event_type, SUM(m) AS sm FROM merged GROUP BY event_type),
+       |days AS (
+       |  SELECT event_type, COUNT(DISTINCT DATE_TRUNC('day', ts)) AS n_days
+       |  FROM events GROUP BY event_type
+       |),
+       |exact AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT t.event_type, d.n_days,
+       |  ROUND(($k.0 * CAST(9223372036854775808 AS DOUBLE)) /
+       |    CAST(t.sm AS DOUBLE) - 1.0, 4) AS kmv_est,
+       |  exact.exact_distinct
+       |FROM tot t
+       |JOIN days d USING (event_type)
+       |JOIN exact USING (event_type)
+       |ORDER BY event_type, n_days, kmv_est, exact_distinct""".stripMargin
+  }
+
   /** q41: brute-force ground truth for MinHash+LSH near-dup pairs —
     * ALL-pairs exact Jaccard over distinct 8-char shingles (feasible
     * only at oracle scale; the engine's banded plan is the 100-TB

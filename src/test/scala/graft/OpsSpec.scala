@@ -224,6 +224,27 @@ class OpsSpec extends SparkSpec {
       s"rank-1 keyword with zero score: $got")
   }
 
+  test("kmv sketch: estimate within 3 std errors of exact; splitmix expr matches reference") {
+    import graft.ops.Grouping
+    graft.functions.GraftFunctions.register(spark)
+    // the expression agrees with the plain-Scala reference (and with
+    // the HUGEINT replay the oracle uses, proven by the q84 oracle)
+    val probe = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue).toDF("x")
+      .selectExpr("x", "splitmix64(x) AS s").collect()
+    probe.foreach { r =>
+      assert(r.getLong(1) ==
+        graft.functions.GraftFunctions.splitmix64Reference(r.getLong(0)))
+    }
+    val rows = Grouping.kmvSketchRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(2), r.getLong(3))
+      // k=16 mins estimator: std error ~ n/sqrt(k) = 25% of n
+      assert(math.abs(est - exact) <= 0.75 * exact,
+        s"${r.getString(0)}: est $est vs exact $exact out of tolerance")
+    }
+  }
+
   test("deterministic simhash keeps the locality property: small edit = small hamming") {
     import graft.ops.Dedup
     graft.functions.GraftFunctions.register(spark)
