@@ -24,12 +24,10 @@ case class Splitmix64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "splitmix64"
 
-  override def nullSafeEval(input: Any): Any = {
-    var h = input.asInstanceOf[Long]
-    h = (h ^ (h >>> 30)) * C1
-    h = (h ^ (h >>> 27)) * C2
-    h ^ (h >>> 31)
-  }
+  // delegates to the shared reference so interpreted eval, codegen,
+  // and the differential-test expectation cannot drift apart
+  override def nullSafeEval(input: Any): Any =
+    GraftFunctions.splitmix64Reference(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {

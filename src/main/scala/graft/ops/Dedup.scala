@@ -372,7 +372,6 @@ object Dedup {
          |  0L, (acc, b) -> acc | b)""".stripMargin)
   }
 
-  /** Per-document simhash + its 4×16-bit bands (the hamming-LSH keys). */
   /** Deterministic SimHash: identical semantics to [[simhashExpr]] but
     * with the FNV+splitmix token hash (`rolling_hash`) in place of
     * xxhash64 — the one piece of the SimHash pipeline DuckDB cannot
@@ -405,6 +404,7 @@ object Dedup {
       col("band_1"), col("band_2"), col("band_3"))
   }
 
+  /** Per-document simhash + its 4×16-bit bands (the hamming-LSH keys). */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val withSim = Tables.documents(spark, dir)

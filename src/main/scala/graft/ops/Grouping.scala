@@ -78,8 +78,12 @@ object Grouping {
     * is a fixed-order fold of 16 doubles, bit-identical across
     * engines. The exact distinct rides along so the oracle also pins
     * the sketch's accuracy, not just its arithmetic. */
+  /** The ONE k for the k-mins sketch — shared with the oracle builder
+    * (HashSql.kmvSketchOracle) so the two sides cannot drift. */
+  val KmvK = 16
+
   def kmvSketchRollup(spark: SparkSession, dir: String,
-      k: Int = 16): DataFrame = {
+      k: Int = KmvK): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // splitmix64 finalizer for uniformity (raw FNV of short strings
     // clusters in the high bits and biases order statistics); sign bit

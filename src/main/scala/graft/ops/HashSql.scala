@@ -147,7 +147,7 @@ object HashSql {
     * fixed-order k/Σ(m_j/2^63) - 1 fold. The sign bit is dropped on
     * both sides (mod 2^63 here, `& Long.MaxValue` in Spark) so MIN
     * agrees between signed and unsigned representations. */
-  def kmvSketchOracle(k: Int = 16): String = {
+  def kmvSketchOracle(k: Int = Grouping.KmvK): String = {
     val c1 = BigInt("bf58476d1ce4e5b9", 16)
     val c2 = BigInt("94d049bb133111eb", 16)
     // the seed index j is a ROW dimension (not k generated columns):

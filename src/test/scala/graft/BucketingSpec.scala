@@ -8,10 +8,22 @@ import org.apache.spark.sql.functions._
   * concrete 100 TB co-location strategy, proven on the local catalog. */
 class BucketingSpec extends SparkSpec {
 
+  /** Recursively delete a test temp dir so repeated runs don't
+    * accumulate table copies under java.io.tmpdir. */
+  private def rmTree(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
   test("IVF persisted index: search probes are partition-pruned, recall holds") {
     import graft.ops.{Ivf, Similarity}
     val emb = Tables.embeddings(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
     Ivf.writeIndex(Ivf.build(emb, k = 8), out)
     val idx = Ivf.readIndex(spark, out)
     assert(idx.centroids.length == 8)
@@ -33,6 +45,7 @@ class BucketingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(brute.intersect(wide).size >= 4,
       s"recall@4 too low: ${brute.intersect(wide).size}/10")
+    } finally rmTree(out)
   }
 
   test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
@@ -43,6 +56,7 @@ class BucketingSpec extends SparkSpec {
     // the fact are read — at 100 TB this is the date/tenant-partition
     // mechanism that turns a full scan into a handful of directories
     val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
     Tables.orders(spark, sf)
       .write.mode("overwrite").partitionBy("o_orderstatus")
       .parquet(s"$root/orders_by_status")
@@ -73,6 +87,7 @@ class BucketingSpec extends SparkSpec {
       assert(n == expected, s"DPP changed the answer: $n vs $expected")
     } finally
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    } finally rmTree(root)
   }
 
   test("bucketed fact-fact join plans without an exchange on the join key") {
