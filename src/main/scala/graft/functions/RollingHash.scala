@@ -72,6 +72,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64_fnv", exprs => SimHash64(exprs.head, fnv = true), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotf", exprs => DotProductF(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "splitmix64", exprs => Splitmix64(exprs.head), "internal")

@@ -23,17 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * set when the per-bit vote count is >= 0 (ties set the bit), matching
   * the interpreted form kept in `Dedup.simhashExprInterpreted`.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, fnv: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (fnv) "simhash64_fnv" else "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[UTF8String].getBytes)
+    SimHash64.compute(input.asInstanceOf[UTF8String].getBytes, fnv)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash64.compute($c.getBytes());")
+      s"${ev.value} = graft.functions.SimHash64.compute($c.getBytes(), $fnv);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -41,17 +42,33 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
+  /** Plain FNV-1a over a byte slice — the token hash of the
+    * oracle-replayable variant (matches RollingHash64 per token). */
+  private def fnvHash(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L
+      i += 1
+    }
+    h
+  }
+
   /** Static so generated code can call it: a tight JIT-friendly loop
-    * beats inlined codegen and keeps the generated method small. */
-  def compute(bytes: Array[Byte]): Long = {
+    * beats inlined codegen and keeps the generated method small.
+    * `fnv = true` swaps the token hash to FNV-1a (the DuckDB-replayable
+    * q83 form); everything else is identical. */
+  def compute(bytes: Array[Byte], fnv: Boolean = false): Long = {
     val votes = new Array[Int](64)
     val n = bytes.length
     var start = 0
     var i = 0
     while (i <= n) {
       if (i == n || bytes(i) == 0x20) {
-        val h = XXH64.hashUnsafeBytes(
-          bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        val h =
+          if (fnv) fnvHash(bytes, start, i)
+          else XXH64.hashUnsafeBytes(
+            bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

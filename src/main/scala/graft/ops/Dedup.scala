@@ -392,11 +392,14 @@ object Dedup {
          |  0L, (acc, b) -> acc | b)""".stripMargin)
   }
 
-  /** Query entry: deterministic SimHash + 16-bit band split per doc. */
+  /** Query entry: deterministic SimHash + 16-bit band split per doc.
+    * Uses the native codegen expression (simhash64_fnv); the
+    * interpreted [[simhashDetExpr]] is its differential reference,
+    * exactly the xxhash64 pair's arrangement. */
   def simhashDetFingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val withSim = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhashDetExpr("text").as("simhash_det"))
+      .select(col("doc_id"), expr("simhash64_fnv(text)").as("simhash_det"))
     (0 until 4).foldLeft(withSim) { (df, c) =>
       df.withColumn(s"band_$c",
         shiftrightunsigned(col("simhash_det"), c * 16).bitwiseAND(lit(0xFFFFL)))

@@ -256,6 +256,16 @@ class OpsSpec extends SparkSpec {
     val sims = docs.select(col("doc_id"),
         Dedup.simhashDetExpr("text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the native codegen form (what q83 runs) must equal the
+    // interpreted HOF reference bit-for-bit, incl. empty-token edges
+    val edgeDocs = docs.union(
+      Seq((10L, ""), (11L, " double  space ")).toDF("doc_id", "text"))
+    val diff = edgeDocs.select(
+        expr("simhash64_fnv(text)").as("native"),
+        Dedup.simhashDetExpr("text").as("interp"))
+      .collect()
+    diff.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != interpreted ${r.getLong(1)}"))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val near = hamming(sims(1L), sims(2L))
     val far = hamming(sims(1L), sims(3L))
