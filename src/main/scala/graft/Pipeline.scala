@@ -84,6 +84,54 @@ object Pipeline {
       CurationReport(input, afterQuality, afterExact, afterNear, afterSample))
   }
 
+  /** [[curate]]'s funnel with ZERO extra actions: every stage count is
+    * an `observe()` metric collected WHILE the caller's single output
+    * action runs — the production shape, where a 100 TB curation run
+    * cannot afford four extra passes just to report its funnel. The
+    * persists remain (shared subplans — the LSH band join reads the
+    * exact-dedup result three ways) but nothing forces them early;
+    * they materialize inside the one action, firing the observe nodes
+    * exactly once. Metrics are read with `Observation.get` AFTER the
+    * action completes; `release()` drops this run's caches. */
+  final case class ObservedCuration(curated: DataFrame,
+      input: org.apache.spark.sql.Observation,
+      afterQuality: org.apache.spark.sql.Observation,
+      afterExact: org.apache.spark.sql.Observation,
+      afterNear: org.apache.spark.sql.Observation,
+      release: () => Unit)
+
+  def curateObserved(docs: DataFrame, minQuality: Double = 0.5,
+      nearDupJaccard: Double = 0.9): ObservedCuration = {
+    import org.apache.spark.sql.Observation
+    val (oIn, oQ, oE, oN) =
+      (Observation(), Observation(), Observation(), Observation())
+    val base = docs.observe(oIn, count(lit(1)).as("rows"))
+    val scrubbed = base.withColumn("text",
+      graft.etl.Sanitize.redactPii(col("text")))
+    val scored = scrubbed
+      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality_score") >= minQuality)
+      .observe(oQ, count(lit(1)).as("rows"),
+        round(avg(col("quality_score")), 6).as("avg_quality"))
+      .persist()
+    val keep = scored.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = scored.join(keep, "doc_id")
+      .observe(oE, count(lit(1)).as("rows"))
+      .persist()
+    val sigs = Dedup.signatureTable(exact, "doc_id")
+    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard,
+        sigsOpt = Some(sigs))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val curatedBase = exact.join(nearPairs, Seq("doc_id"), "left_anti")
+      .observe(oN, count(lit(1)).as("rows"))
+    val curated = TextAnalysis.winnowed(curatedBase)
+      .withColumn("content_hash", sha2(col("text"), 256))
+    ObservedCuration(curated, oIn, oQ, oE, oN,
+      () => { scored.unpersist(); exact.unpersist(); sigs.unpersist() })
+  }
+
   /** Demo main: curate the documents table, print the funnel, write
     * the curated corpus.
     *   sbt "runMain graft.Pipeline /root/testdata/sf0.01 /tmp/curated"

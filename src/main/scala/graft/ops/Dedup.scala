@@ -65,17 +65,31 @@ object Dedup {
   def passageDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
     passageDedupDocs(Tables.documents(spark, dir), w)
 
+  /** `w`-token chunk column (array<string>) — shared by the batch op
+    * and its streaming twin so the chunking cannot drift.
+    * transform() runs interpreted, but it is amortized over a whole
+    * row's chunks; the per-chunk work downstream dominates. */
+  private[graft] def chunkCol(w: Int): Column =
+    expr(s"""transform(sequence(0, (size(split(text, ' ')) + ${w - 1}) div $w - 1),
+             i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))""")
+
+  /** The chunk keys the batch op KEEPS: corpus-wide first occurrence
+    * of each chunk text, ordered by (doc_id, cidx) — exposed so the
+    * streaming twin's admissions can be asserted against it. */
+  def passageFirstOccurrences(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), posexplode(chunkCol(w)).as(Seq("cidx", "chunk")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("cidx"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cidx"))
+  }
+
   /** Core passage dedup over any (doc_id, text) frame. */
   def passageDedupDocs(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // transform() runs interpreted, but it is amortized over a whole
-    // row's chunks; the per-chunk work downstream dominates
     val chunks = docs
-      .select(col("doc_id"),
-        expr(s"""transform(sequence(0, (size(split(text, ' ')) + ${w - 1}) div $w - 1),
-                 i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))""")
-          .as("chunks"))
-      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("cidx", "chunk")))
+      .select(col("doc_id"), posexplode(chunkCol(w)).as(Seq("cidx", "chunk")))
     val firstWin = Window.partitionBy(col("chunk"))
       .orderBy(col("doc_id"), col("cidx"))
     chunks

@@ -49,4 +49,25 @@ object DocStream {
       Seq("content_hash"), "left_anti")
       .select(col("doc_id"))
   }
+
+  /** Streaming twin of the batch passage-level dedup
+    * (graft.ops.Dedup.passageDedupDocs): each arriving document
+    * explodes into `w`-token chunks (the SAME shared chunking
+    * expression as the batch op), and a chunk is admitted iff its
+    * digest is first-seen within the watermark horizon. State carries
+    * 32-byte digests, never chunk text — the batch op's
+    * sha2-the-shuffle-key-at-scale note, already mandatory here
+    * because the digest IS the dedup state key. Under id-ordered
+    * arrival the admitted (doc_id, cidx) set equals the batch op's
+    * first-occurrence set (StreamingSpec). */
+  def passageDedup(docs: DataFrame, w: Int = 8,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("ingest_ts"),
+        posexplode(graft.ops.Dedup.chunkCol(w)).as(Seq("cidx", "chunk")))
+      .withColumn("chunk_hash", sha2(col("chunk"), 256))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("chunk_hash")
+      .select(col("doc_id"), col("cidx"))
 }

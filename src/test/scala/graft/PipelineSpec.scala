@@ -56,4 +56,23 @@ class PipelineSpec extends SparkSpec {
     assert(r2.input == r1.afterNear)
     assert(r2.afterNear == r2.input, "second pass removed documents")
   }
+
+  test("observed curation: funnel metrics from ONE action equal the counted funnel") {
+    val docs = Tables.documents(spark, sf)
+    val (_, counted) = Pipeline.curate(docs)
+    val obs = Pipeline.curateObserved(docs)
+    try {
+      // the single action — everything (persists included) materializes
+      // under it and the observe nodes fire exactly once
+      obs.curated.write.format("noop").mode("overwrite").save()
+      def rows(o: org.apache.spark.sql.Observation): Long =
+        o.get("rows").asInstanceOf[Long]
+      assert(rows(obs.input) == counted.input)
+      assert(rows(obs.afterQuality) == counted.afterQuality)
+      assert(rows(obs.afterExact) == counted.afterExact)
+      assert(rows(obs.afterNear) == counted.afterNear)
+      // the bonus data-quality metric rides the same action
+      assert(obs.afterQuality.get("avg_quality").asInstanceOf[Double] >= 0.5)
+    } finally obs.release()
+  }
 }

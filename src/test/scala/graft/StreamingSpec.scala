@@ -200,6 +200,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming passage dedup admits exactly the batch first-occurrence chunks") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    // id-ordered single-partition arrival: in-batch dedup state scans
+    // rows in order, matching the batch op's (doc_id, cidx) tie rule
+    val staged = Files.createTempDirectory("graft_passdedup").toString
+    docs.withColumn("ingest_ts",
+        timestamp_seconds(lit(1767225600L) + col("doc_id")))
+      .select("doc_id", "text", "ingest_ts")
+      .coalesce(1).sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(staged)
+
+    val stream = spark.readStream.schema(DocStream.docSchema).parquet(staged)
+    val q = DocStream.passageDedup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("passdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("passdedup_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batch = graft.ops.Dedup.passageFirstOccurrences(docs)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed.nonEmpty, "streaming passage dedup admitted nothing")
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
