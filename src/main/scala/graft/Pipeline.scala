@@ -21,6 +21,50 @@ object Pipeline {
       input: Long, afterQuality: Long, afterExact: Long, afterNear: Long,
       afterSample: Long)
 
+  /** The funnel's intermediate frames (persisted) + cache release.
+    * ONE builder backs both [[curate]] (counts the frames with
+    * actions) and [[curateObserved]] (taps observe() nodes in) so the
+    * two can never describe different pipelines. */
+  private final case class Funnel(scored: DataFrame, exact: DataFrame,
+      curatedBase: DataFrame, release: () => Unit)
+
+  /** Stages 1–3 of the curation funnel. Each `tap` wraps the stage's
+    * output BELOW its persist, so an observe() node lands inside the
+    * cached plan and fires exactly once per materialization even
+    * though `scored`/`exact` feed multiple downstream branches. */
+  private def buildFunnel(docs: DataFrame, minQuality: Double,
+      nearDupJaccard: Double,
+      tapQuality: DataFrame => DataFrame = identity,
+      tapExact: DataFrame => DataFrame = identity,
+      tapNear: DataFrame => DataFrame = identity): Funnel = {
+    // 1. narrow stages first: PII scrub (pure regexp projections) and
+    // quality filter (shared scoring expression) shrink/clean the
+    // corpus before anything shuffles
+    val scrubbed = docs.withColumn("text",
+      graft.etl.Sanitize.redactPii(col("text")))
+    val scored = tapQuality(scrubbed
+      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality_score") >= minQuality))
+      .persist()
+    // 2. exact dedup: keep the lowest doc_id per content hash
+    val keep = scored.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = tapExact(scored.join(keep, "doc_id")).persist()
+    // 3. near-dedup: drop the higher doc_id of each near-dup pair.
+    // The signature table is built HERE, untracked, so this run owns
+    // exactly its own cache lifecycle (the global registry would let a
+    // concurrent unpersistCaches strip it mid-flight, and repeated
+    // runs would grow the registry unboundedly)
+    val sigs = Dedup.signatureTable(exact, "doc_id", track = false)
+    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard,
+        sigsOpt = Some(sigs))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val curatedBase = tapNear(exact.join(nearPairs, Seq("doc_id"), "left_anti"))
+    Funnel(scored, exact, curatedBase,
+      () => { scored.unpersist(); exact.unpersist(); sigs.unpersist() })
+  }
+
   /** Curate a document corpus: returns (curated corpus, report).
     *
     * The funnel counts are actions, so the expensive intermediates
@@ -34,39 +78,12 @@ object Pipeline {
       sampleRates: Map[String, Double] = Map.empty,
       defaultSampleRate: Double = 1.0): (DataFrame, CurationReport) = {
     val input = docs.count()
-
-    // 1. narrow stages first: PII scrub (pure regexp projections) and
-    // quality filter (shared scoring expression) shrink/clean the
-    // corpus before anything shuffles
-    val scrubbed = docs.withColumn("text",
-      graft.etl.Sanitize.redactPii(col("text")))
-    val scored = scrubbed
-      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
-      .filter(col("quality_score") >= minQuality)
-      .persist()
-    val afterQuality = scored.count()
-
-    // 2. exact dedup: keep the lowest doc_id per content hash
-    val keep = scored.groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exact = scored.join(keep, "doc_id").persist()
-    val afterExact = exact.count()
-
-    // 3. near-dedup: drop the higher doc_id of each near-dup pair.
-    // The signature table is built HERE so this run can unpersist
-    // exactly its own cache once results materialize (the global
-    // registry would strip other concurrent runs' caches)
-    val sigs = Dedup.signatureTable(exact, "doc_id")
-    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard,
-        sigsOpt = Some(sigs))
-      .select(col("doc_b").as("doc_id")).distinct()
-    val curatedBase = exact.join(nearPairs, Seq("doc_id"), "left_anti")
-      .persist()
+    val f = buildFunnel(docs, minQuality, nearDupJaccard)
+    val afterQuality = f.scored.count()
+    val afterExact = f.exact.count()
+    val curatedBase = f.curatedBase.persist()
     val afterNear = curatedBase.count()
-    scored.unpersist()
-    exact.unpersist()
-    sigs.unpersist()
+    f.release()
 
     // 4. dataset mixing: deterministic per-language sampling (rand-free
     // keep decision — retries and corpus growth can't change it)
@@ -105,31 +122,16 @@ object Pipeline {
     import org.apache.spark.sql.Observation
     val (oIn, oQ, oE, oN) =
       (Observation(), Observation(), Observation(), Observation())
-    val base = docs.observe(oIn, count(lit(1)).as("rows"))
-    val scrubbed = base.withColumn("text",
-      graft.etl.Sanitize.redactPii(col("text")))
-    val scored = scrubbed
-      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
-      .filter(col("quality_score") >= minQuality)
-      .observe(oQ, count(lit(1)).as("rows"),
-        round(avg(col("quality_score")), 6).as("avg_quality"))
-      .persist()
-    val keep = scored.groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exact = scored.join(keep, "doc_id")
-      .observe(oE, count(lit(1)).as("rows"))
-      .persist()
-    val sigs = Dedup.signatureTable(exact, "doc_id")
-    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard,
-        sigsOpt = Some(sigs))
-      .select(col("doc_b").as("doc_id")).distinct()
-    val curatedBase = exact.join(nearPairs, Seq("doc_id"), "left_anti")
-      .observe(oN, count(lit(1)).as("rows"))
-    val curated = TextAnalysis.winnowed(curatedBase)
+    val f = buildFunnel(
+      docs.observe(oIn, count(lit(1)).as("rows")),
+      minQuality, nearDupJaccard,
+      tapQuality = _.observe(oQ, count(lit(1)).as("rows"),
+        round(avg(col("quality_score")), 6).as("avg_quality")),
+      tapExact = _.observe(oE, count(lit(1)).as("rows")),
+      tapNear = _.observe(oN, count(lit(1)).as("rows")))
+    val curated = TextAnalysis.winnowed(f.curatedBase)
       .withColumn("content_hash", sha2(col("text"), 256))
-    ObservedCuration(curated, oIn, oQ, oE, oN,
-      () => { scored.unpersist(); exact.unpersist(); sigs.unpersist() })
+    ObservedCuration(curated, oIn, oQ, oE, oN, f.release)
   }
 
   /** Demo main: curate the documents table, print the funnel, write

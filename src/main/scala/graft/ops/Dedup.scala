@@ -73,28 +73,29 @@ object Dedup {
     expr(s"""transform(sequence(0, (size(split(text, ' ')) + ${w - 1}) div $w - 1),
              i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))""")
 
-  /** The chunk keys the batch op KEEPS: corpus-wide first occurrence
-    * of each chunk text, ordered by (doc_id, cidx) — exposed so the
-    * streaming twin's admissions can be asserted against it. */
-  def passageFirstOccurrences(docs: DataFrame, w: Int = 8): DataFrame = {
+  /** (doc_id, cidx, chunk, __rn) — every chunk ranked by corpus-wide
+    * first occurrence of its text, (doc_id, cidx) tie order. The ONE
+    * place the first-occurrence rule lives: the batch aggregate, the
+    * streaming twin's batch reference, and any future consumer all
+    * read `__rn === 1` from here, so the tie rule cannot drift. */
+  private def rankedChunks(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.select(col("doc_id"), posexplode(chunkCol(w)).as(Seq("cidx", "chunk")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("cidx"))))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("cidx"))
   }
+
+  /** The chunk keys the batch op KEEPS: corpus-wide first occurrence
+    * of each chunk text — exposed so the streaming twin's admissions
+    * can be asserted against it. */
+  def passageFirstOccurrences(docs: DataFrame, w: Int = 8): DataFrame =
+    rankedChunks(docs, w).filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cidx"))
 
   /** Core passage dedup over any (doc_id, text) frame. */
   def passageDedupDocs(docs: DataFrame, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val chunks = docs
-      .select(col("doc_id"), posexplode(chunkCol(w)).as(Seq("cidx", "chunk")))
-    val firstWin = Window.partitionBy(col("chunk"))
-      .orderBy(col("doc_id"), col("cidx"))
-    chunks
-      .withColumn("kept",
-        (row_number().over(firstWin) === 1).cast("long"))
+    rankedChunks(docs, w)
+      .withColumn("kept", (col("__rn") === 1).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"))
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),
@@ -235,9 +236,17 @@ object Dedup {
     * exact-verify stage re-shingles just the estimate survivors
     * instead ([[exactVerify]]). A multi-job production pipeline would
     * stage this table to parquet once and join against it. */
-  def signatureTable(df: DataFrame, idCol: String): DataFrame =
-    register(minHashSignatures(df).select(col(idCol), col("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+  /** Persisted (id, sig) table. `track = false` hands the cache
+    * lifecycle to the caller (the frame is NOT added to the global
+    * registry, so a concurrent `unpersistCaches` can't strip it and
+    * repeated per-run builds can't grow the registry unboundedly) —
+    * callers then own the unpersist (Pipeline's funnel release). */
+  def signatureTable(df: DataFrame, idCol: String,
+      track: Boolean = true): DataFrame = {
+    val sigs = minHashSignatures(df).select(col(idCol), col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (track) register(sigs) else sigs
+  }
 
   // internal caches pinned by signatureTable/simhashNearDups; a
   // long-lived session composing many dedup runs releases them with
