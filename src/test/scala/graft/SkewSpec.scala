@@ -27,6 +27,54 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).isEmpty)
   }
 
+  test("AQE splits a skewed join partition at runtime (isSkew in the executed plan)") {
+    // the runtime complement of the salting ops above: AQE's
+    // OptimizeSkewedJoin splits an oversized shuffle partition into
+    // sub-reads AFTER seeing the real sizes — at 100 TB this is what
+    // turns a hot-key straggler into parallel work with no code
+    // change. Thresholds lowered so the mechanism triggers at test
+    // scale; broadcast disabled to force the sort-merge shape it
+    // applies to.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val restore = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "64KB")
+      conf.set(keys(1), "16KB")
+      conf.set(keys(2), "2")
+      conf.set(keys(3), "-1")
+      conf.set(keys(4), "-1")
+      // hot key on the LEFT only (right keys unique) so the join
+      // output stays small while the left shuffle partition is fat
+      val left = (1 to 60000).map(i =>
+        (if (i % 10 == 0) i.toLong else 7L, s"payload_left_$i"))
+        .toDF("k", "lv")
+      val right = (1 to 3000).map(i => (i.toLong, s"payload_right_$i"))
+        .toDF("k", "rv")
+      // no agg downstream: a consumer that reuses the join's
+      // partitioning makes OptimizeSkewedJoin decline the split (it
+      // would need forceOptimizeSkewedJoin's extra shuffle). The
+      // action must run THIS QueryExecution (a write spawns its own),
+      // so collect — the unique right side keeps it small
+      val joined = left.join(right, "k")
+      // 54 000 hot-key matches + the multiples of 10 up to 3000
+      assert(joined.collect().length == 54300)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(1200)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("LSH band join survives a planted mega-duplicate cluster") {
     import graft.ops.Dedup
     // 1200 identical docs land in ONE (band, hash) bucket in every
