@@ -121,6 +121,8 @@ object SparkEntry {
     "q83_simhash_det"       -> (Dedup.simhashDetFingerprints _),
     "q84_kmv_sketch"        -> ((s: SparkSession, d: String) =>
       Grouping.kmvSketchRollup(s, d)),
+    "q85_snapshot_cdc"      -> (graft.etl.Cdc.ordersChangeFeed _),
+    "q86_lateral_topn"      -> (SqlSurface.lateralTopOrders _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -945,6 +947,38 @@ object SparkEntry {
       "q83_simhash_det" -> HashSql.simhashDetOracle,
       // k-mins sketch: HLL's build->merge topology, fully replayable
       "q84_kmv_sketch" -> HashSql.kmvSketchOracle(),
+      // CDC snapshot diff: synthetic old/new snapshots of orders;
+      // +100.0 is an exact double add, identical in both engines
+      "q85_snapshot_cdc" ->
+        """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+          |b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          |        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+          |             ELSE o_totalprice END AS o_totalprice,
+          |        o_orderdate, o_orderpriority
+          |      FROM orders WHERE o_orderkey % 13 <> 0)
+          |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+          |  CASE WHEN a.o_orderkey IS NULL THEN 'I'
+          |       WHEN b.o_orderkey IS NULL THEN 'D'
+          |       ELSE 'U' END AS change,
+          |  a.o_totalprice AS old_price, b.o_totalprice AS new_price
+          |FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+          |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+          |   OR a.o_custkey IS DISTINCT FROM b.o_custkey
+          |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+          |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+          |   OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+          |   OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+          |ORDER BY o_orderkey, change,
+          |  old_price NULLS FIRST, new_price NULLS FIRST""".stripMargin,
+      // lateral correlated subquery with per-group ORDER BY + LIMIT:
+      // DuckDB runs the same lateral text
+      "q86_lateral_topn" ->
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer CROSS JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_orderkey, o_totalprice""".stripMargin,
     )
   }
 }

@@ -31,4 +31,21 @@ object SqlSurface {
         |                     WHERE o_orderstatus = 'F')
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
   }
+
+  /** Correlated LATERAL subquery with per-group ORDER BY + LIMIT — the
+    * "top 2 orders for every customer" shape expressed as a lateral
+    * join rather than a window. Catalyst rewrites the correlated limit
+    * into a ranked window under the hood, so the physical plan is the
+    * same partitioned-window shape as q20 — the point here is the SQL
+    * surface (DuckDB runs the identical text as the oracle). */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer CROSS JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey, o_totalprice""".stripMargin)
+  }
 }
