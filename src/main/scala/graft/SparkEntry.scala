@@ -123,6 +123,8 @@ object SparkEntry {
       Grouping.kmvSketchRollup(s, d)),
     "q85_snapshot_cdc"      -> (graft.etl.Cdc.ordersChangeFeed _),
     "q86_lateral_topn"      -> (SqlSurface.lateralTopOrders _),
+    "q87_gap_fill"          -> (TimeSeries.gapFillLocf _),
+    "q88_concurrency"       -> (TimeSeries.dailyConcurrency _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -979,6 +981,75 @@ object SparkEntry {
           |  WHERE o_custkey = c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
           |ORDER BY c_custkey, o_orderkey, o_totalprice""".stripMargin,
+      // gap-fill + LOCF: per-user hourly spine (generate_series is
+      // inclusive-inclusive, same as Spark's sequence); the carried
+      // value stays DECIMAL until the final cast
+      "q87_gap_fill" ->
+        """WITH hourly AS (
+          |  SELECT user_id, date_trunc('hour', ts) AS hour,
+          |    SUM(CAST(value AS DECIMAL(18,2))) AS sv, COUNT(*) AS n_events
+          |  FROM events GROUP BY 1, 2),
+          |spine AS (
+          |  SELECT user_id,
+          |    UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+          |  FROM (SELECT user_id, MIN(hour) AS mn, MAX(hour) AS mx
+          |        FROM hourly GROUP BY user_id)),
+          |joined AS (
+          |  SELECT s.user_id, s.hour, COALESCE(h.n_events, 0) AS n_events, h.sv
+          |  FROM spine s LEFT JOIN hourly h
+          |    ON s.user_id = h.user_id AND s.hour = h.hour)
+          |SELECT user_id, hour, n_events,
+          |  CAST(LAST_VALUE(sv IGNORE NULLS) OVER (
+          |    PARTITION BY user_id ORDER BY hour
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    AS filled_value
+          |FROM joined
+          |ORDER BY user_id, hour, n_events, filled_value""".stripMargin,
+      // per-day session concurrency: sessions replayed from the gap
+      // rule (new session when gap >= 30 min; end = last event + 30
+      // min), clipped at day boundaries, +1/-1 sweep; ends sort
+      // before starts at equal t (half-open intervals)
+      "q88_concurrency" ->
+        """WITH marks AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN LAG(ts) OVER w IS NULL
+          |              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sids AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM marks),
+          |sessions AS (
+          |  SELECT user_id, sid, MIN(ts) AS s_start,
+          |    MAX(ts) + INTERVAL 30 MINUTE AS s_end
+          |  FROM sids GROUP BY 1, 2),
+          |segs AS (
+          |  SELECT s_start, s_end,
+          |    UNNEST(generate_series(date_trunc('day', s_start),
+          |      date_trunc('day', s_end), INTERVAL 1 DAY)) AS day
+          |  FROM sessions),
+          |clip AS (
+          |  SELECT day, GREATEST(s_start, day) AS cs,
+          |    LEAST(s_end, day + INTERVAL 1 DAY) AS ce
+          |  FROM segs),
+          |pts AS (
+          |  SELECT day, cs AS t, CAST(1 AS BIGINT) AS delta FROM clip
+          |  UNION ALL
+          |  SELECT day, ce AS t, CAST(-1 AS BIGINT) AS delta FROM clip),
+          |run AS (
+          |  SELECT day, delta,
+          |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          |  FROM pts)
+          |SELECT day,
+          |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_sessions,
+          |  CAST(MAX(c) AS BIGINT) AS max_concurrent
+          |FROM run GROUP BY day
+          |ORDER BY day, n_sessions, max_concurrent""".stripMargin,
     )
   }
 }

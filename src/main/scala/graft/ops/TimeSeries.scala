@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series reshaping over the events table — regularization
+  * (gap-fill + last-observation-carried-forward) and interval
+  * concurrency, the two ops a metrics/monitoring consumer of an event
+  * stream runs constantly and plain SQL engines make painful.
+  *
+  * Scale shape: both ops aggregate the raw stream down to per-hour /
+  * per-session rows FIRST, so every later exchange moves aggregate
+  * rows, not events. The spine explode is narrow (generated from a
+  * 2-column per-user min/max), and all windows are keyed (user_id or
+  * day) — nothing ever sorts globally.
+  */
+object TimeSeries {
+
+  /** Hourly per-user aggregate of events: the "observed" series. */
+  private def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("n_events"))
+
+  /** Gap-fill + LOCF: densify each user's hourly series over their own
+    * [min, max] hour span and carry the last observed hourly sum
+    * forward into silent hours. The carried value stays DECIMAL until
+    * the final cast so the fill replays exactly in DuckDB. The first
+    * spine hour per user is observed by construction (the span starts
+    * at an observed min), so `filled_value` is never NULL. */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val h = hourly(spark, dir)
+    val spine = h.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("hour"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(h, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sv"), ignoreNulls = true).over(locf)
+          .cast("double").as("filled_value"))
+      .orderBy(col("user_id"), col("hour"), col("n_events"),
+        col("filled_value"))
+  }
+
+  /** 30-minute-gap sessions as [start, last event + 30 min) intervals
+    * — the same session_window semantics as Events.sessions. */
+  private def sessionIntervals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"))
+
+  /** Per-day session concurrency via the classic +1/−1 sweep: clip
+    * each session to day boundaries, emit a start (+1) and end (−1)
+    * point per segment, running-sum within the day. Intervals are
+    * half-open, so at an identical instant ends are processed before
+    * starts (ORDER BY t, delta) — back-to-back sessions never count
+    * as overlapping. The per-day MAX of the running count is
+    * insensitive to tie order within equal (t, delta) groups, which
+    * is what makes it oracle-safe. */
+  def dailyConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val segs = sessionIntervals(spark, dir)
+      .select(col("s_start"), col("s_end"),
+        explode(sequence(date_trunc("day", col("s_start")),
+          date_trunc("day", col("s_end")), expr("interval 1 day"))).as("day"))
+    val clip = segs.select(col("day"),
+      greatest(col("s_start"), col("day")).as("cs"),
+      least(col("s_end"), col("day") + expr("interval 1 day")).as("ce"))
+    val pts = clip.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+      .unionAll(clip.select(col("day"), col("ce").as("t"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("c", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+        max(col("c")).as("max_concurrent"))
+      .orderBy(col("day"), col("n_sessions"), col("max_concurrent"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.TimeSeries
+import org.apache.spark.sql.functions._
+
+/** Gap-fill/LOCF and concurrency-sweep semantics on planted series. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap-fill densifies each user's span and LOCF carries values") {
+    val out = TimeSeries.gapFillLocf(spark, sf)
+    // spine is dense: per user, rows == hours between min and max + 1
+    val spans = out.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"),
+        ((unix_timestamp(max(col("hour"))) -
+          unix_timestamp(min(col("hour")))) / 3600 + 1).cast("long")
+          .as("hours"))
+      .filter(col("rows") =!= col("hours"))
+    assert(spans.count() == 0, "spine must be dense per user")
+    // LOCF total: no filled_value may be null, and gap hours exist
+    assert(out.filter(col("filled_value").isNull).count() == 0)
+    assert(out.filter(col("n_events") === 0).count() > 0,
+      "fixture should contain silent hours")
+  }
+
+  test("LOCF carries the previous hourly sum, not the global last") {
+    // one user: value 5 at 00:10, nothing 01:xx, value 7 at 02:20
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 5.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:20:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val h = df.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+        count(lit(1)).as("n_events"))
+    val spine = h.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("hour"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Long.MinValue, 0)
+    val filled = spine.join(h, Seq("user_id", "hour"), "left")
+      .select(col("hour"),
+        last(col("sv"), ignoreNulls = true).over(w)
+          .cast("double").as("v"))
+      .orderBy("hour").as[(java.sql.Timestamp, Double)].collect()
+    assert(filled.map(_._2).toSeq == Seq(5.0, 5.0, 7.0))
+  }
+
+  test("concurrency sweep counts overlaps, half-open at touch points") {
+    // Three sessions on one day: A 01:00-02:00, B 01:30-03:00 (overlap
+    // with A), C 02:00-02:30 (starts exactly when A ends: no overlap
+    // with A, overlaps B). Max concurrent = 2.
+    val day = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $s:00")
+    val clip = Seq(
+      (day, t("01:00"), t("02:00")),
+      (day, t("01:30"), t("03:00")),
+      (day, t("02:00"), t("02:30"))).toDF("day", "cs", "ce")
+    val pts = clip.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+      .unionAll(clip.select(col("day"), col("ce").as("t"), lit(-1L).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("t"), col("delta"))
+      .rowsBetween(Long.MinValue, 0)
+    val mx = pts.withColumn("c", sum(col("delta")).over(w))
+      .agg(max(col("c"))).as[Long].head()
+    assert(mx == 2L)
+  }
+
+  test("q88 output is sane: sessions per day positive, max <= sessions") {
+    val out = TimeSeries.dailyConcurrency(spark, sf)
+    val bad = out.filter(col("max_concurrent") < 1 ||
+      col("max_concurrent") > col("n_sessions")).count()
+    assert(bad == 0 && out.count() > 0)
+  }
+}
