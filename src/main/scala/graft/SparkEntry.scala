@@ -125,6 +125,8 @@ object SparkEntry {
     "q86_lateral_topn"      -> (SqlSurface.lateralTopOrders _),
     "q87_gap_fill"          -> (TimeSeries.gapFillLocf _),
     "q88_concurrency"       -> (TimeSeries.dailyConcurrency _),
+    "q89_group_split"       -> (Sampling.groupSplitDocs _),
+    "q90_weighted_sample"   -> (Sampling.weightedDocSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1050,6 +1052,16 @@ object SparkEntry {
           |  CAST(MAX(c) AS BIGINT) AS max_concurrent
           |FROM run GROUP BY day
           |ORDER BY day, n_sessions, max_concurrent""".stripMargin,
+      // leakage-safe split: full FNV+splitmix bit-level replay
+      "q89_group_split" -> HashSql.groupSplitOracle(),
+      // weighted Bernoulli keep: pure integer compare on both sides
+      "q90_weighted_sample" ->
+        s"""SELECT doc_id, n_chars,
+           |  ${Sampling.idBucketSql("doc_id")} AS keep_bucket
+           |FROM documents
+           |WHERE ${Sampling.idBucketSql("doc_id")} * 2000
+           |      < LEAST(n_chars, 2000) * ${Sampling.Prime}
+           |ORDER BY doc_id, n_chars, keep_bucket""".stripMargin,
     )
   }
 }

@@ -193,6 +193,28 @@ object HashSql {
        |ORDER BY event_type, n_days, kmv_est, exact_distinct""".stripMargin
   }
 
+  /** q89: group-split replay — FNV-1a of the full text, splitmix64
+    * finalizer, sign bit dropped (mod 2^63, matching Spark's
+    * `& Long.MaxValue`), bucket mod 100 mapped to split names. */
+  def groupSplitOracle(trainPct: Int = 80, valPct: Int = 10): String = {
+    val c1 = BigInt("bf58476d1ce4e5b9", 16)
+    val c2 = BigInt("94d049bb133111eb", 16)
+    s"""WITH f0 AS (SELECT doc_id,
+       |  ${fnvReduce("[ascii(substr(text, i, 1))::HUGEINT FOR i IN range(1, length(text)+1)]")} AS h
+       |  FROM documents),
+       |f1 AS (SELECT doc_id, xor(h, h // 1073741824) AS h FROM f0),
+       |f2 AS (SELECT doc_id, ${mulmod64("h", c1)} AS h FROM f1),
+       |f3 AS (SELECT doc_id, xor(h, h // 134217728) AS h FROM f2),
+       |f4 AS (SELECT doc_id, ${mulmod64("h", c2)} AS h FROM f3),
+       |f5 AS (SELECT doc_id, xor(h, h // 2147483648) % $Signed63 AS h FROM f4),
+       |b AS (SELECT doc_id, h % 100 AS gb FROM f5)
+       |SELECT doc_id, CAST(gb AS BIGINT) AS grp_bucket,
+       |  CASE WHEN gb < $trainPct THEN 'train'
+       |       WHEN gb < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id, grp_bucket, split""".stripMargin
+  }
+
   /** q41: brute-force ground truth for MinHash+LSH near-dup pairs —
     * ALL-pairs exact Jaccard over distinct 8-char shingles (feasible
     * only at oracle scale; the engine's banded plan is the 100-TB

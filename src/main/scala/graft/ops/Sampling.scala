@@ -50,4 +50,55 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         idBucket(col("doc_id")).as("keep_bucket"))
       .orderBy(col("doc_id"), col("lang"), col("keep_bucket"))
+
+  /** Leakage-safe train/val/test assignment: the split decision is a
+    * function of a GROUP key (here the document's content hash), not
+    * the row id, so exact duplicates — and, with a cluster id as the
+    * key, whole near-dup clusters — can never straddle train and
+    * test. FNV-1a alone is non-uniform in its low/high bits on short
+    * strings (the q84 lesson), so the bucket goes through the
+    * splitmix64 finalizer; the sign bit is dropped the same way on
+    * both engines before the mod.
+    *
+    * Scale: a narrow stateless projection — no shuffle, no sampling
+    * state, stable under corpus growth, and trivially re-runnable on
+    * any subset (a retry can never flip an assignment). */
+  def groupSplit(groupKey: Column, trainPct: Int = 80, valPct: Int = 10): (Column, Column) = {
+    val bucket = pmod(
+      call_function("splitmix64", call_function("rolling_hash", groupKey))
+        .bitwiseAND(lit(Long.MaxValue)), lit(100L))
+    val split = when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+    (bucket, split)
+  }
+
+  /** Query entry (q89): content-group split of documents. */
+  def groupSplitDocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (bucket, split) = groupSplit(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("grp_bucket"), split.as("split"))
+      .orderBy(col("doc_id"), col("grp_bucket"), col("split"))
+  }
+
+  /** Weighted deterministic Bernoulli sample: keep probability is a
+    * rational weight num/den per row (here min(n_chars, cap)/cap —
+    * long documents always kept, short ones proportionally). The keep
+    * test is pure integer arithmetic (bucket·den < num·Prime), so
+    * there is no float threshold to drift between engines and the
+    * decision is retry/AQE-stable like every sampler here. */
+  def weightedSample(df: DataFrame, idCol: String, weightNum: Column,
+      weightDen: Long): DataFrame =
+    df.filter(idBucket(col(idCol)) * weightDen < weightNum * Prime)
+
+  /** Query entry (q90): length-weighted document sample. */
+  def weightedDocSample(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2000L
+    weightedSample(Tables.documents(spark, dir), "doc_id",
+        least(col("n_chars"), lit(cap)), cap)
+      .select(col("doc_id"), col("n_chars"),
+        idBucket(col("doc_id")).as("keep_bucket"))
+      .orderBy(col("doc_id"), col("n_chars"), col("keep_bucket"))
+  }
 }

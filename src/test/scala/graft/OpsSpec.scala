@@ -131,6 +131,44 @@ class OpsSpec extends SparkSpec {
     assert(subsetSample == s1.filter(_ < 250), "keep decision not id-stable")
   }
 
+  test("group split: exact duplicates share a split; proportions near 80/10/10") {
+    import graft.ops.Sampling
+    graft.functions.GraftFunctions.register(spark)
+    // duplicated text must land in one split regardless of doc_id
+    val dup = (0L until 50L).map(i => (i, s"shared text ${i % 10}"))
+      .toDF("doc_id", "text")
+    val (_, split) = Sampling.groupSplit(col("text"))
+    val perText = dup.select(col("text"), split.as("split"))
+      .groupBy("text").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(perText == 0, "a content group straddled splits")
+    // on the real corpus the split fractions land near 80/10/10
+    val docs = Tables.documents(spark, sf)
+    val counts = Sampling.groupSplitDocs(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts.getOrElse("train", 0L) / n - 0.8) < 0.1)
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
+
+  test("weighted sample: long docs always kept, keep rate tracks length") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val kept = Sampling.weightedSample(docs, "doc_id",
+      least(col("n_chars"), lit(2000L)), 2000L)
+    // weight 1 rows (n_chars >= cap) are all kept
+    val longAll = docs.filter(col("n_chars") >= 2000).count()
+    val longKept = kept.filter(col("n_chars") >= 2000).count()
+    assert(longAll == longKept, "a weight-1.0 row was dropped")
+    // overall keep rate ~ E[min(n_chars,cap)/cap]
+    val expected = docs
+      .agg(avg(least(col("n_chars"), lit(2000L)).cast("double") / 2000.0))
+      .head().getDouble(0)
+    val rate = kept.count().toDouble / docs.count()
+    assert(math.abs(rate - expected) < 0.1, s"rate $rate vs expected $expected")
+  }
+
   test("bm25: rarer term outweighs commoner term; tf saturates; non-matching docs drop") {
     import graft.ops.Ranking
     // 'data' appears in 3 docs, 'merge' in 1 → idf(merge) > idf(data);
