@@ -127,6 +127,18 @@ object SparkEntry {
     "q88_concurrency"       -> (TimeSeries.dailyConcurrency _),
     "q89_group_split"       -> (Sampling.groupSplitDocs _),
     "q90_weighted_sample"   -> (Sampling.weightedDocSample _),
+    "q91_cohort_retention"  -> (Behavior.cohortRetention _),
+    "q92_funnel"            -> (Behavior.funnel _),
+    "q93_transitions"       -> (Behavior.transitions _),
+    "q94_outliers"          -> (Profiling.zscoreOutliers _),
+    "q95_profile"           -> (Profiling.profileOrders _),
+    "q96_histogram"         -> (Profiling.priceHistogram _),
+    "q97_pareto"            -> (Profiling.paretoFrontier _),
+    "q98_triangles"         -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingTriangles(s, d)),
+    "q99_corr"              -> (Profiling.corrQuantityPrice _),
+    "q100_winsorize"        -> (Profiling.winsorizedRevenue _),
+    "q101_mode"             -> (Profiling.modeQuantity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1062,6 +1074,230 @@ object SparkEntry {
            |WHERE ${Sampling.idBucketSql("doc_id")} * 2000
            |      < LEAST(n_chars, 2000) * ${Sampling.Prime}
            |ORDER BY doc_id, n_chars, keep_bucket""".stripMargin,
+      // weekly cohort retention; all rates are integer ppm (no float
+      // division); date_diff('day', a, b) = Spark datediff(b, a)
+      "q91_cohort_retention" ->
+        """WITH activity AS (
+          |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          |  FROM events),
+          |cohorts AS (
+          |  SELECT user_id, MIN(week) AS cohort_week
+          |  FROM activity GROUP BY user_id),
+          |sizes AS (
+          |  SELECT cohort_week, COUNT(*) AS cohort_size
+          |  FROM cohorts GROUP BY cohort_week),
+          |grid AS (
+          |  SELECT c.cohort_week,
+          |    date_diff('day', c.cohort_week, a.week) // 7 AS week_offset,
+          |    COUNT(*) AS active_users
+          |  FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+          |  GROUP BY 1, 2)
+          |SELECT g.cohort_week, g.week_offset, s.cohort_size,
+          |  g.active_users,
+          |  (g.active_users * 1000000) // s.cohort_size AS retention_ppm
+          |FROM grid g JOIN sizes s ON g.cohort_week = s.cohort_week
+          |ORDER BY g.cohort_week, week_offset, cohort_size, active_users,
+          |  retention_ppm""".stripMargin,
+      // ordered 3-step funnel; each step strictly after the previous
+      // step's first completion; conversion in integer ppm
+      "q92_funnel" ->
+        """WITH s1 AS (
+          |  SELECT user_id, MIN(ts) AS t1 FROM events
+          |  WHERE event_type = 'signup' GROUP BY user_id),
+          |s2 AS (
+          |  SELECT e.user_id, MIN(e.ts) AS t2
+          |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+          |  WHERE e.event_type = 'view' AND e.ts > s1.t1
+          |  GROUP BY e.user_id),
+          |s3 AS (
+          |  SELECT e.user_id, MIN(e.ts) AS t3
+          |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          |  GROUP BY e.user_id),
+          |counts AS (
+          |  SELECT 1 AS step, 'signup' AS stage, COUNT(*) AS users FROM s1
+          |  UNION ALL
+          |  SELECT 2, 'view', COUNT(*) FROM s2
+          |  UNION ALL
+          |  SELECT 3, 'purchase', COUNT(*) FROM s3),
+          |conv AS (
+          |  SELECT step, stage, users,
+          |    COALESCE(LAG(users) OVER (ORDER BY step), users) AS prev_users
+          |  FROM counts)
+          |SELECT CAST(step AS BIGINT) AS step, stage, users,
+          |  CASE WHEN prev_users = 0 THEN CAST(1000000 AS BIGINT)
+          |       ELSE (users * 1000000) // prev_users END AS conv_ppm
+          |FROM conv
+          |ORDER BY step, stage, users, conv_ppm""".stripMargin,
+      // first-order event-type transition matrix; event_id breaks ts
+      // ties so the per-user sequence is total on both engines
+      "q93_transitions" ->
+        """WITH pairs AS (
+          |  SELECT event_type AS from_type,
+          |    LEAD(event_type) OVER (
+          |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |  FROM events),
+          |m AS (
+          |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+          |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  (n * 1000000) //
+          |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+          |    AS prob_ppm
+          |FROM m
+          |ORDER BY from_type, to_type, n, prob_ppm""".stripMargin,
+      // two-sided z-score outliers (|z| >= 1.8), cross-multiplied to
+      // pure integer arithmetic (HUGEINT = DECIMAL(38,0) Spark-side):
+      // (x·n − s)²·(n−1)·25 >= 81·n·(n·ss − s²)
+      "q94_outliers" ->
+        s"""WITH li AS (
+           |  SELECT l_suppkey, l_orderkey, l_linenumber,
+           |    ${Profiling.centsSql("l_extendedprice")} AS price_cents
+           |  FROM lineitem),
+           |m AS (
+           |  SELECT l_suppkey, COUNT(*) AS n,
+           |    CAST(SUM(price_cents) AS BIGINT) AS s,
+           |    SUM(CAST(price_cents AS HUGEINT) * price_cents) AS ss
+           |  FROM li GROUP BY l_suppkey)
+           |SELECT li.l_suppkey AS l_suppkey, l_orderkey, l_linenumber,
+           |  price_cents,
+           |  CASE WHEN CAST(price_cents AS HUGEINT) * n - s > 0
+           |       THEN 'high' ELSE 'low' END AS side
+           |FROM li JOIN m ON li.l_suppkey = m.l_suppkey
+           |WHERE n >= 3
+           |  AND CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s > 0
+           |  AND (CAST(price_cents AS HUGEINT) * n - s)
+           |      * (CAST(price_cents AS HUGEINT) * n - s) * (n - 1) * 25
+           |      >= (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+           |         * 81 * n
+           |ORDER BY l_suppkey, l_orderkey, l_linenumber, price_cents,
+           |  side""".stripMargin,
+      // one-row-per-column profile of orders; numeric min/max as
+      // double, string/date columns NULL
+      "q95_profile" -> {
+        def row(c: String, numeric: Boolean): String = {
+          val mn = if (numeric) s"CAST(MIN($c) AS DOUBLE)"
+                   else "CAST(NULL AS DOUBLE)"
+          val mx = if (numeric) s"CAST(MAX($c) AS DOUBLE)"
+                   else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS column_name,
+             |  COUNT(*) - COUNT($c) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  $mn AS min_v, $mx AS max_v FROM orders""".stripMargin
+        }
+        Seq(row("o_custkey", numeric = true),
+          row("o_orderdate", numeric = false),
+          row("o_orderkey", numeric = true),
+          row("o_orderpriority", numeric = false),
+          row("o_orderstatus", numeric = false),
+          row("o_totalprice", numeric = true))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      },
+      // sparse fixed-width histogram over integer cents
+      "q96_histogram" ->
+        s"""WITH c AS (
+           |  SELECT ${Profiling.centsSql("o_totalprice")} AS c FROM orders)
+           |SELECT LEAST((c * 24) // 60000000, 23) AS bin,
+           |  COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sum_cents
+           |FROM c GROUP BY 1
+           |ORDER BY bin, n, sum_cents""".stripMargin,
+      // per-supplier Pareto frontier: strict running-max rule, output
+      // set invariant to tie order within equal (p,q)
+      "q97_pareto" ->
+        s"""WITH li AS (
+           |  SELECT l_suppkey,
+           |    ${Profiling.centsSql("l_extendedprice")} AS p_cents,
+           |    ${Profiling.centsSql("l_quantity")} AS q_cents
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT l_suppkey, p_cents, q_cents,
+           |    MAX(q_cents) OVER (PARTITION BY l_suppkey
+           |      ORDER BY p_cents ASC, q_cents DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mq
+           |  FROM li)
+           |SELECT l_suppkey, p_cents, q_cents FROM r
+           |WHERE mq IS NULL OR q_cents > mq
+           |ORDER BY l_suppkey, p_cents, q_cents""".stripMargin,
+      // per-node triangle counts over the q44 near-dup edge set
+      "q98_triangles" ->
+        """WITH edges AS (
+          |  SELECT a.vec_id AS a, b.vec_id AS b
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+          |  WHERE ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          |    (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          |     SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2),
+          |tri AS (
+          |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          |  FROM edges e1
+          |  JOIN edges e2 ON e1.b = e2.a
+          |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |corners AS (
+          |  SELECT a AS vec_id FROM tri
+          |  UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri)
+          |SELECT vec_id, COUNT(*) AS n_triangles
+          |FROM corners GROUP BY vec_id
+          |ORDER BY vec_id, n_triangles""".stripMargin,
+      // exact-moment Pearson correlation: HUGEINT moments = Spark
+      // DECIMAL(38,0); the final r is one fixed IEEE op sequence on
+      // identical inputs, rounded to 6
+      "q99_corr" ->
+        s"""WITH li AS (
+           |  SELECT l_returnflag,
+           |    ${Profiling.centsSql("l_quantity")} AS x,
+           |    ${Profiling.centsSql("l_extendedprice")} AS y
+           |  FROM lineitem),
+           |m AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+           |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           |    SUM(CAST(y AS HUGEINT) * y) AS syy
+           |  FROM li GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+           |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qp
+           |FROM m ORDER BY l_returnflag, n, corr_qp""".stripMargin,
+      // winsorized sum: percentile boundaries rounded to 6 BEFORE the
+      // clip on both sides; clipped values sum exactly in DECIMAL(24,6)
+      "q100_winsorize" ->
+        s"""WITH li AS (
+           |  SELECT l_returnflag,
+           |    ${Profiling.centsSql("l_extendedprice")} AS c FROM lineitem),
+           |b AS (
+           |  SELECT l_returnflag,
+           |    ROUND(QUANTILE_CONT(c, 0.05), 6) AS b_lo,
+           |    ROUND(QUANTILE_CONT(c, 0.95), 6) AS b_hi
+           |  FROM li GROUP BY 1)
+           |SELECT li.l_returnflag AS l_returnflag, COUNT(*) AS n,
+           |  CAST(SUM(CAST(LEAST(GREATEST(CAST(c AS DOUBLE), b_lo), b_hi)
+           |    AS DECIMAL(24,6))) AS DOUBLE) AS wins_sum,
+           |  CAST(SUM(CASE WHEN c < b_lo THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_lo,
+           |  CAST(SUM(CASE WHEN c > b_hi THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_hi
+           |FROM li JOIN b ON li.l_returnflag = b.l_returnflag
+           |GROUP BY li.l_returnflag
+           |ORDER BY l_returnflag, n, wins_sum, n_clipped_lo,
+           |  n_clipped_hi""".stripMargin,
+      // statistical mode with deterministic (count desc, value asc)
+      // tie-break
+      "q101_mode" ->
+        s"""WITH counts AS (
+           |  SELECT l_returnflag,
+           |    ${Profiling.centsSql("l_quantity")} AS q_cents,
+           |    COUNT(*) AS n
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (
+           |  SELECT l_returnflag, q_cents, n,
+           |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+           |      ORDER BY n DESC, q_cents ASC) AS rn
+           |  FROM counts)
+           |SELECT l_returnflag, q_cents AS mode_q_cents, n
+           |FROM r WHERE rn = 1
+           |ORDER BY l_returnflag, mode_q_cents, n""".stripMargin,
     )
   }
 }

@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical QA operators — the profiling / outlier / distribution
+  * checks a migration or curation pipeline runs over a table before
+  * and after moving it (the Spark-native generalization of the
+  * reference's row-count validation, transfer_data_script.py:129-137,
+  * which is the only data QA the reference performs).
+  *
+  * Determinism: money columns go through the cents lattice
+  * (`DECIMAL(18,2) * 100 → BIGINT`) and every decision rule is exact
+  * integer / decimal arithmetic — the z-score test is cross-multiplied
+  * so no division or square root ever happens (see [[zscoreOutliers]]).
+  */
+object Profiling {
+
+  /** Exact integer cents for a money-like double column — the same
+    * double→DECIMAL(18,2) cast the Det helpers use, scaled to a lossless
+    * BIGINT so downstream arithmetic never touches floats. */
+  def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+  /** SQL mirror of [[cents]] for oracle strings. */
+  def centsSql(x: String): String =
+    s"CAST(CAST($x AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Per-supplier two-sided z-score outliers (|z| ≥ 1.8; the bounded
+    * uniform-product price distribution tops out at |z| ≈ 1.9, so 2σ
+    * would be vacuous on this data) over lineitem extended price, with
+    * NO floating point: |x−μ| ≥ 1.8σ is cross-multiplied to
+    *   (x·n − s)² · (n−1) · 25 ≥ 81 · n · (n·ss − s²)
+    * over integer cents (s = Σx, ss = Σx²), evaluated in DECIMAL(38,0)
+    * — exact at any plausible group size (per-supplier n ≈ 600 rows at
+    * every TPC-H SF since suppliers scale with lineitem; the largest
+    * intermediate is ~1e27, well under 1e38). Groups with n < 3 or
+    * zero variance emit nothing (a constant group has no outliers).
+    *
+    * Scale shape: one keyed aggregate over l_suppkey, the per-group
+    * moments broadcast back by AQE (1 row per supplier), then a
+    * codegen'd filter on the scan — no second shuffle of the fact. */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val moments = li.groupBy(col("l_suppkey")).agg(
+      count(lit(1)).as("n"),
+      sum(col("price_cents")).as("s"),
+      sum((col("price_cents") * col("price_cents")).cast("decimal(38,0)"))
+        .as("ss"))
+    val x = col("price_cents").cast("decimal(38,0)")
+    val dev = x * col("n") - col("s")    // x·n − s, decimal-exact
+    val varNum = col("n") * col("ss") - col("s").cast("decimal(38,0)") *
+      col("s").cast("decimal(38,0)")     // n·ss − s² = n(n−1)·σ̂²
+    li.join(moments, Seq("l_suppkey"))
+      .filter(col("n") >= 3 && varNum > 0 &&
+        dev * dev * (col("n") - 1) * 25 >= varNum * 81 * col("n"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("price_cents"),
+        when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("price_cents"), col("side"))
+  }
+
+  /** One-pass column profile of the orders table: per column, the
+    * null count, exact distinct count, and (numeric columns only) the
+    * min/max as double. A single wide aggregate — Catalyst plans the
+    * multi-distinct via Expand, still one scan of the table — then a
+    * `stack` to one row per column. This is the "describe the table I
+    * just moved" primitive the reference's validation step implies. */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def nulls(c: String)    = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+    def distincts(c: String) = countDistinct(col(c)).as(s"nd_$c")
+    val agg = o.agg(
+      nulls("o_orderkey"), distincts("o_orderkey"),
+      min(col("o_orderkey")).cast("double").as("mn_o_orderkey"),
+      max(col("o_orderkey")).cast("double").as("mx_o_orderkey"),
+      nulls("o_custkey"), distincts("o_custkey"),
+      min(col("o_custkey")).cast("double").as("mn_o_custkey"),
+      max(col("o_custkey")).cast("double").as("mx_o_custkey"),
+      nulls("o_totalprice"), distincts("o_totalprice"),
+      min(col("o_totalprice")).as("mn_o_totalprice"),
+      max(col("o_totalprice")).as("mx_o_totalprice"),
+      nulls("o_orderstatus"), distincts("o_orderstatus"),
+      nulls("o_orderpriority"), distincts("o_orderpriority"),
+      nulls("o_orderdate"), distincts("o_orderdate"))
+    agg.selectExpr(
+      """stack(6,
+        |  'o_custkey',      nn_o_custkey,      nd_o_custkey,      mn_o_custkey,      mx_o_custkey,
+        |  'o_orderdate',    nn_o_orderdate,    nd_o_orderdate,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderkey',     nn_o_orderkey,     nd_o_orderkey,     mn_o_orderkey,     mx_o_orderkey,
+        |  'o_orderpriority',nn_o_orderpriority,nd_o_orderpriority,CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderstatus',  nn_o_orderstatus,  nd_o_orderstatus,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_totalprice',   nn_o_totalprice,   nd_o_totalprice,   mn_o_totalprice,   mx_o_totalprice
+        |) AS (column_name, n_nulls, n_distinct, min_v, max_v)""".stripMargin)
+      .orderBy(col("column_name"))
+  }
+
+  /** Fixed-width histogram of order total price over integer cents:
+    * 24 bins across [0, 600,000.00], bin id by exact integer
+    * arithmetic (`cents · 24 div hi`, clamped), per-bin count and
+    * exact sum. Empty bins are absent (sparse histogram). One keyed
+    * aggregate; the bin id is codegen'd on the scan. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val hi = 60000000L // 600k dollars in cents; TPC-H totalprice < 530k
+    val nBins = 24L
+    Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .select(least(expr(s"c * $nBins div $hi"), lit(nBins - 1)).as("bin"),
+        col("c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).cast("long").as("sum_cents"))
+      .orderBy(col("bin"), col("n"), col("sum_cents"))
+  }
+
+  /** Per-flag Pearson correlation between quantity and extended price
+    * with deterministic arithmetic: all five moments (Σx, Σy, Σxy,
+    * Σx², Σy²) accumulate exactly in DECIMAL(38,0) over integer cents,
+    * then the final
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²)(n·Σy² − Σy²))
+    * is a fixed sequence of correctly-rounded IEEE ops on exactly equal
+    * inputs — identical in both engines — rounded to 6 places. The
+    * aggregate shuffles only per-group moment rows (map-side partial
+    * aggregation), never the fact. */
+  def corrQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val m = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"),
+      sum(d(col("x")) * d(col("x"))).as("sxx"),
+      sum(d(col("y")) * d(col("y"))).as("syy"))
+    m.select(col("l_returnflag"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("corr_qp"))
+      .orderBy(col("l_returnflag"), col("n"), col("corr_qp"))
+  }
+
+  /** Per-flag winsorized sum: values clipped to the [p05, p95] exact
+    * interpolated percentiles (rounded to 6 places BEFORE clipping, so
+    * the boundary decision replays in the oracle), then summed in
+    * DECIMAL(24,6) — every clipped value has at most 6 decimal places,
+    * so the sum is exact and order-independent. Percentiles are
+    * computed in a tiny per-group aggregate that AQE broadcasts back
+    * onto the scan — the fact is never shuffled. */
+  def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+    val bounds = li.groupBy(col("l_returnflag")).agg(
+      round(expr("percentile(c, 0.05)"), 6).as("b_lo"),
+      round(expr("percentile(c, 0.95)"), 6).as("b_hi"))
+    li.join(bounds, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        least(greatest(col("c").cast("double"), col("b_lo")), col("b_hi"))
+          .as("w"),
+        (col("c") < col("b_lo")).as("lo"), (col("c") > col("b_hi")).as("hi"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast("decimal(24,6)")).cast("double").as("wins_sum"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
+      .orderBy(col("l_returnflag"), col("n"), col("wins_sum"),
+        col("n_clipped_lo"), col("n_clipped_hi"))
+  }
+
+  /** Per-flag statistical mode of quantity with a deterministic
+    * tie-break (highest count, then lowest value): two keyed
+    * aggregates then a row_number window over the tiny (flag, value)
+    * count table — the classic "most frequent value" profile column.
+    */
+  def modeQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_quantity")).as("q_cents"))
+      .groupBy(col("l_returnflag"), col("q_cents"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("q_cents").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q_cents").as("mode_q_cents"), col("n"))
+      .orderBy(col("l_returnflag"), col("mode_q_cents"), col("n"))
+  }
+
+  /** Per-supplier Pareto frontier of (minimize price, maximize
+    * quantity) over lineitem: a row survives iff no other row of the
+    * same supplier has lower-or-equal price AND strictly higher
+    * quantity (nor equal price with higher quantity). Computed with
+    * one keyed window — sort (price asc, qty desc) within supplier,
+    * keep rows whose quantity strictly exceeds the running max over
+    * all preceding rows. O(n log n) per group, no self-join; the
+    * output set is invariant to tie order, which makes it oracle-safe.
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("p_cents"),
+        cents(col("l_quantity")).as("q_cents"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("p_cents").asc, col("q_cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    li.withColumn("mq", max(col("q_cents")).over(w))
+      .filter(col("mq").isNull || col("q_cents") > col("mq"))
+      .select(col("l_suppkey"), col("p_cents"), col("q_cents"))
+      .orderBy(col("l_suppkey"), col("p_cents"), col("q_cents"))
+  }
+}

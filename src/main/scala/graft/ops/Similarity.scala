@@ -267,6 +267,38 @@ object Similarity {
       .select(col("node").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"), col("cluster_id"))
 
+  /** Per-node triangle participation counts over the near-dup graph —
+    * the standard density QA on a dedup edge set (triangle-rich
+    * neighborhoods = template/boilerplate families; isolated edges =
+    * chance collisions). Edges arrive canonical (a < b), so
+    * enumerating a < b < c via two equi-joins counts each triangle
+    * exactly once; exploding the 3 corners and grouping gives the
+    * per-node count.
+    *
+    * Scale shape: this runs on the PRUNED near-dup edge set (orders of
+    * magnitude smaller than the corpus), both joins are equi-joins on
+    * edge endpoints — at cluster scale the canonical orientation plays
+    * the role of degree-ordering in the classic MapReduce triangle
+    * algorithm, bounding the wedge fan-out of any single node to its
+    * higher-id neighbors. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val wedges = e.as("e1")
+      .join(e.select(col("a").as("b"), col("b").as("c")).as("e2"), Seq("b"))
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")).as("e3"), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("vec_id"), col("n_triangles"))
+  }
+
+  /** Query entry: triangle counts over the oracle-checked q44 edge
+    * set (id-bounded exact near-dups; swap [[lshEmbeddingNearDups]]
+    * in at corpus scale — [[triangleCounts]] is generator-agnostic). */
+  def embeddingTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(embeddingNearDups(spark, dir))
+
   /** Per-label centroid via posexplode + avg: SQL-expressible (and so
     * oracle-checkable), one shuffle of (label, pos) pairs. */
   def centroids(spark: SparkSession, dir: String): DataFrame =

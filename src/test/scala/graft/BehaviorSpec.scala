@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.{Behavior, Profiling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the behavioral-analytics and
+  * statistical-QA operators (q91–q98) — the properties the DuckDB
+  * oracle can't see (step ordering, clamping, frontier domination,
+  * triangle closure). */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohort retention: offsets are weeks since first activity") {
+    val out = Behavior.cohortRetention(spark, sf)
+    // week 0 row exists for every cohort and retains 100%
+    val w0 = out.filter(col("week_offset") === 0)
+    assert(w0.count() > 0)
+    assert(w0.filter(col("retention_ppm") =!= 1000000L).count() == 0,
+      "offset-0 retention must be 1,000,000 ppm by construction")
+    // active_users never exceeds cohort_size
+    assert(out.filter(col("active_users") > col("cohort_size")).count() == 0)
+  }
+
+  test("funnel steps are monotone and order-sensitive") {
+    val out = Behavior.funnel(spark, sf).orderBy("step").collect()
+    assert(out.length == 3)
+    val users = out.map(_.getAs[Long]("users"))
+    assert(users(0) >= users(1) && users(1) >= users(2),
+      "later funnel steps can only lose users")
+    assert(out(0).getAs[Long]("conv_ppm") == 1000000L)
+  }
+
+  test("funnel requires strict step order (purchase before view drops)") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    // user 1 does signup->view->purchase in order; user 2 purchases
+    // before viewing (purchase must NOT count)
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "view", ts("2024-01-01 01:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 02:00:00")),
+      (4L, 2L, "signup", ts("2024-01-01 00:00:00")),
+      (5L, 2L, "purchase", ts("2024-01-01 01:00:00")),
+      (6L, 2L, "view", ts("2024-01-01 02:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavior.funnel(spark, dir).orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("users")).toSeq == Seq(2L, 2L, 1L),
+      "only user 1 completes view->purchase in order")
+  }
+
+  test("transition ppm rows per from-state sum to ~1e6 (floor rounding)") {
+    val out = Behavior.transitions(spark, sf)
+    val sums = out.groupBy("from_type")
+      .agg(sum(col("prob_ppm")).as("t"), count(lit(1)).as("k"))
+      .collect()
+    sums.foreach { r =>
+      val t = r.getAs[Long]("t"); val k = r.getAs[Long]("k")
+      assert(t <= 1000000L && t > 1000000L - k,
+        s"floor-rounded ppm must sum within k of 1e6, got $t for k=$k")
+    }
+  }
+
+  test("z-score outliers: planted extreme value is flagged high") {
+    val li = Seq.tabulate(20)(i =>
+      (1L, i.toLong, i, 100.0)) :+ (1L, 99L, 1, 10000.0)
+    val df = li.toDF("l_suppkey", "l_orderkey", "l_linenumber",
+      "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("zsc").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Profiling.zscoreOutliers(spark, dir).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("l_orderkey") == 99L
+      && out(0).getAs[String]("side") == "high")
+  }
+
+  test("z-score outliers: constant group emits nothing (zero variance)") {
+    val df = Seq.tabulate(10)(i => (7L, i.toLong, i, 500.0))
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("zsc0").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(Profiling.zscoreOutliers(spark, dir).count() == 0)
+  }
+
+  test("histogram clamps overflow into the last bin and sums exactly") {
+    val df = Seq((1L, 599999.99), (2L, 999999.99), (3L, 0.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("hist").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Profiling.priceHistogram(spark, dir)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_cents"))).toSeq
+    assert(out.contains((0L, 1L, 0L)))
+    // 599999.99 and 999999.99 both land in bin 23 (clamp)
+    assert(out.contains((23L, 2L, 59999999L + 99999999L)))
+  }
+
+  test("pareto frontier: dominated points drop, frontier survives") {
+    val df = Seq(
+      // (price, qty): (1,5) and (2,9) are the frontier; (2,4) is
+      // dominated by (1,5); (3,9) by (2,9); (1,5) duplicate kept once
+      (1L, 1.0, 5.0), (1L, 1.0, 5.0), (1L, 2.0, 9.0),
+      (1L, 2.0, 4.0), (1L, 3.0, 9.0)
+    ).toDF("l_suppkey", "l_extendedprice", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("pareto").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Profiling.paretoFrontier(spark, dir)
+      .collect().map(r => (r.getAs[Long]("p_cents"), r.getAs[Long]("q_cents")))
+    assert(out.toSeq == Seq((100L, 500L), (200L, 900L)))
+  }
+
+  test("triangles: planted 4-clique gives 3 triangles per node") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (4L, 5L)).toDF("vec_a", "vec_b")
+    val out = Similarity.triangleCounts(edges).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_triangles")))
+    assert(out.toSeq == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)),
+      "each 4-clique node sits in C(3,2)=3 triangles; the isolated " +
+        "edge contributes none")
+  }
+
+  test("profile counts nulls and distincts per column") {
+    val out = Profiling.profileOrders(spark, sf).collect()
+    assert(out.length == 6)
+    val byName = out.map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(byName("o_orderkey").getAs[Long]("n_nulls") == 0L)
+    val n = Tables.orders(spark, sf).count()
+    assert(byName("o_orderkey").getAs[Long]("n_distinct") == n,
+      "o_orderkey is the primary key: distinct == row count")
+    assert(byName("o_orderstatus").getAs[Long]("n_distinct") <= 3L)
+  }
+}
