@@ -54,7 +54,9 @@ object Profiling {
     val dev = x * col("n") - col("s")    // x·n − s, decimal-exact
     val varNum = col("n") * col("ss") - col("s").cast("decimal(38,0)") *
       col("s").cast("decimal(38,0)")     // n·ss − s² = n(n−1)·σ̂²
-    li.join(moments, Seq("l_suppkey"))
+    // broadcast the 1-row-per-supplier moments, never the fact (at this
+    // SF both sides fit the threshold and Catalyst may build the fact)
+    li.join(broadcast(moments), Seq("l_suppkey"))
       .filter(col("n") >= 3 && varNum > 0 &&
         dev * dev * (col("n") - 1) * 25 >= varNum * 81 * col("n"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -157,7 +159,7 @@ object Profiling {
     val bounds = li.groupBy(col("l_returnflag")).agg(
       round(expr("percentile(c, 0.05)"), 6).as("b_lo"),
       round(expr("percentile(c, 0.95)"), 6).as("b_hi"))
-    li.join(bounds, Seq("l_returnflag"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         least(greatest(col("c").cast("double"), col("b_lo")), col("b_hi"))
           .as("w"),

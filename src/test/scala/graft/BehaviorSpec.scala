@@ -119,6 +119,46 @@ class BehaviorSpec extends SparkSpec {
         "edge contributes none")
   }
 
+  test("correlation is in [-1,1] and exactly 1 on a planted linear pair") {
+    val out = Profiling.corrQuantityPrice(spark, sf).collect()
+    out.foreach { r =>
+      val c = r.getAs[Double]("corr_qp")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+    // planted y = 3x: correlation exactly 1 after rounding
+    val df = Seq((1.0, 3.0), (2.0, 6.0), (3.0, 9.0), (4.0, 12.0))
+      .map { case (x, y) => ("A", x, y) }
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("corr").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Profiling.corrQuantityPrice(spark, dir).collect()
+    assert(r.length == 1 && r(0).getAs[Double]("corr_qp") == 1.0)
+  }
+
+  test("winsorized sum is bounded by the raw sum and clips both tails") {
+    val out = Profiling.winsorizedRevenue(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_clipped_lo") > 0L)
+      assert(r.getAs[Long]("n_clipped_hi") > 0L)
+      // clipping both 5% tails moves mass inward: sum stays positive
+      // and below n * max-bound; cheap sanity floor
+      assert(r.getAs[Double]("wins_sum") > 0.0)
+    }
+  }
+
+  test("mode breaks count ties toward the smaller value") {
+    // 10 appears twice, 20 appears twice: tie -> mode must be 10
+    val df = Seq(10.0, 10.0, 20.0, 20.0, 30.0)
+      .map(q => ("A", q, 1.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("mode").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Profiling.modeQuantity(spark, dir).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("mode_q_cents") == 1000L
+      && r(0).getAs[Long]("n") == 2L)
+  }
+
   test("profile counts nulls and distincts per column") {
     val out = Profiling.profileOrders(spark, sf).collect()
     assert(out.length == 6)
