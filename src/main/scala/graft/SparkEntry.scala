@@ -139,6 +139,9 @@ object SparkEntry {
     "q99_corr"              -> (Profiling.corrQuantityPrice _),
     "q100_winsorize"        -> (Profiling.winsorizedRevenue _),
     "q101_mode"             -> (Profiling.modeQuantity _),
+    "q102_cusum"            -> (TimeSeries.cusumDrift _),
+    "q103_benford"          -> (Profiling.benfordDigits _),
+    "q104_contingency"      -> (Profiling.contingencyChi _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1298,6 +1301,65 @@ object SparkEntry {
            |SELECT l_returnflag, q_cents AS mode_q_cents, n
            |FROM r WHERE rn = 1
            |ORDER BY l_returnflag, mode_q_cents, n""".stripMargin,
+      // CUSUM multiplied through by the series length: pure BIGINT,
+      // no rational mean
+      "q102_cusum" ->
+        """WITH daily AS (
+          |  SELECT event_type, date_trunc('day', ts) AS day,
+          |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+          |      AS BIGINT)) AS BIGINT) AS d_micro
+          |  FROM events GROUP BY 1, 2),
+          |r AS (
+          |  SELECT event_type, day, d_micro,
+          |    COUNT(*) OVER (PARTITION BY event_type) AS t_len,
+          |    CAST(SUM(d_micro) OVER (PARTITION BY event_type) AS BIGINT)
+          |      AS total,
+          |    CAST(SUM(d_micro) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS run_sum,
+          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+          |      AS t_idx
+          |  FROM daily)
+          |SELECT event_type, day, d_micro,
+          |  t_len * run_sum - t_idx * total AS cusum_scaled
+          |FROM r
+          |ORDER BY event_type, day, d_micro, cusum_scaled""".stripMargin,
+      // Benford first digit via decimal string form — no float log
+      "q103_benford" ->
+        s"""WITH counts AS (
+           |  SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+           |    AS digit, COUNT(*) AS n
+           |  FROM (SELECT ${Profiling.centsSql("o_totalprice")} AS c
+           |        FROM orders)
+           |  WHERE c > 0 GROUP BY 1)
+           |SELECT digit, n,
+           |  (n * 1000000) // CAST(SUM(n) OVER () AS BIGINT) AS share_ppm
+           |FROM counts ORDER BY digit, n, share_ppm""".stripMargin,
+      // per-cell chi-square contribution: (N·n − r·c)²/(N·r·c), one
+      // double division over exact integers (HUGEINT = DECIMAL(38,0))
+      "q104_contingency" ->
+        """WITH cells AS (
+          |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          |  FROM lineitem GROUP BY 1, 2),
+          |t AS (
+          |  SELECT l_returnflag, l_linestatus, n,
+          |    CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT)
+          |      AS row_total,
+          |    CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS BIGINT)
+          |      AS col_total,
+          |    CAST(SUM(n) OVER () AS BIGINT) AS grand_total
+          |  FROM cells)
+          |SELECT l_returnflag, l_linestatus, n, row_total, col_total,
+          |  grand_total,
+          |  ROUND(CAST((CAST(grand_total AS HUGEINT) * n
+          |      - CAST(row_total AS HUGEINT) * col_total)
+          |    * (CAST(grand_total AS HUGEINT) * n
+          |      - CAST(row_total AS HUGEINT) * col_total) AS DOUBLE) /
+          |    CAST(CAST(grand_total AS HUGEINT) * row_total * col_total
+          |      AS DOUBLE), 6) AS chi_cell
+          |FROM t
+          |ORDER BY l_returnflag, l_linestatus, n, row_total, col_total,
+          |  grand_total, chi_cell""".stripMargin,
     )
   }
 }

@@ -191,6 +191,62 @@ object Profiling {
       .orderBy(col("l_returnflag"), col("mode_q_cents"), col("n"))
   }
 
+  /** Benford first-digit distribution of order totals — the classic
+    * fabricated-data screen: real financial magnitudes follow
+    * P(d) = log10(1 + 1/d); a flat or spiked distribution flags
+    * synthetic or truncated data. The digit is extracted from the
+    * decimal STRING form of integer cents (exact in both engines — no
+    * log10/pow float path), shares in integer ppm. One keyed
+    * aggregate to 9 rows, then a driver-size window for the total. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .drop("total")
+      .orderBy(col("digit"), col("n"), col("share_ppm"))
+  }
+
+  /** returnflag × linestatus contingency table with the per-cell
+    * chi-square contribution: observed n, row/col/grand totals all
+    * exact, and the cell statistic
+    *   χ²_cell = (N·n − r·c)² / (N·r·c)
+    * (the (O−E)²/E term multiplied through by N²/N²) evaluated as ONE
+    * double division over exactly-equal integer inputs, rounded to 6
+    * — deterministic across engines without ever materializing the
+    * rational expected count. The sum is left to the reader because a
+    * float sum over cells would be order-dependent; per-cell rows are
+    * the deterministic form. All windows run on the aggregated
+    * |flags|×|statuses| frame, not the fact. */
+  def contingencyChi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val byStatus = Window.partitionBy(col("l_linestatus"))
+    val all = Window.partitionBy()
+    def d(c: Column) = c.cast("decimal(38,0)")
+    cells
+      .withColumn("row_total", sum(col("n")).over(byFlag))
+      .withColumn("col_total", sum(col("n")).over(byStatus))
+      .withColumn("grand_total", sum(col("n")).over(all))
+      .withColumn("chi_cell", round(
+        ((d(col("grand_total")) * col("n") -
+          d(col("row_total")) * col("col_total")) *
+         (d(col("grand_total")) * col("n") -
+          d(col("row_total")) * col("col_total"))).cast("double") /
+        (d(col("grand_total")) * col("row_total") * col("col_total"))
+          .cast("double"), 6))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("row_total"), col("col_total"), col("grand_total"),
+        col("chi_cell"))
+  }
+
   /** Per-supplier Pareto frontier of (minimize price, maximize
     * quantity) over lineitem: a row survives iff no other row of the
     * same supplier has lower-or-equal price AND strictly higher

@@ -57,6 +57,40 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"))
 
+  /** CUSUM drift detection over the per-type daily value series, with
+    * the running statistic kept exact by multiplying through by the
+    * series length: the textbook CUSUM S_t = Σ_{i≤t}(x_i − μ) with
+    * μ = Σx/T becomes
+    *   cusum_scaled_t = T · Σ_{i≤t} x_i  −  t · Σx
+    * — pure BIGINT arithmetic over micro-units (value · 1e6), no
+    * rational mean ever materialized, so the oracle replays exactly.
+    * A sustained level shift shows as a monotone run in cusum_scaled;
+    * the peak |value| locates the change point.
+    *
+    * Scale shape: events collapse to (type, day) totals first (one
+    * keyed exchange of daily rows); the running windows run per type
+    * over days — thousands of rows per partition at any horizon, not
+    * events. */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+        .as("d_micro"))
+    val byType = Window.partitionBy(col("event_type"))
+    val run = byType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t_len", count(lit(1)).over(byType))
+      .withColumn("total", sum(col("d_micro")).over(byType))
+      .withColumn("run_sum", sum(col("d_micro")).over(run))
+      .withColumn("t_idx", row_number().over(byType.orderBy(col("day"))))
+      .select(col("event_type"), col("day"), col("d_micro"),
+        (col("t_len") * col("run_sum") - col("t_idx") * col("total"))
+          .as("cusum_scaled"))
+      .orderBy(col("event_type"), col("day"), col("d_micro"),
+        col("cusum_scaled"))
+  }
+
   /** Per-day session concurrency via the classic +1/−1 sweep: clip
     * each session to day boundaries, emit a start (+1) and end (−1)
     * point per segment, running-sum within the day. Intervals are

@@ -159,6 +159,43 @@ class BehaviorSpec extends SparkSpec {
       && r(0).getAs[Long]("n") == 2L)
   }
 
+  test("cusum ends at zero and peaks at a planted level shift") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 6 days at 10.0, then 6 days at 50.0: |cusum| peaks at the shift
+    val ev = (1 to 12).map(d =>
+      (d.toLong, 1L, "click", ts(d), if (d <= 6) 10.0 else 50.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.TimeSeries.cusumDrift(spark, dir)
+      .orderBy("day").collect()
+    assert(out.last.getAs[Long]("cusum_scaled") == 0L,
+      "CUSUM telescopes to zero at the end of the series")
+    val peakDay = out.maxBy(r => math.abs(r.getAs[Long]("cusum_scaled")))
+    assert(peakDay.getAs[java.sql.Timestamp]("day").toString.startsWith(
+      "2024-01-06"), s"peak must sit at the level shift, got $peakDay")
+  }
+
+  test("benford digits cover 1-9 and shares sum to ~1e6") {
+    val out = Profiling.benfordDigits(spark, sf).collect()
+    val digits = out.map(_.getAs[Long]("digit"))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    val t = out.map(_.getAs[Long]("share_ppm")).sum
+    assert(t <= 1000000L && t > 1000000L - out.length)
+  }
+
+  test("contingency cells: totals consistent, chi non-negative") {
+    val out = Profiling.contingencyChi(spark, sf).collect()
+    val n = out.map(_.getAs[Long]("n")).sum
+    assert(out.forall(_.getAs[Long]("grand_total") == n))
+    assert(out.forall(_.getAs[Double]("chi_cell") >= 0.0))
+    // row totals: sum of n within a flag equals the row_total column
+    out.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum ==
+        rs.head.getAs[Long]("row_total"))
+    }
+  }
+
   test("profile counts nulls and distincts per column") {
     val out = Profiling.profileOrders(spark, sf).collect()
     assert(out.length == 6)
