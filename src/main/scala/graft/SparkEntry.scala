@@ -142,6 +142,9 @@ object SparkEntry {
     "q102_cusum"            -> (TimeSeries.cusumDrift _),
     "q103_benford"          -> (Profiling.benfordDigits _),
     "q104_contingency"      -> (Profiling.contingencyChi _),
+    "q105_capped_balance"   -> (TimeSeries.cappedBalance _),
+    "q106_balanced_mix"     -> ((s: SparkSession, d: String) =>
+      Sampling.balancedSourceMix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1360,6 +1363,36 @@ object SparkEntry {
           |FROM t
           |ORDER BY l_returnflag, l_linestatus, n, row_total, col_total,
           |  grand_total, chi_cell""".stripMargin,
+      // floored running balance: the fold replayed as a per-user
+      // recursive CTE stepping the row_number index (q65 pattern)
+      "q105_capped_balance" ->
+        """WITH RECURSIVE seq AS (
+          |  SELECT user_id, event_id,
+          |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+          |      - 50000000 AS delta_micro,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS i
+          |  FROM events),
+          |bal AS (
+          |  SELECT user_id, event_id, delta_micro, i,
+          |    GREATEST(delta_micro, 0) AS balance_micro
+          |  FROM seq WHERE i = 1
+          |  UNION ALL
+          |  SELECT s.user_id, s.event_id, s.delta_micro, s.i,
+          |    GREATEST(b.balance_micro + s.delta_micro, 0)
+          |  FROM bal b JOIN seq s
+          |    ON s.user_id = b.user_id AND s.i = b.i + 1)
+          |SELECT user_id, event_id, delta_micro, balance_micro FROM bal
+          |ORDER BY user_id, event_id, delta_micro,
+          |  balance_micro""".stripMargin,
+      // balanced domain mix: deterministic hash-order cap per source
+      "q106_balanced_mix" ->
+        s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_rank FROM (
+           |  SELECT doc_id, source,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY ${Sampling.idBucketSql("doc_id")}, doc_id) AS rn
+           |  FROM documents) WHERE rn <= 60
+           |ORDER BY doc_id, source, pick_rank""".stripMargin,
     )
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for dataset mixing — the training-data
@@ -100,5 +101,28 @@ object Sampling {
       .select(col("doc_id"), col("n_chars"),
         idBucket(col("doc_id")).as("keep_bucket"))
       .orderBy(col("doc_id"), col("n_chars"), col("keep_bucket"))
+  }
+
+  /** Balanced domain mixing: at most `cap` documents per source,
+    * chosen in deterministic pseudorandom order (the idBucket hash,
+    * doc_id tie-break) — the "cap the over-represented domain" step of
+    * training-mix construction, stable under retries and corpus
+    * growth by anything except the capped domain itself.
+    *
+    * Scale shape: one row_number window keyed on source; at cluster
+    * scale a skewed mega-source is exactly the AQE-skew/salting case
+    * documented in SCALE.md — the rank cut only ever KEEPS `cap`
+    * rows, so downstream stages see bounded per-source volume. */
+  def balancedSourceMix(spark: SparkSession, dir: String,
+      cap: Int = 60): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(idBucket(col("doc_id")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"),
+        col("rn").cast("long").as("pick_rank"))
+      .orderBy(col("doc_id"), col("source"), col("pick_rank"))
   }
 }

@@ -57,6 +57,44 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"))
 
+  /** Floored running balance — the inventory/credit-ledger fold
+    * `bal_t = max(0, bal_{t-1} + delta_t)` per user, which NO window
+    * frame can express (the floor makes each step depend on the
+    * clamped previous step, not on any prefix aggregate). This is the
+    * showcase for the typed Dataset API: `flatMapSortedGroups` hands
+    * each user's events in (ts, event_id) order as a lazy iterator, so
+    * the group is never materialized — Spark's secondary sort does the
+    * ordering inside the exchange and the fold is O(1) memory.
+    *
+    * Deltas are micro-units centered at 50 (the generated value mean)
+    * so the balance genuinely hits the floor. Oracle: per-user
+    * recursive CTE replaying the same fold (the q65 WITH RECURSIVE
+    * pattern).
+    *
+    * Scale shape: one keyed exchange (user_id), sort within
+    * partitions, streaming fold — the same cost envelope as any
+    * sessionization; no per-group in-memory buffering. */
+  def cappedBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"),
+        ((col("value").cast("decimal(18,6)") * 1000000).cast("long") -
+          50000000L).as("delta_micro"))
+      .as[(Long, Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("tsm"), col("event_id")) { (u, it) =>
+        var bal = 0L
+        it.map { case (_, _, eid, d) =>
+          bal = math.max(0L, bal + d)
+          (u, eid, d, bal)
+        }
+      }
+      .toDF("user_id", "event_id", "delta_micro", "balance_micro")
+      .orderBy(col("user_id"), col("event_id"), col("delta_micro"),
+        col("balance_micro"))
+  }
+
   /** CUSUM drift detection over the per-type daily value series, with
     * the running statistic kept exact by multiplying through by the
     * series length: the textbook CUSUM S_t = Σ_{i≤t}(x_i − μ) with

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Behavior, Profiling, Similarity}
+import graft.ops.{Behavior, Profiling, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Planted-fixture semantics for the behavioral-analytics and
@@ -194,6 +194,56 @@ class BehaviorSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("n")).sum ==
         rs.head.getAs[Long]("row_total"))
     }
+  }
+
+  test("capped balance floors at zero and resumes from the floor") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // deltas (value - 50): +10, -30, +5 -> balances 10, 0, 5
+    val ev = Seq(
+      (1L, 1L, "click", ts(1), 60.0),
+      (2L, 1L, "click", ts(2), 20.0),
+      (3L, 1L, "click", ts(3), 55.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("bal").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.TimeSeries.cappedBalance(spark, dir)
+      .orderBy("event_id").collect()
+      .map(_.getAs[Long]("balance_micro")).toSeq
+    assert(out == Seq(10000000L, 0L, 5000000L),
+      "the floor must clamp step 2 and step 3 must resume from 0, " +
+        s"got $out")
+  }
+
+  test("capped balance is never negative on real data") {
+    val out = graft.ops.TimeSeries.cappedBalance(spark, sf)
+    assert(out.filter(col("balance_micro") < 0).count() == 0)
+  }
+
+  test("balanced mix caps every source and ignores other-source growth") {
+    val out = Sampling.balancedSourceMix(spark, sf, cap = 60)
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count"))
+      .toMap
+    sizes.foreach { case (s, n) =>
+      assert(perSource.getOrElse(s, 0L) == math.min(60L, n),
+        s"source $s must contribute min(cap, size)")
+    }
+    // growth invariance: dropping one source leaves the others' picks
+    // untouched (the hash order is per-source, not global)
+    val victim = sizes.keys.min
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("mix").toString
+    docs.filter(col("source") =!= victim).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val reduced = Sampling.balancedSourceMix(spark, dir, cap = 60)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      .toSet
+    val expect = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      .filter(_._2 != victim).toSet
+    assert(reduced == expect)
   }
 
   test("profile counts nulls and distincts per column") {
