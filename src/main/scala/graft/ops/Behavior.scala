@@ -96,12 +96,7 @@ object Behavior {
     * denominator is a second tiny window over the aggregated matrix,
     * not the raw events. */
   def transitions(spark: SparkSession, dir: String): DataFrame = {
-    val seq = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type").as("from_type"),
-        lead(col("event_type"), 1).over(seq).as("to_type"))
-      .filter(col("to_type").isNotNull)
+    val pairs = transitionPairs(Tables.events(spark, dir))
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val denom = Window.partitionBy(col("from_type"))
@@ -110,5 +105,16 @@ object Behavior {
       .withColumn("prob_ppm", expr("n * 1000000 div from_total"))
       .drop("from_total")
       .orderBy(col("from_type"), col("to_type"), col("n"), col("prob_ppm"))
+  }
+
+  /** The raw from→to pair stage of [[transitions]], exposed so the
+    * streaming twin (EventStream.transitionPairsStateful) can assert
+    * stream==batch on the pair multiset before aggregation. */
+  def transitionPairs(ev: DataFrame): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(seq).as("to_type"))
+      .filter(col("to_type").isNotNull)
   }
 }

@@ -167,6 +167,44 @@ object EventStream {
       }
   }
 
+  // ---- streaming transition-pair twin (Behavior.transitions) ----
+
+  case class TEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  case class TransState(lastUs: Long, lastEventId: Long, lastType: String)
+  case class TransPair(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the batch transition-matrix pair stage
+    * (Behavior.transitionPairs): per-user "last event" state emits a
+    * from→to pair for every arriving event after the first, so the
+    * daily matrix can be maintained incrementally instead of
+    * re-windowing the full history. State is one row per user and
+    * never grows; like the incremental-dedup twin this assumes the
+    * per-user feed is event-time ordered across batches (within a
+    * batch it sorts), which the upstream watermarked ingestion
+    * provides. */
+  def transitionPairsStateful(events: org.apache.spark.sql.Dataset[TEv])
+      : org.apache.spark.sql.Dataset[TransPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TEv], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+          var prev = state.getOption
+          val out = sorted.flatMap { e =>
+            val p = prev.map(s => TransPair(user, s.lastType, e.event_type))
+            prev = Some(TransState(toMicros(e.ts), e.event_id, e.event_type))
+            p
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Memory-sink harness for synchronous testing: process everything
     * currently in the source, then stop. */
   def runOnce(agg: DataFrame, name: String): StreamingQuery = {

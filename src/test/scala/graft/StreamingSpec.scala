@@ -229,6 +229,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition pairs equal the batch pair stage") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type")
+    // split at the median timestamp: two event-time-ordered arrivals
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)")
+      .first().getDouble(0).toLong
+    val staged = Files.createTempDirectory("graft_trans").toString
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .sortWithinPartitions("ts", "event_id")
+      .write.mode("append").parquet(staged)
+    Thread.sleep(1100)
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .sortWithinPartitions("ts", "event_id")
+      .write.mode("append").parquet(staged)
+
+    import spark.implicits._
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[EventStream.TEv]
+    val q = EventStream.transitionPairsStateful(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+          r.getAs[String]("to_type"))
+      val streamed = spark.table("trans_out").collect().map(key).toSeq.sorted
+      val batch = graft.ops.Behavior.transitionPairs(ev)
+        .collect().map(key).toSeq.sorted
+      assert(streamed.nonEmpty, "streaming transitions emitted nothing")
+      assert(streamed == batch,
+        s"pair multisets differ: stream=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
