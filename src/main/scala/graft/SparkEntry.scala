@@ -145,6 +145,8 @@ object SparkEntry {
     "q105_capped_balance"   -> (TimeSeries.cappedBalance _),
     "q106_balanced_mix"     -> ((s: SparkSession, d: String) =>
       Sampling.balancedSourceMix(s, d)),
+    "q107_gini"             -> (Profiling.giniRevenue _),
+    "q108_trend"            -> (Profiling.priceTrend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1393,6 +1395,51 @@ object SparkEntry {
            |      ORDER BY ${Sampling.idBucketSql("doc_id")}, doc_id) AS rn
            |  FROM documents) WHERE rn <= 60
            |ORDER BY doc_id, source, pick_rank""".stripMargin,
+      // exact-integer Gini in ppm: rank-weighted form, tie-safe
+      "q107_gini" ->
+        s"""WITH rev AS (
+           |  SELECT l_suppkey, CAST(SUM(${Profiling.centsSql(
+                 "l_extendedprice")}) AS BIGINT) AS x
+           |  FROM lineitem GROUP BY l_suppkey),
+           |ranked AS (
+           |  SELECT s_nationkey, x,
+           |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+           |      ORDER BY x ASC, l_suppkey ASC) AS i
+           |  FROM rev JOIN supplier ON l_suppkey = s_suppkey),
+           |g AS (
+           |  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           |    SUM(CAST(x AS HUGEINT)) AS sx,
+           |    SUM((2 * CAST(i AS HUGEINT) - 1) * x) AS wsum
+           |  FROM ranked GROUP BY s_nationkey)
+           |SELECT s_nationkey, n_suppliers,
+           |  CAST((wsum - n_suppliers * sx) * 1000000
+           |    // (n_suppliers * sx) AS BIGINT) AS gini_ppm
+           |FROM g
+           |ORDER BY s_nationkey, n_suppliers, gini_ppm""".stripMargin,
+      // least-squares slope/intercept from exact integer moments; one
+      // double division each, rounded to 6
+      "q108_trend" ->
+        s"""WITH li AS (
+           |  SELECT l_returnflag,
+           |    date_diff('day', DATE '1970-01-01',
+           |      CAST(l_shipdate AS DATE)) AS x,
+           |    ${Profiling.centsSql("l_extendedprice")} AS y
+           |  FROM lineitem),
+           |m AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+           |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+           |  FROM li GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           |    AS slope_cents_per_day,
+           |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+           |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept_cents
+           |FROM m
+           |ORDER BY l_returnflag, n, slope_cents_per_day,
+           |  intercept_cents""".stripMargin,
     )
   }
 }

@@ -191,6 +191,72 @@ object Profiling {
       .orderBy(col("l_returnflag"), col("mode_q_cents"), col("n"))
   }
 
+  /** Revenue concentration per nation as an exact-integer Gini
+    * coefficient in ppm: with per-supplier revenues x_i sorted
+    * ascending within nation (rank i of n),
+    *   gini_ppm = 1e6 · Σ(2i − n − 1)·x_i  div  n·Σx
+    * — the rank-weighted form needs no mean, no division until the
+    * final integer div, and tie order can't change the result (equal
+    * x share the same contribution under any rank assignment of the
+    * tie group's fixed weight sum). The skew/market-concentration
+    * screen a curation pipeline runs per domain.
+    *
+    * Scale shape: the fact collapses to one revenue row per supplier
+    * first; ranks are a window over suppliers within nation (25-ish
+    * partitions of ~n_suppliers/25 rows); the final aggregate is one
+    * row per nation. */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("c"))
+      .groupBy(col("l_suppkey")).agg(sum(col("c")).as("x"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("x").asc, col("l_suppkey").asc)
+    rev.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(((lit(2) * col("i") - lit(1)) * col("x"))
+          .cast("decimal(38,0)")).as("wsum"))
+      .select(col("s_nationkey"), col("n_suppliers"),
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx; decimal operands keep the
+        // ×1e6 exact at any SF, div yields BIGINT in both engines
+        expr("CAST((wsum - n_suppliers * sx) * 1000000" +
+          " div (n_suppliers * sx) AS BIGINT)").as("gini_ppm"))
+      .orderBy(col("s_nationkey"), col("n_suppliers"), col("gini_ppm"))
+  }
+
+  /** Per-flag least-squares trend of price over ship date, both slope
+    * and intercept from exact integer moments (days since epoch ×
+    * integer cents, accumulated in DECIMAL(38,0)):
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    * each a single correctly-rounded double division over exactly
+    * equal numerators/denominators in both engines, rounded to 6.
+    * Same moments-only shuffle shape as [[corrQuantityPrice]]. */
+  def priceTrend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      datediff(col("l_shipdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long").as("x"),
+      cents(col("l_extendedprice")).as("y"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val m = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"),
+      sum(d(col("x")) * d(col("x"))).as("sxx"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / den, 6).as("slope_cents_per_day"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / den, 6).as("intercept_cents"))
+      .orderBy(col("l_returnflag"), col("n"), col("slope_cents_per_day"),
+        col("intercept_cents"))
+  }
+
   /** Benford first-digit distribution of order totals — the classic
     * fabricated-data screen: real financial magnitudes follow
     * P(d) = log10(1 + 1/d); a flat or spiked distribution flags

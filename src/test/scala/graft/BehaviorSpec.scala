@@ -246,6 +246,42 @@ class BehaviorSpec extends SparkSpec {
     assert(reduced == expect)
   }
 
+  test("gini: equal revenues give 0, a monopoly approaches (n-1)/n") {
+    def fixture(xs: Seq[Double]): String = {
+      val li = xs.zipWithIndex.map { case (x, i) =>
+        (i.toLong + 1, 1L, i + 1, x) }
+        .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      val sup = xs.indices.map(i => (i.toLong + 1, s"s$i", 0L))
+        .toDF("s_suppkey", "s_name", "s_nationkey")
+      val dir = java.nio.file.Files.createTempDirectory("gini").toString
+      li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      sup.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      dir
+    }
+    val equal = Profiling.giniRevenue(spark, fixture(Seq(10, 10, 10, 10)))
+      .collect()
+    assert(equal.head.getAs[Long]("gini_ppm") == 0L)
+    // one supplier holds everything: G = (n-1)/n = 0.75
+    val mono = Profiling.giniRevenue(spark, fixture(Seq(0.01, 0.01, 0.01, 9999)))
+      .collect()
+    val g = mono.head.getAs[Long]("gini_ppm")
+    assert(g > 740000L && g <= 750000L, s"monopoly gini ~750000, got $g")
+  }
+
+  test("trend recovers a planted linear price drift exactly") {
+    // y = 100 + 2*x dollars over days x=0..9 -> slope 200 cents/day
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"1970-01-${d + 1}%02d 00:00:00")
+    val li = (0 to 9).map(d =>
+      ("A", ts(d), 100.0 + 2.0 * d)).toDF(
+      "l_returnflag", "l_shipdate", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Profiling.priceTrend(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("slope_cents_per_day") == 200.0)
+    assert(r(0).getAs[Double]("intercept_cents") == 10000.0)
+  }
+
   test("profile counts nulls and distincts per column") {
     val out = Profiling.profileOrders(spark, sf).collect()
     assert(out.length == 6)
