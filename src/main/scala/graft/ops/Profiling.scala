@@ -50,15 +50,34 @@ object Profiling {
       sum(col("price_cents")).as("s"),
       sum((col("price_cents") * col("price_cents")).cast("decimal(38,0)"))
         .as("ss"))
-    val x = col("price_cents").cast("decimal(38,0)")
-    val dev = x * col("n") - col("s")    // x·n − s, decimal-exact
     val varNum = col("n") * col("ss") - col("s").cast("decimal(38,0)") *
       col("s").cast("decimal(38,0)")     // n·ss − s² = n(n−1)·σ̂²
-    // broadcast the 1-row-per-supplier moments, never the fact (at this
-    // SF both sides fit the threshold and Catalyst may build the fact)
-    li.join(broadcast(moments), Seq("l_suppkey"))
-      .filter(col("n") >= 3 && varNum > 0 &&
-        dev * dev * (col("n") - 1) * 25 >= varNum * 81 * col("n"))
+    // Collapse the decimal inequality dev²·25(n−1) ≥ 81·n·varNum to a
+    // PER-GROUP integer threshold T = min{c ≥ 0 : c²·B ≥ A}, so the
+    // per-row test is |x·n − s| ≥ T in pure long arithmetic (codegen'd
+    // compare on the scan, no per-row decimal ops). The float sqrt only
+    // seeds the candidate; the ±2 decimal-exact adjustment makes T
+    // exact, so results are bit-identical to the direct inequality
+    // (and to the oracle, which keeps the direct HUGEINT form).
+    val a = varNum * 81 * col("n")                       // decimal-exact
+    val b = (col("n") - 1) * 25                          // long
+    val t0 = floor(sqrt(a.cast("double") / b.cast("double"))).cast("long")
+    def ok(c: Column): Column = {
+      val cPos = greatest(c, lit(0L))
+      cPos.cast("decimal(38,0)") * cPos.cast("decimal(38,0)") * b >= a
+    }
+    val thr = Seq(-2L, -1L, 0L, 1L, 2L).foldRight(lit(0L) /*unreachable*/) {
+      (k, acc) => when(ok(t0 + k), greatest(t0 + k, lit(0L))).otherwise(acc)
+    }
+    val groups = moments.filter(col("n") >= 3 && varNum > 0)
+      .select(col("l_suppkey"), col("n"), col("s"), thr.as("t_cents"))
+    // broadcast the 1-row-per-supplier thresholds, never the fact (at
+    // this SF both sides fit the threshold and Catalyst may build the
+    // fact). x·n stays in long: n per group is O(rows/suppliers),
+    // bounded ~1e3 at every TPC-H SF, vs x ≤ 1e7 cents.
+    val dev = col("price_cents") * col("n") - col("s")   // long-exact
+    li.join(broadcast(groups), Seq("l_suppkey"))
+      .filter(abs(dev) >= col("t_cents"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("price_cents"),
         when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
