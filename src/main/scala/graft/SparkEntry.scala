@@ -147,6 +147,11 @@ object SparkEntry {
       Sampling.balancedSourceMix(s, d)),
     "q107_gini"             -> (Profiling.giniRevenue _),
     "q108_trend"            -> (Profiling.priceTrend _),
+    "q109_histo_quantiles"  -> (Grouping.histogramQuantileRollup _),
+    "q110_embed_standardize" -> ((s: SparkSession, d: String) =>
+      Similarity.standardizedEmbeddings(s, d)),
+    "q111_fd_check"         -> (Audit.fdCheck _),
+    "q112_ri_audit"         -> (Audit.riAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1440,6 +1445,94 @@ object SparkEntry {
            |FROM m
            |ORDER BY l_returnflag, n, slope_cents_per_day,
            |  intercept_cents""".stripMargin,
+      // mergeable histogram quantiles: daily bin counts sum to weekly,
+      // rank = ceil(p·total) by integer cross-multiply
+      "q109_histo_quantiles" ->
+        """WITH daily AS (
+          |  SELECT date_trunc('week', o_orderdate) AS week,
+          |    date_trunc('day', o_orderdate) AS day,
+          |    LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+          |      AS BIGINT) // 16384, 4095) AS bin,
+          |    COUNT(*) AS n
+          |  FROM orders GROUP BY 1, 2, 3),
+          |weekly AS (
+          |  SELECT week, bin, CAST(SUM(n) AS BIGINT) AS n
+          |  FROM daily GROUP BY 1, 2),
+          |walk AS (
+          |  SELECT week, bin, n,
+          |    CAST(SUM(n) OVER (PARTITION BY week ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum,
+          |    CAST(SUM(n) OVER (PARTITION BY week) AS BIGINT) AS total
+          |  FROM weekly)
+          |SELECT week, total,
+          |  MIN(CASE WHEN cum * 2 >= total THEN bin * 16384 END)
+          |    AS p50_lo_cents,
+          |  MIN(CASE WHEN cum * 20 >= total * 19 THEN bin * 16384 END)
+          |    AS p95_lo_cents
+          |FROM walk GROUP BY week, total
+          |ORDER BY week, total, p50_lo_cents, p95_lo_cents""".stripMargin,
+      // per-dimension z-score over the exact micro-unit lattice; the
+      // final fold mirrors the Spark op symbol for symbol
+      "q110_embed_standardize" ->
+        """WITH flat AS (
+          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+          |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+          |      * 1000000 AS BIGINT) AS m
+          |  FROM embeddings, GENERATE_SERIES(1, 64) s(i)),
+          |moments AS (
+          |  SELECT pos, COUNT(*) AS n, SUM(CAST(m AS HUGEINT)) AS s,
+          |    SUM(CAST(m AS HUGEINT) * m) AS ss
+          |  FROM flat GROUP BY pos)
+          |SELECT f.vec_id AS vec_id, f.pos AS pos,
+          |  CASE WHEN n * ss - s * s = 0 THEN 0.0
+          |  ELSE ROUND(CAST(CAST(f.m AS HUGEINT) * n - s AS DOUBLE) /
+          |    SQRT(CAST((n * ss - s * s) * n AS DOUBLE) /
+          |         CAST(n - 1 AS DOUBLE)), 6) END AS z
+          |FROM flat f JOIN moments mo ON f.pos = mo.pos
+          |ORDER BY vec_id, pos, z""".stripMargin,
+      // functional-dependency audit rows
+      "q111_fd_check" ->
+        """WITH fd1 AS (
+          |  SELECT l_orderkey AS k, COUNT(DISTINCT l_shipdate) AS c
+          |  FROM lineitem GROUP BY 1),
+          |fd2 AS (
+          |  SELECT o_orderkey AS k, COUNT(DISTINCT o_custkey) AS c
+          |  FROM orders GROUP BY 1)
+          |SELECT 'l_orderkey->l_shipdate' AS dependency,
+          |  COUNT(*) AS n_keys,
+          |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_violating FROM fd1
+          |UNION ALL
+          |SELECT 'o_orderkey->o_custkey', COUNT(*),
+          |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM fd2
+          |ORDER BY dependency, n_keys, n_violating""".stripMargin,
+      // referential-integrity audit: per-FK orphan counts
+      "q112_ri_audit" -> {
+        def edge(name: String, child: String, fk: String, parent: String,
+            pk: String): String =
+          s"""SELECT '$name' AS fk_edge,
+             |  (SELECT COUNT(*) FROM $child) AS n_rows,
+             |  (SELECT COUNT(*) FROM $child c
+             |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+             |                     WHERE c.$fk = p.$pk)) AS n_orphans""".stripMargin
+        Seq(
+          edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          edge("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL\n",
+            "\nORDER BY fk_edge, n_rows, n_orphans")
+      },
     )
   }
 }

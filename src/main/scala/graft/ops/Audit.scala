@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-level data audits — the checks the reference's constraint
+  * phase implies but never runs: before `add_foreign_keys` blindly
+  * emits ALTER TABLE (transfer_data_with_constraints_script.py:
+  * 104-171, failures swallowed per-FK), a migrator should KNOW which
+  * edges are clean. These are the audits, as queries.
+  */
+object Audit {
+
+  /** Functional-dependency check: for key → attr, count keys whose
+    * attr is not constant. One aggregate per dependency; the distinct
+    * count is exact (Expand), grouped on the key so partial
+    * aggregation bounds the shuffle at |keys|. */
+  def fdViolations(df: DataFrame, name: String, key: String,
+      attr: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(countDistinct(col(attr)).as("k"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(lit(name).as("dependency"), col("n_keys"), col("n_violating"))
+
+  /** Query entry (q111): one holding and one failing dependency —
+    * o_orderkey→o_custkey holds (orderkey is the orders PK), while
+    * l_orderkey→l_shipdate fails (the generated data spreads ship
+    * dates inside an order; even (orderkey, linenumber) is not unique
+    * in this corpus, which is itself a finding this op surfaces). */
+  def fdCheck(spark: SparkSession, dir: String): DataFrame =
+    fdViolations(Tables.lineitem(spark, dir), "l_orderkey->l_shipdate",
+        "l_orderkey", "l_shipdate")
+      .unionAll(fdViolations(Tables.orders(spark, dir),
+        "o_orderkey->o_custkey", "o_orderkey", "o_custkey"))
+      .orderBy(col("dependency"), col("n_keys"), col("n_violating"))
+
+  /** Referential-integrity audit: for every FK edge of the star
+    * schema, the referencing row count and the number of orphaned
+    * rows (left-anti join against the referenced key). Dims broadcast;
+    * the fact-side anti-joins never shuffle the fact. This is the
+    * pre-flight for the reference's 3-phase FK rebuild — a nonzero
+    * orphan count is exactly the case where its per-FK try/except
+    * would swallow an ALTER TABLE failure. */
+  def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.join(broadcast(parent.select(col(pk))),
+        col(fk) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        o, "o_orderkey")
+      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(edge("orders.o_custkey->customer", o, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionAll(edge("customer.c_nationkey->nation",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .unionAll(edge("supplier.s_nationkey->nation",
+        Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .orderBy(col("fk_edge"), col("n_rows"), col("n_orphans"))
+  }
+}

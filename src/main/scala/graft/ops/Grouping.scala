@@ -173,4 +173,51 @@ object Grouping {
           col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_gap"))
       .orderBy(col("n_name"))
   }
+
+  /** Re-aggregatable quantiles via fixed-bin histograms — the
+    * deterministic answer to "daily p50/p95 rolled up to weeks"
+    * (the same build→merge topology as the HLL/k-mins sketches q57/
+    * q84, for quantiles): daily bin-count vectors ADD, so the weekly
+    * quantile comes from summed counts + one integer cumulative walk,
+    * never a re-sort of raw data. Resolution is the bin width (4096
+    * bins here); everything is BIGINT, rank = ceil(total·p) by
+    * integer arithmetic, and the reported quantile is the lower bound
+    * of the first bin whose cumulative count reaches the rank.
+    *
+    * Scale shape: the daily build partial-aggregates to ≤4096 rows
+    * per day; merges move only bin-count rows. This is how a
+    * warehouse serves percentile dashboards without scanning facts
+    * twice. */
+  def histogramQuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 4096L        // 4096 × 16384-cent bins cover $0..$671k
+    val width = 16384L
+    val daily = Tables.orders(spark, dir)
+      .select(date_trunc("week", col("o_orderdate")).as("week"),
+        date_trunc("day", col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("c"))
+      .select(col("week"), col("day"),
+        least(expr(s"c div $width"), lit(nBins - 1)).as("bin"))
+      .groupBy(col("week"), col("day"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    // merge step: weekly bin counts are the SUM of daily bin counts
+    val weekly = daily.groupBy(col("week"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("week")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("week"))
+    weekly
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("total", sum(col("n")).over(tot))
+      .groupBy(col("week"), col("total"))
+      .agg(
+        min(when(col("cum") * 2 >= col("total"),
+          col("bin") * width)).as("p50_lo_cents"),
+        min(when(col("cum") * 20 >= col("total") * 19,
+          col("bin") * width)).as("p95_lo_cents"))
+      .orderBy(col("week"), col("total"), col("p50_lo_cents"),
+        col("p95_lo_cents"))
+  }
 }

@@ -309,6 +309,40 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** Per-dimension standardization (z-score feature scaling) of the
+    * embedding matrix — the ML feature-prep step before distance-based
+    * models. Values enter the exact micro-unit lattice
+    * (DECIMAL(18,6)·1e6 → BIGINT), per-dimension moments accumulate in
+    * DECIMAL(38,0), and the z-score
+    *   z = (x·n − s) / √(n·(n·ss − s²)/(n−1))
+    * is a fixed IEEE op sequence over exactly equal integers in both
+    * engines, rounded to 6. Scale shape: posexplode shuffles (pos,
+    * value) pairs once for the 64-row moment table, which broadcasts
+    * back onto a second scan — the wide explode is never re-shuffled.
+    */
+  def standardizedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        // float → double is exact in both engines; double → DECIMAL
+        // is the established shared rounding rule
+        (col("v").cast("double").cast("decimal(18,6)") * 1000000)
+          .cast("long").as("m"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val moments = flat.groupBy(col("pos")).agg(
+      count(lit(1)).as("n"), sum(d(col("m"))).as("s"),
+      sum(d(col("m")) * d(col("m"))).as("ss"))
+    val dev = d(col("m")) * col("n") - col("s")
+    val varNum = col("n") * col("ss") - col("s") * col("s")
+    flat.join(broadcast(moments), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(varNum === 0, lit(0.0)).otherwise(
+          round(dev.cast("double") /
+            sqrt((varNum * col("n")).cast("double") /
+              (col("n") - 1).cast("double")), 6)).as("z"))
+      .orderBy(col("vec_id"), col("pos"), col("z"))
+  }
+
   /** Typed Aggregator form of the centroid — the showcase custom
     * aggregate (SURVEY.md §2B): no builtin aggregates array<float>
     * directly; this one merges (sum-vector, count) buffers. */

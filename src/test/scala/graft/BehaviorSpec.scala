@@ -282,6 +282,69 @@ class BehaviorSpec extends SparkSpec {
     assert(r(0).getAs[Double]("intercept_cents") == 10000.0)
   }
 
+  test("histogram quantiles bracket the exact percentiles") {
+    import graft.ops.Grouping
+    val out = Grouping.histogramQuantileRollup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val p50 = r.getAs[Long]("p50_lo_cents")
+      val p95 = r.getAs[Long]("p95_lo_cents")
+      assert(p50 <= p95, "p50 bin cannot exceed p95 bin")
+    }
+    // the weekly totals must equal the raw weekly row counts (the
+    // merge lost nothing)
+    val totals = out.map(r => (r.getAs[java.sql.Timestamp]("week"),
+      r.getAs[Long]("total"))).toMap
+    val raw = Tables.orders(spark, sf)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week")).count()
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("week"),
+        r.getAs[Long]("count"))).toMap
+    assert(totals == raw)
+  }
+
+  test("standardized embeddings have ~zero mean and ~unit variance per dim") {
+    val out = Similarity.standardizedEmbeddings(spark, sf)
+    val stats = out.groupBy("pos")
+      .agg(avg(col("z")).as("mu"), stddev_samp(col("z")).as("sd"))
+      .collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mu")) < 1e-4)
+      assert(math.abs(r.getAs[Double]("sd") - 1.0) < 1e-3)
+    }
+  }
+
+  test("fd check: orders PK holds, per-order shipdate varies") {
+    import graft.ops.Audit
+    val out = Audit.fdCheck(spark, sf).collect()
+      .map(r => r.getAs[String]("dependency") ->
+        r.getAs[Long]("n_violating")).toMap
+    assert(out("o_orderkey->o_custkey") == 0L,
+      "o_orderkey is the orders primary key")
+    assert(out("l_orderkey->l_shipdate") > 0L,
+      "ship dates vary within an order in the generated data")
+  }
+
+  test("ri audit: clean corpus has zero orphans, planted orphan found") {
+    import graft.ops.Audit
+    val clean = Audit.riAudit(spark, sf).collect()
+    assert(clean.length == 6)
+    assert(clean.forall(_.getAs[Long]("n_orphans") == 0L),
+      "driver testdata is referentially intact")
+    // plant an orphaned lineitem: copy the dir shape with a bogus key
+    val dir = java.nio.file.Files.createTempDirectory("ri").toString
+    for (t <- Seq("orders", "part", "supplier", "customer", "nation"))
+      Tables(spark, sf, t).write.parquet(s"$dir/$t.parquet")
+    Tables.lineitem(spark, sf)
+      .withColumn("l_orderkey",
+        when(col("l_linenumber") === 1, lit(-999L)).otherwise(col("l_orderkey")))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val planted = Audit.riAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("fk_edge") -> r.getAs[Long]("n_orphans"))
+      .toMap
+    assert(planted("lineitem.l_orderkey->orders") > 0L)
+  }
+
   test("profile counts nulls and distincts per column") {
     val out = Profiling.profileOrders(spark, sf).collect()
     assert(out.length == 6)
