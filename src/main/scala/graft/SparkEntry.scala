@@ -152,6 +152,8 @@ object SparkEntry {
       Similarity.standardizedEmbeddings(s, d)),
     "q111_fd_check"         -> (Audit.fdCheck _),
     "q112_ri_audit"         -> (Audit.riAudit _),
+    "q113_twap"             -> (TimeSeries.twap _),
+    "q114_source_overlap"   -> (Dedup.sourceOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1533,6 +1535,44 @@ object SparkEntry {
           .mkString("", "\nUNION ALL\n",
             "\nORDER BY fk_edge, n_rows, n_orphans")
       },
+      // TWAP: duration-weighted value per user-day, exact numerator,
+      // one double division
+      "q113_twap" ->
+        """WITH obs AS (
+          |  SELECT user_id, date_trunc('day', ts) AS day,
+          |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+          |      AS v_micro,
+          |    epoch_us(LEAD(ts) OVER (
+          |        PARTITION BY user_id, date_trunc('day', ts)
+          |        ORDER BY ts, event_id))
+          |      - epoch_us(ts) AS dt_us
+          |  FROM events),
+          |g AS (
+          |  SELECT user_id, day, COUNT(*) AS n_weighted,
+          |    CAST(SUM(dt_us) AS BIGINT) AS sum_dt,
+          |    SUM(CAST(v_micro AS HUGEINT) * dt_us) AS num
+          |  FROM obs WHERE dt_us IS NOT NULL GROUP BY 1, 2)
+          |SELECT user_id, day, n_weighted,
+          |  CASE WHEN sum_dt = 0 THEN NULL
+          |       ELSE ROUND(CAST(num AS DOUBLE) / CAST(sum_dt AS DOUBLE),
+          |                  6) END AS twap_micro
+          |FROM g
+          |ORDER BY user_id, day, n_weighted, twap_micro""".stripMargin,
+      // cross-source shingle overlap: literal substrings, no hashes
+      "q114_source_overlap" ->
+        """WITH pos AS (
+          |  SELECT source, text,
+          |    UNNEST(generate_series(1, length(text) - 7, 4)) AS i
+          |  FROM documents WHERE length(text) >= 8),
+          |sh AS (
+          |  SELECT DISTINCT source, substr(text, CAST(i AS INTEGER), 8)
+          |    AS g
+          |  FROM pos)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |  COUNT(*) AS n_shared
+          |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+          |GROUP BY 1, 2
+          |ORDER BY source_a, source_b, n_shared""".stripMargin,
     )
   }
 }

@@ -466,4 +466,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Cross-source contamination matrix: for every pair of sources,
+    * the number of distinct 8-char shingles (stride 4) they share —
+    * the domain-overlap diagnostic a curation pipeline reads before
+    * deciding what to dedup against what. An 8-char shingle is as
+    * compact as a 64-bit hash, so shipping the literal substring is
+    * already the scale-correct move AND keeps the op fully
+    * oracle-replayable (no hash crosses engines, per the q63 rule).
+    *
+    * Scale shape: distinct (shingle, source) partial-aggregates
+    * map-side; the pair join fans out per shingle only to the sources
+    * containing it (≤ |sources|², independent of corpus size). With
+    * millions of domains a stop-shingle cap (the LSH degenerate-
+    * bucket guard pattern) bounds hot shingles; at this corpus'
+    * 16 sources it is unnecessary. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, length(text) - 7, 4)," +
+          " i -> substring(text, i, 8))")).as("g"))
+      .distinct()
+    val a = sh.select(col("g"), col("source").as("source_a"))
+    val b = sh.select(col("g"), col("source").as("source_b"))
+    a.join(b, Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"), col("n_shared"))
+  }
 }

@@ -57,6 +57,41 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"))
 
+  /** Time-weighted average value (TWAP) per user-day over the
+    * irregularly-sampled event stream: each observation is weighted by
+    * its holding duration (micros until the user's next event that
+    * day); the last observation of a day carries no weight. The
+    * numerator Σ(v·dt) accumulates exactly in DECIMAL(38,0) over
+    * micro-unit values × micro-second durations, and the final TWAP is
+    * one correctly-rounded double division — the deterministic version
+    * of the metric every monitoring system computes approximately.
+    *
+    * Scale shape: one user_id-keyed window forms durations, then one
+    * (user, day) aggregate; nothing global. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val obs = Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .select(col("user_id"), col("day"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+          .as("v_micro"),
+        (lead(unix_micros(col("ts")), 1).over(seq) -
+          unix_micros(col("ts"))).as("dt_us"))
+      .filter(col("dt_us").isNotNull)
+    obs.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_weighted"),
+        sum(col("dt_us")).as("sum_dt"),
+        sum((col("v_micro").cast("decimal(38,0)") * col("dt_us")))
+          .as("num"))
+      .select(col("user_id"), col("day"), col("n_weighted"),
+        when(col("sum_dt") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            col("sum_dt").cast("double"), 6)).as("twap_micro"))
+      .orderBy(col("user_id"), col("day"), col("n_weighted"),
+        col("twap_micro"))
+  }
+
   /** Floored running balance — the inventory/credit-ledger fold
     * `bal_t = max(0, bal_{t-1} + delta_t)` per user, which NO window
     * frame can express (the floor makes each step depend on the

@@ -345,6 +345,35 @@ class BehaviorSpec extends SparkSpec {
     assert(planted("lineitem.l_orderkey->orders") > 0L)
   }
 
+  test("twap weights by holding duration, not event count") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // value 10 held 9 minutes, value 100 held 1 minute -> twap 19
+    val ev = Seq(
+      (1L, 1L, "click", ts(0), 10.0),
+      (2L, 1L, "click", ts(9), 100.0),
+      (3L, 1L, "click", ts(10), 7.0) // terminal: no weight
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("twap").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.TimeSeries.twap(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("twap_micro") == 19000000.0,
+      s"(10*9 + 100*1)/10 = 19, got ${r(0).getAs[Double]("twap_micro")}")
+    assert(r(0).getAs[Long]("n_weighted") == 2L)
+  }
+
+  test("source overlap is symmetric-complete and bounded by shingle counts") {
+    import graft.ops.Dedup
+    val out = Dedup.sourceOverlap(spark, sf).collect()
+    val sources = Tables.documents(spark, sf).select("source")
+      .distinct().count()
+    assert(out.length == (sources * (sources - 1) / 2).toInt,
+      "every source pair shares at least one common-English shingle here")
+    assert(out.forall(_.getAs[Long]("n_shared") > 0L))
+    out.foreach(r => assert(
+      r.getAs[String]("source_a") < r.getAs[String]("source_b")))
+  }
+
   test("profile counts nulls and distincts per column") {
     val out = Profiling.profileOrders(spark, sf).collect()
     assert(out.length == 6)
