@@ -76,7 +76,8 @@ object Pipeline {
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       nearDupJaccard: Double = 0.9,
       sampleRates: Map[String, Double] = Map.empty,
-      defaultSampleRate: Double = 1.0): (DataFrame, CurationReport) = {
+      defaultSampleRate: Double = 1.0,
+      maxPerSource: Int = Int.MaxValue): (DataFrame, CurationReport) = {
     val input = docs.count()
     val f = buildFunnel(docs, minQuality, nearDupJaccard)
     val afterQuality = f.scored.count()
@@ -87,10 +88,16 @@ object Pipeline {
 
     // 4. dataset mixing: deterministic per-language sampling (rand-free
     // keep decision — retries and corpus growth can't change it)
-    val sampled =
+    val rateSampled =
       if (sampleRates.isEmpty && defaultSampleRate >= 1.0) curatedBase
       else Sampling.stratifiedSample(curatedBase, "doc_id", "lang",
         sampleRates, defaultSampleRate)
+    // balanced mixing: cap any over-represented source (deterministic
+    // hash order, so retries and other-source growth can't change it)
+    val sampled =
+      if (maxPerSource == Int.MaxValue) rateSampled
+      else Sampling.capPerGroup(rateSampled, "doc_id", "source",
+        maxPerSource).drop("pick_rank")
     val afterSample = if (sampled eq curatedBase) afterNear else sampled.count()
 
     // 5. fingerprint the survivors (downstream incremental dedup key)

@@ -114,15 +114,21 @@ object Sampling {
     * documented in SCALE.md — the rank cut only ever KEEPS `cap`
     * rows, so downstream stages see bounded per-source volume. */
   def balancedSourceMix(spark: SparkSession, dir: String,
-      cap: Int = 60): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(idBucket(col("doc_id")).asc, col("doc_id").asc)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
+      cap: Int = 60): DataFrame =
+    capPerGroup(Tables.documents(spark, dir).select(col("doc_id"),
+        col("source")), "doc_id", "source", cap)
       .select(col("doc_id"), col("source"),
-        col("rn").cast("long").as("pick_rank"))
+        col("pick_rank").cast("long").as("pick_rank"))
       .orderBy(col("doc_id"), col("source"), col("pick_rank"))
+
+  /** The generic cap: at most `cap` rows per group, deterministic
+    * hash order (idBucket, id tie-break); adds `pick_rank`. Shared by
+    * [[balancedSourceMix]] and the Pipeline mixing stage. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(idBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= cap)
   }
 }

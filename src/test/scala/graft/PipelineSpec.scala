@@ -48,6 +48,17 @@ class PipelineSpec extends SparkSpec {
     assert(text.contains("<EMAIL>") && !text.contains("bob@example.com"))
   }
 
+  test("balanced mixing caps every source in the curated output") {
+    val docs = Tables.documents(spark, sf)
+    val (curated, r) = Pipeline.curate(docs, maxPerSource = 5)
+    val perSource = curated.groupBy("source").count().collect()
+    assert(perSource.forall(_.getAs[Long]("count") <= 5L),
+      "a source exceeded the mixing cap")
+    assert(r.afterSample < r.afterNear, "the cap removed nothing")
+    val (_, r2) = Pipeline.curate(docs, maxPerSource = 5)
+    assert(r2.afterSample == r.afterSample, "mixing cap not deterministic")
+  }
+
   test("pipeline is idempotent: curating a curated corpus removes nothing") {
     val docs = Tables.documents(spark, sf)
     val (curated, r1) = Pipeline.curate(docs)
