@@ -154,6 +154,9 @@ object SparkEntry {
     "q112_ri_audit"         -> (Audit.riAudit _),
     "q113_twap"             -> (TimeSeries.twap _),
     "q114_source_overlap"   -> (Dedup.sourceOverlap _),
+    "q115_burstiness"       -> (TimeSeries.burstiness _),
+    "q116_chunk_audit"      -> ((s: SparkSession, d: String) =>
+      Audit.exportChunkAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1573,6 +1576,38 @@ object SparkEntry {
           |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
           |GROUP BY 1, 2
           |ORDER BY source_a, source_b, n_shared""".stripMargin,
+      // inter-arrival CV²: exact gap moments, one double division
+      "q115_burstiness" ->
+        """WITH gaps AS (
+          |  SELECT user_id,
+          |    epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+          |  FROM events),
+          |m AS (
+          |  SELECT user_id, COUNT(*) AS n,
+          |    SUM(CAST(dt AS HUGEINT)) AS s,
+          |    SUM(CAST(dt AS HUGEINT) * dt) AS ss
+          |  FROM gaps WHERE dt IS NOT NULL GROUP BY user_id)
+          |SELECT user_id, n AS n_gaps,
+          |  CAST(s // n AS BIGINT) AS mean_gap_us,
+          |  ROUND(CAST((n * ss - s * s) * n AS DOUBLE) /
+          |    CAST((n - 1) * s * s AS DOUBLE), 6) AS cv2
+          |FROM m WHERE n >= 2 AND s > 0
+          |ORDER BY user_id, n_gaps, mean_gap_us, cv2""".stripMargin,
+      // export-chunk skew: fixed key ranges, integer load ppm
+      "q116_chunk_audit" ->
+        """WITH c AS (
+          |  SELECT o_orderkey // 2048 AS chunk, COUNT(*) AS n_rows
+          |  FROM orders GROUP BY 1),
+          |t AS (
+          |  SELECT chunk, n_rows,
+          |    CAST(SUM(n_rows) OVER () AS BIGINT) AS total,
+          |    COUNT(*) OVER () AS n_chunks
+          |  FROM c)
+          |SELECT chunk, n_rows,
+          |  (n_rows * n_chunks * 1000000) // total AS load_ppm
+          |FROM t
+          |ORDER BY chunk, n_rows, load_ppm""".stripMargin,
     )
   }
 }

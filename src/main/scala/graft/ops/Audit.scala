@@ -36,6 +36,29 @@ object Audit {
         "o_orderkey->o_custkey", "o_orderkey", "o_custkey"))
       .orderBy(col("dependency"), col("n_keys"), col("n_violating"))
 
+  /** Export-chunk skew audit: rows per fixed key-range chunk of the
+    * fact, with each chunk's load as ppm of the ideal uniform share —
+    * the planning step for a partitioned JDBC export
+    * (`Transfer.readJdbcPartitioned`), and the scale-correct answer to
+    * the reference's unordered OFFSET/LIMIT paging
+    * (transfer_data_script.py:109-114): fixed key ranges scan in
+    * parallel, never rescan, and this audit shows whether the key
+    * space is uniform enough or the stride needs adjusting. Pure
+    * integer arithmetic; one keyed aggregate + one window over the
+    * chunk table. */
+  def exportChunkAudit(spark: SparkSession, dir: String,
+      stride: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.orders(spark, dir)
+      .select(expr(s"o_orderkey div $stride").as("chunk"))
+      .groupBy(col("chunk")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("total", sum(col("n_rows")).over(w))
+      .withColumn("n_chunks", count(lit(1)).over(w))
+      .select(col("chunk"), col("n_rows"),
+        expr("n_rows * n_chunks * 1000000 div total").as("load_ppm"))
+      .orderBy(col("chunk"), col("n_rows"), col("load_ppm"))
+  }
+
   /** Referential-integrity audit: for every FK edge of the star
     * schema, the referencing row count and the number of orphaned
     * rows (left-anti join against the referenced key). Dims broadcast;

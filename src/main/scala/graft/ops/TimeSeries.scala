@@ -92,6 +92,36 @@ object TimeSeries {
         col("twap_micro"))
   }
 
+  /** Inter-arrival burstiness per user: the squared coefficient of
+    * variation of the gaps between consecutive events — CV² ≈ 1 for a
+    * Poisson process, ≫ 1 for bursty traffic, ≈ 0 for a metronome.
+    * Gap moments accumulate exactly (micros in DECIMAL(38,0)), and
+    *   CV² = n·(n·Σd² − (Σd)²) / ((n−1)·(Σd)²)
+    * is one correctly-rounded double division; the mean gap is an
+    * exact integer div. One keyed window + one keyed aggregate. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (lead(unix_micros(col("ts")), 1).over(seq) -
+          unix_micros(col("ts"))).as("dt"))
+      .filter(col("dt").isNotNull)
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(d(col("dt"))).as("s"),
+        sum(d(col("dt")) * d(col("dt"))).as("ss"))
+      .filter(col("n") >= 2 && col("s") > 0)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        expr("CAST(s div n AS BIGINT)").as("mean_gap_us"),
+        round(((col("n") * col("ss") - col("s") * col("s")) * col("n"))
+          .cast("double") /
+          ((col("n") - 1) * col("s") * col("s")).cast("double"), 6)
+          .as("cv2"))
+      .orderBy(col("user_id"), col("n_gaps"), col("mean_gap_us"),
+        col("cv2"))
+  }
+
   /** Floored running balance — the inventory/credit-ledger fold
     * `bal_t = max(0, bal_{t-1} + delta_t)` per user, which NO window
     * frame can express (the floor makes each step depend on the

@@ -374,6 +374,35 @@ class BehaviorSpec extends SparkSpec {
       r.getAs[String]("source_a") < r.getAs[String]("source_b")))
   }
 
+  test("burstiness: metronome gives cv2=0, bursts push cv2 over 1") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // user 1: perfectly regular (gap 10 min); user 2: 3 rapid + 1 huge
+    val ev = (Seq(0, 10, 20, 30).zipWithIndex.map { case (m, i) =>
+      (i.toLong, 1L, "click", ts(m), 1.0) } ++
+      Seq(100, 101, 102, 500).zipWithIndex.map { case (m, i) =>
+        (10L + i, 2L, "click", ts(m), 1.0) })
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.TimeSeries.burstiness(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("cv2")).toMap
+    assert(out(1L) == 0.0, "constant gaps must give zero variation")
+    assert(out(2L) > 1.0, s"bursty series must exceed Poisson, got ${out(2L)}")
+  }
+
+  test("export chunks are near-uniform on a dense key space") {
+    import graft.ops.Audit
+    val out = Audit.exportChunkAudit(spark, sf, stride = 256L).collect()
+    assert(out.length > 1)
+    // dense sequential orderkeys: every full chunk within 2% of ideal
+    val full = out.dropRight(1)
+    full.foreach { r =>
+      val ppm = r.getAs[Long]("load_ppm")
+      assert(ppm > 900000L && ppm < 1100000L,
+        s"chunk ${r.getAs[Long]("chunk")} load $ppm ppm is skewed")
+    }
+  }
+
   test("profile counts nulls and distincts per column") {
     val out = Profiling.profileOrders(spark, sf).collect()
     assert(out.length == 6)
