@@ -157,6 +157,10 @@ object SparkEntry {
     "q115_burstiness"       -> (TimeSeries.burstiness _),
     "q116_chunk_audit"      -> ((s: SparkSession, d: String) =>
       Audit.exportChunkAudit(s, d)),
+    "q117_top_paths"        -> ((s: SparkSession, d: String) =>
+      Behavior.topPaths(s, d)),
+    "q118_event_throttle"   -> ((s: SparkSession, d: String) =>
+      TimeSeries.eventThrottle(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1608,6 +1612,40 @@ object SparkEntry {
           |  (n_rows * n_chunks * 1000000) // total AS load_ppm
           |FROM t
           |ORDER BY chunk, n_rows, load_ppm""".stripMargin,
+      // top 3-event paths; the (n desc, path) order is total so the
+      // LIMIT cut is deterministic
+      "q117_top_paths" ->
+        """WITH p AS (
+          |  SELECT event_type AS t1,
+          |    LEAD(event_type, 1) OVER w AS t2,
+          |    LEAD(event_type, 2) OVER w AS t3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT t1, t2, t3, COUNT(*) AS n FROM p
+          |WHERE t3 IS NOT NULL
+          |GROUP BY 1, 2, 3
+          |ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin,
+      // chained throttle: last-KEPT state replayed per (user, type)
+      // as a recursive CTE; 300000000 us = 5 minutes
+      "q118_event_throttle" ->
+        """WITH RECURSIVE seq AS (
+          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsm,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          |      ORDER BY ts, event_id) AS i
+          |  FROM events),
+          |th AS (
+          |  SELECT user_id, event_type, event_id, tsm, i,
+          |    TRUE AS kept, tsm AS last_kept
+          |  FROM seq WHERE i = 1
+          |  UNION ALL
+          |  SELECT s.user_id, s.event_type, s.event_id, s.tsm, s.i,
+          |    s.tsm - t.last_kept >= 300000000 AS kept,
+          |    CASE WHEN s.tsm - t.last_kept >= 300000000 THEN s.tsm
+          |         ELSE t.last_kept END
+          |  FROM th t JOIN seq s ON s.user_id = t.user_id
+          |    AND s.event_type = t.event_type AND s.i = t.i + 1)
+          |SELECT user_id, event_type, event_id FROM th WHERE kept
+          |ORDER BY user_id, event_type, event_id""".stripMargin,
     )
   }
 }

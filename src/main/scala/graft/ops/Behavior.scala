@@ -107,6 +107,25 @@ object Behavior {
       .orderBy(col("from_type"), col("to_type"), col("n"), col("prob_ppm"))
   }
 
+  /** Top event paths: the 10 most common 3-event sequences across all
+    * user timelines (2nd-order extension of [[transitions]]) — the
+    * clickstream "what do users actually do" query. Two window leads
+    * inside the user partitioning, one count aggregate over ≤|types|³
+    * keys, deterministic (count desc, path asc) cut. */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(seq).as("t2"),
+        lead(col("event_type"), 2).over(seq).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** The raw from→to pair stage of [[transitions]], exposed so the
     * streaming twin (EventStream.transitionPairsStateful) can assert
     * stream==batch on the pair multiset before aggregation. */

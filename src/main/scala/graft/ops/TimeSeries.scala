@@ -160,6 +160,37 @@ object TimeSeries {
         col("balance_micro"))
   }
 
+  /** Chained event throttle (true rate limiting): per (user, type),
+    * keep an event iff it is ≥ 5 minutes after the LAST KEPT event —
+    * the state references kept rows, not raw predecessors, so a burst
+    * admits exactly one event per window no matter its length. Like
+    * [[cappedBalance]] this is a sequential fold no window frame can
+    * express (plain `lag` debouncing would re-admit the 3rd event of
+    * a 3-event burst); flatMapSortedGroups streams each key's events
+    * in order with one timestamp of state. Oracle: per-key recursive
+    * CTE carrying last_kept. */
+  def eventThrottle(spark: SparkSession, dir: String,
+      minGapMin: Int = 5): DataFrame = {
+    import spark.implicits._
+    val gapUs = minGapMin * 60L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsm"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    ev.groupByKey(e => (e._1, e._2))
+      .flatMapSortedGroups(col("tsm"), col("event_id")) { (key, it) =>
+        var lastKept = Long.MinValue
+        it.flatMap { case (_, _, tsm, eid) =>
+          if (lastKept == Long.MinValue || tsm - lastKept >= gapUs) {
+            lastKept = tsm
+            Some((key._1, key._2, eid))
+          } else None
+        }
+      }
+      .toDF("user_id", "event_type", "event_id")
+      .orderBy(col("user_id"), col("event_type"), col("event_id"))
+  }
+
   /** CUSUM drift detection over the per-type daily value series, with
     * the running statistic kept exact by multiplying through by the
     * series length: the textbook CUSUM S_t = Σ_{i≤t}(x_i − μ) with
