@@ -49,11 +49,19 @@ object Bench {
     setup { graft.ops.Ivf.persistedIndex(spark, sfDir) }
     setup { graft.ops.Ivf.deterministicIndex(spark, sfDir) }
     setup { Tables.bucketedFacts(spark, sfDir) }
-    val names = SparkEntry.queries.keys.toSeq
+    // optional comma-separated substring filter for targeted
+    // experiments (e.g. SPARK_GRAFT_BENCH_ONLY=q65,q66); the driver
+    // never sets it, so the per-round record stays the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+    val queries = SparkEntry.queries.filter { case (n, _) => selected(n) }
+    val names = queries.keys.toSeq
     val samples = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to runs) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
@@ -85,6 +93,11 @@ object Bench {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     println(json)
+    // tail-survivable headline: the full line above holds 119 per-query
+    // entries and cannot fit in a 2000-char stdout tail capture — this
+    // final <200-byte line always survives tail truncation
+    println(s"""{"metric":"total","value":${med.map(_._2).sum},"unit":"sec",""" +
+      s""""total_min":${min.map(_._2).sum},"n":${names.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

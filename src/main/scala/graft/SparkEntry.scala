@@ -161,6 +161,7 @@ object SparkEntry {
       Behavior.topPaths(s, d)),
     "q118_event_throttle"   -> ((s: SparkSession, d: String) =>
       TimeSeries.eventThrottle(s, d)),
+    "q119_substring_dedup"  -> (Dedup.substringDedupQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1284,25 +1285,35 @@ object SparkEntry {
            |FROM m ORDER BY l_returnflag, n, corr_qp""".stripMargin,
       // winsorized sum: percentile boundaries rounded to 6 BEFORE the
       // clip on both sides; clipped values sum exactly in DECIMAL(24,6)
+      // nearest-rank bounds over integer cents: ceil(n/20) /
+      // ceil(19n/20) order statistics via a cumulative-count walk —
+      // no float interpolation on either engine, exact by construction
       "q100_winsorize" ->
         s"""WITH li AS (
            |  SELECT l_returnflag,
            |    ${Profiling.centsSql("l_extendedprice")} AS c FROM lineitem),
+           |counts AS (
+           |  SELECT l_returnflag, c, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT l_returnflag, c,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+           |  FROM counts),
            |b AS (
            |  SELECT l_returnflag,
-           |    ROUND(QUANTILE_CONT(c, 0.05), 6) AS b_lo,
-           |    ROUND(QUANTILE_CONT(c, 0.95), 6) AS b_hi
-           |  FROM li GROUP BY 1)
+           |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN c END) AS b_lo,
+           |    MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN c END) AS b_hi
+           |  FROM ranked GROUP BY 1)
            |SELECT li.l_returnflag AS l_returnflag, COUNT(*) AS n,
-           |  CAST(SUM(CAST(LEAST(GREATEST(CAST(c AS DOUBLE), b_lo), b_hi)
-           |    AS DECIMAL(24,6))) AS DOUBLE) AS wins_sum,
+           |  CAST(SUM(LEAST(GREATEST(c, b_lo), b_hi)) AS BIGINT)
+           |    AS wins_sum_cents,
            |  CAST(SUM(CASE WHEN c < b_lo THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_clipped_lo,
            |  CAST(SUM(CASE WHEN c > b_hi THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_clipped_hi
            |FROM li JOIN b ON li.l_returnflag = b.l_returnflag
            |GROUP BY li.l_returnflag
-           |ORDER BY l_returnflag, n, wins_sum, n_clipped_lo,
+           |ORDER BY l_returnflag, n, wins_sum_cents, n_clipped_lo,
            |  n_clipped_hi""".stripMargin,
       // statistical mode with deterministic (count desc, value asc)
       // tie-break
@@ -1646,6 +1657,50 @@ object SparkEntry {
           |    AND s.event_type = t.event_type AND s.i = t.i + 1)
           |SELECT user_id, event_type, event_id FROM th WHERE kept
           |ORDER BY user_id, event_type, event_id""".stripMargin,
+      // stride-1 w=8 token windows; a window is duplicated iff its
+      // text occurred earlier by (doc_id, start); overlapping/adjacent
+      // (gap <= 8) duplicates merge into extents (gaps-and-islands);
+      // integer ppm rate — no float on either engine
+      "q119_substring_dedup" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc_id, toks, n_tokens,
+          |    UNNEST(generate_series(0, greatest(len(toks) - 8, 0))) AS s
+          |  FROM t),
+          |w AS (
+          |  SELECT doc_id, n_tokens, s,
+          |    array_to_string(toks[s + 1 : s + 8], ' ') AS wtext
+          |  FROM st),
+          |r AS (
+          |  SELECT doc_id, n_tokens, s,
+          |    ROW_NUMBER() OVER (PARTITION BY wtext
+          |      ORDER BY doc_id, s) AS rn
+          |  FROM w),
+          |d AS (SELECT doc_id, n_tokens, s FROM r WHERE rn >= 2),
+          |i AS (
+          |  SELECT doc_id, n_tokens, s,
+          |    CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+          |      <= 8 THEN 0 ELSE 1 END AS brk
+          |  FROM d),
+          |g AS (
+          |  SELECT doc_id, n_tokens, s,
+          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+          |  FROM i),
+          |e AS (
+          |  SELECT doc_id, n_tokens, MIN(s) AS ext_start,
+          |    LEAST(MAX(s) + 7, n_tokens - 1) AS ext_end
+          |  FROM g GROUP BY doc_id, n_tokens, island)
+          |SELECT doc_id, n_tokens,
+          |  CAST(COUNT(*) AS BIGINT) AS n_extents,
+          |  CAST(SUM(ext_end - ext_start + 1) AS BIGINT) AS n_dup_tokens,
+          |  CAST(SUM(ext_end - ext_start + 1) * 1000000 // n_tokens
+          |    AS BIGINT) AS dup_ppm
+          |FROM e GROUP BY doc_id, n_tokens
+          |ORDER BY doc_id, n_tokens, n_extents, n_dup_tokens,
+          |  dup_ppm""".stripMargin,
     )
   }
 }

@@ -9,23 +9,25 @@ import org.apache.spark.sql.functions._
   * top-3 customers per region — scan(5 tables) → broadcast dims → equi
   * joins → date_trunc → agg → window rank → orderBy, in one Catalyst plan.
   *
-  * Scale shape: one fact-fact shuffle (lineitem⋈orders on orderkey), dims
-  * broadcast, two small aggregations downstream of the join; the window
-  * runs over the already-aggregated (region × customer) set, which is
-  * dim-sized, not fact-sized.
+  * Scale shape: the fact-fact leg (lineitem⋈orders on orderkey) reads the
+  * BUCKETED layout (Tables.bucketedFacts), so the sort-merge join plans
+  * with zero exchange on either fact input — at 100 TB that shuffle is
+  * the dominant cost of this plan, and the co-located layout removes it
+  * entirely (PlanShapeSpec "q00 flagship"; same contract as q70). Dims
+  * broadcast; the window runs over the already-aggregated (region ×
+  * customer) set, which is dim-sized, not fact-sized.
   */
 object Flagship {
   import Det._
 
   def revenueTop3PerRegion(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val o  = Tables.orders(spark, dir)
+    val (li, o) = Tables.bucketedFacts(spark, dir)
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
 
     val joined = li
-      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -51,23 +53,24 @@ object Flagship {
     * chains (customer and supplier in the same nation) within one
     * region and one order year — the 6-table join-ordering showcase.
     *
-    * Scale shape: the only fact-fact shuffle is lineitem⋈orders on
-    * orderkey; the date filter cuts orders BEFORE that shuffle
-    * (pushed to the scan), and every dimension broadcasts. customer
-    * broadcasts here because SF-scale customers fit; at 100 TB the
-    * customer join becomes the second key-shuffle while the plan
-    * shape otherwise holds. */
+    * Scale shape: lineitem⋈orders reads the BUCKETED layout, so the
+    * one fact-fact join plans with no exchange on either side; the
+    * date filter cuts orders BEFORE the join (pushed to the bucketed
+    * scan — a filter preserves the scan's bucket partitioning), and
+    * every dimension broadcasts. customer broadcasts here because
+    * SF-scale customers fit; at 100 TB the customer join becomes the
+    * one key-shuffle while the plan shape otherwise holds. */
   def regionalRevenue(spark: SparkSession, dir: String,
       region: String = "ASIA"): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val (li, oAll) = Tables.bucketedFacts(spark, dir)
+    val o = oAll
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val c = Tables.customer(spark, dir)
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === region)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
         c("c_nationkey") === s("s_nationkey"))

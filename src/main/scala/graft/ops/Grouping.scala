@@ -135,7 +135,12 @@ object Grouping {
   /** Exact interpolated percentiles per group — both engines use the
     * same linear interpolation (Spark percentile / DuckDB
     * quantile_cont); quantities are integral doubles so the single
-    * interpolation division is IEEE-exact in both. */
+    * interpolation division is IEEE-exact in both. The exact
+    * percentile buffer is bounded by DISTINCT values, not rows, so it
+    * survives scale-up on discrete domains like quantity; for
+    * unbounded continuous columns at 100 TB the mergeable fixed-bin
+    * histogram (q109, [[histogramQuantileRollup]]) is the scale
+    * path — this exact family is for audit-grade checks. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))

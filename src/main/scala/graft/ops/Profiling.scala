@@ -165,30 +165,45 @@ object Profiling {
       .orderBy(col("l_returnflag"), col("n"), col("corr_qp"))
   }
 
-  /** Per-flag winsorized sum: values clipped to the [p05, p95] exact
-    * interpolated percentiles (rounded to 6 places BEFORE clipping, so
-    * the boundary decision replays in the oracle), then summed in
-    * DECIMAL(24,6) — every clipped value has at most 6 decimal places,
-    * so the sum is exact and order-independent. Percentiles are
-    * computed in a tiny per-group aggregate that AQE broadcasts back
-    * onto the scan — the fact is never shuffled. */
+  /** Per-flag winsorized sum: values clipped to the [p05, p95]
+    * NEAREST-RANK order statistics over integer cents — b_lo is the
+    * ceil(n/20)-th smallest value, b_hi the ceil(19n/20)-th, found by
+    * a cumulative-count walk over the distinct-cents table. No
+    * interpolation anywhere, so the bounds are engine-independent by
+    * construction (two float percentile implementations can diverge
+    * by an ulp at a rounding boundary; an integer rank rule cannot),
+    * and the clipped sum is an exact BIGINT.
+    *
+    * Scale shape: the fact collapses to (flag, cents) counts first —
+    * state is bounded by DISTINCT cent values, not rows — the
+    * cumulative window runs over that tiny table, and the 3-row
+    * bounds broadcast back onto the scan; the fact is never shuffled.
+    * At 100 TB with unbounded distinct values, the mergeable
+    * fixed-bin histogram path (q109, [[histogramQuantiles]]) is the
+    * answer; this exact family is for audit-grade checks. */
   def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
-    val bounds = li.groupBy(col("l_returnflag")).agg(
-      round(expr("percentile(c, 0.05)"), 6).as("b_lo"),
-      round(expr("percentile(c, 0.95)"), 6).as("b_hi"))
+    val counts = li.groupBy(col("l_returnflag"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val ranked = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val bounds = ranked.groupBy(col("l_returnflag")).agg(
+      min(when(col("cum") >= expr("(n + 19) div 20"), col("c"))).as("b_lo"),
+      min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("c"))).as("b_hi"))
     li.join(broadcast(bounds), Seq("l_returnflag"))
       .select(col("l_returnflag"),
-        least(greatest(col("c").cast("double"), col("b_lo")), col("b_hi"))
-          .as("w"),
+        least(greatest(col("c"), col("b_lo")), col("b_hi")).as("w"),
         (col("c") < col("b_lo")).as("lo"), (col("c") > col("b_hi")).as("hi"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("w").cast("decimal(24,6)")).cast("double").as("wins_sum"),
+        sum(col("w")).as("wins_sum_cents"),
         sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
         sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
-      .orderBy(col("l_returnflag"), col("n"), col("wins_sum"),
+      .orderBy(col("l_returnflag"), col("n"), col("wins_sum_cents"),
         col("n_clipped_lo"), col("n_clipped_hi"))
   }
 
@@ -333,13 +348,16 @@ object Profiling {
   }
 
   /** Per-supplier Pareto frontier of (minimize price, maximize
-    * quantity) over lineitem: a row survives iff no other row of the
-    * same supplier has lower-or-equal price AND strictly higher
-    * quantity (nor equal price with higher quantity). Computed with
-    * one keyed window — sort (price asc, qty desc) within supplier,
-    * keep rows whose quantity strictly exceeds the running max over
-    * all preceding rows. O(n log n) per group, no self-join; the
-    * output set is invariant to tie order, which makes it oracle-safe.
+    * quantity) over lineitem under WEAK domination: a row is removed
+    * iff some other row of the same supplier has lower-or-equal price
+    * AND higher-or-equal quantity with at least one strict — so equal
+    * quantity at a strictly cheaper price also removes a row, and
+    * exact (price, quantity) duplicates keep a single representative.
+    * Computed with one keyed window — sort (price asc, qty desc)
+    * within supplier, keep rows whose quantity strictly exceeds the
+    * running max over all preceding rows. O(n log n) per group, no
+    * self-join; the output set is invariant to tie order, which makes
+    * it oracle-safe.
     */
   def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

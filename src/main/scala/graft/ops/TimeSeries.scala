@@ -30,7 +30,12 @@ object TimeSeries {
     * forward into silent hours. The carried value stays DECIMAL until
     * the final cast so the fill replays exactly in DuckDB. The first
     * spine hour per user is observed by construction (the span starts
-    * at an observed min), so `filled_value` is never NULL. */
+    * at an observed min), so `filled_value` is never NULL.
+    *
+    * Scale note: the spine is bounded by span×users — fine for
+    * event-shaped data (spans of days–months); a years-long span over
+    * a mostly-silent key would amplify rows ~10^4×, and the fix there
+    * is a coarser grain or capping the spine at the last K hours. */
   def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
     val h = hourly(spark, dir)
     val spine = h.groupBy(col("user_id"))

@@ -143,7 +143,7 @@ class BehaviorSpec extends SparkSpec {
       assert(r.getAs[Long]("n_clipped_hi") > 0L)
       // clipping both 5% tails moves mass inward: sum stays positive
       // and below n * max-bound; cheap sanity floor
-      assert(r.getAs[Double]("wins_sum") > 0.0)
+      assert(r.getAs[Long]("wins_sum_cents") > 0L)
     }
   }
 

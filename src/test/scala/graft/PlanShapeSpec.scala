@@ -77,16 +77,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
   }
 
-  test("q70 bucketed fact-fact join: zero exchange below the join") {
+  /** Executed-plan shape of a bucketed fact-fact query: number of
+    * sort-merge joins, shuffles strictly below any SMJ (must be 0 for
+    * a co-located join), and shuffles total. Walks the AQE tree
+    * descending into query stages (never count nodes by string on an
+    * AQE plan — stages reprint their subtrees). */
+  private def bucketedJoinShape(df: DataFrame): (Int, Int, Int) = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    val df = Relational.joinBucketed(spark, sf)
     df.collect()
-    // walk the executed plan (descending AQE stages): the sort-merge
-    // join must sit directly on the bucketed scans — no shuffle at or
-    // below it; the single allowed exchange is the final tiny groupBy
     var smj = 0
     var shufflesBelowJoin = 0
     var shufflesTotal = 0
@@ -102,13 +103,41 @@ class PlanShapeSpec extends SparkSpec {
       case other => other.children.foreach(walk(_, below))
     }
     walk(df.queryExecution.executedPlan, below = false)
+    (smj, shufflesBelowJoin, shufflesTotal)
+  }
+
+  test("q70 bucketed fact-fact join: zero exchange below the join") {
+    // the sort-merge join must sit directly on the bucketed scans — no
+    // shuffle at or below it; post-join: one tiny groupBy exchange +
+    // the deterministic-output orderBy's range exchange, both over the
+    // 3-row aggregate result
+    val (smj, below, total) = bucketedJoinShape(Relational.joinBucketed(spark, sf))
     assert(smj == 1, s"expected one sort-merge join, saw $smj")
-    assert(shufflesBelowJoin == 0,
-      s"bucketed join still shuffles an input ($shufflesBelowJoin)")
-    // post-join: one tiny groupBy exchange + the deterministic-output
-    // orderBy's range exchange — both over the 3-row aggregate result
-    assert(shufflesTotal <= 2,
-      s"more than the groupBy+orderBy exchanges: $shufflesTotal")
+    assert(below == 0, s"bucketed join still shuffles an input ($below)")
+    assert(total <= 2, s"more than the groupBy+orderBy exchanges: $total")
+  }
+
+  test("q00 flagship: fact-fact leg rides the bucketed layout, no fact shuffle") {
+    // lineitem⋈orders is the only SMJ (dims broadcast); it must read
+    // the co-located bucketed scans with zero exchange below. Post-join
+    // shuffles are all dim-sized: (region × customer) groupBy, the
+    // per-region window, and the final orderBy.
+    val (smj, below, total) =
+      bucketedJoinShape(graft.ops.Flagship.revenueTop3PerRegion(spark, sf))
+    assert(smj == 1, s"expected one sort-merge join, saw $smj")
+    assert(below == 0, s"flagship fact join still shuffles an input ($below)")
+    assert(total <= 3, s"more than groupBy+window+orderBy exchanges: $total")
+  }
+
+  test("q82 regional revenue: fact-fact leg rides the bucketed layout") {
+    // the date filter applies on the bucketed orders scan (a filter
+    // preserves bucket partitioning); post-join: nation groupBy + the
+    // final orderBy, both over a ≤25-row aggregate
+    val (smj, below, total) =
+      bucketedJoinShape(graft.ops.Flagship.regionalRevenue(spark, sf))
+    assert(smj == 1, s"expected one sort-merge join, saw $smj")
+    assert(below == 0, s"regional fact join still shuffles an input ($below)")
+    assert(total <= 2, s"more than the groupBy+orderBy exchanges: $total")
   }
 
   test("theta join keeps the equi conjunct as the join key") {
