@@ -105,6 +105,70 @@ object Dedup {
         col("kept_frac"))
   }
 
+  /** Substring-level exact dedup — the overlapping-extent
+    * generalization of [[passageDedupDocs]] and the distributed
+    * re-expression of suffix-array training-data dedup ("find every
+    * duplicated span of ≥ w tokens, wherever it starts"). Fixed-chunk
+    * passage dedup misses a duplicate whenever it is SHIFTED relative
+    * to chunk boundaries; here a w-token window slides at stride 1,
+    * a window is duplicated iff its text occurred strictly earlier in
+    * the corpus ((doc_id, start) order), and overlapping-or-adjacent
+    * duplicate windows (gap ≤ w) merge into maximal duplicated
+    * extents via a per-doc gaps-and-islands pass. Output: one row per
+    * doc that contains any duplicated extent — token count, extent
+    * count, duplicated-token count, and the integer dup rate in ppm
+    * (no float anywhere, the q91+ rule).
+    *
+    * Scale shape: stride-1 windows cost w× the rows of fixed chunks —
+    * the price of catching shifted duplicates. The first-occurrence
+    * rank is ONE shuffle keyed by window text (swap the text for its
+    * sha2 digest at 100 TB to cap key width — only equality is used,
+    * q75's documented move); the extent merge is a keyed window per
+    * doc over the pruned DUPLICATE rows only (orders of magnitude
+    * smaller than the window set). At corpus scale you would
+    * pre-select candidate docs with the winnowed fingerprints (q74)
+    * and run the extent pass on survivors. */
+  def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    // posexplode over the stride-1 window array: pos IS the 0-based
+    // start token index (sequence starts at 0); short docs (n ≤ w)
+    // produce the single whole-text window, like windowHashes
+    val wins = toks.select(col("doc_id"), col("n_tokens"),
+      posexplode(expr(
+        s"""transform(sequence(0, greatest(size(toks) - $w, 0)),
+           |  i -> array_join(slice(toks, i + 1, $w), ' '))""".stripMargin))
+        .as(Seq("s", "wtext")))
+    val dups = wins.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("wtext")).orderBy(col("doc_id"), col("s"))))
+      .filter(col("__rn") >= 2)
+      .select(col("doc_id"), col("n_tokens"), col("s").cast("long").as("s"))
+    // gaps and islands over duplicate starts: a NULL lag (first dup of
+    // a doc) takes the otherwise-branch and opens an island
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val extents = dups
+      .withColumn("brk",
+        when(col("s") - lag(col("s"), 1).over(wDoc) <= w, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("s")).as("ext_start"), max(col("s")).as("max_s"))
+      .select(col("doc_id"), col("n_tokens"), col("ext_start"),
+        least(col("max_s") + lit(w - 1), col("n_tokens") - 1).as("ext_end"))
+    extents.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_extents"),
+        sum(col("ext_end") - col("ext_start") + 1).as("n_dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_extents"),
+        col("n_dup_tokens"),
+        expr("n_dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+      .orderBy(col("doc_id"), col("n_tokens"), col("n_extents"),
+        col("n_dup_tokens"), col("dup_ppm"))
+  }
+
+  /** Query entry (q119): duplicated extents over the documents corpus. */
+  def substringDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables.documents(spark, dir))
+
   /** Fuzzy entity matching: distinct-name pairs within `maxDist` edit
     * distance, joined only inside a blocking key (first token) — the
     * block-then-verify shape every entity-resolution pipeline uses so

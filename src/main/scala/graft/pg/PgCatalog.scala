@@ -48,12 +48,18 @@ object PgCatalog {
       size: Int, scale: Int): Option[String] = {
     val tn = typeName.trim
     val plain = tn.nonEmpty && !tn.contains("(") && !tn.contains(" ")
+    // Unbounded string-ish types (PG text, enums, citext) surface as
+    // Types.VARCHAR with a COLUMN_SIZE sentinel of 2^31-1; PG's real
+    // varchar length tops out at 10485760 — anything above that is
+    // "no length", not a length to re-attach (text(2147483647) is not
+    // executable DDL). PgLiveSpec asserts this against a live server.
+    val sized = size > 0 && size <= 10485760
     if (tn.isEmpty) None
     else sqlType match {
       case Types.CHAR | Types.VARCHAR | Types.NCHAR | Types.NVARCHAR
-          if plain && size > 0 => Some(s"$tn($size)")
+          if plain && sized => Some(s"$tn($size)")
       case Types.NUMERIC | Types.DECIMAL
-          if plain && size > 0 => Some(s"$tn($size,${math.max(scale, 0)})")
+          if plain && sized => Some(s"$tn($size,${math.max(scale, 0)})")
       case _ => Some(tn)
     }
   }

@@ -26,6 +26,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.dedupClusters(noPairs, "doc_a", "doc_b").count() == 0)
   }
 
+  test("substring dedup catches a chunk-boundary-straddling duplicate that passage dedup misses") {
+    // docA: 20 unique tokens; docB embeds docA's tokens 5..16 (a
+    // 12-token run) starting at its own token 7 — the run straddles
+    // docA's w=8 chunk boundary and sits misaligned in docB, so
+    // fixed-chunk passage dedup sees no equal chunk anywhere
+    val aToks = (1 to 20).map(i => s"a$i")
+    val bToks = (1 to 6).map(i => s"b$i") ++ aToks.slice(4, 16) ++
+      (7 to 10).map(i => s"b$i")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val passage = Dedup.passageDedupDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    passage.foreach { case (_, (nChunks, nKept)) =>
+      assert(nChunks == nKept, "passage dedup should miss the shifted dup")
+    }
+    val sub = Dedup.substringDedup(docs).collect()
+    assert(sub.length == 1, s"expected only docB flagged, got ${sub.length}")
+    val r = sub.head
+    // one merged extent covering exactly the 12 shared tokens
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Long]("n_extents") == 1L)
+    assert(r.getAs[Long]("n_dup_tokens") == 12L)
+    assert(r.getAs[Long]("n_tokens") == 22L)
+  }
+
+  test("substring dedup on empty corpus and dup-free corpus returns nothing") {
+    assert(Dedup.substringDedup(emptyDocs).count() == 0)
+    val unique = Seq((1L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDedup(unique).count() == 0)
+  }
+
   test("winnowing on empty and single-char docs yields one fingerprint") {
     val docs = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
     val fps = TextAnalysis.winnowed(docs).collect()

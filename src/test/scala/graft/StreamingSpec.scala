@@ -164,6 +164,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental snapshot diff + delete reconciliation equals the batch diff") {
+    import org.apache.spark.sql.functions._
+    import graft.etl.Cdc
+    import graft.streaming.CdcStream
+    val oldSnap = Cdc.ordersSnapshotOld(spark, sf)
+    val newSnap = Cdc.ordersSnapshotNew(spark, sf)
+    val keyCols = Seq("o_orderkey")
+    val cmpCols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    // stage the new snapshot as two chunk files = two micro-batches
+    // (the chunked-export arrival shape); chunking by key parity, so
+    // neither chunk alone could decide deletes
+    val staged = Files.createTempDirectory("graft_cdc_in").toString
+    newSnap.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .coalesce(1).write.mode("append").parquet(staged)
+    newSnap.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val changesDir = Files.createTempDirectory("graft_cdc_ch").toString + "/c"
+    val keysDir = Files.createTempDirectory("graft_cdc_k").toString + "/k"
+    val stream = spark.readStream.schema(newSnap.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = CdcStream.incrementalDiff(stream, oldSnap, keyCols, cmpCols,
+      changesDir, keysDir).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(changesDir)
+      .unionByName(CdcStream.deletes(spark, oldSnap, keyCols, cmpCols, keysDir))
+    val batch = Cdc.snapshotDiff(oldSnap, newSnap, keyCols, cmpCols)
+    val outCols = keyCols ++ Seq("change") ++
+      cmpCols.flatMap(c => Seq(s"old_$c", s"new_$c"))
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(outCols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val s = rowSet(streamed)
+    val b = rowSet(batch)
+    Seq("I", "U", "D").foreach(k => assert(
+      batch.filter(col("change") === k).count() > 0,
+      s"fixture produced no '$k' changes — parity would be vacuous"))
+    assert(s == b,
+      s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
+  }
+
   test("streaming incremental dedup equals the batch incremental dedup") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
