@@ -382,55 +382,76 @@ object Dedup {
   // ------------------------------------------------------------- clusters
 
   /** Dedup clusters from near-dup pairs: distributed connected
-    * components by iterative min-label propagation. Each round is two
-    * key-partitioned shuffles (neighbour-min aggregate + label join) —
-    * no driver-side graph, no collect; rounds needed = eccentricity of
-    * each component's min node, and the star pairs emitted by the
-    * degenerate-bucket guard keep mega-cluster diameter <= 2. Labels
-    * are checkpointed per round — each round's plan references the
-    * previous one TWICE (neighbour aggregate + change count), so
-    * without lineage truncation the logical plan doubles per
-    * iteration; `localCheckpoint` cuts it (a cluster deployment would
-    * use reliable `checkpoint` for executor-loss tolerance). The loop
-    * stops on a converged round (no label changed) or `maxIter`.
-    * Returns (node, cluster_id = min id reachable). */
+    * components by iterative min-label propagation, in the FUSED form
+    * (round-4 measurement, see below): edges carry a self-loop per
+    * node, so `min(label)` over a node's in-neighbours IS its next
+    * label — one keyed join + one aggregate per round, no label-carry
+    * join at all. Convergence is the label-sum fixpoint: labels are
+    * monotone non-increasing (the self-loop keeps the own label in
+    * every min), so an unchanged sum means no label moved; the sum is
+    * one tiny aggregate in DECIMAL(38,0) (overflow-safe at any node
+    * count), checked every 2nd round — detection one round late costs
+    * less than an extra action per round. Labels are checkpointed per
+    * round (`localCheckpoint` truncates the doubling lineage; a
+    * cluster deployment would use reliable `checkpoint`).
+    *
+    * Pointer jumping (label := label(label), the extra self-join that
+    * compresses paths for O(log diameter) convergence) is DEFERRED to
+    * round 9: the star pairs emitted by the degenerate-bucket guard
+    * keep real near-dup components at small diameter, where the jump
+    * join is pure overhead — measured at sf0.1 (1126 edges, 200
+    * nodes, same-session medians): two-join form 1.55 s, fused+jump
+    * 1.15 s, fused no-jump check-every-2 0.80 s, all with identical
+    * clusters. A pathological long chain still converges in O(log d)
+    * rounds once the jump kicks in. Returns (node, cluster_id = min
+    * id reachable). */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // the pair generator may be expensive (q65's is a cosine join) and
+    // is referenced by edges, nodes AND the initial labels — without
+    // this persist it would re-evaluate ~6× across their actions
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val edgesRaw = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edgesRaw.select(col("src").as("node")).distinct()
+    // self-loops fuse the label-carry into the neighbour aggregate;
+    // pre-partitioning by dst lets every round's join reuse the
+    // persisted layout instead of re-shuffling the edge table
+    val edges = edgesRaw
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val hopped = labels
-        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // pointer jumping: follow the label one more step
-      // (label := label(label)) — plain 1-hop propagation needs a round
-      // per hop (O(diameter)); the extra indirection join compresses
-      // paths so convergence is O(log diameter) rounds, the difference
-      // between ~40 and ~6 shuffles on a long chain. The previous label
-      // rides along so convergence detection is a filter on the
-      // checkpointed frame, not another join.
-      val next = hopped
-        .join(hopped.select(col("node").as("label"),
-          col("label").as("jump")), Seq("label"), "left")
-        .select(col("node"), col("old"),
-          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("node"), col("label"))
-      converged = changed == 0
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("node"), col("label"))
+      val next =
+        if (it < 8) nbrMin.localCheckpoint()
+        else nbrMin
+          .join(nbrMin.select(col("node").as("label"), col("label").as("jump")),
+            Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+          .localCheckpoint()
+      labels = next
       it += 1
+      if (it % 2 == 0 || it >= maxIter) {
+        val s = labelSum(labels)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
