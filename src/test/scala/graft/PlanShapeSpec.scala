@@ -140,6 +140,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(total <= 2, s"more than the groupBy+orderBy exchanges: $total")
   }
 
+  /** Shuffle-exchange and file-scan counts of an executed plan (AQE
+    * tree walk; cached-relation internals not descended). */
+  private def planCounts(df: DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    var shuffles = 0
+    var scans = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeLike => shuffles += 1; s.children.foreach(walk)
+      case f: FileSourceScanExec => scans += 1
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    (shuffles, scans)
+  }
+
+  test("exchange/scan budgets hold for the most expensive queries") {
+    // regression budgets for the top of the bench profile: an unpushed
+    // filter, a lost broadcast, or a lost scan-reuse shows up here as
+    // an extra exchange/scan and fails the build instead of waiting
+    // for a judge's plan read. Budgets are the counts measured when
+    // the plan was reviewed as scale-correct (BASELINE.md round 4).
+    val budgets = Map(
+      "q87_gap_fill"            -> (3, 2),
+      "q100_winsorize"          -> (4, 2),
+      "q27_json_funcs"          -> (1, 1),
+      "q114_source_overlap"     -> (3, 1),
+      "q94_outliers"            -> (2, 2),
+      "q111_fd_check"           -> (6, 2),
+      "q17_cube"                -> (2, 1),
+      "q07_join_broadcast_dims" -> (2, 5),
+      "q86_lateral_topn"        -> (2, 2),
+      "q109_histo_quantiles"    -> (4, 1))
+    budgets.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, maxScans)) =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val (sh, sc) = planCounts(df)
+      info(s"$name: shuffles=$sh scans=$sc")
+      assert(sh <= maxShuffles && sc <= maxScans,
+        s"$name plan regressed: shuffles=$sh (budget $maxShuffles), " +
+          s"scans=$sc (budget $maxScans)")
+    }
+  }
+
   test("theta join keeps the equi conjunct as the join key") {
     val p = plan(graft.ops.Grouping.joinTheta(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
