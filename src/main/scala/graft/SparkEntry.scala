@@ -162,6 +162,7 @@ object SparkEntry {
     "q118_event_throttle"   -> ((s: SparkSession, d: String) =>
       TimeSeries.eventThrottle(s, d)),
     "q119_substring_dedup"  -> (Dedup.substringDedupQuery _),
+    "q120_window_novelty"   -> (Dedup.windowNoveltyQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1701,6 +1702,42 @@ object SparkEntry {
           |FROM e GROUP BY doc_id, n_tokens
           |ORDER BY doc_id, n_tokens, n_extents, n_dup_tokens,
           |  dup_ppm""".stripMargin,
+      // ingest (id >= 400) windows LEFT JOIN the DISTINCT corpus
+      // (id < 400) window set; novelty = unmatched fraction in ppm
+      "q120_window_novelty" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents WHERE doc_id >= 400),
+          |st AS (
+          |  SELECT doc_id, toks, n_tokens,
+          |    UNNEST(generate_series(0, greatest(len(toks) - 8, 0))) AS s
+          |  FROM t),
+          |w AS (
+          |  SELECT doc_id, n_tokens,
+          |    array_to_string(toks[s + 1 : s + 8], ' ') AS wtext
+          |  FROM st),
+          |ct AS (
+          |  SELECT string_split(text, ' ') AS toks FROM documents
+          |  WHERE doc_id < 400),
+          |cs AS (
+          |  SELECT toks,
+          |    UNNEST(generate_series(0, greatest(len(toks) - 8, 0))) AS s
+          |  FROM ct),
+          |cw AS (
+          |  SELECT DISTINCT array_to_string(toks[s + 1 : s + 8], ' ')
+          |    AS wtext
+          |  FROM cs)
+          |SELECT doc_id, n_tokens,
+          |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+          |  CAST(SUM(CASE WHEN cw.wtext IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_novel,
+          |  CAST(SUM(CASE WHEN cw.wtext IS NULL THEN 1 ELSE 0 END)
+          |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+          |FROM w LEFT JOIN cw USING (wtext)
+          |GROUP BY doc_id, n_tokens
+          |ORDER BY doc_id, n_tokens, n_windows, n_novel,
+          |  novelty_ppm""".stripMargin,
     )
   }
 }

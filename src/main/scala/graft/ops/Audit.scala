@@ -61,24 +61,29 @@ object Audit {
 
   /** Referential-integrity audit: for every FK edge of the star
     * schema, the referencing row count and the number of orphaned
-    * rows (left-anti join against the referenced key). Dims broadcast;
-    * the fact-side anti-joins never shuffle the fact. This is the
-    * pre-flight for the reference's 3-phase FK rebuild — a nonzero
-    * orphan count is exactly the case where its per-FK try/except
-    * would swallow an ALTER TABLE failure. */
+    * rows (left-anti join against the referenced key). True dims
+    * broadcast; the one fact→fact edge (lineitem→orders) rides the
+    * BUCKETED layout so the anti-join is exchange-free — orders is
+    * not broadcastable at 100 TB, and co-location covers anti-joins
+    * the same way it covers inner joins. This is the pre-flight for
+    * the reference's 3-phase FK rebuild — a nonzero orphan count is
+    * exactly the case where its per-FK try/except would swallow an
+    * ALTER TABLE failure. */
   def riAudit(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, child: DataFrame, fk: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.join(broadcast(parent.select(col(pk))),
+        parent: DataFrame, pk: String,
+        hinted: Boolean = false): DataFrame = {
+      val p = parent.select(col(pk))
+      val orphans = child.join(
+        if (hinted) p.hint("merge") else broadcast(p),
         col(fk) === col(pk), "left_anti")
       child.agg(count(lit(1)).as("n_rows"))
         .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
         .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
     }
-    val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val (li, o) = Tables.bucketedFacts(spark, dir)
     edge("lineitem.l_orderkey->orders", li, "l_orderkey",
-        o, "o_orderkey")
+        o, "o_orderkey", hinted = true)
       .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
         Tables.part(spark, dir), "p_partkey"))
       .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",

@@ -128,18 +128,23 @@ object Dedup {
     * smaller than the window set). At corpus scale you would
     * pre-select candidate docs with the winnowed fingerprints (q74)
     * and run the extent pass on survivors. */
+  /** (doc_id, n_tokens, s, wtext): every stride-1 `w`-token window of
+    * every document — pos IS the 0-based start token index (sequence
+    * starts at 0); short docs (n ≤ w) produce the single whole-text
+    * window, like windowHashes. Shared by [[substringDedup]] and
+    * [[windowNovelty]] so the window rule cannot drift. */
+  private def tokenWindows(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(size(toks) - $w, 0)),
+             |  i -> array_join(slice(toks, i + 1, $w), ' '))""".stripMargin))
+          .as(Seq("s", "wtext")))
+
   def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-    // posexplode over the stride-1 window array: pos IS the 0-based
-    // start token index (sequence starts at 0); short docs (n ≤ w)
-    // produce the single whole-text window, like windowHashes
-    val wins = toks.select(col("doc_id"), col("n_tokens"),
-      posexplode(expr(
-        s"""transform(sequence(0, greatest(size(toks) - $w, 0)),
-           |  i -> array_join(slice(toks, i + 1, $w), ' '))""".stripMargin))
-        .as(Seq("s", "wtext")))
+    val wins = tokenWindows(docs, w)
     val dups = wins.withColumn("__rn", row_number().over(
         Window.partitionBy(col("wtext")).orderBy(col("doc_id"), col("s"))))
       .filter(col("__rn") >= 2)
@@ -168,6 +173,44 @@ object Dedup {
   /** Query entry (q119): duplicated extents over the documents corpus. */
   def substringDedupQuery(spark: SparkSession, dir: String): DataFrame =
     substringDedup(Tables.documents(spark, dir))
+
+  /** Substring-level corpus novelty — the monitoring mirror of
+    * [[substringDedup]]: for each INGEST document, the fraction of
+    * its stride-1 `w`-token windows whose text never occurs in the
+    * REFERENCE corpus, as an integer ppm rate. This is the "how much
+    * of today's crawl is actually new content" gauge a curation
+    * pipeline tracks per source/day; whole-doc incremental dedup
+    * (q63) can say only new-or-not, this says how much and survives
+    * boilerplate wrappers around copied bodies.
+    *
+    * Scale shape: the corpus side collapses to DISTINCT window texts
+    * before the join (set semantics — corpus size stops mattering,
+    * only vocabulary does); one shuffle keyed by window text (swap
+    * text for its sha2 digest at 100 TB, equality-only as in q75);
+    * the per-doc aggregate is map-side-combinable. */
+  def windowNovelty(ingest: DataFrame, corpus: DataFrame,
+      w: Int = 8): DataFrame = {
+    val seen = tokenWindows(corpus, w).select(col("wtext")).distinct()
+      .withColumn("__seen", lit(1L))
+    tokenWindows(ingest, w)
+      .join(seen, Seq("wtext"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("n_novel"),
+        expr("n_novel * 1000000 div n_windows").as("novelty_ppm"))
+      .orderBy(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("n_novel"), col("novelty_ppm"))
+  }
+
+  /** Query entry (q120): novelty of the id ≥ 400 ingest against the
+    * id < 400 reference corpus (the q63 split). */
+  def windowNoveltyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    windowNovelty(docs.filter(col("doc_id") >= 400),
+      docs.filter(col("doc_id") < 400))
+  }
 
   /** Fuzzy entity matching: distinct-name pairs within `maxDist` edit
     * distance, joined only inside a blocking key (first token) — the

@@ -114,16 +114,15 @@ object Relational {
   }
 
   /** Star join with explicitly broadcast dims: revenue per region.
-    * lineitem⋈orders shuffles on orderkey (unavoidable fact-fact);
-    * customer/nation/region ride along broadcast — the fact table is
-    * never re-shuffled for them. */
+    * lineitem⋈orders rides the bucketed layout (zero exchange below
+    * the sort-merge join); customer/nation/region ride along
+    * broadcast — the fact table is never re-shuffled for them. */
   def joinBroadcastDims(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val o  = Tables.orders(spark, dir)
+    val (li, o) = Tables.bucketedFacts(spark, dir)
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -202,15 +201,19 @@ object Relational {
 
   /** TPC-H-Q3-style shipping priority: top unshipped revenue orders for
     * one segment — selective filters on all three tables push to the
-    * scans, broadcast customer-key set, one fact-fact shuffle, top-10
-    * via TakeOrdered. */
+    * scans, broadcast customer-key set, exchange-free bucketed
+    * fact-fact join, top-10 via TakeOrdered. */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit("1997-01-01").cast("timestamp")
     val c = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
-    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // both date filters apply on the bucketed scans (a filter preserves
+    // bucket partitioning), so the selective fact-fact join is still
+    // exchange-free
+    val (liAll, oAll) = Tables.bucketedFacts(spark, dir)
+    val o = oAll.filter(col("o_orderdate") < cut)
+    val li = liAll.filter(col("l_shipdate") > cut)
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))

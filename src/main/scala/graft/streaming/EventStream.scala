@@ -205,6 +205,43 @@ object EventStream {
       }
   }
 
+  case class ThrottleOut(user_id: Long, event_type: String, event_id: Long)
+
+  /** Streaming twin of the chained event throttle
+    * (graft.ops.TimeSeries.eventThrottle): per (user, type), admit an
+    * event iff it is ≥ `minGapMin` minutes after the LAST ADMITTED
+    * event — true rate limiting, where a burst admits exactly one
+    * event per window regardless of length. State is ONE timestamp
+    * per key (the last admitted event time), never grows, and chains
+    * across micro-batches; within a batch the group sorts by
+    * (ts, event_id) like every stateful twin here, and cross-batch
+    * correctness assumes per-key event-time-ordered arrival, which
+    * the upstream watermarked ingestion provides. */
+  def throttleStateful(events: org.apache.spark.sql.Dataset[TEv],
+      minGapMin: Int = 5): org.apache.spark.sql.Dataset[ThrottleOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    val gapUs = minGapMin * 60L * 1000000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[TEv], state: GroupState[Long]) =>
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+            .flatMap { e =>
+              val tsm = toMicros(e.ts)
+              if (lastKept == Long.MinValue || tsm - lastKept >= gapUs) {
+                lastKept = tsm
+                Some(ThrottleOut(key._1, key._2, e.event_id))
+              } else None
+            }
+          if (lastKept != Long.MinValue) state.update(lastKept)
+          out.iterator
+      }
+  }
+
   /** Memory-sink harness for synchronous testing: process everything
     * currently in the source, then stop. */
   def runOnce(agg: DataFrame, name: String): StreamingQuery = {

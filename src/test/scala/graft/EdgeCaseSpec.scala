@@ -51,6 +51,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tokens") == 22L)
   }
 
+  test("window novelty: copied span drops novelty by exactly its window count") {
+    // corpus doc: 20 unique tokens; ingest doc: 6 own tokens + the
+    // corpus's tokens 5..16 + 4 own tokens (the q119 straddle planted
+    // shape). Shared windows = starts 6..10 (5 of 15) -> novel 10/15.
+    val aToks = (1 to 20).map(i => s"a$i")
+    val bToks = (1 to 6).map(i => s"b$i") ++ aToks.slice(4, 16) ++
+      (7 to 10).map(i => s"b$i")
+    val corpus = Seq((1L, aToks.mkString(" "))).toDF("doc_id", "text")
+    val ingest = Seq(
+      (401L, bToks.mkString(" ")),
+      (402L, (1 to 12).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.windowNovelty(ingest, corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    // 22 tokens -> 15 windows; 5 matched -> 10 novel
+    assert(out(401L) == ((15L, 10L, 666666L)), s"got ${out(401L)}")
+    // fully novel doc: 12 tokens -> 5 windows, all novel
+    assert(out(402L) == ((5L, 5L, 1000000L)), s"got ${out(402L)}")
+  }
+
   test("substring dedup on empty corpus and dup-free corpus returns nothing") {
     assert(Dedup.substringDedup(emptyDocs).count() == 0)
     val unique = Seq((1L, (1 to 30).map(i => s"u$i").mkString(" ")))

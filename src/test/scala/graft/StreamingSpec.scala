@@ -308,6 +308,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chained throttle equals the batch throttle") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type")
+    // split at the median timestamp: two event-time-ordered arrivals,
+    // so the per-key last-admitted state must chain across batches
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)")
+      .first().getDouble(0).toLong
+    val staged = Files.createTempDirectory("graft_throttle").toString
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .sortWithinPartitions("ts", "event_id")
+      .write.mode("append").parquet(staged)
+    Thread.sleep(1100)
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .sortWithinPartitions("ts", "event_id")
+      .write.mode("append").parquet(staged)
+
+    import spark.implicits._
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[EventStream.TEv]
+    val q = EventStream.throttleStateful(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("throttle_out").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("event_id"))
+      val streamed = spark.table("throttle_out").collect().map(key).toSet
+      val batch = graft.ops.TimeSeries.eventThrottle(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed.nonEmpty, "streaming throttle admitted nothing")
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
