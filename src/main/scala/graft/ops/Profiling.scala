@@ -167,33 +167,66 @@ object Profiling {
 
   /** Per-flag winsorized sum: values clipped to the [p05, p95]
     * NEAREST-RANK order statistics over integer cents — b_lo is the
-    * ceil(n/20)-th smallest value, b_hi the ceil(19n/20)-th, found by
-    * a cumulative-count walk over the distinct-cents table. No
+    * ceil(n/20)-th smallest value, b_hi the ceil(19n/20)-th. No
     * interpolation anywhere, so the bounds are engine-independent by
     * construction (two float percentile implementations can diverge
     * by an ulp at a rounding boundary; an integer rank rule cannot),
     * and the clipped sum is an exact BIGINT.
     *
-    * Scale shape: the fact collapses to (flag, cents) counts first —
-    * state is bounded by DISTINCT cent values, not rows — the
-    * cumulative window runs over that tiny table, and the 3-row
-    * bounds broadcast back onto the scan; the fact is never shuffled.
-    * At 100 TB with unbounded distinct values, the mergeable
-    * fixed-bin histogram path (q109, [[histogramQuantiles]]) is the
-    * answer; this exact family is for audit-grade checks. */
+    * Scale shape: two-phase exact selection — a $100-bucket histogram
+    * locates each target rank's bucket, then only that bucket's rows
+    * are ranked exactly (see the inline comment). The 3-row bounds
+    * broadcast back onto the scan; the fact is never re-shuffled. At
+    * 100 TB with unbounded distinct values the mergeable fixed-bin
+    * histogram path (q109, [[Grouping.histogramQuantileRollup]]) is
+    * the monitoring answer; this exact family is for audit-grade
+    * checks. */
   def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
-    val counts = li.groupBy(col("l_returnflag"), col("c"))
+    // two-phase exact rank selection (the order statistic itself is
+    // algorithm-independent, so the oracle keeps its one-phase
+    // cumulative walk): phase 1 bins cents into $100 buckets and
+    // walks the per-flag bin histogram to the bucket containing each
+    // target rank — the windows run over ~1e3 bins per flag instead
+    // of every distinct cent value; phase 2 ranks ONLY the boundary
+    // bucket's rows (n/bins of the data) to extract the exact value.
+    // Ties inside the bucket are safe: row_number's tie order can't
+    // change the VALUE at a rank within a sorted multiset. Measured
+    // at sf0.1: 2.40 s -> see BASELINE.md. At extreme SF a boundary
+    // bucket grows linearly; the fix is recursing one more bin level,
+    // not needed at any tested scale.
+    val bins = li.groupBy(col("l_returnflag"), expr("c div 10000").as("bin"))
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val ranked = counts
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("n", sum(col("cnt")).over(wAll))
-    val bounds = ranked.groupBy(col("l_returnflag")).agg(
-      min(when(col("cum") >= expr("(n + 19) div 20"), col("c"))).as("b_lo"),
-      min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("c"))).as("b_hi"))
+    val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val cumB = bins
+      .withColumn("cum", sum(col("cnt")).over(wB))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag"))))
+    val targets = cumB
+      .select(col("l_returnflag"), col("bin"), col("cnt"), col("cum"),
+        expr("(n + 19) div 20").as("rank"), lit("lo").as("tag"))
+      .union(cumB.select(col("l_returnflag"), col("bin"), col("cnt"),
+        col("cum"), expr("(19 * n + 19) div 20").as("rank"),
+        lit("hi").as("tag")))
+    val boundary = targets.filter(col("cum") >= col("rank"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"), col("tag"))
+          .orderBy(col("bin"))))
+      .filter(col("__rn") === 1)
+      .select(col("l_returnflag").as("bf"), col("tag"), col("bin"),
+        (col("rank") - (col("cum") - col("cnt"))).as("k"))
+    val inBin = li.join(broadcast(boundary),
+      col("l_returnflag") === col("bf") &&
+        expr("c div 10000") === col("bin"))
+    val bounds = inBin
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"), col("tag"))
+          .orderBy(col("c"))))
+      .filter(col("__rn") === col("k"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("tag") === "lo", col("c"))).as("b_lo"),
+        min(when(col("tag") === "hi", col("c"))).as("b_hi"))
     li.join(broadcast(bounds), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         least(greatest(col("c"), col("b_lo")), col("b_hi")).as("w"),
