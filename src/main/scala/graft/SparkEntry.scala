@@ -163,12 +163,30 @@ object SparkEntry {
       TimeSeries.eventThrottle(s, d)),
     "q119_substring_dedup"  -> (Dedup.substringDedupQuery _),
     "q120_window_novelty"   -> (Dedup.windowNoveltyQuery _),
+    "q121_langid_confusion" -> (TextAnalysis.langidConfusionQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
     import Det.Sql._
+    // q55's scored-documents subquery, shared verbatim with the q121
+    // confusion matrix so the replayed prediction rule cannot drift
+    val langidScoredSql =
+      """SELECT doc_id, lang AS lang_label,
+        |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+        |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+        |      ['th', 'he', 'in', 'er', 'an'])) AS BIGINT) AS g_en,
+        |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+        |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+        |      ['ch', 'ei', 'ie', 'sc', 'un'])) AS BIGINT) AS g_de,
+        |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+        |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+        |      ['es', 'le', 'ou', 'qu', 'ai'])) AS BIGINT) AS g_fr,
+        |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+        |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+        |      ['de', 'la', 'os', 'el', 'ón'])) AS BIGINT) AS g_es
+        |  FROM documents""".stripMargin
     ListMap(
       "q01_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -605,28 +623,15 @@ object SparkEntry {
           |) o ON c_custkey = o.o_custkey
           |ORDER BY c_custkey""".stripMargin,
       "q55_langid_ngram" ->
-        """SELECT doc_id, lang_label, g_en, g_de, g_fr, g_es,
-          |  CASE WHEN GREATEST(g_en, g_de, g_fr, g_es) = 0 THEN 'und'
-          |       WHEN g_en = GREATEST(g_en, g_de, g_fr, g_es) THEN 'en'
-          |       WHEN g_de = GREATEST(g_en, g_de, g_fr, g_es) THEN 'de'
-          |       WHEN g_fr = GREATEST(g_en, g_de, g_fr, g_es) THEN 'fr'
-          |       ELSE 'es' END AS lang_pred_ngram
-          |FROM (
-          |  SELECT doc_id, lang AS lang_label,
-          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
-          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
-          |      ['th', 'he', 'in', 'er', 'an'])) AS BIGINT) AS g_en,
-          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
-          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
-          |      ['ch', 'ei', 'ie', 'sc', 'un'])) AS BIGINT) AS g_de,
-          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
-          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
-          |      ['es', 'le', 'ou', 'qu', 'ai'])) AS BIGINT) AS g_fr,
-          |    CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
-          |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
-          |      ['de', 'la', 'os', 'el', 'ón'])) AS BIGINT) AS g_es
-          |  FROM documents
-          |) t ORDER BY doc_id""".stripMargin,
+        s"""SELECT doc_id, lang_label, g_en, g_de, g_fr, g_es,
+           |  CASE WHEN GREATEST(g_en, g_de, g_fr, g_es) = 0 THEN 'und'
+           |       WHEN g_en = GREATEST(g_en, g_de, g_fr, g_es) THEN 'en'
+           |       WHEN g_de = GREATEST(g_en, g_de, g_fr, g_es) THEN 'de'
+           |       WHEN g_fr = GREATEST(g_en, g_de, g_fr, g_es) THEN 'fr'
+           |       ELSE 'es' END AS lang_pred_ngram
+           |FROM (
+           |  $langidScoredSql
+           |) t ORDER BY doc_id""".stripMargin,
       "q56_range_join" ->
         s"""SELECT quarter, COUNT(*) AS n_items,
            |  ${exactSum("l_quantity")} AS sum_qty
@@ -1738,6 +1743,33 @@ object SparkEntry {
           |GROUP BY doc_id, n_tokens
           |ORDER BY doc_id, n_tokens, n_windows, n_novel,
           |  novelty_ppm""".stripMargin,
+      // confusion matrix of the q55 prediction vs the lang label;
+      // diagonal row/col shares are per-class recall/precision (ppm)
+      "q121_langid_confusion" ->
+        s"""WITH scored AS (
+           |  SELECT lang_label,
+           |    CASE WHEN GREATEST(g_en, g_de, g_fr, g_es) = 0 THEN 'und'
+           |         WHEN g_en = GREATEST(g_en, g_de, g_fr, g_es) THEN 'en'
+           |         WHEN g_de = GREATEST(g_en, g_de, g_fr, g_es) THEN 'de'
+           |         WHEN g_fr = GREATEST(g_en, g_de, g_fr, g_es) THEN 'fr'
+           |         ELSE 'es' END AS lang_pred
+           |  FROM ($langidScoredSql) s),
+           |cells AS (
+           |  SELECT lang_label, lang_pred, COUNT(*) AS n
+           |  FROM scored GROUP BY 1, 2),
+           |t AS (
+           |  SELECT lang_label, lang_pred, CAST(n AS BIGINT) AS n,
+           |    CAST(SUM(n) OVER (PARTITION BY lang_label) AS BIGINT)
+           |      AS label_total,
+           |    CAST(SUM(n) OVER (PARTITION BY lang_pred) AS BIGINT)
+           |      AS pred_total
+           |  FROM cells)
+           |SELECT lang_label, lang_pred, n, label_total, pred_total,
+           |  CAST(n * 1000000 // label_total AS BIGINT) AS row_share_ppm,
+           |  CAST(n * 1000000 // pred_total AS BIGINT) AS col_share_ppm
+           |FROM t
+           |ORDER BY lang_label, lang_pred, n, label_total, pred_total,
+           |  row_share_ppm, col_share_ppm""".stripMargin,
     )
   }
 }

@@ -104,14 +104,19 @@ object TextAnalysis {
     * of each language's characteristic bigrams appear in the text's
     * bigram set; argmax with fixed precedence. The second (n-gram)
     * signal next to the marker-word scorer in [[langId]]. */
-  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame =
+    langIdNgramDocs(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Core of [[langIdNgram]] over any (doc_id, text, lang) frame —
+    * shared with [[langidConfusion]] so prediction rules can't drift. */
+  def langIdNgramDocs(docs: DataFrame): DataFrame = {
     // "profile bigram ∈ text's bigram set" is exactly contains(text,
     // bigram) — scoring as a sum of codegen'd contains() calls instead
     // of materializing the distinct-bigram array per row (the
     // transform/array_intersect form runs interpreted and re-built the
     // array once per language profile: 4 passes over every document)
     val t = col("text")
-    val scored = Tables.documents(spark, dir).select(
+    val scored = docs.select(
       col("doc_id") +: col("lang").as("lang_label") +:
         bigramProfiles.map { case (l, ps) =>
           ps.map(bg => when(t.contains(lit(bg)), 1L).otherwise(0L))
@@ -122,8 +127,44 @@ object TextAnalysis {
       case (acc, (l, _)) => acc.when(col(s"g_$l") === m, l)
     }
     scored.withColumn("lang_pred_ngram", coalesce(pred, lit("und")))
-      .orderBy(col("doc_id"))
   }
+
+  /** Classifier evaluation (q121): confusion matrix of the n-gram
+    * language identifier against the corpus's labeled `lang` column,
+    * one row per (label, prediction) cell with the cell count, row
+    * and column totals, and the cell's row/column shares in integer
+    * ppm — on the diagonal those ARE per-class recall and precision.
+    * The eval loop every curation pipeline runs when it tunes a
+    * heuristic classifier against a labeled sample; everything is
+    * exact integers, so the oracle replays bit-for-bit.
+    *
+    * Scale shape: the prediction is a codegen'd scan projection; the
+    * matrix is one (label, pred) partial-aggregated groupBy — cells
+    * bounded by |langs|², so the windows run over ≤ dozens of rows
+    * regardless of corpus size. */
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = langIdNgramDocs(docs)
+      .select(col("lang_label"), col("lang_pred_ngram").as("lang_pred"))
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("label_total",
+        sum(col("n")).over(Window.partitionBy(col("lang_label"))))
+      .withColumn("pred_total",
+        sum(col("n")).over(Window.partitionBy(col("lang_pred"))))
+      .select(col("lang_label"), col("lang_pred"), col("n"),
+        col("label_total"), col("pred_total"),
+        expr("n * 1000000 div label_total").as("row_share_ppm"),
+        expr("n * 1000000 div pred_total").as("col_share_ppm"))
+      .orderBy(col("lang_label"), col("lang_pred"), col("n"),
+        col("label_total"), col("pred_total"), col("row_share_ppm"),
+        col("col_share_ppm"))
+  }
+
+  /** Query entry (q121). */
+  def langidConfusionQuery(spark: SparkSession, dir: String): DataFrame =
+    langidConfusion(Tables.documents(spark, dir))
 
   /** Token counting: whitespace tokens vs a BPE-ish regex token split
     * (letter runs, digit runs, single punctuation marks). */

@@ -323,6 +323,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Array.tabulate(40)(i => orig(i % orig.length)).toSeq)
   }
 
+  test("langid confusion matrix: planted mislabel lands in the right cell") {
+    // three docs the n-gram scorer calls 'en' (every en profile bigram
+    // present, no other profile's), one it calls 'de'; labels make one
+    // of the en predictions a planted (de-labeled) miss
+    val en = "th he in er an"
+    val de = "ch ei ie sc un"
+    val docs = Seq(
+      (1L, en, "en"), (2L, en, "en"),
+      (3L, en, "de"), // mislabel: predicted en, labeled de
+      (4L, de, "de"))
+      .toDF("doc_id", "text", "lang")
+    val cells = graft.ops.TextAnalysis.langidConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // (en,en): n=2 of label_total 2 (recall 100%), pred_total 3
+    assert(cells(("en", "en")) == ((2L, 2L, 3L, 1000000L, 666666L)))
+    // (de,en): the planted miss — 1 of 2 de-labeled docs, 1/3 of en preds
+    assert(cells(("de", "en")) == ((1L, 2L, 3L, 500000L, 333333L)))
+    // (de,de): recall 50%, precision 100%
+    assert(cells(("de", "de")) == ((1L, 2L, 1L, 500000L, 1000000L)))
+    assert(cells.size == 3)
+  }
+
   test("langId classifies real multilingual samples") {
     val samples = Seq(
       (1L, "the cat sat on a mat and looked of the window to see"),
