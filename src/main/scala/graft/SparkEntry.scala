@@ -164,6 +164,7 @@ object SparkEntry {
     "q119_substring_dedup"  -> (Dedup.substringDedupQuery _),
     "q120_window_novelty"   -> (Dedup.windowNoveltyQuery _),
     "q121_langid_confusion" -> (TextAnalysis.langidConfusionQuery _),
+    "q122_ks_drift"         -> (Profiling.ksDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1770,6 +1771,38 @@ object SparkEntry {
            |FROM t
            |ORDER BY lang_label, lang_pred, n, label_total, pred_total,
            |  row_share_ppm, col_share_ppm""".stripMargin,
+      // exact two-sample KS: cross-multiplied integer CDF distance,
+      // HUGEINT in DuckDB mirrors DECIMAL(38,0) in Spark
+      "q122_ks_drift" ->
+        s"""WITH li AS (
+           |  SELECT l_linestatus, l_returnflag,
+           |    ${Profiling.centsSql("l_extendedprice")} AS c
+           |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+           |counts AS (
+           |  SELECT l_linestatus, c,
+           |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+           |    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c2
+           |  FROM li GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT l_linestatus, c,
+           |    SUM(c1) OVER (PARTITION BY l_linestatus ORDER BY c) AS cum1,
+           |    SUM(c2) OVER (PARTITION BY l_linestatus ORDER BY c) AS cum2,
+           |    SUM(c1) OVER (PARTITION BY l_linestatus) AS n1,
+           |    SUM(c2) OVER (PARTITION BY l_linestatus) AS n2
+           |  FROM counts),
+           |dd AS (
+           |  SELECT l_linestatus, c, n1, n2,
+           |    ABS(cum1 * n2 - cum2 * n1) AS d,
+           |    MAX(ABS(cum1 * n2 - cum2 * n1))
+           |      OVER (PARTITION BY l_linestatus) AS md
+           |  FROM cum)
+           |SELECT l_linestatus, CAST(n1 AS BIGINT) AS n1,
+           |  CAST(n2 AS BIGINT) AS n2,
+           |  CAST(md * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm,
+           |  MIN(c) AS ks_at_cents
+           |FROM dd WHERE d = md
+           |GROUP BY l_linestatus, n1, n2, md
+           |ORDER BY l_linestatus, n1, n2, ks_ppm, ks_at_cents""".stripMargin,
     )
   }
 }

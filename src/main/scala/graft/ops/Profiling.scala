@@ -380,6 +380,52 @@ object Profiling {
         col("chi_cell"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance, exact and float-free:
+    * within each line status, the KS distance between the extended-
+    * price distributions of returned (R) vs accepted (A) items —
+    * max over the pooled support of |F1(x) − F2(x)|, kept integral by
+    * cross-multiplying: d(x) = |cum1(x)·n2 − cum2(x)·n1| in
+    * DECIMAL(38,0) (exact at any corpus size), reported as
+    * ks_ppm = 1e6·max(d) div (n1·n2) plus the cent value where the
+    * max first occurs. The distribution-drift screen a pipeline runs
+    * between train/test splits, time slices, or source cohorts — a
+    * large KS between cohorts means the split is not exchangeable.
+    *
+    * Scale shape: one (status, cents) keyed aggregate with partial
+    * combine, cumulative windows partitioned by status over the
+    * distinct-cents table, and a per-status argmax; at extreme
+    * cardinality the two-phase bin pattern (see
+    * [[winsorizedRevenue]]) bounds the window input the same way. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_linestatus"),
+        col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+    val counts = li.groupBy(col("l_linestatus"), col("c")).agg(
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(col("l_linestatus")).orderBy(col("c"))
+    val wAll = Window.partitionBy(col("l_linestatus"))
+    val cum = counts
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("dd",
+        abs(d(col("cum1")) * d(col("n2")) - d(col("cum2")) * d(col("n1"))))
+      .withColumn("md", max(col("dd")).over(wAll))
+    cum.filter(col("dd") === col("md"))
+      .groupBy(col("l_linestatus"), col("n1"), col("n2"), col("md"))
+      .agg(min(col("c")).as("ks_at_cents"))
+      .select(col("l_linestatus"), col("n1"), col("n2"),
+        expr("CAST(md * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+          .as("ks_ppm"),
+        col("ks_at_cents"))
+      .orderBy(col("l_linestatus"), col("n1"), col("n2"), col("ks_ppm"),
+        col("ks_at_cents"))
+  }
+
   /** Per-supplier Pareto frontier of (minimize price, maximize
     * quantity) over lineitem under WEAK domination: a row is removed
     * iff some other row of the same supplier has lower-or-equal price

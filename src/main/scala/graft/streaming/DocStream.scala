@@ -70,4 +70,23 @@ object DocStream {
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("chunk_hash")
       .select(col("doc_id"), col("cidx"))
+
+  /** Streaming twin of the substring-level corpus novelty gauge
+    * (graft.ops.Dedup.windowNovelty): per arriving document, the
+    * fraction of its stride-1 token windows unseen in the STATIC
+    * reference corpus. Novelty is per-doc against a fixed reference,
+    * so the op is completely stateless across batches — each
+    * micro-batch runs the batch op verbatim (no drift possible) and
+    * appends its per-doc rows; chunked arrival provably cannot change
+    * any row (StreamingSpec asserts stream == batch on a 2-batch
+    * split). This is the live "how new is today's crawl" feed the
+    * batch op computes retrospectively. */
+  def windowNoveltyStream(docs: DataFrame, corpus: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.windowNovelty(
+            batch.select(col("doc_id"), col("text")), corpus)
+          .write.mode("append").parquet(outDir)
+    }
 }

@@ -147,6 +147,24 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("KS drift: identical samples score 0 ppm, disjoint samples 1e6 ppm") {
+    val rows =
+      // status 'O': R and A carry identical price multisets -> KS 0
+      (1 to 50).flatMap(i => Seq(("O", "R", i * 10.0), ("O", "A", i * 10.0))) ++
+        // status 'F': every R price below every A price -> KS 1.0,
+        // first attained at the largest R value (30.00 = 3000 cents)
+        (1 to 30).map(i => ("F", "R", i * 1.0)) ++
+        (1 to 40).map(i => ("F", "A", 1000.0 + i))
+    val df = rows.toDF("l_linestatus", "l_returnflag", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Profiling.ksDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out("O")._1 == 0L, s"identical dists scored ${out("O")}")
+    assert(out("F") == ((1000000L, 3000L)), s"disjoint dists scored ${out("F")}")
+  }
+
   test("mode breaks count ties toward the smaller value") {
     // 10 appears twice, 20 appears twice: tie -> mode must be 10
     val df = Seq(10.0, 10.0, 20.0, 20.0, 30.0)

@@ -269,6 +269,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming window novelty equals the batch novelty rows") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val ingest = docs.filter(col("doc_id") >= 400)
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1767225600L) + col("doc_id")))
+      .select("doc_id", "text", "ingest_ts")
+    val staged = Files.createTempDirectory("graft_novelty").toString
+    ingest.filter(col("doc_id") < 450).coalesce(1)
+      .write.mode("append").parquet(staged)
+    ingest.filter(col("doc_id") >= 450).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val outDir = Files.createTempDirectory("graft_novelty_out").toString + "/n"
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.windowNoveltyStream(stream, corpus, outDir).start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_ppm"))).toSet
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(graft.ops.Dedup.windowNovelty(
+      docs.filter(col("doc_id") >= 400), corpus))
+    assert(streamed.nonEmpty, "streaming novelty emitted nothing")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming transition pairs equal the batch pair stage") {
     import org.apache.spark.sql.functions._
     import graft.streaming.EventStream
