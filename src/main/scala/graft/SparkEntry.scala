@@ -165,6 +165,7 @@ object SparkEntry {
     "q120_window_novelty"   -> (Dedup.windowNoveltyQuery _),
     "q121_langid_confusion" -> (TextAnalysis.langidConfusionQuery _),
     "q122_ks_drift"         -> (Profiling.ksDrift _),
+    "q123_pagerank"         -> (Similarity.pagerankQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1803,6 +1804,46 @@ object SparkEntry {
            |FROM dd WHERE d = md
            |GROUP BY l_linestatus, n1, n2, md
            |ORDER BY l_linestatus, n1, n2, ks_ppm, ks_at_cents""".stripMargin,
+      // 3 unrolled integer power iterations over the q65 edge set;
+      // every division truncates identically on both engines
+      "q123_pagerank" ->
+        """WITH pairs AS (
+          |  SELECT a.vec_id AS va, b.vec_id AS vb
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+          |  WHERE ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          |      (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          |       SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2
+          |),
+          |e AS (SELECT va AS src, vb AS dst FROM pairs
+          |      UNION ALL SELECT vb, va FROM pairs),
+          |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+          |nn AS (SELECT COUNT(*) AS n FROM deg),
+          |p0 AS (SELECT d.src AS node, d.deg,
+          |         CAST(1000000 // nn.n AS BIGINT) AS pr FROM deg d, nn),
+          |c0 AS (SELECT node, pr // deg AS contrib FROM p0),
+          |f1 AS (SELECT e.dst AS node, SUM(c.contrib) AS inflow
+          |       FROM e JOIN c0 c ON e.src = c.node GROUP BY e.dst),
+          |p1 AS (SELECT d.src AS node, d.deg,
+          |         CAST((SELECT 150000 // n FROM nn)
+          |           + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS pr
+          |       FROM deg d LEFT JOIN f1 f ON f.node = d.src),
+          |c1 AS (SELECT node, pr // deg AS contrib FROM p1),
+          |f2 AS (SELECT e.dst AS node, SUM(c.contrib) AS inflow
+          |       FROM e JOIN c1 c ON e.src = c.node GROUP BY e.dst),
+          |p2 AS (SELECT d.src AS node, d.deg,
+          |         CAST((SELECT 150000 // n FROM nn)
+          |           + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS pr
+          |       FROM deg d LEFT JOIN f2 f ON f.node = d.src),
+          |c2 AS (SELECT node, pr // deg AS contrib FROM p2),
+          |f3 AS (SELECT e.dst AS node, SUM(c.contrib) AS inflow
+          |       FROM e JOIN c2 c ON e.src = c.node GROUP BY e.dst),
+          |p3 AS (SELECT d.src AS node, d.deg,
+          |         CAST((SELECT 150000 // n FROM nn)
+          |           + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS pr
+          |       FROM deg d LEFT JOIN f3 f ON f.node = d.src)
+          |SELECT node AS vec_id, pr AS pr_ppm FROM p3
+          |ORDER BY vec_id, pr_ppm""".stripMargin,
     )
   }
 }

@@ -267,6 +267,53 @@ object Similarity {
       .select(col("node").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"), col("cluster_id"))
 
+  /** Deterministic integer PageRank over the near-dup graph: a fixed
+    * number of power iterations in exact ppm arithmetic — pr0 =
+    * 1000000 div N, contrib(u) = pr(u) div deg(u), pr'(v) =
+    * 150000 div N + (85·Σ inflow) div 100 (d = 0.85) — every step a
+    * truncating integer division, so DuckDB replays it bit-for-bit
+    * (the q71/q83 deterministic-arithmetic move applied to graph
+    * centrality). Centrality over the near-dup graph ranks the
+    * CANONICAL documents of template families: the highest-rank node
+    * of a boilerplate cluster is the best keep candidate, a direct
+    * input to dedup canonicalization.
+    *
+    * Scale shape: the textbook distributed PageRank — per iteration
+    * one join of edges to (node, contrib) keyed by src and one
+    * aggregate keyed by dst; a FIXED small iteration count unrolls
+    * into a single Catalyst plan (no checkpoint needed at depth 3;
+    * the q65 localCheckpoint loop is the pattern past ~8); no driver
+    * state at all (N rides along from a 1-row broadcast). Dangling
+    * nodes cannot occur: pair edges are symmetric, so deg ≥ 1. */
+  def pagerankPpm(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nDf = deg.agg(count(lit(1)).as("n_nodes"))
+    var pr = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("node"), col("deg"), col("n_nodes"),
+        expr("1000000 div n_nodes").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.select(col("node").as("cnode"),
+        expr("pr div deg").as("contrib"))
+      val inflow = edges.join(contrib, col("src") === col("cnode"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      pr = pr.drop("pr")
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("deg"), col("n_nodes"),
+          expr("150000 div n_nodes + (85 * coalesce(inflow, 0L)) div 100")
+            .as("pr"))
+    }
+    val out = pr.select(col("node").as("vec_id"), col("pr").as("pr_ppm"))
+      .orderBy(col("vec_id"), col("pr_ppm"))
+    out
+  }
+
+  /** Query entry (q123): PageRank over the q65 edge set. */
+  def pagerankQuery(spark: SparkSession, dir: String): DataFrame =
+    pagerankPpm(embeddingNearDups(spark, dir))
+
   /** Per-node triangle participation counts over the near-dup graph —
     * the standard density QA on a dedup edge set (triangle-rich
     * neighborhoods = template/boilerplate families; isolated edges =

@@ -323,6 +323,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Array.tabulate(40)(i => orig(i % orig.length)).toSeq)
   }
 
+  test("integer pagerank: star hub outranks leaves, pair splits evenly") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("vec_a", "vec_b")
+    val pr = Similarity.pagerankPpm(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact unrolled arithmetic: N=5, hub ends at 644975 ppm,
+    // each leaf at 88756 (sum 999999 — one ppm lost to truncation)
+    assert(pr(1L) == 644975L, s"hub: ${pr(1L)}")
+    assert(Set(2L, 3L, 4L, 5L).map(pr) == Set(88756L), s"leaves: $pr")
+    // symmetric two-node graph: the fixpoint splits evenly and holds
+    val pair = Seq((10L, 11L)).toDF("vec_a", "vec_b")
+    val p2 = Similarity.pagerankPpm(pair).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 == Map(10L -> 500000L, 11L -> 500000L))
+  }
+
   test("langid confusion matrix: planted mislabel lands in the right cell") {
     // three docs the n-gram scorer calls 'en' (every en profile bigram
     // present, no other profile's), one it calls 'de'; labels make one
