@@ -49,6 +49,7 @@ object Bench {
     setup { graft.ops.Ivf.persistedIndex(spark, sfDir) }
     setup { graft.ops.Ivf.deterministicIndex(spark, sfDir) }
     setup { Tables.bucketedFacts(spark, sfDir) }
+    setup { Tables.bucketedCustomerOrders(spark, sfDir) }
     // optional comma-separated substring filter for targeted
     // experiments (e.g. SPARK_GRAFT_BENCH_ONLY=q65,q66); the driver
     // never sets it, so the per-round record stays the full suite

@@ -166,6 +166,7 @@ object SparkEntry {
     "q121_langid_confusion" -> (TextAnalysis.langidConfusionQuery _),
     "q122_ks_drift"         -> (Profiling.ksDrift _),
     "q123_pagerank"         -> (Similarity.pagerankQuery _),
+    "q124_join_bucketed_cust" -> (Relational.joinBucketedCustomer _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1844,6 +1845,13 @@ object SparkEntry {
           |       FROM deg d LEFT JOIN f3 f ON f.node = d.src)
           |SELECT node AS vec_id, pr AS pr_ppm FROM p3
           |ORDER BY vec_id, pr_ppm""".stripMargin,
+      // q06's semantics through the custkey-bucketed layout — the
+      // oracle is identical; only the physical plan differs
+      "q124_join_bucketed_cust" ->
+        s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+           |  ${exactSum("o_totalprice")} AS sum_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     )
   }
 }

@@ -67,28 +67,46 @@ object Tables {
     * shuffle-free. */
   def bucketedFacts(spark: SparkSession, dir: String,
       root: String = sys.props("java.io.tmpdir") + "/graft_buckets")
+      : (DataFrame, DataFrame) =
+    bucketedPair(spark, dir, root, "ok",
+      ("li", lineitem _, "l_orderkey"), ("o", orders _, "o_orderkey"))
+
+  /** Second co-located layout, keyed by CUSTOMER: orders and customer
+    * both bucketed by the custkey, so customer-grain joins (the
+    * second-biggest join of the star at 100 TB, where customer stops
+    * being broadcastable) also plan exchange-free. One layout per
+    * dominant join key is the standard warehouse move (projections /
+    * sort orders); each is one offline write. */
+  def bucketedCustomerOrders(spark: SparkSession, dir: String,
+      root: String = sys.props("java.io.tmpdir") + "/graft_buckets")
+      : (DataFrame, DataFrame) =
+    bucketedPair(spark, dir, root, "ck",
+      ("c", customer _, "c_custkey"), ("ob", orders _, "o_custkey"))
+
+  private def bucketedPair(spark: SparkSession, dir: String, root: String,
+      tag: String,
+      a: (String, (SparkSession, String) => DataFrame, String),
+      b: (String, (SparkSession, String) => DataFrame, String))
       : (DataFrame, DataFrame) = {
-    val (liName, oName) = bucketedNames.computeIfAbsent(s"$root|$dir", _ => {
+    val (aName, bName) = bucketedNames.computeIfAbsent(s"$root|$dir|$tag", _ => {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(s"$root|$dir".getBytes("UTF-8")).take(8)
-        .map(b => f"${b & 0xff}%02x").mkString
-      (s"li_bucketed_$digest", s"o_bucketed_$digest")
+        .map(x => f"${x & 0xff}%02x").mkString
+      (s"${a._1}_bucketed_${tag}_$digest", s"${b._1}_bucketed_${tag}_$digest")
     })
     // guard on BOTH tables: a build interrupted between the two writes
     // must retry on the next call, not take the fast path into a
-    // missing-orders AnalysisException forever
-    if (!spark.catalog.tableExists(liName) ||
-        !spark.catalog.tableExists(oName)) {
-      val digest = liName.stripPrefix("li_bucketed_")
-      lineitem(spark, dir).write.mode("overwrite")
-        .bucketBy(FactBuckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$root/$digest/lineitem")
-        .saveAsTable(liName)
-      orders(spark, dir).write.mode("overwrite")
-        .bucketBy(FactBuckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$root/$digest/orders")
-        .saveAsTable(oName)
+    // missing-second-table AnalysisException forever
+    if (!spark.catalog.tableExists(aName) ||
+        !spark.catalog.tableExists(bName)) {
+      val digest = aName.split('_').last
+      Seq((aName, a), (bName, b)).foreach { case (name, (short, load, key)) =>
+        load(spark, dir).write.mode("overwrite")
+          .bucketBy(FactBuckets, key).sortBy(key)
+          .option("path", s"$root/$digest/${tag}_$short")
+          .saveAsTable(name)
+      }
     }
-    (spark.table(liName), spark.table(oName))
+    (spark.table(aName), spark.table(bName))
   }
 }

@@ -113,6 +113,22 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q06's aggregate through the CUSTKEY-bucketed layout (q124): the
+    * customer-grain join — the star's second join key, where customer
+    * stops being broadcastable at 100 TB — plans as a sort-merge join
+    * with zero exchange on either side, the q70 contract applied to
+    * the second dominant key (one co-located layout per join pattern,
+    * the projection/sort-order move). Same oracle as q06; only the
+    * physical plan differs. */
+  def joinBucketedCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val (c, o) = Tables.bucketedCustomerOrders(spark, dir)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Star join with explicitly broadcast dims: revenue per region.
     * lineitem⋈orders rides the bucketed layout (zero exchange below
     * the sort-merge join); customer/nation/region ride along

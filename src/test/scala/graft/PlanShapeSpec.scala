@@ -117,6 +117,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(total <= 2, s"more than the groupBy+orderBy exchanges: $total")
   }
 
+  test("q124 custkey-bucketed join: zero exchange below the join") {
+    // the second co-located layout (orders/customer by custkey)
+    // carries the q70 contract onto the star's second join key
+    val (smj, below, total) =
+      bucketedJoinShape(Relational.joinBucketedCustomer(spark, sf))
+    assert(smj == 1, s"expected one sort-merge join, saw $smj")
+    assert(below == 0, s"custkey join still shuffles an input ($below)")
+    assert(total <= 2, s"more than the groupBy+orderBy exchanges: $total")
+  }
+
   test("q00 flagship: fact-fact leg rides the bucketed layout, no fact shuffle") {
     // lineitem⋈orders is the only SMJ (dims broadcast); it must read
     // the co-located bucketed scans with zero exchange below. Post-join
