@@ -27,6 +27,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: an exact copy is one full-length extent") {
+    // for arbitrary random corpora, appending a verbatim copy of doc A
+    // under a higher id makes EVERY window of the copy a duplicate —
+    // one extent spanning the whole doc, dup_ppm exactly 1e6
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(400 + seed)
+      def doc() = List.fill(10 + rnd.nextInt(30))(
+        "tok" + rnd.nextInt(40)).mkString(" ")
+      val originals = (1L to 5L).map(i => (i, doc()))
+      val copies = originals.map { case (i, t) => (100L + i, t) }
+      val out = graft.ops.Dedup.substringDedup(
+          (originals ++ copies).toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"),
+            r.getAs[Long]("n_extents"), r.getAs[Long]("dup_ppm"))).toMap
+      copies.foreach { case (id, _) =>
+        val (nTok, nDup, nExt, ppm) = out(id)
+        assert(nDup == nTok && nExt == 1L && ppm == 1000000L,
+          s"seed=$seed copy $id: $nTok/$nDup/$nExt/$ppm")
+      }
+    }
+  }
+
+  test("KS distance: zero against itself, invariant to cohort swap") {
+    // write a random lineitem-shaped table where R and A carry the
+    // SAME multiset -> ks 0; then check swap symmetry on skewed data
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(500 + seed)
+      val vals = List.fill(40 + rnd.nextInt(60))(
+        (1 + rnd.nextInt(500)) * 1.0)
+      val same = vals.flatMap(v => Seq(("O", "R", v), ("O", "A", v)))
+      val dir1 = java.nio.file.Files.createTempDirectory("ksp1").toString
+      same.toDF("l_linestatus", "l_returnflag", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir1/lineitem.parquet")
+      val ks1 = graft.ops.Profiling.ksDrift(spark, dir1).collect()
+      assert(ks1.forall(_.getAs[Long]("ks_ppm") == 0L), s"seed=$seed: ${ks1.mkString}")
+
+      val skewed = vals.map(v => ("O", "R", v)) ++
+        vals.map(v => ("O", "A", v * (1 + rnd.nextInt(3))))
+      def ksOf(rows: Seq[(String, String, Double)]): Long = {
+        val d = java.nio.file.Files.createTempDirectory("ksp2").toString
+        rows.toDF("l_linestatus", "l_returnflag", "l_extendedprice")
+          .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+        graft.ops.Profiling.ksDrift(spark, d).head().getAs[Long]("ks_ppm")
+      }
+      val swapped = skewed.map { case (s, f, v) =>
+        (s, if (f == "R") "A" else "R", v) }
+      assert(ksOf(skewed) == ksOf(swapped), s"seed=$seed swap asymmetry")
+    }
+  }
+
   test("sanitize JSON round-trip: parse(canonical(x)) == parse(x)") {
     val schema = StructType.fromDDL("k LONG, s STRING")
     for (seed <- 1 to 4) {
