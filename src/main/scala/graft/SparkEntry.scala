@@ -167,6 +167,7 @@ object SparkEntry {
     "q122_ks_drift"         -> (Profiling.ksDrift _),
     "q123_pagerank"         -> (Similarity.pagerankQuery _),
     "q124_join_bucketed_cust" -> (Relational.joinBucketedCustomer _),
+    "q125_tvd_drift"        -> (Profiling.tvdDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1852,6 +1853,36 @@ object SparkEntry {
            |  ${exactSum("o_totalprice")} AS sum_price
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      // categorical TVD: cross-multiplied integer shares, HUGEINT //
+      // mirrors DECIMAL(38,0) div
+      "q125_tvd_drift" ->
+        """WITH o AS (
+          |  SELECT o_orderpriority,
+          |    o_orderdate < TIMESTAMP '1997-01-01' AS y96
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+          |counts AS (
+          |  SELECT o_orderpriority,
+          |    SUM(CASE WHEN y96 THEN 1 ELSE 0 END) AS c1,
+          |    SUM(CASE WHEN NOT y96 THEN 1 ELSE 0 END) AS c2
+          |  FROM o GROUP BY 1),
+          |t0 AS (
+          |  SELECT o_orderpriority, c1, c2,
+          |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+          |  FROM counts),
+          |t AS (
+          |  SELECT o_orderpriority, c1, c2, n1, n2,
+          |    SUM(ABS(c1 * n2 - c2 * n1)) OVER () AS num
+          |  FROM t0)
+          |SELECT o_orderpriority, CAST(c1 AS BIGINT) AS c1,
+          |  CAST(c2 AS BIGINT) AS c2,
+          |  CAST(c1 * 1000000 // n1 AS BIGINT) AS share1_ppm,
+          |  CAST(c2 * 1000000 // n2 AS BIGINT) AS share2_ppm,
+          |  CAST(num * 1000000 // (2 * n1 * n2) AS BIGINT) AS tvd_ppm
+          |FROM t
+          |ORDER BY o_orderpriority, c1, c2, share1_ppm, share2_ppm,
+          |  tvd_ppm""".stripMargin,
     )
   }
 }

@@ -41,6 +41,43 @@ object Audit {
         "o_orderkey->o_custkey", "o_orderkey", "o_custkey"))
       .orderBy(col("dependency"), col("n_keys"), col("n_violating"))
 
+  /** One schema-drift finding between two reflections of "the same"
+    * table. `change` ∈ added | removed | type_changed |
+    * nullability_changed | serial_changed. */
+  final case class SchemaChange(column: String, change: String,
+      oldType: Option[String], newType: Option[String])
+
+  /** Schema-drift audit between two reflections of a table — the
+    * pre-flight an incremental migrator runs before trusting
+    * yesterday's DDL: the reference re-creates blindly with
+    * checkfirst=True (transfer_data_script.py:67), which silently
+    * keeps a STALE target schema when the source evolved; this
+    * surfaces exactly what changed instead. Pure metadata function
+    * (catalog-sized input), deterministic output order. */
+  def schemaDiff(old: graft.meta.TableMeta,
+      neu: graft.meta.TableMeta): Seq[SchemaChange] = {
+    val o = old.columns.map(c => c.name -> c).toMap
+    val n = neu.columns.map(c => c.name -> c).toMap
+    def ty(c: graft.meta.ColumnMeta) =
+      c.sourceTypeName.getOrElse(c.dataType.sql)
+    val added = (n.keySet -- o.keySet).toSeq.sorted
+      .map(k => SchemaChange(k, "added", None, Some(ty(n(k)))))
+    val removed = (o.keySet -- n.keySet).toSeq.sorted
+      .map(k => SchemaChange(k, "removed", Some(ty(o(k))), None))
+    val common = (o.keySet & n.keySet).toSeq.sorted
+    val typed = common.filter(k => o(k).dataType != n(k).dataType ||
+        o(k).sourceTypeName != n(k).sourceTypeName)
+      .map(k => SchemaChange(k, "type_changed", Some(ty(o(k))), Some(ty(n(k)))))
+    val nulled = common.filter(k => o(k).nullable != n(k).nullable)
+      .map(k => SchemaChange(k, "nullability_changed",
+        Some(if (o(k).nullable) "NULL" else "NOT NULL"),
+        Some(if (n(k).nullable) "NULL" else "NOT NULL")))
+    val serial = common.filter(k => o(k).serial != n(k).serial)
+      .map(k => SchemaChange(k, "serial_changed",
+        Some(o(k).serial.toString), Some(n(k).serial.toString)))
+    added ++ removed ++ typed ++ nulled ++ serial
+  }
+
   /** Export-chunk skew audit: rows per fixed key-range chunk of the
     * fact, with each chunk's load as ppm of the ideal uniform share —
     * the planning step for a partitioned JDBC export

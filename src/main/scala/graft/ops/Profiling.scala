@@ -391,39 +391,105 @@ object Profiling {
     * between train/test splits, time slices, or source cohorts — a
     * large KS between cohorts means the split is not exchangeable.
     *
-    * Scale shape: one (status, cents) keyed aggregate with partial
-    * combine, cumulative windows partitioned by status over the
-    * distinct-cents table, and a per-status argmax; at extreme
-    * cardinality the two-phase bin pattern (see
-    * [[winsorizedRevenue]]) bounds the window input the same way. */
+    * Scale shape: two-phase exact search, the [[winsorizedRevenue]]
+    * move adapted to an argmax. Phase 1 walks the $100-bin histogram
+    * (per-bin cohort sums, ~10³ rows per status): the signed distance
+    * at a bin's end is a TRUE D value (lower bound L on the max),
+    * while any interior value lies between s_start − b2·n1 and
+    * s_start + b1·n2, giving each bin a certified upper bound U.
+    * Phase 2 walks the per-cent CDF ONLY inside bins with U ≥ L —
+    * every cent achieving the global max lives there (the L-achieving
+    * bin itself qualifies since |s_end| ≤ U), so the result including
+    * the min-c tie rule is exactly the full walk's, but the fact
+    * never shuffles at per-cent grain. */
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     def d(c: Column) = c.cast("decimal(38,0)")
+    val dec0 = lit(0).cast("decimal(38,0)")
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag").isin("R", "A"))
-      .select(col("l_linestatus"),
-        col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
-    val counts = li.groupBy(col("l_linestatus"), col("c")).agg(
-      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
-      sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("c2"))
-    val wCum = Window.partitionBy(col("l_linestatus")).orderBy(col("c"))
-    val wAll = Window.partitionBy(col("l_linestatus"))
-    val cum = counts
-      .withColumn("cum1", sum(col("c1")).over(wCum))
-      .withColumn("cum2", sum(col("c2")).over(wCum))
-      .withColumn("n1", sum(col("c1")).over(wAll))
-      .withColumn("n2", sum(col("c2")).over(wAll))
-      .withColumn("dd",
-        abs(d(col("cum1")) * d(col("n2")) - d(col("cum2")) * d(col("n1"))))
-      .withColumn("md", max(col("dd")).over(wAll))
-    cum.filter(col("dd") === col("md"))
-      .groupBy(col("l_linestatus"), col("n1"), col("n2"), col("md"))
+      .select(col("l_linestatus").as("st"),
+        cents(col("l_extendedprice")).as("c"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000")
+          .as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r1"),
+        when(col("l_returnflag") === "A", 1L).otherwise(0L).as("r2"))
+    val wOrd = Window.partitionBy(col("st")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("st"))
+    val bins = li.groupBy(col("st"), col("bin"))
+      .agg(sum(col("r1")).as("b1"), sum(col("r2")).as("b2"))
+      .withColumn("cum1", sum(col("b1")).over(wOrd))
+      .withColumn("cum2", sum(col("b2")).over(wOrd))
+      .withColumn("n1", sum(col("b1")).over(wAll))
+      .withColumn("n2", sum(col("b2")).over(wAll))
+      .withColumn("s_end",
+        d(col("cum1")) * d(col("n2")) - d(col("cum2")) * d(col("n1")))
+      .withColumn("s_start", coalesce(lag(col("s_end"), 1).over(wOrd), dec0))
+      .withColumn("lb", max(abs(col("s_end"))).over(wAll))
+      .withColumn("ub", greatest(
+        abs(col("s_start") + d(col("b1")) * d(col("n2"))),
+        abs(col("s_start") - d(col("b2")) * d(col("n1")))))
+    val cand = bins.filter(col("ub") >= col("lb"))
+      .select(col("st").as("cst"), col("bin").as("cbin"),
+        col("s_start"), col("n1"), col("n2"))
+    val wBin = Window.partitionBy(col("st"), col("bin")).orderBy(col("c"))
+    val dvals = li
+      .join(broadcast(cand),
+        col("st") === col("cst") && col("bin") === col("cbin"))
+      .groupBy(col("st"), col("bin"), col("c"),
+        col("s_start"), col("n1"), col("n2"))
+      .agg(sum(col("r1")).as("c1"), sum(col("r2")).as("c2"))
+      .withColumn("lc1", sum(col("c1")).over(wBin))
+      .withColumn("lc2", sum(col("c2")).over(wBin))
+      .withColumn("dd", abs(col("s_start") +
+        d(col("lc1")) * d(col("n2")) - d(col("lc2")) * d(col("n1"))))
+      .withColumn("md", max(col("dd")).over(Window.partitionBy(col("st"))))
+    dvals.filter(col("dd") === col("md"))
+      .groupBy(col("st"), col("n1"), col("n2"), col("md"))
       .agg(min(col("c")).as("ks_at_cents"))
-      .select(col("l_linestatus"), col("n1"), col("n2"),
+      .select(col("st").as("l_linestatus"), col("n1"), col("n2"),
         expr("CAST(md * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
           .as("ks_ppm"),
         col("ks_at_cents"))
       .orderBy(col("l_linestatus"), col("n1"), col("n2"), col("ks_ppm"),
         col("ks_at_cents"))
+  }
+
+  /** Categorical distribution drift as exact total-variation distance:
+    * the order-priority mix of 1996 orders vs 1997 orders, per
+    * category and overall. TVD = ½·Σ|p1(k) − p2(k)| kept integral by
+    * cross-multiplying (|c1·n2 − c2·n1| in DECIMAL(38,0)), reported
+    * as tvd_ppm = 1e6·Σ|…| div (2·n1·n2) alongside each category's
+    * per-cohort shares in ppm. The categorical complement of the KS
+    * screen ([[ksDrift]] needs an ordinal axis; TVD does not) — the
+    * "did the label/source/language mix shift between slices" check.
+    *
+    * Scale shape: one keyed aggregate to (category, c1, c2) — partial
+    * combine makes the shuffle |categories|-sized — then windows over
+    * that tiny table; nothing fact-sized moves twice. */
+  def tvdDrift(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderpriority"),
+        (col("o_orderdate") < lit("1997-01-01").cast("timestamp")).as("y96"))
+    val counts = o.groupBy(col("o_orderpriority")).agg(
+      sum(when(col("y96"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("y96"), 1L).otherwise(0L)).as("c2"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("num",
+        sum(abs(d(col("c1")) * d(col("n2")) - d(col("c2")) * d(col("n1"))))
+          .over(wAll))
+      .select(col("o_orderpriority"), col("c1"), col("c2"),
+        expr("c1 * 1000000 div n1").as("share1_ppm"),
+        expr("c2 * 1000000 div n2").as("share2_ppm"),
+        expr("CAST(num * 1000000 div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+          .as("tvd_ppm"))
+      .orderBy(col("o_orderpriority"), col("c1"), col("c2"),
+        col("share1_ppm"), col("share2_ppm"), col("tvd_ppm"))
   }
 
   /** Per-supplier Pareto frontier of (minimize price, maximize

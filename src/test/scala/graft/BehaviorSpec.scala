@@ -165,6 +165,27 @@ class BehaviorSpec extends SparkSpec {
     assert(out("F") == ((1000000L, 3000L)), s"disjoint dists scored ${out("F")}")
   }
 
+  test("TVD drift: identical mixes score 0, disjoint mixes 1e6 ppm") {
+    def write(rows: Seq[(String, java.sql.Timestamp)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("tvd").toString
+      rows.toDF("o_orderpriority", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // identical category mixes across the two years -> every |diff| 0
+    val same = Seq("1-HIGH", "2-MED", "2-MED", "3-LOW").flatMap(p =>
+      Seq((p, ts("1996-06-01")), (p, ts("1997-06-01"))))
+    val out0 = Profiling.tvdDrift(spark, write(same)).collect()
+    assert(out0.nonEmpty && out0.forall(_.getAs[Long]("tvd_ppm") == 0L))
+    // fully disjoint category sets -> TVD exactly 1
+    val disjoint = Seq(("1-HIGH", ts("1996-06-01")),
+      ("1-HIGH", ts("1996-07-01")), ("9-NEW", ts("1997-06-01")))
+    val out1 = Profiling.tvdDrift(spark, write(disjoint)).collect()
+    assert(out1.forall(_.getAs[Long]("tvd_ppm") == 1000000L),
+      out1.mkString(";"))
+  }
+
   test("mode breaks count ties toward the smaller value") {
     // 10 appears twice, 20 appears twice: tie -> mode must be 10
     val df = Seq(10.0, 10.0, 20.0, 20.0, 30.0)

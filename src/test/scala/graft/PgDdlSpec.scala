@@ -99,6 +99,30 @@ class PgDdlSpec extends AnyFunSuite {
       sourceTypeName = Some("hstore"))) == "hstore")
   }
 
+  test("schemaDiff surfaces adds/removes/type/nullability/serial drift") {
+    import graft.ops.Audit
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val old = t
+    val neu = t.copy(columns = t.columns.flatMap {
+      case c if c.name == "identify" => None // removed
+      case c if c.name == "name" =>          // widened type
+        Some(c.copy(sourceTypeName = Some("TEXT"), dataType = StringType))
+      case c if c.name == "synced_with_posthog" => // tightened null
+        Some(c.copy(nullable = !c.nullable))
+      case c => Some(c)
+    } :+ ColumnMeta("added_col", IntegerType, nullable = true,
+      sourceTypeName = Some("INTEGER")))
+    val diff = Audit.schemaDiff(old, neu)
+    val byCol = diff.groupBy(_.column)
+    assert(byCol("added_col").map(_.change) == Seq("added"))
+    assert(byCol("identify").map(_.change) == Seq("removed"))
+    assert(byCol("name").map(_.change) == Seq("type_changed"))
+    assert(byCol("synced_with_posthog").map(_.change)
+      == Seq("nullability_changed"))
+    // no drift -> empty report (the common case must stay silent)
+    assert(Audit.schemaDiff(old, old).isEmpty)
+  }
+
   test("setval uses COALESCE-hardened empty-table form") {
     // loaded table: setval(max, true)
     assert(SequenceSync.setvalSql(t, "id", 42L) ==
