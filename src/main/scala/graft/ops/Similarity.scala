@@ -286,9 +286,14 @@ object Similarity {
     * state at all (N rides along from a 1-row broadcast). Dangling
     * nodes cannot occur: pair edges are symmetric, so deg ≥ 1. */
   def pagerankPpm(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the pair generator runs ONCE (q65's lesson — an unpersisted
+    // generator re-evaluates per reference, and edges/deg/N all hang
+    // off it); localCheckpoint materializes eagerly and its lineage
+    // is GC'd with the frame, so nothing leaks across bench rounds
+    val p = pairs.select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nDf = deg.agg(count(lit(1)).as("n_nodes"))
     var pr = deg.crossJoin(broadcast(nDf))
