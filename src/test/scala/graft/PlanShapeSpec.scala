@@ -127,6 +127,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(total <= 2, s"more than the groupBy+orderBy exchanges: $total")
   }
 
+  test("q112 RI audit: the fact->fact anti-join rides the bucketed layout") {
+    // the lineitem->orders orphan check is a LEFT ANTI sort-merge join
+    // on the co-located scans — anti-joins get the same zero-exchange
+    // guarantee as inner joins (orders is not broadcastable at 100 TB)
+    val (smj, below, _) =
+      bucketedJoinShape(graft.ops.Audit.riAudit(spark, sf))
+    assert(smj == 1, s"expected exactly the one anti SMJ, saw $smj")
+    assert(below == 0, s"bucketed anti-join still shuffles an input ($below)")
+  }
+
   test("q00 flagship: fact-fact leg rides the bucketed layout, no fact shuffle") {
     // lineitem⋈orders is the only SMJ (dims broadcast); it must read
     // the co-located bucketed scans with zero exchange below. Post-join
