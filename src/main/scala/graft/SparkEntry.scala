@@ -168,6 +168,7 @@ object SparkEntry {
     "q123_pagerank"         -> (Similarity.pagerankQuery _),
     "q124_join_bucketed_cust" -> (Relational.joinBucketedCustomer _),
     "q125_tvd_drift"        -> (Profiling.tvdDrift _),
+    "q126_setsim_join"      -> (Dedup.setSimNearDups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1883,6 +1884,27 @@ object SparkEntry {
           |FROM t
           |ORDER BY o_orderpriority, c1, c2, share1_ppm, share2_ppm,
           |  tvd_ppm""".stripMargin,
+      // exact set-similarity join: the oracle is the brute-force
+      // all-pairs truth (q41 shape), so a prefix-filter completeness
+      // bug = a dropped pair = a hash mismatch; all-integer ppm math
+      "q126_setsim_join" ->
+        """WITH g AS (
+          |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+          |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+          |  FROM documents),
+          |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+          |i AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |  CAST((ni * 1000000) // (sa.n + sb.n - ni) AS BIGINT)
+          |    AS jaccard_ppm
+          |FROM i
+          |JOIN s sa ON sa.doc_id = doc_a
+          |JOIN s sb ON sb.doc_id = doc_b
+          |WHERE ni * 1000000 >= 700000 * (sa.n + sb.n - ni)
+          |ORDER BY doc_a, doc_b, jaccard_ppm""".stripMargin,
     )
   }
 }

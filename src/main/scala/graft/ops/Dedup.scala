@@ -624,4 +624,76 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("source_a"), col("source_b"), col("n_shared"))
   }
+
+  // ------------------------------------------- exact set-similarity join
+
+  /** Exact set-similarity join with prefix filtering (the PPJoin
+    * family: Xiao/Wang/Lin/Yu, WWW'08) — the EXACT complement of the
+    * probabilistic MinHash path ([[nearDupPairs]]): every pair with
+    * shingle-set Jaccard ≥ t, no estimate stage, no recall question.
+    * Sets are the same distinct 8-char stride-1 shingles as q41, so
+    * the two paths answer the same question and differ only in
+    * exact-vs-approximate candidate generation.
+    *
+    * Prefix filter: order each doc's shingles by GLOBAL document
+    * frequency ascending (rarest first; ties by shingle text — any
+    * shared total order works, rarity maximizes pruning) and keep the
+    * first n − ⌈t·n⌉ + 1. Two docs with Jaccard ≥ t must share a
+    * prefix shingle, so joining prefixes on shingle text yields a
+    * complete candidate set; candidates then pay one exact
+    * array_intersect verify. All arithmetic is integer (ppm
+    * cross-multiplication) — no float anywhere, so the DuckDB
+    * brute-force all-pairs oracle is decided by identical math.
+    *
+    * Scale shape: shingle frequency is one vocabulary-sized aggregate
+    * (web-corpus vocabulary ≫ memory, so it stays a shuffle join, not
+    * a broadcast — AQE may flip it at test SF); the per-doc prefix
+    * trim is a doc-keyed window; the candidate join fans out per
+    * PREFIX shingle only — by construction the rarest ⌈(1−t)·n⌉+1 of
+    * each doc, exactly the postings a frequency-ordered inverted index
+    * would probe. Verify carries two doc-length-bounded arrays per
+    * candidate. No stage touches the n² pair space.
+    */
+  def setSimJoin(docs: DataFrame, idCol: String, tPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> substring(text, i, 8))"))).as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val ranked = grams.join(freq, Seq("gram"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("gram").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix length p = n - ceil(t*n) + 1  (integer form of the PPJoin
+    // bound; p >= 1 always since ceil(t*n) <= n for t <= 1)
+    val prefix = ranked.filter(col("pos") <=
+      col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val gramSets = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gram"))).as("gs"),
+        count(lit(1)).as("n"))
+    cand
+      .join(gramSets.select(col("doc_id").as("doc_a"),
+        col("gs").as("gs_a"), col("n").as("na")), Seq("doc_a"))
+      .join(gramSets.select(col("doc_id").as("doc_b"),
+        col("gs").as("gs_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("ni",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .filter(col("ni") * lit(1000000L) >=
+        lit(tPpm) * (col("na") + col("nb") - col("ni")))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((ni * 1000000) DIV (na + nb - ni) AS BIGINT)")
+          .as("jaccard_ppm"))
+  }
+
+  /** Query: every document pair with exact shingle Jaccard ≥ 0.7. */
+  def setSimNearDups(spark: SparkSession, dir: String): DataFrame =
+    setSimJoin(Tables.documents(spark, dir), "doc_id", 700000L)
+      .orderBy(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
 }

@@ -82,6 +82,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("setSimJoin finds planted near-dups with exact ppm jaccard") {
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans " +
+      "with pushdown pruning broadcast and codegen for large scale analytics"
+    val nearDup = base.replace("broadcast", "shuffle")
+    val unrelated = "completely different content about cooking pasta with " +
+      "tomato sauce basil garlic and olive oil on a sunday afternoon dinner"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+    val got = Dedup.setSimJoin(docs, "doc_id", 700000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)), s"edited near-dup missed: $got")
+    assert(got((1L, 4L)) == 1000000L, "identical pair must score exactly 1.0")
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("setSimJoin prefix filter is complete vs brute force on the corpus") {
+    // the PPJoin prefix bound must drop NO qualifying pair — compare
+    // against the all-pairs gram join at the same threshold on the
+    // real sf0.001 documents (500 docs; 28 qualifying pairs)
+    val docs = Tables.documents(spark, sf)
+    val grams = docs.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(1, greatest(length(text) - 7, 1))," +
+        " i -> substring(text, i, 8))"))).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = grams.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("ni") * lit(1000000L) >=
+        lit(700000L) * (col("na") + col("nb") - col("ni")))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.setSimJoin(docs, "doc_id", 700000L)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == brute,
+      s"prefix filter incomplete: missing ${brute -- filtered}, " +
+        s"extra ${filtered -- brute}")
+    assert(brute.nonEmpty, "corpus should contain qualifying pairs")
+  }
+
   test("exact dedup groups identical texts only") {
     val docs = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")
