@@ -169,6 +169,7 @@ object SparkEntry {
     "q124_join_bucketed_cust" -> (Relational.joinBucketedCustomer _),
     "q125_tvd_drift"        -> (Profiling.tvdDrift _),
     "q126_setsim_join"      -> (Dedup.setSimNearDups _),
+    "q127_vocab_profile"    -> (TextAnalysis.vocabProfileQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1905,6 +1906,30 @@ object SparkEntry {
           |JOIN s sb ON sb.doc_id = doc_b
           |WHERE ni * 1000000 >= 700000 * (sa.n + sb.n - ni)
           |ORDER BY doc_a, doc_b, jaccard_ppm""".stripMargin,
+      // vocabulary profile: spectrum + hapax/TTR ppm, all integer;
+      // DuckDB // on HUGEINT mirrors Spark DIV (positive operands)
+      "q127_vocab_profile" ->
+        """WITH g AS (
+          |  SELECT source, unnest([substr(text, i, 8)
+          |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)]) AS gram
+          |  FROM documents),
+          |c AS (SELECT source, gram, count(*) AS k FROM g GROUP BY 1, 2),
+          |sp AS (
+          |  SELECT source, least(k, 11) AS k_bucket, count(*) AS n_types
+          |  FROM c GROUP BY 1, 2),
+          |su AS (
+          |  SELECT source, count(*) AS types_total, sum(k) AS occurrences,
+          |    count(*) FILTER (k = 1) AS hapax
+          |  FROM c GROUP BY 1)
+          |SELECT sp.source, CAST(k_bucket AS BIGINT) AS k_bucket,
+          |  CAST(n_types AS BIGINT) AS n_types,
+          |  CAST(types_total AS BIGINT) AS types_total,
+          |  CAST(occurrences AS BIGINT) AS occurrences,
+          |  CAST(hapax * 1000000 // types_total AS BIGINT) AS hapax_ppm,
+          |  CAST(types_total * 1000000 // occurrences AS BIGINT) AS ttr_ppm
+          |FROM sp JOIN su ON sp.source = su.source
+          |ORDER BY sp.source, k_bucket, n_types, types_total, occurrences,
+          |  hapax_ppm, ttr_ppm""".stripMargin,
     )
   }
 }

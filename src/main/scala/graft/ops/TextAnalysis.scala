@@ -268,4 +268,47 @@ object TextAnalysis {
         expr("size(shingle8_seq(text))").cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source vocabulary profile over the 8-char stride-1 shingle
+    * universe: the frequency-of-frequencies spectrum (how many types
+    * occur exactly k times, k capped at 11 = "11+"), plus the corpus-QA
+    * summary a curation pipeline reads per ingest source — hapax ratio
+    * (types seen once / types; a collapsing hapax share flags
+    * template/boilerplate sources) and the type-token ratio (lexical
+    * diversity). Shingle types rather than word tokens because this
+    * corpus' 31-word vocabulary saturates instantly while its shingle
+    * universe behaves like real text. All integer ppm — no floats.
+    *
+    * Scale shape: one corpus-sized explode into a map-side-combined
+    * (source, gram) count — the only data-sized shuffle; spectrum and
+    * summary are vocabulary-sized aggregates on top, and the final
+    * join is 16 sources × 11 buckets. */
+  def vocabProfile(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> substring(text, i, 8))")).as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("k"))
+    val spectrum = counts
+      .withColumn("k_bucket", least(col("k"), lit(11L)))
+      .groupBy(col("source"), col("k_bucket"))
+      .agg(count(lit(1)).as("n_types"))
+    val summary = counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("types_total"),
+        sum(col("k")).as("occurrences"),
+        expr("count_if(k = 1)").as("hapax"))
+    spectrum.join(summary, Seq("source"))
+      .select(col("source"), col("k_bucket"), col("n_types"),
+        col("types_total"), col("occurrences"),
+        expr("hapax * 1000000 DIV types_total").as("hapax_ppm"),
+        expr("types_total * 1000000 DIV occurrences").as("ttr_ppm"))
+      .orderBy(col("source"), col("k_bucket"), col("n_types"),
+        col("types_total"), col("occurrences"), col("hapax_ppm"),
+        col("ttr_ppm"))
+  }
+
+  /** Query entry (q127). */
+  def vocabProfileQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabProfile(Tables.documents(spark, dir))
 }

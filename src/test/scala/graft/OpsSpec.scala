@@ -208,6 +208,29 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((5L, 0.4, 0.8, 0.5)), s"got ${got(3L)}")
   }
 
+  test("vocab profile: planted spectrum, hapax ppm, short-doc edge") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      // s1: "abcdefgh" -> 1 gram k=1; "aaaaaaaaa" (9 a's) -> gram
+      // "aaaaaaaa" twice -> k=2. types=2, occ=3, hapax=1
+      (1L, "abcdefgh", "s1"),
+      (2L, "aaaaaaaaa", "s1"),
+      // s2: doc shorter than a shingle -> the whole text is the type
+      (3L, "xy", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabProfile(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got(("s1", 1L)) == ((1L, 2L, 3L, 500000L, 666666L)),
+      s"got ${got(("s1", 1L))}")
+    assert(got(("s1", 2L)) == ((1L, 2L, 3L, 500000L, 666666L)),
+      s"got ${got(("s1", 2L))}")
+    assert(got(("s2", 1L)) == ((1L, 1L, 1L, 1000000L, 1000000L)),
+      s"got ${got(("s2", 1L))}")
+    assert(got.size == 3)
+  }
+
   test("passage dedup keeps first occurrence of a shared chunk only") {
     import graft.ops.Dedup
     val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
