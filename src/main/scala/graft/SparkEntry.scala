@@ -170,6 +170,7 @@ object SparkEntry {
     "q125_tvd_drift"        -> (Profiling.tvdDrift _),
     "q126_setsim_join"      -> (Dedup.setSimNearDups _),
     "q127_vocab_profile"    -> (TextAnalysis.vocabProfileQuery _),
+    "q128_mad_outliers"     -> (Profiling.madOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1930,6 +1931,50 @@ object SparkEntry {
           |FROM sp JOIN su ON sp.source = su.source
           |ORDER BY sp.source, k_bucket, n_types, types_total, occurrences,
           |  hapax_ppm, ttr_ppm""".stripMargin,
+      // MAD outliers: both medians are nearest-rank cumulative walks
+      // (the q100 pattern); the 1.8*MAD decision is cross-multiplied
+      // to the pure long compare |x-med|*5 > 9*MAD
+      "q128_mad_outliers" ->
+        s"""WITH li AS (
+           |  SELECT l_returnflag,
+           |    ${graft.ops.Profiling.centsSql("l_extendedprice")} AS c
+           |  FROM lineitem),
+           |counts AS (
+           |  SELECT l_returnflag, c, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT l_returnflag, c,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+           |  FROM counts),
+           |m AS (
+           |  SELECT l_returnflag,
+           |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+           |  FROM ranked GROUP BY 1),
+           |dev AS (
+           |  SELECT li.l_returnflag, ABS(c - med) AS d
+           |  FROM li JOIN m USING (l_returnflag)),
+           |dcounts AS (
+           |  SELECT l_returnflag, d, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+           |dranked AS (
+           |  SELECT l_returnflag, d,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY d) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+           |  FROM dcounts),
+           |md AS (
+           |  SELECT l_returnflag,
+           |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+           |  FROM dranked GROUP BY 1)
+           |SELECT li.l_returnflag, COUNT(*) AS n,
+           |  CAST(MIN(med) AS BIGINT) AS med_cents,
+           |  CAST(MIN(mad) AS BIGINT) AS mad_cents,
+           |  CAST(COUNT(*) FILTER (ABS(c - med) * 5 > 9 * mad) AS BIGINT)
+           |    AS n_outliers,
+           |  CAST(COUNT(*) FILTER (ABS(c - med) * 5 > 9 * mad) * 1000000
+           |    // COUNT(*) AS BIGINT) AS outlier_ppm
+           |FROM li JOIN m USING (l_returnflag) JOIN md USING (l_returnflag)
+           |GROUP BY li.l_returnflag
+           |ORDER BY l_returnflag, n, med_cents, mad_cents, n_outliers,
+           |  outlier_ppm""".stripMargin,
     )
   }
 }

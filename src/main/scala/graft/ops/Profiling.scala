@@ -258,6 +258,65 @@ object Profiling {
       .orderBy(col("l_returnflag"), col("mode_q_cents"), col("n"))
   }
 
+  /** Robust outlier screen via MAD (median absolute deviation): flags
+    * rows with |x − median| > 5·MAD per group — the resistant
+    * complement of the moment-based z-score (q94), which a single
+    * extreme value can mask by inflating σ; no value can move a
+    * median. Both medians are NEAREST-RANK ((n+1) div 2) order
+    * statistics over integer cents — no interpolation, no floats, so
+    * the k·MAD decision is an exact cross-multiplied long compare in
+    * both engines (k = kNum/kDen; |x−med|·kDen > kNum·MAD). The query
+    * runs k = 1.8 for the same reason q94 runs 1.8σ: the bounded
+    * uniform price distribution never reaches the classical 3·MAD
+    * band (MAD ≈ range/4 here, so |x−med| tops out near 2·MAD); real
+    * long-tailed data would use kNum/kDen = 3..5.
+    *
+    * Scale shape: two value-histogram walks (the q47/q100 family —
+    * window state is bounded by DISTINCT cent values, not rows) with
+    * the 1-row-per-group median/MAD broadcast back onto the scan
+    * between and after them; the fact shuffles only into per-value
+    * partial counts. Zero-MAD groups (>50% identical values)
+    * degenerate deterministically to "anything ≠ median". */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersOf(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c")),
+      kNum = 9L, kDen = 5L)
+
+  /** Core MAD screen over any (l_returnflag, c) frame; see
+    * [[madOutliers]]. */
+  def madOutliersOf(li: DataFrame, kNum: Long, kDen: Long): DataFrame = {
+    def medianOf(vals: DataFrame, v: String, out: String): DataFrame = {
+      val vc = vals.groupBy(col("l_returnflag"), col(v))
+        .agg(count(lit(1)).as("cnt"))
+      vc.withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col(v))))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col(v)).as(out))
+    }
+    val med = medianOf(li, "c", "med_cents")
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        abs(col("c") - col("med_cents")).as("d"))
+    val mad = medianOf(dev, "d", "mad_cents")
+    li.join(broadcast(med), Seq("l_returnflag"))
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med_cents")).as("med_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        expr(s"count_if(abs(c - med_cents) * $kDen > $kNum * mad_cents)")
+          .as("n_outliers"))
+      .select(col("l_returnflag"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"),
+        expr("n_outliers * 1000000 DIV n").as("outlier_ppm"))
+      .orderBy(col("l_returnflag"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"), col("outlier_ppm"))
+  }
+
   /** Revenue concentration per nation as an exact-integer Gini
     * coefficient in ppm: with per-supplier revenues x_i sorted
     * ascending within nation (rank i of n),

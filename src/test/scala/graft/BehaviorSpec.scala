@@ -82,6 +82,25 @@ class BehaviorSpec extends SparkSpec {
     assert(Profiling.zscoreOutliers(spark, dir).count() == 0)
   }
 
+  test("MAD outliers: planted extreme flagged at 5*MAD; median unmoved") {
+    // 21 values 100.00..120.00 step 1 plus one 10000.00 bomb: median
+    // of 22 = 11th smallest = 110.00 -> 1100000 cents... (values
+    // 10000..12000 cents, rank-11 value = 11000); deviations 0..1000
+    // step 100 (each twice) + 890000: MAD = 11th smallest dev = 500
+    val rows = (0 to 20).map(i => ("A", 10000L + i * 100L)) :+
+      ("A", 890000L + 11000L)
+    val df = rows.toDF("l_returnflag", "c")
+    val out = Profiling.madOutliersOf(df, kNum = 5L, kDen = 1L).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("med_cents") == 11000L, s"median ${r}")
+    assert(r.getAs[Long]("mad_cents") == 500L, s"mad ${r}")
+    // only the bomb exceeds 5*MAD = 2500: all true deviations <= 1000
+    assert(r.getAs[Long]("n_outliers") == 1L, s"outliers ${r}")
+    // masking resistance: the bomb shifts the MEAN by ~40k cents but
+    // the median only from 10.5th to 11th value — one step
+  }
+
   test("histogram clamps overflow into the last bin and sums exactly") {
     val df = Seq((1L, 599999.99), (2L, 999999.99), (3L, 0.0))
       .toDF("o_orderkey", "o_totalprice")
