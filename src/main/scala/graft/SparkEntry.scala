@@ -171,6 +171,7 @@ object SparkEntry {
     "q126_setsim_join"      -> (Dedup.setSimNearDups _),
     "q127_vocab_profile"    -> (TextAnalysis.vocabProfileQuery _),
     "q128_mad_outliers"     -> (Profiling.madOutliers _),
+    "q129_autocorrelation"  -> (TimeSeries.autocorrelation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1975,6 +1976,36 @@ object SparkEntry {
            |GROUP BY li.l_returnflag
            |ORDER BY l_returnflag, n, med_cents, mad_cents, n_outliers,
            |  outlier_ppm""".stripMargin,
+      // ACF over the gap-filled monthly count series: n-scaled exact
+      // integer centering, one double division per (group, lag)
+      "q129_autocorrelation" ->
+        """WITH o AS (
+          |  SELECT o_orderpriority AS p,
+          |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+          |      AS m
+          |  FROM orders),
+          |bnd AS (SELECT min(m) AS m0, max(m) AS m1 FROM o),
+          |months AS (SELECT UNNEST(generate_series(m0, m1)) AS m FROM bnd),
+          |grps AS (SELECT DISTINCT p FROM o),
+          |spine AS (SELECT p, months.m FROM grps CROSS JOIN months),
+          |x AS (
+          |  SELECT spine.p, spine.m, count(o.m) AS x
+          |  FROM spine LEFT JOIN o ON o.p = spine.p AND o.m = spine.m
+          |  GROUP BY 1, 2),
+          |s AS (SELECT p, count(*) AS n, sum(x) AS s FROM x GROUP BY 1),
+          |cx AS (SELECT x.p, m, (n * x - s) AS cx FROM x JOIN s USING (p)),
+          |d AS (SELECT p, sum(cx * cx) AS den FROM cx GROUP BY 1),
+          |pr AS (
+          |  SELECT a.p, l.lag_k, sum(a.cx * b.cx) AS num
+          |  FROM cx a
+          |  CROSS JOIN (SELECT UNNEST(generate_series(1, 6)) AS lag_k) l
+          |  JOIN cx b ON b.p = a.p AND b.m = a.m + l.lag_k
+          |  GROUP BY 1, 2)
+          |SELECT pr.p AS o_orderpriority, CAST(lag_k AS BIGINT) AS lag_k,
+          |  CAST(n AS BIGINT) AS n_months,
+          |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+          |FROM pr JOIN d USING (p) JOIN s USING (p)
+          |ORDER BY o_orderpriority, lag_k, n_months, acf""".stripMargin,
     )
   }
 }

@@ -256,4 +256,57 @@ object TimeSeries {
         max(col("c")).as("max_concurrent"))
       .orderBy(col("day"), col("n_sessions"), col("max_concurrent"))
   }
+
+  /** Lag-k autocorrelation (k = 1..6) of the monthly order-count
+    * series per priority — the seasonality probe run before choosing
+    * a forecasting model or a drift-detector window. The series is
+    * gap-FILLED on a shared global month spine (a missing month is a
+    * real zero, not a missing observation; skipping it would splice
+    * non-adjacent months into "consecutive" lag pairs).
+    *
+    * Determinism: counts are integers, so the mean is the rational
+    * S/n and centering cross-multiplies to n-scaled moments —
+    *   num_k = Σ_i (n·x_i − S)(n·x_{i+k} − S),  den = Σ_i (n·x_i − S)²
+    * accumulated exactly in DECIMAL(38,0); acf = round(num/den, 6) is
+    * the single IEEE fold, symbol-identical in DuckDB.
+    *
+    * Scale shape: the per-(priority, month) count is the only
+    * corpus-sized aggregate; everything after runs on the
+    * groups × months table (bounded by calendar span), with the lag
+    * pairing an explode(1..6) + month-key self-join on that tiny
+    * frame. */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderpriority").as("p"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+    val counts = o.groupBy(col("p"), col("m")).agg(count(lit(1)).as("cnt"))
+    val bounds = o.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val spine = counts.select(col("p")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("p"), explode(sequence(col("m0"), col("m1"))).as("m"))
+    val x = spine.join(counts, Seq("p", "m"), "left")
+      .select(col("p"), col("m"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val s = x.groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val xs = x.join(broadcast(s), Seq("p"))
+      .select(col("p"), col("m"),
+        (col("n") * col("x") - col("s")).cast("decimal(38,0)").as("cx"))
+    val den = xs.groupBy(col("p"))
+      .agg(sum(col("cx") * col("cx")).as("den"))
+    val b = xs.select(col("p").as("bp"), col("m").as("bm"),
+      col("cx").as("bcx"))
+    val pairs = xs
+      .withColumn("lag_k", explode(sequence(lit(1L), lit(6L))))
+      .join(b, col("bp") === col("p") && col("bm") === col("m") + col("lag_k"))
+      .groupBy(col("p"), col("lag_k"))
+      .agg(sum(col("cx") * col("bcx")).as("num"))
+    pairs.join(broadcast(den), Seq("p")).join(broadcast(s), Seq("p"))
+      .select(col("p").as("o_orderpriority"), col("lag_k"),
+        col("n").as("n_months"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+      .orderBy(col("o_orderpriority"), col("lag_k"), col("n_months"),
+        col("acf"))
+  }
 }

@@ -74,4 +74,29 @@ class TimeSeriesSpec extends SparkSpec {
       col("max_concurrent") > col("n_sessions")).count()
     assert(bad == 0 && out.count() > 0)
   }
+
+  test("autocorrelation: alternating monthly series gives exact ACF") {
+    import java.sql.Timestamp
+    // counts over Jan..Aug 1995 = (1,3,1,3,1,3,1,3): mean 2, n = 8,
+    // centered n-scaled = ±8; acf_k = ±(8-k)/8 with sign (-1)^k.
+    // Both endpoint months are observed so the global spine is
+    // exactly Jan..Aug (the spine spans observed min..max).
+    val rows = (1 to 8).flatMap { mm =>
+      val n = if (mm % 2 == 0) 3 else 1
+      (1 to n).map(d =>
+        ("1-TEST", Timestamp.valueOf(f"1995-$mm%02d-${d * 5}%02d 00:00:00")))
+    }
+    val df = rows.toDF("o_orderpriority", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = TimeSeries.autocorrelation(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag_k") ->
+        (r.getAs[Long]("n_months"), r.getAs[Double]("acf"))).toMap
+    assert(got.size == 6)
+    val want = Map(1L -> -0.875, 2L -> 0.75, 3L -> -0.625,
+      4L -> 0.5, 5L -> -0.375, 6L -> 0.25)
+    want.foreach { case (k, v) =>
+      assert(got(k) == ((8L, v)), s"lag $k: got ${got(k)}, want $v")
+    }
+  }
 }
