@@ -172,6 +172,7 @@ object SparkEntry {
     "q127_vocab_profile"    -> (TextAnalysis.vocabProfileQuery _),
     "q128_mad_outliers"     -> (Profiling.madOutliers _),
     "q129_autocorrelation"  -> (TimeSeries.autocorrelation _),
+    "q130_zorder_cells"     -> (Layout.zorderCells _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2006,6 +2007,48 @@ object SparkEntry {
           |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
           |FROM pr JOIN d USING (p) JOIN s USING (p)
           |ORDER BY o_orderpriority, lag_k, n_months, acf""".stripMargin,
+      // z-order cell map: the Morton spread is the same shift/mask
+      // magic-number chain in both engines; masks in decimal
+      // (0x00FF00FF 0x0F0F0F0F 0x33333333 0x55555555)
+      "q130_zorder_cells" ->
+        """WITH b AS (
+          |  SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+          |    min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+          |  FROM lineitem),
+          |sc AS (
+          |  SELECT ((l_partkey - mn1) * 65536) // (mx1 - mn1 + 1) AS a,
+          |    ((l_suppkey - mn2) * 65536) // (mx2 - mn2 + 1) AS bb,
+          |    l_partkey, l_suppkey
+          |  FROM lineitem CROSS JOIN b),
+          |sp AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    (a | (a << 8)) & 16711935 AS a1,
+          |    (bb | (bb << 8)) & 16711935 AS b1
+          |  FROM sc),
+          |sp2 AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    (a1 | (a1 << 4)) & 252645135 AS a2,
+          |    (b1 | (b1 << 4)) & 252645135 AS b2
+          |  FROM sp),
+          |sp3 AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    (a2 | (a2 << 2)) & 858993459 AS a3,
+          |    (b2 | (b2 << 2)) & 858993459 AS b3
+          |  FROM sp2),
+          |sp4 AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    (a3 | (a3 << 1)) & 1431655765 AS a4,
+          |    (b3 | (b3 << 1)) & 1431655765 AS b4
+          |  FROM sp3),
+          |z AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    (a4 | (b4 << 1)) // 262144 AS z_cell
+          |  FROM sp4)
+          |SELECT z_cell, COUNT(*) AS n,
+          |  MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+          |  MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+          |FROM z GROUP BY z_cell
+          |ORDER BY z_cell, n, p_min, p_max, s_min, s_max""".stripMargin,
     )
   }
 }
