@@ -173,6 +173,8 @@ object SparkEntry {
     "q128_mad_outliers"     -> (Profiling.madOutliers _),
     "q129_autocorrelation"  -> (TimeSeries.autocorrelation _),
     "q130_zorder_cells"     -> (Layout.zorderCells _),
+    "q131_token_diversity"  -> (TextAnalysis.tokenDiversity _),
+    "q132_incremental_stats" -> (Grouping.incrementalStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2049,6 +2051,40 @@ object SparkEntry {
           |  MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
           |FROM z GROUP BY z_cell
           |ORDER BY z_cell, n, p_min, p_max, s_min, s_max""".stripMargin,
+      // Gini impurity diversity: cross-multiplied integer ppm (no log)
+      "q131_token_diversity" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |c AS (SELECT doc_id, tok, count(*) AS k FROM t GROUP BY 1, 2),
+          |a AS (
+          |  SELECT doc_id, sum(k) AS n, count(*) AS types,
+          |    sum(k * k) AS ss
+          |  FROM c GROUP BY 1)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          |  CAST(types AS BIGINT) AS n_types,
+          |  CAST((n * n - ss) * 1000000 // (n * n) AS BIGINT) AS gini_ppm
+          |FROM a
+          |ORDER BY doc_id, n_tokens, n_types, gini_ppm""".stripMargin,
+      // incremental maintenance: the oracle is the ONE-PASS recompute,
+      // so the hash compare proves partial-merge == recompute
+      "q132_incremental_stats" ->
+        s"""WITH li AS (
+           |  SELECT l_returnflag,
+           |    ${graft.ops.Profiling.centsSql("l_extendedprice")} AS c
+           |  FROM lineitem),
+           |m AS (
+           |  SELECT l_returnflag, COUNT(*) AS n, SUM(c) AS s,
+           |    SUM(c * c) AS ss
+           |  FROM li GROUP BY 1)
+           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           |  CAST(s AS BIGINT) AS sum_cents,
+           |  CAST((s * 1000) // n AS BIGINT) AS mean_centimils,
+           |  round(CAST(n * ss - s * s AS DOUBLE) /
+           |    CAST(n * (n - 1) AS DOUBLE), 6) AS var_cents2
+           |FROM m
+           |ORDER BY l_returnflag, n, sum_cents, mean_centimils,
+           |  var_cents2""".stripMargin,
     )
   }
 }

@@ -225,4 +225,43 @@ object Grouping {
       .orderBy(col("week"), col("total"), col("p50_lo_cents"),
         col("p95_lo_cents"))
   }
+
+  /** Incremental aggregate maintenance: per-group moment state
+    * (n, Σx, Σx²) built from an existing corpus partition and a new
+    * ingest partition INDEPENDENTLY, then merged by elementwise sum —
+    * the daily-stats-refresh pattern where only the increment is
+    * scanned and yesterday's state table is carried forward. The
+    * DuckDB oracle computes the same outputs in ONE pass over the full
+    * table, so the hash compare proves merge == recompute (the
+    * re-aggregatability the q84/q109 sketch family relies on, extended
+    * to variance-grade moments). Moments are exact DECIMAL(38,0);
+    * variance is the single IEEE fold (n·Σx² − (Σx)²)/(n·(n−1)),
+    * written symbol-identically in both engines.
+    *
+    * Scale shape: at 100 TB the corpus partial is a saved state table
+    * (group-count rows, not data rows); only the increment pays a
+    * scan. Here both sides are computed to exercise the merge. */
+  def incrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      col("l_orderkey"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("c"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"),
+        sum(d(col("c"))).as("s"), sum(d(col("c")) * d(col("c"))).as("ss"))
+    val corpus = partial(li.filter(pmod(col("l_orderkey"), lit(10)) < 8))
+    val ingest = partial(li.filter(pmod(col("l_orderkey"), lit(10)) >= 8))
+    corpus.unionByName(ingest)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        sum(col("ss")).as("ss"))
+      .select(col("l_returnflag"), col("n"),
+        col("s").cast("long").as("sum_cents"),
+        expr("CAST((s * 1000) div n AS BIGINT)").as("mean_centimils"),
+        round((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"), 6).as("var_cents2"))
+      .orderBy(col("l_returnflag"), col("n"), col("sum_cents"),
+        col("mean_centimils"), col("var_cents2"))
+  }
 }

@@ -311,4 +311,35 @@ object TextAnalysis {
   /** Query entry (q127). */
   def vocabProfileQuery(spark: SparkSession, dir: String): DataFrame =
     vocabProfile(Tables.documents(spark, dir))
+
+  /** Per-document token diversity as Gini IMPURITY (1 − Σp²) — the
+    * polynomial diversity index that, unlike Shannon entropy, needs no
+    * logarithm: with integer token counts c_i and n = Σc_i it
+    * cross-multiplies to (n² − Σc_i²)·10⁶ div n², exact in both
+    * engines. Near-0 = one token repeated (degenerate generation);
+    * near-1 = all tokens distinct. Complements the top-fraction
+    * repetition rules (q74) with a whole-distribution score.
+    * Tokenization matches q37's whitespace rule (empty tokens kept).
+    *
+    * Scale shape: explode + two doc-keyed aggregates — one shuffle
+    * partitioning carries through; per-doc state is its token
+    * multiset, bounded by doc length. */
+  def tokenDiversity(spark: SparkSession, dir: String): DataFrame =
+    tokenDiversityDocs(Tables.documents(spark, dir))
+
+  /** Core scorer over any (doc_id, text) frame. */
+  def tokenDiversityDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("k") * col("k")).as("ss"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("(n_tokens * n_tokens - ss) * 1000000" +
+          " div (n_tokens * n_tokens)").as("gini_ppm"))
+      .orderBy(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("gini_ppm"))
 }

@@ -231,6 +231,36 @@ class OpsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("token diversity: degenerate doc scores 0, fully diverse high") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "spam spam spam spam"),   // one type: impurity 0
+      (2L, "one two three four"),    // all distinct: 1 - 4/16
+      (3L, "ab ab cd cd"))           // two types evenly: 1 - 8/16
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDiversityDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((4L, 1L, 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((4L, 4L, 750000L)), s"got ${got(2L)}")
+    assert(got(3L) == ((4L, 2L, 500000L)), s"got ${got(3L)}")
+  }
+
+  test("incremental stats: merged partials equal one-pass recompute") {
+    import graft.ops.Grouping
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("c"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(d(col("c"))).cast("long").as("sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val merged = Grouping.incrementalStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == direct, s"merge != recompute: $merged vs $direct")
+  }
+
   test("passage dedup keeps first occurrence of a shared chunk only") {
     import graft.ops.Dedup
     val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
