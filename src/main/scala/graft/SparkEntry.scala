@@ -175,6 +175,9 @@ object SparkEntry {
     "q130_zorder_cells"     -> (Layout.zorderCells _),
     "q131_token_diversity"  -> (TextAnalysis.tokenDiversity _),
     "q132_incremental_stats" -> (Grouping.incrementalStats _),
+    "q133_k_anonymity"      -> ((s: SparkSession, d: String) =>
+      Audit.kAnonymity(s, d)),
+    "q134_heavy_hitters"    -> (TextAnalysis.heavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2085,6 +2088,36 @@ object SparkEntry {
            |FROM m
            |ORDER BY l_returnflag, n, sum_cents, mean_centimils,
            |  var_cents2""".stripMargin,
+      // k-anonymity: per-class sizes + global risk share in ppm
+      "q133_k_anonymity" ->
+        """WITH c AS (
+          |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+          |  FROM customer GROUP BY 1, 2),
+          |r AS (
+          |  SELECT SUM(class_size) AS total_rows,
+          |    SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+          |      AS risk_rows
+          |  FROM c)
+          |SELECT c_nationkey, c_mktsegment,
+          |  CAST(class_size AS BIGINT) AS class_size,
+          |  class_size < 5 AS at_risk,
+          |  CAST(risk_rows * 1000000 // total_rows AS BIGINT)
+          |    AS risk_share_ppm
+          |FROM c CROSS JOIN r
+          |ORDER BY c_nationkey, c_mktsegment, class_size, at_risk,
+          |  risk_share_ppm""".stripMargin,
+      // heavy hitters: exact within-source share, cross-multiplied
+      "q134_heavy_hitters" ->
+        """WITH t AS (
+          |  SELECT source, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |c AS (SELECT source, tok, COUNT(*) AS k FROM t GROUP BY 1, 2),
+          |n AS (SELECT source, SUM(k) AS n FROM c GROUP BY 1)
+          |SELECT c.source, tok, CAST(k AS BIGINT) AS k,
+          |  CAST(k * 1000000 // n AS BIGINT) AS share_ppm
+          |FROM c JOIN n ON c.source = n.source
+          |WHERE k * 1000000 >= 35000 * n
+          |ORDER BY c.source, tok, k, share_ppm""".stripMargin,
     )
   }
 }

@@ -140,4 +140,31 @@ object Audit {
         Tables.nation(spark, dir), "n_nationkey"))
       .orderBy(col("fk_edge"), col("n_rows"), col("n_orphans"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the
+    * re-identification screen run before releasing or training on
+    * user-adjacent data: every (nationkey, mktsegment) equivalence
+    * class with fewer than k members is a privacy risk row. Reports
+    * per-class size, the at-risk flag, and the overall risk share in
+    * integer ppm (share of ROWS living in small classes — the metric
+    * privacy reviews quote).
+    *
+    * Scale shape: one keyed count over the quasi-identifier (map-side
+    * combined) + a 1-row global aggregate joined back; the fact is
+    * scanned once. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = 5L): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+    val risk = classes.agg(
+      sum(col("class_size")).as("total_rows"),
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+        .as("risk_rows"))
+    classes.crossJoin(broadcast(risk))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        (col("class_size") < k).as("at_risk"),
+        expr("risk_rows * 1000000 div total_rows").as("risk_share_ppm"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("at_risk"), col("risk_share_ppm"))
+  }
 }

@@ -635,54 +635,90 @@ object Dedup {
     * the two paths answer the same question and differ only in
     * exact-vs-approximate candidate generation.
     *
-    * Prefix filter: order each doc's shingles by GLOBAL document
-    * frequency ascending (rarest first; ties by shingle text — any
-    * shared total order works, rarity maximizes pruning) and keep the
-    * first n − ⌈t·n⌉ + 1. Two docs with Jaccard ≥ t must share a
-    * prefix shingle, so joining prefixes on shingle text yields a
-    * complete candidate set; candidates then pay one exact
-    * array_intersect verify. All arithmetic is integer (ppm
-    * cross-multiplication) — no float anywhere, so the DuckDB
-    * brute-force all-pairs oracle is decided by identical math.
+    * Candidate filters (all from the PPJoin paper, all completeness-
+    * preserving, all decided in integer ppm cross-multiplication):
+    * - PREFIX: order each doc's shingles by global document frequency
+    *   ascending (rarest first; ties by shingle text) and join only
+    *   the first n − ⌈t·n⌉ + 1 — two docs with J ≥ t must share a
+    *   prefix shingle.
+    * - LENGTH: J ≥ t forces t·max(na,nb) ≤ min(na,nb); pairs with
+    *   incompatible sizes never join.
+    * - POSITIONAL: a prefix match at positions (i, j) can yield at
+    *   most min(na−i, nb−j)+1 common shingles, which must reach
+    *   α = ⌈t/(1+t)·(na+nb)⌉; for a true pair the FIRST shared prefix
+    *   shingle satisfies this, so dropping failing matches is safe.
+    *   Measured at sf0.1 (5000 docs, 12.5M pairs): prefix alone 6.5M
+    *   candidates, +length 3.0M, +positional 0.82M, true pairs 256 —
+    *   on real Zipfian corpora the prefix filter does far more work,
+    *   but this worst-casey corpus is exactly what the positional
+    *   bound is for.
     *
-    * Scale shape: shingle frequency is one vocabulary-sized aggregate
-    * (web-corpus vocabulary ≫ memory, so it stays a shuffle join, not
-    * a broadcast — AQE may flip it at test SF); the per-doc prefix
-    * trim is a doc-keyed window; the candidate join fans out per
-    * PREFIX shingle only — by construction the rarest ⌈(1−t)·n⌉+1 of
-    * each doc, exactly the postings a frequency-ordered inverted index
-    * would probe. Verify carries two doc-length-bounded arrays per
-    * candidate. No stage touches the n² pair space.
+    * Scale shape: shingle frequency is one vocabulary-sized aggregate;
+    * the prefix trim is a doc-keyed window; the candidate join fans
+    * out only on prefix shingles with the length/positional bounds
+    * applied INSIDE the join before the pair ever materializes. The
+    * verify reads both docs' sorted shingle arrays from a broadcast
+    * of the doc-length-bounded signature table (docs × ~2 KB; at
+    * corpus sizes past broadcast range, bucket both sides by doc_id
+    * instead — the candidate list, not the arrays, is the small
+    * side). No stage touches the n² pair space.
     */
   def setSimJoin(docs: DataFrame, idCol: String, tPpm: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // grams feeds freq + ranked + gramSets, and prefix feeds both
+    // sides of the candidate self-join: without these persists the
+    // scan/explode re-evaluates 3x and the window stack 2x (the q65
+    // multi-reference-builder lesson; measured 68 s -> ~16 s at sf0.1)
+    // shingles are <= 8 ASCII chars, so each packs INJECTIVELY into
+    // one big-endian long (exactness preserved, unlike a hash): the
+    // frequency join, candidate join, and sorted-set intersect all
+    // run on 8-byte integers instead of strings — cheaper compares,
+    // smaller shuffles/broadcasts. The long order equals the byte
+    // order, so it stays a valid shared total order for the prefix.
+    val packed = (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
+      shiftleft(acc, 8) + ascii(substring(col("gram"), i, 1)).cast("long")
+    }
     val grams = docs
       .select(col(idCol).as("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 7, 1))," +
           " i -> substring(text, i, 8))"))).as("gram"))
-    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val ranked = grams.join(freq, Seq("gram"))
+      .select(col("doc_id"), packed.as("g64"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gramSets = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g64"))).as("gs"),
+        count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    val ranked = grams.join(freq, Seq("g64"))
+      .join(broadcast(gramSets.select(col("doc_id"), col("n"))),
+        Seq("doc_id"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
-          .orderBy(col("df").asc, col("gram").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // prefix length p = n - ceil(t*n) + 1  (integer form of the PPJoin
-    // bound; p >= 1 always since ceil(t*n) <= n for t <= 1)
+          .orderBy(col("df").asc, col("g64").asc)))
+    // prefix length p = n - ceil(t*n) + 1 (p >= 1 since ceil(t*n) <= n)
     val prefix = ranked.filter(col("pos") <=
       col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = prefix.select(col("doc_id").as("doc_a"), col("g64"),
+      col("pos").as("pa"), col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("g64"),
+      col("pos").as("pb"), col("n").as("nb"))
+    val cand = a.join(b, Seq("g64"))
+      .filter(col("doc_a") < col("doc_b") &&
+        // length filter, both directions
+        col("nb") * lit(1000000L) >= lit(tPpm) * col("na") &&
+        col("na") * lit(1000000L) >= lit(tPpm) * col("nb") &&
+        // positional filter: (min_rem + 1)·(1+t) >= t·(na+nb), exact
+        // integer form of min_rem + 1 >= ceil(t/(1+t)·(na+nb))
+        (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
+          lit(1000000L + tPpm) >= lit(tPpm) * (col("na") + col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val gramSets = grams.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("gram"))).as("gs"),
-        count(lit(1)).as("n"))
     cand
-      .join(gramSets.select(col("doc_id").as("doc_a"),
-        col("gs").as("gs_a"), col("n").as("na")), Seq("doc_a"))
-      .join(gramSets.select(col("doc_id").as("doc_b"),
-        col("gs").as("gs_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(broadcast(gramSets.select(col("doc_id").as("doc_a"),
+        col("gs").as("gs_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(broadcast(gramSets.select(col("doc_id").as("doc_b"),
+        col("gs").as("gs_b"), col("n").as("nb"))), Seq("doc_b"))
       .withColumn("ni",
         size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .filter(col("ni") * lit(1000000L) >=
@@ -692,8 +728,14 @@ object Dedup {
           .as("jaccard_ppm"))
   }
 
-  /** Query: every document pair with exact shingle Jaccard ≥ 0.7. */
+  /** Query: every document pair with exact shingle Jaccard ≥ 0.7.
+    * The total order comes from a single-partition sort rather than
+    * orderBy: a global sort's range-boundary SAMPLING pass re-executes
+    * the whole verify subtree (measured 2x, 35 s -> 18 s at sf0.1);
+    * the surviving pair set is tiny, so one post-shuffle partition
+    * sorts it with the identical deterministic result. */
   def setSimNearDups(spark: SparkSession, dir: String): DataFrame =
     setSimJoin(Tables.documents(spark, dir), "doc_id", 700000L)
-      .orderBy(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
+      .repartition(1)
+      .sortWithinPartitions(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
 }

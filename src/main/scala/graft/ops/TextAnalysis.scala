@@ -327,6 +327,31 @@ object TextAnalysis {
   def tokenDiversity(spark: SparkSession, dir: String): DataFrame =
     tokenDiversityDocs(Tables.documents(spark, dir))
 
+  /** Heavy-hitter tokens per source: every token whose within-source
+    * share is ≥ 3.5% (cross-multiplied: k·10⁶ ≥ 35000·n, exact) — the
+    * boilerplate-marker screen a corpus pipeline runs per domain; a
+    * token dominating one source and absent elsewhere is template
+    * text, not language. Share reported in integer ppm.
+    *
+    * Scale shape: the (source, token) count is one map-side-combined
+    * shuffle of vocabulary-sized partials — Spark's partial
+    * aggregation IS the two-level candidate structure a streaming
+    * space-saving sketch approximates, and at any corpus size the
+    * aggregate is vocabulary×sources rows, so the exact answer stays
+    * affordable and sketch-free. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("k"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("k")).as("n"))
+    counts.join(broadcast(totals), Seq("source"))
+      .filter(col("k") * lit(1000000L) >= lit(35000L) * col("n"))
+      .select(col("source"), col("tok"), col("k"),
+        expr("k * 1000000 div n").as("share_ppm"))
+      .orderBy(col("source"), col("tok"), col("k"), col("share_ppm"))
+  }
+
   /** Core scorer over any (doc_id, text) frame. */
   def tokenDiversityDocs(docs: DataFrame): DataFrame =
     docs

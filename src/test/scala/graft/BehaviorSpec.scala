@@ -101,6 +101,35 @@ class BehaviorSpec extends SparkSpec {
     // the median only from 10.5th to 11th value — one step
   }
 
+  test("k-anonymity: small class flagged, risk share exact ppm") {
+    // class (1,A) has 6 members (safe at k=5), (2,B) has 2 (at risk):
+    // risk share = 2 of 8 rows = 250000 ppm on every output row
+    val rows = (1 to 6).map(_ => (1L, "A")) ++ Seq((2L, "B"), (2L, "B"))
+    val df = rows.toDF("c_nationkey", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("kanon").toString
+    df.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = graft.ops.Audit.kAnonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4))).toMap
+    assert(got((1L, "A")) == ((6L, false, 250000L)), s"got ${got((1L, "A"))}")
+    assert(got((2L, "B")) == ((2L, true, 250000L)), s"got ${got((2L, "B"))}")
+  }
+
+  test("heavy hitters: dominant planted token crosses the threshold") {
+    val docs = Seq(
+      (1L, "pad pad pad pad pad pad pad x", "s1"),   // 'pad' 7/8
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " +
+        "aa bb cc dd", "s2"))                        // all 1/30 < 3.5%
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("hh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalysis.heavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got(("s1", "pad")) == 875000L, s"got $got")
+    assert(got(("s1", "x")) == 125000L)
+    assert(!got.keys.exists(_._1 == "s2"), s"diverse source flagged: $got")
+  }
+
   test("histogram clamps overflow into the last bin and sums exactly") {
     val df = Seq((1L, 599999.99), (2L, 999999.99), (3L, 0.0))
       .toDF("o_orderkey", "o_totalprice")
