@@ -53,6 +53,45 @@ object CdcStream {
           .write.mode("append").parquet(keysDir)
     }
 
+  /** Streaming twin of the incremental moment maintenance
+    * (Grouping.incrementalStats, q132): each micro-batch folds its
+    * per-group partials (n, Σx, Σx²) into a parquet state table by
+    * the same unionByName + sum merge the batch op uses — so the
+    * final state after any chunking of the input equals the one-pass
+    * recompute (moment addition is associative and commutative; the
+    * StreamingSpec asserts exactly this). State is group-count-sized;
+    * the stream only ever scans the increment. */
+  def incrementalMoments(rows: DataFrame, grpCol: String, valCol: String,
+      stateDir: String): DataStreamWriter[Row] = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = batch.groupBy(col(grpCol))
+          .agg(count(lit(1)).as("n"), sum(d(col(valCol))).as("s"),
+            sum(d(col(valCol)) * d(col(valCol))).as("ss"))
+        val merged =
+          if (new java.io.File(stateDir).exists()) {
+            val prev = spark.read.parquet(stateDir)
+            prev.unionByName(partial).groupBy(col(grpCol))
+              .agg(sum(col("n")).as("n"),
+                sum(col("s")).cast("decimal(38,0)").as("s"),
+                sum(col("ss")).cast("decimal(38,0)").as("ss"))
+          } else partial
+        // state is tiny (one row per group): rewrite atomically via
+        // a collect-free staged overwrite into a temp dir + swap
+        val tmp = stateDir + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rmr)
+          f.delete(): Unit
+        }
+        val t = new java.io.File(tmp); val s0 = new java.io.File(stateDir)
+        if (s0.exists()) rmr(s0)
+        t.renameTo(s0): Unit
+    }
+  }
+
   /** End-of-load delete reconciliation: old-snapshot rows whose key
     * never arrived in the stream, shaped exactly like the batch op's
     * 'D' rows (old_ values populated, new_ null). */

@@ -204,6 +204,39 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(s -- b).take(3)}; batch-only: ${(b -- s).take(3)}")
   }
 
+  test("streaming moment-state maintenance equals the one-pass stats") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("c"))
+    // stage as 3 chunk files = 3 micro-batches folded into state
+    val staged = Files.createTempDirectory("graft_mom_in").toString
+    (0 to 2).foreach(i => li.filter(pmod(col("c"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(staged))
+    val stateDir = Files.createTempDirectory("graft_mom_st").toString + "/s"
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = CdcStream.incrementalMoments(stream, "l_returnflag", "c",
+      stateDir).start()
+    try q.processAllAvailable() finally q.stop()
+    def d(col0: org.apache.spark.sql.Column) = col0.cast("decimal(38,0)")
+    val batch = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(d(col("c"))).as("s"),
+        sum(d(col("c")) * d(col("c"))).as("ss"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDecimal(3))).toMap
+    val state = spark.read.parquet(stateDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDecimal(3))).toMap
+    assert(state.keySet == batch.keySet)
+    state.foreach { case (k, (n, s, ss)) =>
+      val (bn, bs, bss) = batch(k)
+      assert(n == bn && s.compareTo(bs) == 0 && ss.compareTo(bss) == 0,
+        s"group $k: state ($n,$s,$ss) != batch ($bn,$bs,$bss)")
+    }
+  }
+
   test("streaming incremental dedup equals the batch incremental dedup") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
