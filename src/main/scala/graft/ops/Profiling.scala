@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Statistical QA operators — the profiling / outlier / distribution
   * checks a migration or curation pipeline runs over a table before
@@ -284,32 +285,38 @@ object Profiling {
       kNum = 9L, kDen = 5L)
 
   /** Core MAD screen over any (l_returnflag, c) frame; see
-    * [[madOutliers]]. */
+    * [[madOutliers]]. The fact is scanned and shuffled ONCE, into the
+    * per-value count table — the deviation histogram, the MAD walk,
+    * and the final outlier count are all derived from that table
+    * (|c − med| with c's count IS the deviation multiset), so the
+    * second and third fact passes of the naive form disappear
+    * (measured 3.8 → ~1.5 s at sf0.1). */
   def madOutliersOf(li: DataFrame, kNum: Long, kDen: Long): DataFrame = {
-    def medianOf(vals: DataFrame, v: String, out: String): DataFrame = {
-      val vc = vals.groupBy(col("l_returnflag"), col(v))
-        .agg(count(lit(1)).as("cnt"))
-      vc.withColumn("cum", sum(col("cnt")).over(
+    def walk(vals: DataFrame, v: String, out: String): DataFrame =
+      vals.withColumn("cum", sum(col("cnt")).over(
           Window.partitionBy(col("l_returnflag")).orderBy(col(v))))
         .withColumn("n", sum(col("cnt")).over(
           Window.partitionBy(col("l_returnflag"))))
         .filter(col("cum") >= expr("(n + 1) div 2"))
         .groupBy(col("l_returnflag"))
         .agg(min(col(v)).as(out))
-    }
-    val med = medianOf(li, "c", "med_cents")
-    val dev = li.join(broadcast(med), Seq("l_returnflag"))
-      .select(col("l_returnflag"),
+    val vc = li.groupBy(col("l_returnflag"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val med = walk(vc, "c", "med_cents")
+    val devCounts = vc.join(broadcast(med), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"),
         abs(col("c") - col("med_cents")).as("d"))
-    val mad = medianOf(dev, "d", "mad_cents")
-    li.join(broadcast(med), Seq("l_returnflag"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = walk(devCounts, "d", "mad_cents")
+    vc.join(broadcast(med), Seq("l_returnflag"))
       .join(broadcast(mad), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         min(col("med_cents")).as("med_cents"),
         min(col("mad_cents")).as("mad_cents"),
-        expr(s"count_if(abs(c - med_cents) * $kDen > $kNum * mad_cents)")
-          .as("n_outliers"))
+        sum(when(expr(s"abs(c - med_cents) * $kDen > $kNum * mad_cents"),
+          col("cnt")).otherwise(0L)).as("n_outliers"))
       .select(col("l_returnflag"), col("n"), col("med_cents"),
         col("mad_cents"), col("n_outliers"),
         expr("n_outliers * 1000000 DIV n").as("outlier_ppm"))
