@@ -178,6 +178,7 @@ object SparkEntry {
     "q133_k_anonymity"      -> ((s: SparkSession, d: String) =>
       Audit.kAnonymity(s, d)),
     "q134_heavy_hitters"    -> (TextAnalysis.heavyHitters _),
+    "q135_weighted_median"  -> (Profiling.weightedMedian _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2118,6 +2119,32 @@ object SparkEntry {
           |FROM c JOIN n ON c.source = n.source
           |WHERE k * 1000000 >= 35000 * n
           |ORDER BY c.source, tok, k, share_ppm""".stripMargin,
+      // weighted + unweighted median in one value walk (2*cum >= tot)
+      "q135_weighted_median" ->
+        s"""WITH li AS (
+           |  SELECT l_returnflag,
+           |    ${graft.ops.Profiling.centsSql("l_extendedprice")} AS c,
+           |    ${graft.ops.Profiling.centsSql("l_quantity")} AS q
+           |  FROM lineitem),
+           |vc AS (
+           |  SELECT l_returnflag, c, COUNT(*) AS cnt, SUM(q) AS w
+           |  FROM li GROUP BY 1, 2),
+           |r AS (
+           |  SELECT l_returnflag, c,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cumn,
+           |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n,
+           |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY c) AS cumw,
+           |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+           |  FROM vc)
+           |SELECT l_returnflag, CAST(MIN(n) AS BIGINT) AS n,
+           |  CAST(MIN(CASE WHEN cumn * 2 >= n THEN c END) AS BIGINT)
+           |    AS med_cents,
+           |  CAST(MIN(tot) AS BIGINT) AS total_weight,
+           |  CAST(MIN(CASE WHEN cumw * 2 >= tot THEN c END) AS BIGINT)
+           |    AS wmed_cents
+           |FROM r GROUP BY l_returnflag
+           |ORDER BY l_returnflag, n, med_cents, total_weight,
+           |  wmed_cents""".stripMargin,
     )
   }
 }

@@ -241,6 +241,36 @@ object Profiling {
         col("n_clipped_lo"), col("n_clipped_hi"))
   }
 
+  /** Quantity-weighted median price per flag alongside the unweighted
+    * one: the weighted median is the smallest value whose cumulative
+    * WEIGHT reaches half the total (2·cum ≥ tot, exact integers) —
+    * the "median dollar" rather than the "median row", which is what
+    * pricing and capacity planning actually ask for when line sizes
+    * vary. Same value-histogram walk as q47/q100/q128: one keyed
+    * aggregate to distinct values, windows over the value table only.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      cents(col("l_extendedprice")).as("c"),
+      cents(col("l_quantity")).as("q"))
+    val vc = li.groupBy(col("l_returnflag"), col("c"))
+      .agg(count(lit(1)).as("cnt"), sum(col("q")).as("w"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    vc.withColumn("cumn", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cumw", sum(col("w")).over(wOrd))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("n")).as("n"),
+        min(when(col("cumn") * 2 >= col("n"), col("c"))).as("med_cents"),
+        min(col("tot")).as("total_weight"),
+        min(when(col("cumw") * 2 >= col("tot"), col("c")))
+          .as("wmed_cents"))
+      .orderBy(col("l_returnflag"), col("n"), col("med_cents"),
+        col("total_weight"), col("wmed_cents"))
+  }
+
   /** Per-flag statistical mode of quantity with a deterministic
     * tie-break (highest count, then lowest value): two keyed
     * aggregates then a row_number window over the tiny (flag, value)

@@ -130,6 +130,20 @@ class BehaviorSpec extends SparkSpec {
     assert(!got.keys.exists(_._1 == "s2"), s"diverse source flagged: $got")
   }
 
+  test("weighted median: heavy-quantity row pulls the median dollar") {
+    // values 1.00/2.00/3.00 with quantities 1/1/10: row median 2.00,
+    // weight median 3.00 (10 of 12 weight sits at 3.00)
+    val df = Seq(("A", 1.00, 1.0), ("A", 2.00, 1.0), ("A", 3.00, 10.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("wmed").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Profiling.weightedMedian(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("med_cents") == 200L, s"got ${r(0)}")
+    assert(r(0).getAs[Long]("wmed_cents") == 300L, s"got ${r(0)}")
+    assert(r(0).getAs[Long]("total_weight") == 1200L)
+  }
+
   test("histogram clamps overflow into the last bin and sums exactly") {
     val df = Seq((1L, 599999.99), (2L, 999999.99), (3L, 0.0))
       .toDF("o_orderkey", "o_totalprice")

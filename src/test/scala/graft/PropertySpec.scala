@@ -50,6 +50,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("setSimJoin == brute force for random corpora × thresholds") {
+    // the PPJoin prefix/length/positional filters are the subtle part
+    // of q126 — stress their completeness on random corpora where
+    // near-dup structure varies with the seed, at three thresholds
+    for (seed <- 1 to 3; tPpm <- Seq(500000L, 700000L, 900000L)) {
+      val rnd = new scala.util.Random(4200 + seed)
+      def doc() = List.fill(4 + rnd.nextInt(12))(
+        "w" + rnd.nextInt(12)).mkString(" ")
+      val base = (1L to 12L).map(i => (i, doc()))
+      // mutated copies create pairs across the jaccard spectrum
+      val edited = base.take(6).map { case (i, t) =>
+        (100L + i, if (rnd.nextBoolean()) t
+          else t.replaceFirst("w\\d+", "w" + rnd.nextInt(12))) }
+      val docs = (base ++ edited).toDF("doc_id", "text")
+      val grams = docs.select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> substring(text, i, 8))"))).as("gram"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val brute = grams.select(col("doc_id").as("doc_a"), col("gram"))
+        .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+          Seq("gram"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .filter(col("ni") * lit(1000000L) >=
+          lit(tPpm) * (col("na") + col("nb") - col("ni")))
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graft.ops.Dedup.setSimJoin(docs, "doc_id", tPpm)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"seed=$seed t=$tPpm missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("KS distance: zero against itself, invariant to cohort swap") {
     // write a random lineitem-shaped table where R and A carry the
     // SAME multiset -> ks 0; then check swap symmetry on skewed data
