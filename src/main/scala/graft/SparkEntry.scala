@@ -179,6 +179,8 @@ object SparkEntry {
       Audit.kAnonymity(s, d)),
     "q134_heavy_hitters"    -> (TextAnalysis.heavyHitters _),
     "q135_weighted_median"  -> (Profiling.weightedMedian _),
+    "q136_abc_analysis"     -> (Profiling.abcAnalysis _),
+    "q137_ship_latency"     -> (Relational.shipLatencyDist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2145,6 +2147,50 @@ object SparkEntry {
            |FROM r GROUP BY l_returnflag
            |ORDER BY l_returnflag, n, med_cents, total_weight,
            |  wmed_cents""".stripMargin,
+      // ABC classes from exact cumulative revenue shares (unique
+      // (rev desc, name) order, explicit ROWS frame both engines)
+      "q136_abc_analysis" ->
+        s"""WITH rev AS (
+           |  SELECT n_name,
+           |    SUM(${graft.ops.Profiling.centsSql("o_totalprice")})
+           |      AS rev_cents
+           |  FROM orders
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  GROUP BY 1),
+           |r AS (
+           |  SELECT n_name, rev_cents,
+           |    SUM(rev_cents) OVER (ORDER BY rev_cents DESC, n_name ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    SUM(rev_cents) OVER () AS tot
+           |  FROM rev)
+           |SELECT n_name, CAST(rev_cents AS BIGINT) AS rev_cents,
+           |  CAST(rev_cents * 1000000 // tot AS BIGINT) AS share_ppm,
+           |  CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_ppm,
+           |  CASE WHEN cum * 1000000 // tot <= 800000 THEN 'A'
+           |       WHEN cum * 1000000 // tot <= 950000 THEN 'B'
+           |       ELSE 'C' END AS abc_class
+           |FROM r
+           |ORDER BY n_name, rev_cents, share_ppm, cum_share_ppm,
+           |  abc_class""".stripMargin,
+      // 7-day ship-latency bins; +3650 shift keeps the div operand
+      // positive (Spark div truncates, DuckDB // floors — they only
+      // agree on positive operands)
+      "q137_ship_latency" ->
+        """WITH lat AS (
+          |  SELECT o_orderpriority,
+          |    date_diff('day', CAST(o_orderdate AS DATE),
+          |      CAST(l_shipdate AS DATE)) AS lat
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          |SELECT o_orderpriority,
+          |  CAST(((lat + 3650) // 7) * 7 - 3650 AS BIGINT)
+          |    AS bucket_lo_days,
+          |  COUNT(*) AS n,
+          |  CAST(MIN(lat) AS BIGINT) AS min_days,
+          |  CAST(MAX(lat) AS BIGINT) AS max_days
+          |FROM lat GROUP BY 1, 2
+          |ORDER BY o_orderpriority, bucket_lo_days, n, min_days,
+          |  max_days""".stripMargin,
     )
   }
 }

@@ -241,6 +241,41 @@ object Profiling {
         col("n_clipped_lo"), col("n_clipped_hi"))
   }
 
+  /** ABC (Pareto-class) analysis of revenue by customer nation: each
+    * nation's revenue share and cumulative share in exact ppm, classed
+    * A/B/C at the 80%/95% cumulative thresholds — the
+    * inventory-management classic for "which 20% carries 80%". The
+    * orders⋈customer leg rides the custkey-bucketed layout (q124
+    * contract, zero fact-side exchange); nation broadcasts; revenue
+    * accumulates in DECIMAL(38,0) cents (overflow-safe at any SF) and
+    * every share/threshold decision is integer div — the only window
+    * runs over the 25-row nation table.
+    */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val (c, o) = Tables.bucketedCustomerOrders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val rev = o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("o_totalprice")).cast("decimal(38,0)"))
+        .as("rev_cents"))
+    val wCum = Window.orderBy(col("rev_cents").desc, col("n_name").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum(col("rev_cents")).over(wCum))
+      .withColumn("tot", sum(col("rev_cents")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("n_name"), col("rev_cents").cast("long").as("rev_cents"),
+        expr("CAST(rev_cents * 1000000 div tot AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST(cum * 1000000 div tot AS BIGINT)").as("cum_share_ppm"),
+        when(expr("cum * 1000000 div tot") <= 800000, "A")
+          .when(expr("cum * 1000000 div tot") <= 950000, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("n_name"), col("rev_cents"), col("share_ppm"),
+        col("cum_share_ppm"), col("abc_class"))
+  }
+
   /** Quantity-weighted median price per flag alongside the unweighted
     * one: the weighted median is the smallest value whose cumulative
     * WEIGHT reaches half the total (2·cum ≥ tot, exact integers) —

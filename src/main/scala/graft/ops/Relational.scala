@@ -129,6 +129,28 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Ship-latency distribution per order priority: lineitem⋈orders on
+    * the bucketed layout (zero fact-side exchange, the q00/q70
+    * contract), then a 7-day-bin histogram of shipdate − orderdate.
+    * The synthetic data has no causal order→ship relation, so
+    * latencies span negative days; buckets shift by +3650 before the
+    * integer div because Spark `div` truncates toward zero while
+    * DuckDB `//` floors — identical only for positive operands
+    * (bucket_lo_days shifts back after). */
+  def shipLatencyDist(spark: SparkSession, dir: String): DataFrame = {
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("lat"))
+      .groupBy(col("o_orderpriority"),
+        (expr("(lat + 3650) div 7") * 7 - 3650).as("bucket_lo_days"))
+      .agg(count(lit(1)).as("n"), min(col("lat")).as("min_days"),
+        max(col("lat")).as("max_days"))
+      .orderBy(col("o_orderpriority"), col("bucket_lo_days"), col("n"),
+        col("min_days"), col("max_days"))
+  }
+
   /** Star join with explicitly broadcast dims: revenue per region.
     * lineitem⋈orders rides the bucketed layout (zero exchange below
     * the sort-merge join); customer/nation/region ride along

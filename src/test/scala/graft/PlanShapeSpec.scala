@@ -127,6 +127,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(total <= 2, s"more than the groupBy+orderBy exchanges: $total")
   }
 
+  test("q137 ship latency: lineitem-orders leg rides the bucketed layout") {
+    val (smj, below, _) =
+      bucketedJoinShape(graft.ops.Relational.shipLatencyDist(spark, sf))
+    assert(smj == 1, s"expected one SMJ, saw $smj")
+    assert(below == 0, s"bucketed join still shuffles an input ($below)")
+  }
+
+  test("q136 ABC: orders-customer leg rides the custkey bucketed layout") {
+    val (smj, below, _) =
+      bucketedJoinShape(graft.ops.Profiling.abcAnalysis(spark, sf))
+    assert(smj == 1, s"expected one SMJ, saw $smj")
+    assert(below == 0, s"bucketed join still shuffles an input ($below)")
+  }
+
   test("q112 RI audit: the fact->fact anti-join rides the bucketed layout") {
     // the lineitem->orders orphan check is a LEFT ANTI sort-merge join
     // on the co-located scans — anti-joins get the same zero-exchange
