@@ -181,6 +181,7 @@ object SparkEntry {
     "q135_weighted_median"  -> (Profiling.weightedMedian _),
     "q136_abc_analysis"     -> (Profiling.abcAnalysis _),
     "q137_ship_latency"     -> (Relational.shipLatencyDist _),
+    "q138_pii_audit"        -> (graft.etl.Sanitize.piiAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2191,6 +2192,41 @@ object SparkEntry {
           |FROM lat GROUP BY 1, 2
           |ORDER BY o_orderpriority, bucket_lo_days, n, min_days,
           |  max_days""".stripMargin,
+      // PII audit: same pattern list as the q64 scrub on both sides
+      "q138_pii_audit" -> {
+        val Seq(reEmail, reIp, rePhone) =
+          graft.etl.Sanitize.PiiPatterns.map(_._1.replace("'", "''"))
+        s"""WITH h AS (
+           |  SELECT source,
+           |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '$reEmail')) AS BIGINT)
+           |      AS h_email,
+           |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '$reIp')) AS BIGINT)
+           |      AS h_ip,
+           |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '$rePhone')) AS BIGINT)
+           |      AS h_phone
+           |  FROM documents),
+           |a AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(h_email) AS BIGINT) AS hits_email,
+           |    CAST(COUNT(*) FILTER (h_email > 0) AS BIGINT) AS dh_email,
+           |    CAST(SUM(h_ip) AS BIGINT) AS hits_ip,
+           |    CAST(COUNT(*) FILTER (h_ip > 0) AS BIGINT) AS dh_ip,
+           |    CAST(SUM(h_phone) AS BIGINT) AS hits_phone,
+           |    CAST(COUNT(*) FILTER (h_phone > 0) AS BIGINT) AS dh_phone
+           |  FROM h GROUP BY 1),
+           |u AS (
+           |  SELECT source, n_docs, 'email' AS pii_type,
+           |    hits_email AS hits, dh_email AS docs_hit FROM a
+           |  UNION ALL
+           |  SELECT source, n_docs, 'ip', hits_ip, dh_ip FROM a
+           |  UNION ALL
+           |  SELECT source, n_docs, 'phone', hits_phone, dh_phone FROM a)
+           |SELECT source, pii_type, n_docs, hits, docs_hit,
+           |  CAST(docs_hit * 1000000 // n_docs AS BIGINT) AS docs_hit_ppm
+           |FROM u
+           |ORDER BY source, pii_type, n_docs, hits, docs_hit,
+           |  docs_hit_ppm""".stripMargin
+      },
     )
   }
 }

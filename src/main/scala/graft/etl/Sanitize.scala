@@ -68,6 +68,43 @@ object Sanitize {
       .orderBy(col("doc_id"), col("text_redacted"), col("was_redacted"))
   }
 
+  /** PII hit-rate audit per source — the governance dashboard behind
+    * the q64 scrub: for each (source, PII type), total pattern hits,
+    * documents containing at least one, and the document hit rate in
+    * integer ppm. Runs the SAME RE2-safe pattern list as the redactor
+    * so the audit can never disagree with the scrub about what counts
+    * as PII. One codegen'd projection (three regex counts per row)
+    * and one keyed aggregate; the long (source, type) shape comes from
+    * a stack unpivot of the aggregate, not from scanning per type. */
+  def piiAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val names = Seq("email", "ip", "phone")
+    val counted = PiiPatterns.zip(names).foldLeft(
+      graft.Tables.documents(spark, dir).select(col("source"),
+        col("text"))) { case (df, ((re, _), nm)) =>
+      df.withColumn(s"h_$nm",
+        size(regexp_extract_all(col("text"), lit(re), lit(0)))
+          .cast("long"))
+    }
+    val agg = counted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(h_email)").as("hits_email"),
+        expr("count_if(h_email > 0)").as("dh_email"),
+        expr("sum(h_ip)").as("hits_ip"),
+        expr("count_if(h_ip > 0)").as("dh_ip"),
+        expr("sum(h_phone)").as("hits_phone"),
+        expr("count_if(h_phone > 0)").as("dh_phone"))
+    agg.select(col("source"), col("n_docs"), expr(
+      "stack(3, 'email', hits_email, dh_email," +
+        " 'ip', hits_ip, dh_ip," +
+        " 'phone', hits_phone, dh_phone) AS (pii_type, hits, docs_hit)"))
+      .select(col("source"), col("pii_type"), col("n_docs"), col("hits"),
+        col("docs_hit"),
+        expr("docs_hit * 1000000 div n_docs").as("docs_hit_ppm"))
+      .orderBy(col("source"), col("pii_type"), col("n_docs"), col("hits"),
+        col("docs_hit"), col("docs_hit_ppm"))
+  }
+
   /** Sanitized view of the events table: props parsed + canonicalized,
     * numeric k extracted, value defaulted. */
   def sanitizeEvents(events: DataFrame): DataFrame = {

@@ -78,6 +78,28 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == "multi: <EMAIL> then <IP> then <PHONE>")
   }
 
+  test("PII audit counts planted hits per type with exact doc rates") {
+    import graft.etl.Sanitize
+    // s1: 2 docs, one with 2 emails + 1 IP, one clean; s2: 1 doc with
+    // a phone. The corpus itself has zero PII, so this fixture is the
+    // only live exercise of the counting path.
+    val docs = Seq(
+      (1L, "a@b.io and c@d.org via 10.0.0.1", "s1"),
+      (2L, "nothing to see here", "s1"),
+      (3L, "call 555-867-5309 now", "s2"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Sanitize.piiAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(("s1", "email")) == ((2L, 2L, 1L, 500000L)), s"$got")
+    assert(got(("s1", "ip")) == ((2L, 1L, 1L, 500000L)))
+    assert(got(("s1", "phone")) == ((2L, 0L, 0L, 0L)))
+    assert(got(("s2", "phone")) == ((1L, 1L, 1L, 1000000L)))
+    assert(got(("s2", "email")) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("incremental exact dedup keeps only first-seen new content") {
     import spark.implicits._
     val corpus = Seq((1L, "old content"), (2L, "shared content"))
