@@ -66,11 +66,13 @@ object Bench {
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        // each dedup/setsim/MAD call pins intra-query caches; release
+        // AFTER the timed sample so the next query (and the next run
+        // of this one) starts with a clean 4 GB heap — 139 queries of
+        // leaked persists otherwise evict/GC-thrash the late runners,
+        // and every repetition re-pays its own build honestly
+        graft.ops.Dedup.unpersistCaches()
       }
-      // each dedup/simhash call pins a fresh signature cache; release
-      // between rounds so repetition r+1 re-pays the build honestly
-      // (and the repeated rounds don't accumulate pinned memory)
-      graft.ops.Dedup.unpersistCaches()
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted

@@ -367,7 +367,7 @@ object Dedup {
   private val cached =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def register(df: DataFrame): DataFrame = { cached.add(df); df }
+  private[graft] def register(df: DataFrame): DataFrame = { cached.add(df); df }
 
   /** Unpersist every signature cache pinned so far, session-wide. Safe
     * for correctness any time (downstream lineage stays valid; an
@@ -678,16 +678,16 @@ object Dedup {
     val packed = (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
       shiftleft(acc, 8) + ascii(substring(col("gram"), i, 1)).cast("long")
     }
-    val grams = docs
+    val grams = register(docs
       .select(col(idCol).as("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 7, 1))," +
           " i -> substring(text, i, 8))"))).as("gram"))
       .select(col("doc_id"), packed.as("g64"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val gramSets = grams.groupBy(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val gramSets = register(grams.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("g64"))).as("gs"),
         count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
     val ranked = grams.join(freq, Seq("g64"))
       .join(broadcast(gramSets.select(col("doc_id"), col("n"))),
@@ -696,9 +696,9 @@ object Dedup {
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("g64").asc)))
     // prefix length p = n - ceil(t*n) + 1 (p >= 1 since ceil(t*n) <= n)
-    val prefix = ranked.filter(col("pos") <=
+    val prefix = register(ranked.filter(col("pos") <=
       col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val a = prefix.select(col("doc_id").as("doc_a"), col("g64"),
       col("pos").as("pa"), col("n").as("na"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("g64"),

@@ -365,9 +365,9 @@ object Profiling {
         .filter(col("cum") >= expr("(n + 1) div 2"))
         .groupBy(col("l_returnflag"))
         .agg(min(col(v)).as(out))
-    val vc = li.groupBy(col("l_returnflag"), col("c"))
+    val vc = Dedup.register(li.groupBy(col("l_returnflag"), col("c"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val med = walk(vc, "c", "med_cents")
     val devCounts = vc.join(broadcast(med), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"),
