@@ -182,6 +182,8 @@ object SparkEntry {
     "q136_abc_analysis"     -> (Profiling.abcAnalysis _),
     "q137_ship_latency"     -> (Relational.shipLatencyDist _),
     "q138_pii_audit"        -> (graft.etl.Sanitize.piiAudit _),
+    "q139_join_skew"        -> ((s: SparkSession, d: String) =>
+      Audit.joinSkewReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2227,6 +2229,28 @@ object SparkEntry {
            |ORDER BY source, pii_type, n_docs, hits, docs_hit,
            |  docs_hit_ppm""".stripMargin
       },
+      // join-skew pre-flight: per-key fan-out from two keyed counts
+      "q139_join_skew" ->
+        """WITH l AS (
+          |  SELECT l_orderkey, COUNT(*) AS n_left
+          |  FROM lineitem GROUP BY 1),
+          |r AS (
+          |  SELECT o_orderkey, COUNT(*) AS n_right
+          |  FROM orders GROUP BY 1),
+          |j AS (
+          |  SELECT l_orderkey AS join_key, n_left, n_right,
+          |    n_left * n_right AS fanout
+          |  FROM l JOIN r ON l_orderkey = o_orderkey),
+          |t AS (SELECT SUM(fanout) AS total_fanout FROM j)
+          |SELECT join_key, CAST(n_left AS BIGINT) AS n_left,
+          |  CAST(n_right AS BIGINT) AS n_right,
+          |  CAST(fanout AS BIGINT) AS fanout,
+          |  CAST(fanout * 1000000 // total_fanout AS BIGINT)
+          |    AS fanout_share_ppm
+          |FROM j CROSS JOIN t
+          |WHERE fanout >= 8
+          |ORDER BY fanout DESC, join_key ASC, n_left, n_right,
+          |  fanout_share_ppm""".stripMargin,
     )
   }
 }

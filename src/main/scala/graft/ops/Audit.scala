@@ -141,6 +141,37 @@ object Audit {
       .orderBy(col("fk_edge"), col("n_rows"), col("n_orphans"))
   }
 
+  /** Join-skew diagnostic for a prospective equi-join: per join key,
+    * both sides' row counts and the output fan-out (their product) —
+    * the pre-flight a 100 TB join runs BEFORE shuffling, because one
+    * hot key turns a sort-merge join into a straggler (AQE's skew
+    * split reacts at runtime; this report predicts it from two cheap
+    * keyed counts). Reports every key whose fan-out exceeds `minFan`
+    * plus each side's key count share in ppm, ordered worst-first by
+    * the deterministic (fanout, key) rule.
+    *
+    * Scale shape: two map-side-combined counts + one join on the key
+    * count tables (|keys| rows, not |rows|); nothing touches the
+    * facts beyond the first aggregates. */
+  def joinSkewReport(spark: SparkSession, dir: String,
+      minFan: Long = 8L): DataFrame = {
+    val l = Tables.lineitem(spark, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = Tables.orders(spark, dir).groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_right"))
+    val joined = l.join(r, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("join_key"), col("n_left"),
+        col("n_right"), (col("n_left") * col("n_right")).as("fanout"))
+    val tot = joined.agg(sum(col("fanout")).as("total_fanout"))
+    joined.crossJoin(broadcast(tot))
+      .filter(col("fanout") >= minFan)
+      .select(col("join_key"), col("n_left"), col("n_right"),
+        col("fanout"),
+        expr("fanout * 1000000 div total_fanout").as("fanout_share_ppm"))
+      .orderBy(col("fanout").desc, col("join_key").asc, col("n_left"),
+        col("n_right"), col("fanout_share_ppm"))
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple — the
     * re-identification screen run before releasing or training on
     * user-adjacent data: every (nationkey, mktsegment) equivalence

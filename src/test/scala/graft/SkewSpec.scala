@@ -105,4 +105,24 @@ class SkewSpec extends SparkSpec {
     assert(flat.contains((5000L, 5001L)))
     assert(!flat.exists(p => p._1 == 6000L || p._2 == 6000L))
   }
+  test("join-skew report ranks a planted hot key first with exact fanout") {
+    import org.apache.spark.sql.functions._
+    // key 7 has 50 left x 3 right = 150 fanout; key 1 has 2 x 1 = 2
+    // (below the minFan=8 cut); key 9 has 4 x 2 = 8 (at the cut)
+    val li = (Seq.tabulate(50)(i => (7L, i)) ++ Seq((1L, 0), (1L, 1)) ++
+      Seq.tabulate(4)(i => (9L, i))).toDF("l_orderkey", "x")
+    val o = Seq((7L, 0), (7L, 1), (7L, 2), (1L, 0), (9L, 0), (9L, 1))
+      .toDF("o_orderkey", "y")
+    val dir = java.nio.file.Files.createTempDirectory("skewrep").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.ops.Audit.joinSkewReport(spark, dir).collect()
+    assert(got.length == 2, s"minFan cut failed: ${got.toSeq}")
+    // worst first; shares over total fanout 150 + 2 + 8 = 160
+    assert(got(0).getAs[Long]("join_key") == 7L)
+    assert(got(0).getAs[Long]("fanout") == 150L)
+    assert(got(0).getAs[Long]("fanout_share_ppm") == 150L * 1000000L / 160L)
+    assert(got(1).getAs[Long]("join_key") == 9L)
+    assert(got(1).getAs[Long]("fanout") == 8L)
+  }
 }
