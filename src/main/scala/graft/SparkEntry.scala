@@ -184,6 +184,7 @@ object SparkEntry {
     "q138_pii_audit"        -> (graft.etl.Sanitize.piiAudit _),
     "q139_join_skew"        -> ((s: SparkSession, d: String) =>
       Audit.joinSkewReport(s, d)),
+    "q140_freshness"        -> (Audit.freshnessAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2251,6 +2252,19 @@ object SparkEntry {
           |WHERE fanout >= 8
           |ORDER BY fanout DESC, join_key ASC, n_left, n_right,
           |  fanout_share_ppm""".stripMargin,
+      // freshness: integer-µs watermark staleness per event type
+      "q140_freshness" ->
+        """WITH p AS (
+          |  SELECT event_type, COUNT(*) AS n_events,
+          |    MIN(epoch_us(ts)) AS first_us,
+          |    MAX(epoch_us(ts)) AS last_us
+          |  FROM events GROUP BY 1),
+          |w AS (SELECT MAX(last_us) AS wm FROM p)
+          |SELECT event_type, n_events, first_us, last_us,
+          |  CAST(wm - last_us AS BIGINT) AS staleness_us
+          |FROM p CROSS JOIN w
+          |ORDER BY event_type, n_events, first_us, last_us,
+          |  staleness_us""".stripMargin,
     )
   }
 }

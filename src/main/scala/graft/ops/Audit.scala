@@ -141,6 +141,27 @@ object Audit {
       .orderBy(col("fk_edge"), col("n_rows"), col("n_orphans"))
   }
 
+  /** Ingest-freshness audit over the event stream: per event type,
+    * the row count, first/last event time (µs), and staleness against
+    * the corpus watermark (max ts anywhere) — the "is this feed
+    * still flowing" dashboard row; a type whose staleness grows while
+    * others stay near zero is a dead upstream, the first thing a
+    * pipeline on-call checks. All integer µs, one keyed aggregate
+    * plus a 1-row watermark broadcast. */
+  def freshnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+    val watermark = perType.agg(max(col("last_us")).as("wm"))
+    perType.crossJoin(broadcast(watermark))
+      .select(col("event_type"), col("n_events"), col("first_us"),
+        col("last_us"), (col("wm") - col("last_us")).as("staleness_us"))
+      .orderBy(col("event_type"), col("n_events"), col("first_us"),
+        col("last_us"), col("staleness_us"))
+  }
+
   /** Join-skew diagnostic for a prospective equi-join: per join key,
     * both sides' row counts and the output fan-out (their product) —
     * the pre-flight a 100 TB join runs BEFORE shuffling, because one

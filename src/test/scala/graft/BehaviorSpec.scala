@@ -144,6 +144,22 @@ class BehaviorSpec extends SparkSpec {
     assert(r(0).getAs[Long]("total_weight") == 1200L)
   }
 
+  test("freshness audit: dead feed shows exact watermark staleness") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "alive"),
+      (2L, Timestamp.valueOf("2024-01-01 00:01:40"), "alive"),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:50"), "dead"))
+      .toDF("event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("fresh").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.Audit.freshnessAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got("alive") == ((2L, 0L)), s"got $got")
+    // dead feed last seen 50s before the corpus watermark
+    assert(got("dead") == ((1L, 50000000L)), s"got $got")
+  }
+
   test("histogram clamps overflow into the last bin and sums exactly") {
     val df = Seq((1L, 599999.99), (2L, 999999.99), (3L, 0.0))
       .toDF("o_orderkey", "o_totalprice")
