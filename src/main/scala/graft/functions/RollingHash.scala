@@ -77,6 +77,9 @@ object GraftFunctions {
       "dotf", exprs => DotProductF(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "splitmix64", exprs => Splitmix64(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "internal")
   }
 
   /** Plain-Scala splitmix64 reference for differential testing. */

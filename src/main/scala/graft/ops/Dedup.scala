@@ -665,6 +665,7 @@ object Dedup {
     */
   def setSimJoin(docs: DataFrame, idCol: String, tPpm: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // grams feeds freq + ranked + gramSets, and prefix feeds both
     // sides of the candidate self-join: without these persists the
     // scan/explode re-evaluates 3x and the window stack 2x (the q65
@@ -719,8 +720,8 @@ object Dedup {
         col("gs").as("gs_a"), col("n").as("na"))), Seq("doc_a"))
       .join(broadcast(gramSets.select(col("doc_id").as("doc_b"),
         col("gs").as("gs_b"), col("n").as("nb"))), Seq("doc_b"))
-      .withColumn("ni",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("ni", call_function("sorted_intersect_count",
+        col("gs_a"), col("gs_b")))
       .filter(col("ni") * lit(1000000L) >=
         lit(tPpm) * (col("na") + col("nb") - col("ni")))
       .select(col("doc_a"), col("doc_b"),

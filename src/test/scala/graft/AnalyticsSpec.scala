@@ -82,6 +82,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("sorted_intersect_count matches array_intersect on real doc sets") {
+    GraftFunctions.register(spark)
+    // corpus-wide agreement on the actual q126 inputs (sorted distinct
+    // packed-gram arrays), plus adversarial edges: empty, disjoint,
+    // identical, one-side-duplicate values
+    val packed = (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
+      shiftleft(acc, 8) + ascii(substring(col("gram"), i, 1)).cast("long")
+    }
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> substring(text, i, 8))"))).as("gram"))
+      .select(col("doc_id"), packed.as("g64"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("g64"))).as("gs"))
+      .limit(60)
+    val pairs = sets.select(col("doc_id").as("a"), col("gs").as("ga"))
+      .crossJoin(sets.select(col("doc_id").as("b"), col("gs").as("gb")))
+      .filter(col("a") < col("b"))
+    val mismatches = pairs.filter(
+      call_function("sorted_intersect_count", col("ga"), col("gb")) =!=
+        size(array_intersect(col("ga"), col("gb"))).cast("long")).count()
+    assert(mismatches == 0, s"$mismatches pairs disagree with array_intersect")
+    // hand cases
+    val edge = Seq(
+      (Seq[Long](), Seq(1L, 2L), 0L),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L), 0L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),
+      (Seq(1L, 1L, 2L), Seq(1L, 3L), 1L), // dup on one side counts once
+      (Seq(-5L, 0L, 7L), Seq(-5L, 7L, 9L), 2L))
+      .toDF("x", "y", "want")
+    assert(edge.filter(call_function("sorted_intersect_count",
+      col("x"), col("y")) =!= col("want")).count() == 0)
+  }
+
   test("setSimJoin finds planted near-dups with exact ppm jaccard") {
     val base = "spark catalyst optimizer rewrites logical plans into physical plans " +
       "with pushdown pruning broadcast and codegen for large scale analytics"
