@@ -162,4 +162,38 @@ class EdgeCaseSpec extends SparkSpec {
         "purchase_ts", "ts", Seq("event_id"), "event_id").head()
     assert(row.isNullAt(row.fieldIndex("asof_event_id")))
   }
+
+  test("setSimJoin degenerate inputs: empty, single doc, all-identical") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.setSimJoin(empty, "doc_id", 700000L).count() == 0)
+    val one = Seq((1L, "only doc here")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.setSimJoin(one, "doc_id", 700000L).count() == 0)
+    // n identical docs -> all C(n,2) pairs at exactly 1.0
+    val same = (1L to 4L).map(i => (i, "identical content for everyone"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.setSimJoin(same, "doc_id", 700000L)
+    assert(pairs.count() == 6)
+    assert(pairs.filter(col("jaccard_ppm") =!= 1000000L).count() == 0)
+  }
+
+  test("MAD screen degenerate groups: constant values, single row") {
+    import org.apache.spark.sql.functions.col
+    // constant group: med = value, MAD = 0, rule = "anything != med"
+    // flags nothing; single-row group likewise
+    val df = (Seq.fill(5)(("A", 700L)) :+ (("B", 42L))).toDF("l_returnflag", "c")
+    val out = graft.ops.Profiling.madOutliersOf(df, 5L, 1L).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("A") == ((700L, 0L, 0L)), s"got $out")
+    assert(out("B") == ((42L, 0L, 0L)), s"got $out")
+  }
+
+  test("vocab profile and diversity survive an empty corpus") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(graft.ops.TextAnalysis.vocabProfile(empty).count() == 0)
+    assert(graft.ops.TextAnalysis.tokenDiversityDocs(
+      empty.select("doc_id", "text")).count() == 0)
+  }
 }
