@@ -185,6 +185,7 @@ object SparkEntry {
     "q139_join_skew"        -> ((s: SparkSession, d: String) =>
       Audit.joinSkewReport(s, d)),
     "q140_freshness"        -> (Audit.freshnessAudit _),
+    "q141_session_overlap"  -> (TimeSeries.overlappingSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2265,6 +2266,37 @@ object SparkEntry {
           |FROM p CROSS JOIN w
           |ORDER BY event_type, n_events, first_us, last_us,
           |  staleness_us""".stripMargin,
+      // interval-overlap join over the q30 session construction;
+      // session_end carries the +30min gap padding on both sides
+      "q141_session_overlap" ->
+        """WITH e AS (
+          |  SELECT user_id, ts,
+          |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |  FROM events
+          |), m AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM e
+          |), sx AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM m
+          |), s AS (
+          |  SELECT user_id, MIN(ts) AS ss,
+          |    MAX(ts) + INTERVAL 30 MINUTE AS se
+          |  FROM sx GROUP BY user_id, sid
+          |)
+          |SELECT CAST(date_trunc('day', a.ss) AS TIMESTAMP) AS day,
+          |  a.user_id AS user_a, b.user_id AS user_b,
+          |  CAST(epoch_us(LEAST(a.se, b.se)) -
+          |    epoch_us(GREATEST(a.ss, b.ss)) AS BIGINT) AS overlap_us
+          |FROM s a JOIN s b
+          |  ON date_trunc('day', a.ss) = date_trunc('day', b.ss)
+          |  AND a.user_id < b.user_id
+          |  AND a.ss < b.se AND b.ss < a.se
+          |ORDER BY day, user_a, user_b, overlap_us""".stripMargin,
     )
   }
 }

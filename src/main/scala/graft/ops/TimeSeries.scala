@@ -257,6 +257,42 @@ object TimeSeries {
       .orderBy(col("day"), col("n_sessions"), col("max_concurrent"))
   }
 
+  /** Interval-overlap self-join: pairs of DIFFERENT users whose
+    * 30-minute-gap sessions starting the same day overlap in time,
+    * with the exact overlap duration in µs — the "who was on together"
+    * join behind co-occurrence and abuse-correlation analysis, and
+    * the one join type (range × range) the relational family (q06–q60)
+    * doesn't cover. Session ends carry session_window's +30 min gap
+    * padding, so "overlap" means within-one-gap concurrency, matching
+    * q30's session semantics exactly.
+    *
+    * Scale shape: the join is EQUI on the day key with the two range
+    * conditions as a residual filter — a hash join whose fan-out is
+    * bounded by per-day session count (the daily-concurrency audit
+    * q88 reports exactly the quantity that governs it), never a
+    * nested loop over the corpus. Same-user pairs can't overlap
+    * (session windows are disjoint per user), so user_a < user_b
+    * loses nothing. */
+  def overlappingSessions(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ss"), col("w.end").as("se"),
+        date_trunc("day", col("w.start")).as("day"))
+    val a = s.select(col("day"), col("user_id").as("user_a"),
+      col("ss").as("sa"), col("se").as("ea"))
+    val b = s.select(col("day"), col("user_id").as("user_b"),
+      col("ss").as("sb"), col("se").as("eb"))
+    a.join(b, Seq("day"))
+      .filter(col("user_a") < col("user_b") &&
+        col("sa") < col("eb") && col("sb") < col("ea"))
+      .select(col("day"), col("user_a"), col("user_b"),
+        (unix_micros(least(col("ea"), col("eb"))) -
+          unix_micros(greatest(col("sa"), col("sb")))).as("overlap_us"))
+      .orderBy(col("day"), col("user_a"), col("user_b"), col("overlap_us"))
+  }
+
   /** Lag-k autocorrelation (k = 1..6) of the monthly order-count
     * series per priority — the seasonality probe run before choosing
     * a forecasting model or a drift-detector window. The series is

@@ -75,6 +75,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(bad == 0 && out.count() > 0)
   }
 
+  test("session overlap join: planted concurrency with exact duration") {
+    import java.sql.Timestamp
+    // user 1: session 10:00-10:10 (+30min pad -> ends 10:40)
+    // user 2: session 10:20-10:25 (pad -> 10:55): overlap 10:20-10:40
+    // user 3: 18:00 (pad -> 18:30): no overlap with either
+    val ev = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, 1L, Timestamp.valueOf("2024-03-01 10:10:00")),
+      (3L, 2L, Timestamp.valueOf("2024-03-01 10:20:00")),
+      (4L, 2L, Timestamp.valueOf("2024-03-01 10:25:00")),
+      (5L, 3L, Timestamp.valueOf("2024-03-01 18:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("ovl").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TimeSeries.overlappingSessions(spark, dir).collect()
+    assert(got.length == 1, s"got ${got.toSeq}")
+    assert(got(0).getAs[Long]("user_a") == 1L &&
+      got(0).getAs[Long]("user_b") == 2L)
+    // 10:20 -> 10:40 = 20 min in micros
+    assert(got(0).getAs[Long]("overlap_us") == 20L * 60 * 1000000L,
+      s"got ${got(0)}")
+  }
+
   test("autocorrelation: alternating monthly series gives exact ACF") {
     import java.sql.Timestamp
     // counts over Jan..Aug 1995 = (1,3,1,3,1,3,1,3): mean 2, n = 8,
