@@ -185,7 +185,7 @@ object SparkEntry {
     "q139_join_skew"        -> ((s: SparkSession, d: String) =>
       Audit.joinSkewReport(s, d)),
     "q140_freshness"        -> (Audit.freshnessAudit _),
-    "q141_session_overlap"  -> (TimeSeries.overlappingSessions _),
+    "q141_session_overlap"  -> (TimeSeries.sessionOverlapDay _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2290,13 +2290,19 @@ object SparkEntry {
           |)
           |SELECT CAST(date_trunc('day', a.ss) AS TIMESTAMP) AS day,
           |  a.user_id AS user_a, b.user_id AS user_b,
-          |  CAST(epoch_us(LEAST(a.se, b.se)) -
-          |    epoch_us(GREATEST(a.ss, b.ss)) AS BIGINT) AS overlap_us
+          |  COUNT(*) AS n_overlaps,
+          |  CAST(SUM(epoch_us(LEAST(a.se, b.se)) -
+          |    epoch_us(GREATEST(a.ss, b.ss))) AS BIGINT)
+          |    AS total_overlap_us
           |FROM s a JOIN s b
           |  ON date_trunc('day', a.ss) = date_trunc('day', b.ss)
           |  AND a.user_id < b.user_id
           |  AND a.ss < b.se AND b.ss < a.se
-          |ORDER BY day, user_a, user_b, overlap_us""".stripMargin,
+          |WHERE date_trunc('day', a.ss) =
+          |  (SELECT min(date_trunc('day', ss)) FROM s)
+          |GROUP BY 1, 2, 3
+          |ORDER BY day, user_a, user_b, n_overlaps,
+          |  total_overlap_us""".stripMargin,
     )
   }
 }

@@ -93,8 +93,9 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length == 1, s"got ${got.toSeq}")
     assert(got(0).getAs[Long]("user_a") == 1L &&
       got(0).getAs[Long]("user_b") == 2L)
+    assert(got(0).getAs[Long]("n_overlaps") == 1L)
     // 10:20 -> 10:40 = 20 min in micros
-    assert(got(0).getAs[Long]("overlap_us") == 20L * 60 * 1000000L,
+    assert(got(0).getAs[Long]("total_overlap_us") == 20L * 60 * 1000000L,
       s"got ${got(0)}")
   }
 
