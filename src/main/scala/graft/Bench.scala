@@ -96,9 +96,21 @@ object Bench {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     println(json)
-    // tail-survivable headline: the full line above holds 119 per-query
-    // entries and cannot fit in a 2000-char stdout tail capture — this
-    // final <200-byte line always survives tail truncation
+    // tail-survivable per-query history: the full line above holds 140+
+    // per-query entries and cannot fit in a 2000-char stdout tail
+    // capture — this compact line (query NUMBER -> median integer ms,
+    // ~11 bytes/query, ~1.6 KB for 142 queries) plus the <200-byte
+    // headline below both fit inside the tail, so a round-over-round
+    // diff can compare EVERY query, not just the last ~58
+    def qnum(name: String): String =
+      name.drop(1).takeWhile(_.isDigit) match {
+        case "" => name
+        case d  => d.dropWhile(_ == '0') match { case "" => "0"; case n => n }
+      }
+    val compact = med
+      .map { case (n, v) => "\"" + qnum(n) + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"per_query_ms","n":${names.size},"q":$compact}""")
     println(s"""{"metric":"total","value":${med.map(_._2).sum},"unit":"sec",""" +
       s""""total_min":${min.map(_._2).sum},"n":${names.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()

@@ -65,11 +65,12 @@ object SparkEntry {
     "q39_multimodal"        -> (graft.multimodal.Multimodal.mediaFeatures _),
     "q40_centroids"         -> (Similarity.centroids _),
     "q41_dedup_minhash"     -> (Dedup.minhashNearDups _),
-    "q42_dedup_simhash"     -> (Dedup.simhashFingerprints _),
+    "q42_dedup_simhash"     -> (Dedup.simhashBandMoments _),
     "q43_ann_buckets"       -> ((s: SparkSession, d: String) => Similarity.annBuckets(s, d)),
     "q44_embed_neardup"     -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q45_sql_subqueries"    -> (SqlSurface.maxQuantityLineitems _),
-    "q46_ivf_cells"         -> (Ivf.cellSummary _),
+    "q46_ivf_cells"         -> ((s: SparkSession, d: String) =>
+      Ivf.detCellSummary(s, d)),
     "q47_percentiles"       -> (Grouping.percentiles _),
     "q48_pivot"             -> (Grouping.pivotFlags _),
     "q49_shipping_priority" -> (Relational.shippingPriority _),
@@ -547,6 +548,11 @@ object SparkEntry {
       // recall (band→estimate→verify) is 100% on this corpus, and that
       // hash-based Jaccard equals gram-based Jaccard
       "q41_dedup_minhash" -> HashSql.minhashNearDupsOracle(0.8, 100),
+      // oracle face of the SimHash capability: band-value moments of
+      // the deterministic sibling's fingerprints (bit-exact FNV
+      // replay); the xxhash64 production path keeps its differential
+      // specs
+      "q42_dedup_simhash" -> HashSql.simhashBandMomentsOracle,
       "q43_ann_buckets" -> {
         // the seeded hyperplanes are deterministic literals — emit them
         // into the oracle so DuckDB computes the same sign-of-projection
@@ -586,6 +592,10 @@ object SparkEntry {
           |  AND l_orderkey IN (SELECT o_orderkey FROM orders
           |                     WHERE o_orderstatus = 'F')
           |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+      // oracle face of the IVF capability: cell summary of the
+      // deterministic integer-Lloyd index (q71's replay machinery);
+      // the ML-KMeans production index keeps its recall specs
+      "q46_ivf_cells" -> Ivf.detCellSummaryOracleSql(),
       "q47_percentiles" ->
         """SELECT l_returnflag,
           |  QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
@@ -665,6 +675,20 @@ object SparkEntry {
            |) q(quarter, q_start, q_end)
            |JOIN lineitem ON l_shipdate >= q_start AND l_shipdate < q_end
            |GROUP BY quarter ORDER BY quarter""".stripMargin,
+      // oracle face of the HLL rollup: the estimate VALUE is native
+      // sketch state no oracle can replay, so the checked row carries
+      // the exact distinct + the 5% accuracy predicate (deterministic
+      // per dataset); the native build→merge→estimate stays in the
+      // query path and a sketch regression flips the boolean
+      "q57_hll_sketch_rollup" ->
+        """SELECT event_type,
+          |  CAST(COUNT(DISTINCT DATE_TRUNC('day', ts)) AS BIGINT)
+          |    AS n_days,
+          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+          |  TRUE AS est_within_5pct
+          |FROM events GROUP BY event_type
+          |ORDER BY event_type, n_days, exact_distinct,
+          |  est_within_5pct""".stripMargin,
       "q58_join_full_outer" ->
         s"""WITH f AS (
            |  SELECT o_custkey, COUNT(*) AS n_f,
@@ -2178,9 +2202,11 @@ object SparkEntry {
            |FROM r
            |ORDER BY n_name, rev_cents, share_ppm, cum_share_ppm,
            |  abc_class""".stripMargin,
-      // 7-day ship-latency bins; +3650 shift keeps the div operand
-      // positive (Spark div truncates, DuckDB // floors — they only
-      // agree on positive operands)
+      // 7-day ship-latency bins; BOTH engines' integer division
+      // truncates toward zero (DuckDB `//` only floors on floats),
+      // so the explicit floor formula (truncating div minus one when
+      // the remainder is negative) is written symbol-for-symbol on
+      // both sides — exact for ANY latency, no shift, no invariant
       "q137_ship_latency" ->
         """WITH lat AS (
           |  SELECT o_orderpriority,
@@ -2188,8 +2214,8 @@ object SparkEntry {
           |      CAST(l_shipdate AS DATE)) AS lat
           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
           |SELECT o_orderpriority,
-          |  CAST(((lat + 3650) // 7) * 7 - 3650 AS BIGINT)
-          |    AS bucket_lo_days,
+          |  CAST(((lat // 7) - (CASE WHEN lat % 7 < 0 THEN 1 ELSE 0
+          |    END)) * 7 AS BIGINT) AS bucket_lo_days,
           |  COUNT(*) AS n,
           |  CAST(MIN(lat) AS BIGINT) AS min_days,
           |  CAST(MAX(lat) AS BIGINT) AS max_days

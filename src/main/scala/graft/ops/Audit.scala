@@ -173,7 +173,11 @@ object Audit {
     *
     * Scale shape: two map-side-combined counts + one join on the key
     * count tables (|keys| rows, not |rows|); nothing touches the
-    * facts beyond the first aggregates. */
+    * facts beyond the first aggregates. The fan-out cross-multiply
+    * runs in DECIMAL(38,0) (DuckDB oracle: HUGEINT) so the very
+    * skew this diagnostic exists to catch — hot-key fan-outs past
+    * ~9.2e12, where a LongType product would hit ANSI overflow —
+    * still produces a report; BIGINT casts only on the outputs. */
   def joinSkewReport(spark: SparkSession, dir: String,
       minFan: Long = 8L): DataFrame = {
     val l = Tables.lineitem(spark, dir).groupBy(col("l_orderkey"))
@@ -182,13 +186,16 @@ object Audit {
       .agg(count(lit(1)).as("n_right"))
     val joined = l.join(r, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("join_key"), col("n_left"),
-        col("n_right"), (col("n_left") * col("n_right")).as("fanout"))
-    val tot = joined.agg(sum(col("fanout")).as("total_fanout"))
+        col("n_right"),
+        (col("n_left").cast("decimal(19,0)") *
+          col("n_right").cast("decimal(19,0)")).as("fan_d"))
+    val tot = joined.agg(
+      sum(col("fan_d")).cast("decimal(38,0)").as("total_fanout"))
     joined.crossJoin(broadcast(tot))
-      .filter(col("fanout") >= minFan)
+      .filter(col("fan_d") >= minFan)
       .select(col("join_key"), col("n_left"), col("n_right"),
-        col("fanout"),
-        expr("fanout * 1000000 div total_fanout").as("fanout_share_ppm"))
+        col("fan_d").cast("long").as("fanout"),
+        expr("fan_d * 1000000 div total_fanout").as("fanout_share_ppm"))
       .orderBy(col("fanout").desc, col("join_key").asc, col("n_left"),
         col("n_right"), col("fanout_share_ppm"))
   }

@@ -569,6 +569,36 @@ object Dedup {
     }.orderBy(col("doc_id"))
   }
 
+  /** Oracle-checkable face of the SimHash capability (q42): per band
+    * position, the value-distribution moments of the DETERMINISTIC
+    * sibling's 16-bit bands — count, distinct values, exact integer
+    * sum and sum-of-squares, min, max. DuckDB replays the FNV SimHash
+    * bit-exactly (HashSql.simhashBandMomentsOracle), so this row is
+    * hash-checked where the raw xxhash64 fingerprints (q83's
+    * arrangement, [[simhashFingerprints]]) cannot be; the xxhash64
+    * production path stays exercised by [[simhashNearDups]] and the
+    * AnalyticsSpec native-vs-interpreted differential. sum_sq peaks at
+    * 65535² ≈ 4.3e9 per doc — BIGINT-safe to ~2e9 docs/band; past
+    * that, lift the two sums to decimal(38,0) (same ppm discipline as
+    * joinSkewReport). */
+  def simhashBandMoments(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val withSim = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("simhash64_fnv(text)").as("sim"))
+    withSim.select(posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("bp", "band_val")))
+      .groupBy(col("bp").cast("long").as("band_pos"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("band_val")).as("n_distinct"),
+        sum(col("band_val")).as("sum_val"),
+        sum(col("band_val") * col("band_val")).as("sum_sq"),
+        min(col("band_val")).as("min_val"),
+        max(col("band_val")).as("max_val"))
+      .orderBy(col("band_pos"), col("n_docs"), col("n_distinct"),
+        col("sum_val"), col("sum_sq"), col("min_val"), col("max_val"))
+  }
+
   /** SimHash near-dups: docs sharing any 16-bit band (pigeonhole: any
     * pair within hamming distance 3 shares at least one of 4 bands),
     * verified by exact popcount. Bucket-join only — no all-pairs. */
@@ -657,25 +687,45 @@ object Dedup {
     * the prefix trim is a doc-keyed window; the candidate join fans
     * out only on prefix shingles with the length/positional bounds
     * applied INSIDE the join before the pair ever materializes. The
-    * verify reads both docs' sorted shingle arrays from a broadcast
-    * of the doc-length-bounded signature table (docs × ~2 KB; at
-    * corpus sizes past broadcast range, bucket both sides by doc_id
-    * instead — the candidate list, not the arrays, is the small
-    * side). No stage touches the n² pair space.
+    * verify stage is SIZE-CONDITIONAL: below
+    * `graft.setsim.broadcastBytes` (default 64 MB, estimated from one
+    * O(1) driver aggregate over the persisted signature table) it
+    * reads both docs' sorted shingle arrays from a broadcast — fast
+    * at test scale; above the threshold it sort-merge joins on doc_id
+    * (the candidate list, not the arrays, is the small side), so a
+    * 100 TB corpus never forces a corpus-sized BroadcastExchange onto
+    * the driver. `hint("merge")` pins the shuffled path so AQE can't
+    * flip it back to broadcast. No stage touches the n² pair space.
     */
   def setSimJoin(docs: DataFrame, idCol: String, tPpm: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // INJECTIVITY PRECONDITION (Latin-1): the 8-bit-per-char packing
+    // below is injective only while every codepoint is <= 0xFF — a
+    // char >= U+0100 overflows its byte slot into the neighbour, so
+    // distinct grams could collide and silently inflate the exact
+    // intersection counts. Guard: one projection-only scan of the
+    // text column that fails fast on non-Latin-1 input (disable via
+    // graft.setsim.latin1Check=false only if the corpus is known
+    // clean and the extra scan matters).
+    if (docs.sparkSession.conf.getOption("graft.setsim.latin1Check")
+        .forall(_.toBoolean) &&
+        !docs.filter(col("text").rlike("[^\\x00-\\xFF]")).isEmpty)
+      throw new IllegalArgumentException(
+        "setSimJoin: corpus contains characters above U+00FF; the " +
+          "packed-long gram encoding is only injective for Latin-1 " +
+          "text. Pre-filter or transliterate the corpus first.")
     // grams feeds freq + ranked + gramSets, and prefix feeds both
     // sides of the candidate self-join: without these persists the
     // scan/explode re-evaluates 3x and the window stack 2x (the q65
     // multi-reference-builder lesson; measured 68 s -> ~16 s at sf0.1)
-    // shingles are <= 8 ASCII chars, so each packs INJECTIVELY into
-    // one big-endian long (exactness preserved, unlike a hash): the
-    // frequency join, candidate join, and sorted-set intersect all
-    // run on 8-byte integers instead of strings — cheaper compares,
-    // smaller shuffles/broadcasts. The long order equals the byte
-    // order, so it stays a valid shared total order for the prefix.
+    // shingles are <= 8 LATIN-1 chars (guard above), so each packs
+    // INJECTIVELY into one big-endian long (exactness preserved,
+    // unlike a hash): the frequency join, candidate join, and
+    // sorted-set intersect all run on 8-byte integers instead of
+    // strings — cheaper compares, smaller shuffles/broadcasts. The
+    // long order equals the byte order, so it stays a valid shared
+    // total order for the prefix.
     val packed = (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
       shiftleft(acc, 8) + ascii(substring(col("gram"), i, 1)).cast("long")
     }
@@ -689,9 +739,24 @@ object Dedup {
       .agg(sort_array(collect_list(col("g64"))).as("gs"),
         count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+    // size-conditional broadcast: one aggregate over the persisted
+    // signature table (a driver scalar, O(1) rows) estimates the
+    // broadcast payload — 8 B per packed gram + per-row array/field
+    // overhead. The lengths-only frame (doc_id, n) is ~48 B/doc and
+    // clears the threshold far longer than the full gram arrays, but
+    // gets the same guard: nothing corpus-sized is ever force-
+    // broadcast (VERDICT r4 #1).
+    val sess = docs.sparkSession
+    val bcastLimit = sess.conf.getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val st = gramSets.agg(count(lit(1)).as("d"), sum(col("n")).as("g")).head()
+    val nDocs = st.getLong(0)
+    val gramBytes = (if (st.isNullAt(1)) 0L else st.getLong(1)) * 8L + nDocs * 48L
+    def sized(df: DataFrame, estBytes: Long): DataFrame =
+      if (estBytes <= bcastLimit) broadcast(df) else df.hint("merge")
     val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
     val ranked = grams.join(freq, Seq("g64"))
-      .join(broadcast(gramSets.select(col("doc_id"), col("n"))),
+      .join(sized(gramSets.select(col("doc_id"), col("n")), nDocs * 48L),
         Seq("doc_id"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -716,10 +781,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand
-      .join(broadcast(gramSets.select(col("doc_id").as("doc_a"),
-        col("gs").as("gs_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(broadcast(gramSets.select(col("doc_id").as("doc_b"),
-        col("gs").as("gs_b"), col("n").as("nb"))), Seq("doc_b"))
+      .join(sized(gramSets.select(col("doc_id").as("doc_a"),
+        col("gs").as("gs_a"), col("n").as("na")), gramBytes), Seq("doc_a"))
+      .join(sized(gramSets.select(col("doc_id").as("doc_b"),
+        col("gs").as("gs_b"), col("n").as("nb")), gramBytes), Seq("doc_b"))
       .withColumn("ni", call_function("sorted_intersect_count",
         col("gs_a"), col("gs_b")))
       .filter(col("ni") * lit(1000000L) >=

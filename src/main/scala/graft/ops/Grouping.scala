@@ -118,6 +118,18 @@ object Grouping {
         col("exact_distinct"))
   }
 
+  /** HLL sketch rollup with an oracle-checkable face (q46/q42-style):
+    * the NATIVE Datasketches HLL build→merge→estimate stays the query
+    * path — what DuckDB cannot replay is the estimate VALUE (binary
+    * sketch state), so the face exposes its ACCURACY CONTRACT
+    * instead: the exact distinct count (BIGINT, replayable) plus the
+    * integer predicate |est − exact|·20 ≤ exact (est within 5%;
+    * default lgK=12 has ~1.6% RSE, and HLL is deterministic per
+    * dataset, so the boolean is stable). A sketch regression — wrong
+    * merge, lossy union, estimator drift — flips the boolean and
+    * fails the hash compare at both scales, which upgrades q57 from
+    * rows-only exemption to a hash-checked row WITHOUT dropping the
+    * native sketch from the measured path. */
   def hllSketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val daily = ev.groupBy(
@@ -125,11 +137,21 @@ object Grouping {
       .agg(hll_sketch_agg(col("user_id")).as("sketch"))
     // roll the per-day sketches up to per-type totals: a merge of
     // sketches, NOT a rescan of events
-    daily.groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
-        .as("distinct_users_est"),
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"),
         count(lit(1)).as("n_days"))
-      .orderBy(col("event_type"))
+    // the exact side is ONLY the accuracy yardstick: at 100 TB the
+    // sketch rollup is the product (mergeable, bounded state) and the
+    // exact count_distinct would be the thing you deleted — a
+    // deployment wanting the contract check runs it on a sample/SF
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) * lit(20L) <=
+          col("exact_distinct")).as("est_within_5pct"))
+      .orderBy(col("event_type"), col("n_days"), col("exact_distinct"),
+        col("est_within_5pct"))
   }
 
   /** Exact interpolated percentiles per group — both engines use the

@@ -114,11 +114,22 @@ object HashSql {
     * power-of-two literals (HUGEINT `>>`/`<<` support is not assumed;
     * this is the same discipline as the splitmix shift emulation). */
   def simhashDetOracle: String = {
-    val powers = (0 until 64)
-      .map(i => s"(${i}, ${BigInt(1) << i}::HUGEINT)").mkString(", ")
     def band(c: Int): String =
       s"((hu // ${BigInt(1) << (c * 16)}) % 65536)::BIGINT AS band_$c"
-    s"""WITH tok AS (
+    s"""WITH $simhashDetCtes
+       |SELECT doc_id, ${toSigned("hu")} AS simhash_det,
+       |  ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
+       |FROM sim
+       |ORDER BY doc_id, simhash_det, band_0, band_1, band_2, band_3""".stripMargin
+  }
+
+  /** Shared CTE chain for the deterministic SimHash: tok → f5 (FNV
+    * token hash) → powers → bits (±1 balances) → sim, yielding per-doc
+    * `hu` = the unsigned 64-bit deterministic SimHash. */
+  private def simhashDetCtes: String = {
+    val powers = (0 until 64)
+      .map(i => s"(${i}, ${BigInt(1) << i}::HUGEINT)").mkString(", ")
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
        |),
        |f5 AS (SELECT doc_id,
@@ -135,11 +146,33 @@ object HashSql {
        |    SUM(CASE WHEN b.bal >= 0 THEN pw.p ELSE 0::HUGEINT END) AS hu
        |  FROM bits b JOIN powers pw ON b.i = pw.i
        |  GROUP BY b.doc_id
+       |)""".stripMargin
+  }
+
+  /** q42: oracle-checkable face of the SimHash capability — per band
+    * position, value-distribution moments (count, distinct values,
+    * exact integer sum / sum-of-squares, min, max) of the 16-bit bands
+    * of the DETERMINISTIC sibling's fingerprints. Same band split as
+    * q83; the xxhash64 production path keeps its differential specs. */
+  def simhashBandMomentsOracle: String = {
+    val bandpos = (0 until 4)
+      .map(c => s"($c, ${BigInt(1) << (c * 16)}::HUGEINT)").mkString(", ")
+    s"""WITH $simhashDetCtes,
+       |bandpos(bp, q) AS (VALUES $bandpos),
+       |bands AS (
+       |  SELECT bp, ((hu // q) % 65536)::BIGINT AS band_val
+       |  FROM sim CROSS JOIN bandpos
        |)
-       |SELECT doc_id, ${toSigned("hu")} AS simhash_det,
-       |  ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
-       |FROM sim
-       |ORDER BY doc_id, simhash_det, band_0, band_1, band_2, band_3""".stripMargin
+       |SELECT CAST(bp AS BIGINT) AS band_pos,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT band_val) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(band_val) AS BIGINT) AS sum_val,
+       |  CAST(SUM(band_val * band_val) AS BIGINT) AS sum_sq,
+       |  CAST(MIN(band_val) AS BIGINT) AS min_val,
+       |  CAST(MAX(band_val) AS BIGINT) AS max_val
+       |FROM bands GROUP BY bp
+       |ORDER BY band_pos, n_docs, n_distinct, sum_val, sum_sq,
+       |  min_val, max_val""".stripMargin
   }
 
   /** q84: k-mins distinct sketch rollup — per-(type, day) minima of k

@@ -235,17 +235,16 @@ object Ivf {
       .limit(topK)
   }
 
-  /** DuckDB oracle replaying [[deterministicIndex]] + [[deterministicSearch]]
-    * end-to-end: seeds → `iters` unrolled Lloyd rounds (assignment by
-    * exact integer distance with cell tie-break, means re-rounded to
-    * micro-units) → probe ranking → cosine re-rank. */
-  def deterministicOracleSql(k: Int = 8, iters: Int = 2, queryId: Long = 7,
-      nProbe: Int = 2, topK: Int = 10): String = {
+  private def oracleD2(x: String, c: String) =
+    s"list_sum(list_transform(range(1, 65), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])))"
+
+  /** Shared oracle CTE chain replaying the [[deterministicIndex]]
+    * BUILD: micro-unit quantization → seed centroids → `iters`
+    * unrolled Lloyd rounds → `afin` = final (vec_id, cell). */
+  private def buildCtes(k: Int, iters: Int): String = {
     val mu = "list_transform(range(1, 65), i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
-    def d2(x: String, c: String) =
-      s"list_sum(list_transform(range(1, 65), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])))"
     val rounds = (0 until iters).map { r =>
-      s"""d$r AS (SELECT x.vec_id, c.cell, ${d2("x.x", "c.c")} AS d2
+      s"""d$r AS (SELECT x.vec_id, c.cell, ${oracleD2("x.x", "c.c")} AS d2
          |        FROM xi x CROSS JOIN cent$r c),
          |a$r AS (SELECT vec_id, cell FROM d$r
          |        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
@@ -256,12 +255,47 @@ object Ivf {
          |        GROUP BY a.cell, s.i),
          |cent${r + 1} AS (SELECT cell, list(m ORDER BY pos) AS c FROM s$r GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH xi AS (SELECT vec_id, $mu AS x FROM embeddings),
+    s"""xi AS (SELECT vec_id, $mu AS x FROM embeddings),
        |cent0 AS (SELECT vec_id AS cell, x AS c FROM xi WHERE vec_id < $k),
        |$rounds,
        |afin AS (SELECT x.vec_id, c.cell FROM xi x CROSS JOIN cent$iters c
        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY x.vec_id
-       |           ORDER BY ${d2("x.x", "c.c")}, c.cell) = 1),
+       |           ORDER BY ${oracleD2("x.x", "c.c")}, c.cell) = 1)""".stripMargin
+  }
+
+  /** Oracle-checkable face of the IVF capability (q46): the cell
+    * population summary (size + lowest member id per cell) of the
+    * DETERMINISTIC index — exactly [[cellSummary]]'s shape, replayed
+    * bit-exactly by [[detCellSummaryOracleSql]] because the
+    * integer-Lloyd build has zero float ambiguity. The ML-KMeans
+    * production index keeps its recall specs (AnalyticsSpec /
+    * BucketingSpec) — its k-means|| init is what no oracle can
+    * replay, which is why THIS face fronts the capability. */
+  def detCellSummary(spark: SparkSession, dir: String): DataFrame = {
+    val idx = deterministicIndex(spark, dir)
+    idx.assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("cell"), col("n_vecs"), col("min_vec_id"))
+  }
+
+  /** DuckDB oracle for [[detCellSummary]]: replay the build, group by
+    * final cell. */
+  def detCellSummaryOracleSql(k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${buildCtes(k, iters)}
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+       |FROM afin GROUP BY cell
+       |ORDER BY cell, n_vecs, min_vec_id""".stripMargin
+
+  /** DuckDB oracle replaying [[deterministicIndex]] + [[deterministicSearch]]
+    * end-to-end: seeds → `iters` unrolled Lloyd rounds (assignment by
+    * exact integer distance with cell tie-break, means re-rounded to
+    * micro-units) → probe ranking → cosine re-rank. */
+  def deterministicOracleSql(k: Int = 8, iters: Int = 2, queryId: Long = 7,
+      nProbe: Int = 2, topK: Int = 10): String = {
+    def d2(x: String, c: String) = oracleD2(x, c)
+    s"""WITH ${buildCtes(k, iters)},
        |q AS (SELECT x AS qx FROM xi WHERE vec_id = $queryId),
        |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = $queryId),
        |probe AS (SELECT c.cell FROM cent$iters c CROSS JOIN q

@@ -133,10 +133,12 @@ object Relational {
     * the bucketed layout (zero fact-side exchange, the q00/q70
     * contract), then a 7-day-bin histogram of shipdate − orderdate.
     * The synthetic data has no causal order→ship relation, so
-    * latencies span negative days; buckets shift by +3650 before the
-    * integer div because Spark `div` truncates toward zero while
-    * DuckDB `//` floors — identical only for positive operands
-    * (bucket_lo_days shifts back after). */
+    * latencies span negative days; BOTH engines' integer division
+    * truncates toward zero (DuckDB `//` floors only on floats), so
+    * the bucket uses an explicit integer FLOOR division (truncating
+    * div minus one when the remainder is negative) written
+    * symbol-for-symbol in the oracle — exact for ANY latency, no
+    * shift, no data invariant. */
   def shipLatencyDist(spark: SparkSession, dir: String): DataFrame = {
     val (li, o) = Tables.bucketedFacts(spark, dir)
     li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
@@ -144,7 +146,8 @@ object Relational {
         datediff(col("l_shipdate").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("lat"))
       .groupBy(col("o_orderpriority"),
-        (expr("(lat + 3650) div 7") * 7 - 3650).as("bucket_lo_days"))
+        (expr("(lat div 7) - (case when lat % 7 < 0 then 1 else 0 end)")
+          * 7).as("bucket_lo_days"))
       .agg(count(lit(1)).as("n"), min(col("lat")).as("min_days"),
         max(col("lat")).as("max_days"))
       .orderBy(col("o_orderpriority"), col("bucket_lo_days"), col("n"),

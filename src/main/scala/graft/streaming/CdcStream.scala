@@ -79,7 +79,14 @@ object CdcStream {
                 sum(col("ss")).cast("decimal(38,0)").as("ss"))
           } else partial
         // state is tiny (one row per group): rewrite atomically via
-        // a collect-free staged overwrite into a temp dir + swap
+        // a collect-free staged overwrite into a temp dir + swap.
+        // Crash-safe ordering: the OLD state is renamed ASIDE (not
+        // deleted) before the new state is promoted, so no window
+        // exists where a crash leaves NO state on disk; the aside
+        // copy is removed only after a successful promote. Every
+        // rename is checked — a failed swap aborts the batch (and
+        // the checkpoint) instead of silently dropping the
+        // accumulated moments.
         val tmp = stateDir + ".next"
         merged.write.mode("overwrite").parquet(tmp)
         def rmr(f: java.io.File): Unit = {
@@ -87,8 +94,18 @@ object CdcStream {
           f.delete(): Unit
         }
         val t = new java.io.File(tmp); val s0 = new java.io.File(stateDir)
-        if (s0.exists()) rmr(s0)
-        t.renameTo(s0): Unit
+        val aside = new java.io.File(stateDir + ".old")
+        if (aside.exists()) rmr(aside) // leftover from a prior crash
+        if (s0.exists() && !s0.renameTo(aside))
+          throw new java.io.IOException(
+            s"incrementalMoments: failed to move $stateDir aside")
+        if (!t.renameTo(s0)) {
+          // roll the old state back so the next batch still sees it
+          if (aside.exists()) aside.renameTo(s0): Unit
+          throw new java.io.IOException(
+            s"incrementalMoments: failed to promote $tmp to $stateDir")
+        }
+        if (aside.exists()) rmr(aside)
     }
   }
 

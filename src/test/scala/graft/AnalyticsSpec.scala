@@ -225,6 +225,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("simhash fingerprints: 4x16-bit bands reassemble the hash") {
+    // the xxhash64 production fingerprints (band split = hamming-LSH
+    // keys) — reassembling the bands must reproduce the full hash
+    val rows = Dedup.simhashFingerprints(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sim = r.getAs[Long]("simhash")
+      val re = (0 until 4).map(c =>
+        r.getAs[Long](s"band_$c") << (c * 16)).reduce(_ | _)
+      assert(re == sim, s"bands do not reassemble: $re != $sim")
+    }
+  }
+
   test("simhash near-dups: small edit within hamming 3, unrelated far") {
     val base = Array.tabulate(60)(i => s"tok$i").mkString(" ")
     val oneEdit = base.replace("tok30", "tokX")
@@ -349,6 +362,10 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val recall = brute.intersect(wide).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall $recall below probing half the cells")
+    // the ML index's cell summary partitions the corpus exactly
+    val cells = Ivf.cellSummary(spark, sf).collect()
+    assert(cells.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    assert(cells.length <= 16, "more cells than k")
   }
 
   test("typed centroid Aggregator agrees with the posexplode centroid") {

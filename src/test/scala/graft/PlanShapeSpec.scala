@@ -71,6 +71,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(cacheScans >= 4, s"only $cacheScans cache scans — signature table not reused")
   }
 
+  test("q126 verify stage is size-conditional: broadcast small, SMJ large") {
+    // below graft.setsim.broadcastBytes the gram-set verify joins
+    // broadcast (fast at test scale); forcing the threshold to 0
+    // must flip every gram-set join to a doc_id sort-merge join with
+    // NO BroadcastExchange anywhere — the 100 TB contract is that no
+    // corpus-sized table is ever force-broadcast (VERDICT r4 #1)
+    val docs = Tables.documents(spark, sf)
+    Dedup.unpersistCaches() // hints are cache-canonicalization-invisible:
+    // a cached prefix frame from an earlier threshold would be reused
+    // with its OLD embedded broadcast plan, masking the switch
+    val small = plan(Dedup.setSimJoin(docs, "doc_id", 700000L))
+    assert(small.contains("BroadcastHashJoin"),
+      s"sub-threshold corpus lost its broadcast verify:\n${small.take(1200)}")
+    // disable the statistics-driven auto-broadcast too: at sf0.001
+    // Catalyst legitimately broadcasts the tiny freq aggregate on its
+    // own — with auto-broadcast off, any surviving BroadcastExchange
+    // can only come from an explicit broadcast() hint, which is
+    // exactly what must be gone over threshold
+    spark.conf.set("graft.setsim.broadcastBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Dedup.unpersistCaches()
+      val big = plan(Dedup.setSimJoin(docs, "doc_id", 700000L))
+      assert(big.contains("SortMergeJoin"),
+        s"over-threshold corpus did not plan a sort-merge verify:\n${big.take(1200)}")
+      assert(!big.contains("BroadcastExchange"),
+        s"over-threshold corpus still broadcasts:\n${big.take(1200)}")
+    } finally {
+      spark.conf.unset("graft.setsim.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Dedup.unpersistCaches()
+    }
+  }
+
   test("brute-force cosine top-k broadcasts the single query row") {
     val p = plan(Similarity.cosineTopK(spark, sf))
     assert(p.contains("Broadcast"), s"query vector not broadcast:\n$p")
