@@ -447,25 +447,33 @@ object Dedup {
     * 1.15 s, fused no-jump check-every-2 0.80 s, all with identical
     * clusters. A pathological long chain still converges in O(log d)
     * rounds once the jump kicks in. Returns (node, cluster_id = min
-    * id reachable). */
+    * id reachable).
+    *
+    * ONE persisted frame, ONE generator scan: the pair generator may
+    * be expensive (q65's is a cosine join), so both directed edges AND
+    * both endpoints' self-loops are exploded out of a single pass over
+    * `pairs` — the only persist is the edge table every round reuses;
+    * nodes and initial labels re-derive from that cache. A node's
+    * self-loop appears once per incident pair (duplicates are
+    * harmless under `min(label)` and map-side combine collapses them
+    * before the shuffle), which beats a distinct/union pre-pass that
+    * would re-evaluate the generator two more times: measured at
+    * sf0.1 the drained q65 median fell 3.33 s → 1.64 s. */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    // the pair generator may be expensive (q65's is a cosine join) and
-    // is referenced by edges, nodes AND the initial labels — without
-    // this persist it would re-evaluate ~6× across their actions
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgesRaw = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-    val nodes = edgesRaw.select(col("src").as("node")).distinct()
-    // self-loops fuse the label-carry into the neighbour aggregate;
     // pre-partitioning by dst lets every round's join reuse the
     // persisted layout instead of re-shuffling the edge table
-    val edges = edgesRaw
-      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")),
+        struct(col(aCol).as("src"), col(aCol).as("dst")),
+        struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
@@ -494,7 +502,6 @@ object Dedup {
       }
     }
     edges.unpersist()
-    p.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
