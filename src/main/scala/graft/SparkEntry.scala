@@ -187,6 +187,7 @@ object SparkEntry {
       Audit.joinSkewReport(s, d)),
     "q140_freshness"        -> (Audit.freshnessAudit _),
     "q141_session_overlap"  -> (TimeSeries.sessionOverlapDay _),
+    "q142_overlap_bucketed" -> (TimeSeries.sessionOverlapBucketed _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2328,6 +2329,46 @@ object SparkEntry {
           |  (SELECT min(date_trunc('day', ss)) FROM s)
           |GROUP BY 1, 2, 3
           |ORDER BY day, user_a, user_b, n_overlaps,
+          |  total_overlap_us""".stripMargin,
+      // brute-force, bucket-free pair join: the oracle is algorithm-
+      // independent, so any bucket-decomposition bug (dropped
+      // cross-midnight pair, double-counted multi-bucket pair) is a
+      // hash mismatch
+      "q142_overlap_bucketed" ->
+        """WITH e AS (
+          |  SELECT user_id, ts,
+          |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          |  FROM events
+          |), m AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM e
+          |), sx AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM m
+          |), s0 AS (
+          |  SELECT user_id, MIN(ts) AS ss,
+          |    MAX(ts) + INTERVAL 30 MINUTE AS se
+          |  FROM sx GROUP BY user_id, sid
+          |), s AS (
+          |  SELECT * FROM s0
+          |  WHERE date_trunc('day', ss) <=
+          |    (SELECT min(date_trunc('day', ss)) FROM s0)
+          |      + INTERVAL 1 DAY
+          |)
+          |SELECT a.user_id AS user_a, b.user_id AS user_b,
+          |  COUNT(*) AS n_overlaps,
+          |  CAST(SUM(epoch_us(LEAST(a.se, b.se)) -
+          |    epoch_us(GREATEST(a.ss, b.ss))) AS BIGINT)
+          |    AS total_overlap_us
+          |FROM s a JOIN s b
+          |  ON a.user_id < b.user_id
+          |  AND a.ss < b.se AND b.ss < a.se
+          |GROUP BY 1, 2
+          |ORDER BY user_a, user_b, n_overlaps,
           |  total_overlap_us""".stripMargin,
     )
   }

@@ -299,6 +299,61 @@ object TimeSeries {
         .drop("d0"))
   }
 
+  /** Query entry (q142): interval-BUCKETED session overlap — the
+    * grain-free generalization that lifts q141's day-scope caveat:
+    * sessions crossing midnight pair correctly because each session
+    * emits one row per coverage bucket (day) it TOUCHES, the pair
+    * join is equi on the bucket with the range conditions as a
+    * residual, and pairs found in several buckets collapse to one by
+    * a distinct on the session-pair tuple BEFORE aggregation. Scope:
+    * sessions starting within the corpus's first two days — wide
+    * enough to contain cross-midnight pairs, bounded enough for a
+    * report (q141's scoping lesson: the filter shrinks the join
+    * input, not just the output).
+    *
+    * Scale shape: identical to q141's — a bucket-keyed hash join with
+    * per-bucket fan-out bounded by concurrent sessions (q88's
+    * quantity); the dedup shuffle is keyed by the true pair tuple,
+    * a small multiple of the pair count (sessions rarely span many
+    * buckets at day grain; shrink the bucket for denser spans). */
+  def sessionOverlapBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionsWithDay(spark, dir)
+    val d0 = s.agg(min(col("day")).as("d0"))
+    val scoped = s.crossJoin(broadcast(d0))
+      .filter(col("day") <= col("d0") + expr("interval 1 day"))
+      .select(col("user_id"), col("ss"), col("se"))
+    overlappingSessionsBucketed(scoped)
+      .orderBy(col("user_a"), col("user_b"), col("n_overlaps"),
+        col("total_overlap_us"))
+  }
+
+  /** Core of q142, taking any (user_id, ss, se) session table: bucket
+    * decomposition → equi join on bucket + range residual → pair
+    * dedup → per-pair aggregate. Exposed separately so specs can
+    * plant cross-boundary fixtures. */
+  def overlappingSessionsBucketed(s: DataFrame): DataFrame = {
+    val withB = s.select(col("user_id"), col("ss"), col("se"),
+      explode(sequence(date_trunc("day", col("ss")),
+        date_trunc("day", col("se")), expr("interval 1 day"))).as("bucket"))
+    val a = withB.select(col("bucket"), col("user_id").as("user_a"),
+      col("ss").as("sa"), col("se").as("ea"))
+    val b = withB.select(col("bucket"), col("user_id").as("user_b"),
+      col("ss").as("sb"), col("se").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("user_a") < col("user_b") &&
+        col("sa") < col("eb") && col("sb") < col("ea"))
+      // a pair whose overlap spans k buckets surfaced k times: dedup
+      // on the full session-pair tuple, THEN aggregate
+      .select(col("user_a"), col("sa"), col("ea"),
+        col("user_b"), col("sb"), col("eb"))
+      .distinct()
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(unix_micros(least(col("ea"), col("eb"))) -
+          unix_micros(greatest(col("sa"), col("sb"))))
+          .as("total_overlap_us"))
+  }
+
   private def overlappingSessionsOf(s: DataFrame): DataFrame = {
     val a = s.select(col("day"), col("user_id").as("user_a"),
       col("ss").as("sa"), col("se").as("ea"))

@@ -99,6 +99,36 @@ class TimeSeriesSpec extends SparkSpec {
       s"got ${got(0)}")
   }
 
+  test("bucketed overlap pairs cross-midnight sessions and dedups multi-bucket pairs") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 spans midnight; u2 lives entirely in day 2 (a DAY-GRAIN key
+    // join would miss the (1,2) pair — their start days differ);
+    // u4 overlaps u1 ACROSS midnight (the overlap interval itself
+    // spans two buckets → surfaced twice → must dedup to one);
+    // u3 is day-1 only
+    val sess = Seq(
+      (1L, t("2024-03-01 23:50:00"), t("2024-03-02 00:30:00")),
+      (2L, t("2024-03-02 00:10:00"), t("2024-03-02 00:20:00")),
+      (3L, t("2024-03-01 23:00:00"), t("2024-03-01 23:55:00")),
+      (4L, t("2024-03-01 23:40:00"), t("2024-03-02 00:40:00")))
+      .toDF("user_id", "ss", "se")
+    val got = TimeSeries.overlappingSessionsBucketed(sess).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("total_overlap_us")))
+      .toMap
+    val mn = 60L * 1000000L
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)),
+      s"pairs: ${got.keySet}")
+    // every pair exactly once, despite (1,4) appearing in both buckets
+    assert(got.values.forall(_._1 == 1L), s"dedup failed: $got")
+    assert(got((1L, 2L)) == (1L, 10 * mn)) // cross-midnight pair
+    assert(got((1L, 3L)) == (1L, 5 * mn))
+    assert(got((1L, 4L)) == (1L, 40 * mn)) // overlap spans midnight
+    assert(got((2L, 4L)) == (1L, 10 * mn))
+    assert(got((3L, 4L)) == (1L, 15 * mn))
+  }
+
   test("autocorrelation: alternating monthly series gives exact ACF") {
     import java.sql.Timestamp
     // counts over Jan..Aug 1995 = (1,3,1,3,1,3,1,3): mean 2, n = 8,
