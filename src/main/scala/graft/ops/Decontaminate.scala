@@ -41,9 +41,26 @@ object Decontaminate {
     * EXISTING corpus. The corpus side is its (band, hash) index —
     * computed once and persisted in practice; the increment's bands
     * join against it, then candidates verify with exact Jaccard.
-    * Returns (new_doc_id, corpus_doc_id, jaccard). */
+    * Returns (new_doc_id, corpus_doc_id, jaccard).
+    *
+    * `exact = true` swaps the MinHash-LSH candidate generator for the
+    * PPJoin prefix-filter path ([[Dedup.setSimJoinIncremental]]): no
+    * banding recall question — EVERY qualifying pair is found (LSH
+    * can miss a pair whose bands all straddle the threshold; the
+    * degenerate-bucket cap can drop a cluster member). Same corpus-
+    * side asymmetry (the frequency order is the precomputed index-
+    * side statistic), same id-only candidate shape at 100 TB. The two
+    * modes answer the same question over the same 8-gram shingle
+    * sets, so on any corpus exact ⊇ LSH-verified pairs
+    * (DecontaminateSpec pins equality on planted fixtures). */
   def incrementalNearDups(corpusIndexed: DataFrame, newDocs: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, exact: Boolean = false): DataFrame = {
+    if (exact) {
+      return Dedup.setSimJoinIncremental(corpusIndexed, "doc_id",
+          newDocs, "doc_id", math.round(minJaccard * 1000000))
+        .select(col("new_doc_id"), col("corpus_doc_id"),
+          round(col("jaccard_ppm").cast("double") / 1e6, 6).as("jaccard"))
+    }
     // each side's signatures are referenced from two plan branches
     // (banding, estimate-prune) — materialize each ONCE so the corpus
     // is shingled once (Dedup.signatureTable); exact verify fetches

@@ -705,16 +705,79 @@ object Dedup {
     * flip it back to broadcast. No stage touches the n² pair space.
     */
   def setSimJoin(docs: DataFrame, idCol: String, tPpm: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // INJECTIVITY PRECONDITION (Latin-1): the 8-bit-per-char packing
-    // below is injective only while every codepoint is <= 0xFF — a
-    // char >= U+0100 overflows its byte slot into the neighbour, so
-    // distinct grams could collide and silently inflate the exact
-    // intersection counts. Guard: one projection-only scan of the
-    // text column that fails fast on non-Latin-1 input (disable via
-    // graft.setsim.latin1Check=false only if the corpus is known
-    // clean and the extra scan matters).
+    latin1Guard(docs)
+    // grams feeds freq + ranked + gramSets, and prefix feeds both
+    // sides of the candidate self-join: without these persists the
+    // scan/explode re-evaluates 3x and the window stack 2x (the q65
+    // multi-reference-builder lesson; measured 68 s -> ~16 s at sf0.1)
+    val grams = packedGrams(docs, idCol)
+    val gramSets = gramSetsOf(grams)
+    val sz = sizer(docs.sparkSession, gramSets)
+    val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    val prefix = register(
+      prefixOf(grams, freq, gramSets, sz, tPpm, leftJoinFreq = false)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("g64"),
+      col("pos").as("pa"), col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("g64"),
+      col("pos").as("pb"), col("n").as("nb"))
+    val cand = a.join(b, Seq("g64"))
+      .filter(col("doc_a") < col("doc_b") && ppjoinBounds(tPpm))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyPairs(cand, gramSets, "doc_a", gramSets, "doc_b", sz, sz, tPpm)
+  }
+
+  /** Asymmetric exact set-similarity join: which NEW docs have exact
+    * shingle Jaccard ≥ t against the EXISTING corpus — the PPJoin form
+    * of [[Decontaminate.incrementalNearDups]]'s question (same stride-1
+    * 8-gram sets, no banding recall question). The incremental
+    * asymmetry: document frequency — the shared total order every
+    * PPJoin prefix must agree on — comes from the CORPUS side only
+    * (the stable index-side statistic a deployment precomputes);
+    * increment grams unseen in the corpus take df = 0 and sort first,
+    * which preserves completeness (ANY common total order does — the
+    * rarest-first choice is only the pruning heuristic) at a small
+    * prefix-selectivity cost on those grams.
+    *
+    * Scale shape: identical to [[setSimJoin]] — candidates carry ids
+    * only, all three PPJoin bounds prune inside the join, the verify
+    * stage is size-conditional per side (a huge corpus sort-merges on
+    * its id while a small daily increment still broadcasts). */
+  def setSimJoinIncremental(corpus: DataFrame, corpusId: String,
+      newDocs: DataFrame, newId: String, tPpm: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    latin1Guard(corpus); latin1Guard(newDocs)
+    val gramsC = packedGrams(corpus, corpusId)
+    val gramsN = packedGrams(newDocs, newId)
+    val setsC = gramSetsOf(gramsC)
+    val setsN = gramSetsOf(gramsN)
+    val szC = sizer(corpus.sparkSession, setsC)
+    val szN = sizer(corpus.sparkSession, setsN)
+    val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    val prefixC = prefixOf(gramsC, freq, setsC, szC, tPpm, leftJoinFreq = false)
+    val prefixN = prefixOf(gramsN, freq, setsN, szN, tPpm, leftJoinFreq = true)
+    val cand = prefixN.select(col("doc_id").as("new_doc_id"), col("g64"),
+        col("pos").as("pa"), col("n").as("na"))
+      .join(prefixC.select(col("doc_id").as("corpus_doc_id"), col("g64"),
+        col("pos").as("pb"), col("n").as("nb")), Seq("g64"))
+      .filter(ppjoinBounds(tPpm))
+      .select(col("new_doc_id"), col("corpus_doc_id"))
+      .distinct()
+    verifyPairs(cand, setsN, "new_doc_id", setsC, "corpus_doc_id",
+      szN, szC, tPpm)
+  }
+
+  /** INJECTIVITY PRECONDITION (Latin-1): the 8-bit-per-char packing is
+    * injective only while every codepoint is <= 0xFF — a char >=
+    * U+0100 overflows its byte slot into the neighbour, so distinct
+    * grams could collide and silently inflate the exact intersection
+    * counts. Guard: one projection-only scan of the text column that
+    * fails fast on non-Latin-1 input (disable via
+    * graft.setsim.latin1Check=false only if the corpus is known clean
+    * and the extra scan matters). */
+  private def latin1Guard(docs: DataFrame): Unit =
     if (docs.sparkSession.conf.getOption("graft.setsim.latin1Check")
         .forall(_.toBoolean) &&
         !docs.filter(col("text").rlike("[^\\x00-\\xFF]")).isEmpty)
@@ -722,84 +785,109 @@ object Dedup {
         "setSimJoin: corpus contains characters above U+00FF; the " +
           "packed-long gram encoding is only injective for Latin-1 " +
           "text. Pre-filter or transliterate the corpus first.")
-    // grams feeds freq + ranked + gramSets, and prefix feeds both
-    // sides of the candidate self-join: without these persists the
-    // scan/explode re-evaluates 3x and the window stack 2x (the q65
-    // multi-reference-builder lesson; measured 68 s -> ~16 s at sf0.1)
-    // shingles are <= 8 LATIN-1 chars (guard above), so each packs
-    // INJECTIVELY into one big-endian long (exactness preserved,
-    // unlike a hash): the frequency join, candidate join, and
-    // sorted-set intersect all run on 8-byte integers instead of
-    // strings — cheaper compares, smaller shuffles/broadcasts. The
-    // long order equals the byte order, so it stays a valid shared
-    // total order for the prefix.
+
+  /** Distinct stride-1 8-grams per doc, each packed INJECTIVELY into
+    * one big-endian long (shingles are <= 8 LATIN-1 chars, guarded):
+    * exactness preserved, unlike a hash — the frequency join,
+    * candidate join, and sorted-set intersect all run on 8-byte
+    * integers instead of strings (cheaper compares, smaller shuffles/
+    * broadcasts). The long order equals the byte order, so it stays a
+    * valid shared total order for the prefix. Persisted + registered. */
+  private def packedGrams(docs: DataFrame, idCol: String): DataFrame = {
     val packed = (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
       shiftleft(acc, 8) + ascii(substring(col("gram"), i, 1)).cast("long")
     }
-    val grams = register(docs
+    register(docs
       .select(col(idCol).as("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 7, 1))," +
           " i -> substring(text, i, 8))"))).as("gram"))
       .select(col("doc_id"), packed.as("g64"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val gramSets = register(grams.groupBy(col("doc_id"))
+  }
+
+  /** Sorted gram array + size per doc (the verify-stage signature
+    * table). Persisted + registered. */
+  private def gramSetsOf(grams: DataFrame): DataFrame =
+    register(grams.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("g64"))).as("gs"),
         count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    // size-conditional broadcast: one aggregate over the persisted
-    // signature table (a driver scalar, O(1) rows) estimates the
-    // broadcast payload — 8 B per packed gram + per-row array/field
-    // overhead. The lengths-only frame (doc_id, n) is ~48 B/doc and
-    // clears the threshold far longer than the full gram arrays, but
-    // gets the same guard: nothing corpus-sized is ever force-
-    // broadcast (VERDICT r4 #1).
-    val sess = docs.sparkSession
-    val bcastLimit = sess.conf.getOption("graft.setsim.broadcastBytes")
+
+  /** Size-conditional broadcast policy for one signature table: one
+    * aggregate over the persisted frame (a driver scalar) estimates
+    * the broadcast payload — 8 B per packed gram + ~48 B/row array/
+    * field overhead. The lengths-only frame (doc_id, n) clears the
+    * threshold far longer than the full gram arrays, but gets the
+    * same guard: nothing corpus-sized is ever force-broadcast
+    * (VERDICT r4 #1); `hint("merge")` pins the shuffled path so AQE
+    * can't flip it back to broadcast. */
+  private final case class SetSizer(nDocs: Long, gramBytes: Long,
+      limit: Long) {
+    def apply(df: DataFrame, estBytes: Long): DataFrame =
+      if (estBytes <= limit) broadcast(df) else df.hint("merge")
+  }
+
+  private def sizer(sess: SparkSession, gramSets: DataFrame): SetSizer = {
+    val limit = sess.conf.getOption("graft.setsim.broadcastBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
     val st = gramSets.agg(count(lit(1)).as("d"), sum(col("n")).as("g")).head()
     val nDocs = st.getLong(0)
-    val gramBytes = (if (st.isNullAt(1)) 0L else st.getLong(1)) * 8L + nDocs * 48L
-    def sized(df: DataFrame, estBytes: Long): DataFrame =
-      if (estBytes <= bcastLimit) broadcast(df) else df.hint("merge")
-    val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
-    val ranked = grams.join(freq, Seq("g64"))
-      .join(sized(gramSets.select(col("doc_id"), col("n")), nDocs * 48L),
+    val gramBytes = (if (st.isNullAt(1)) 0L else st.getLong(1)) * 8L +
+      nDocs * 48L
+    SetSizer(nDocs, gramBytes, limit)
+  }
+
+  /** Frequency-ranked prefix of each doc's gram set: order by (df asc,
+    * g64 asc), keep pos <= n − ⌈t·n⌉ + 1 (p >= 1 since ⌈t·n⌉ <= n).
+    * `leftJoinFreq` admits grams absent from the frequency table with
+    * df = 0 (the incremental asymmetry). */
+  private def prefixOf(grams: DataFrame, freq: DataFrame,
+      gramSets: DataFrame, sz: SetSizer, tPpm: Long,
+      leftJoinFreq: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDf =
+      if (leftJoinFreq)
+        grams.join(freq, Seq("g64"), "left").na.fill(0L, Seq("df"))
+      else grams.join(freq, Seq("g64"))
+    withDf
+      .join(sz(gramSets.select(col("doc_id"), col("n")), sz.nDocs * 48L),
         Seq("doc_id"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("g64").asc)))
-    // prefix length p = n - ceil(t*n) + 1 (p >= 1 since ceil(t*n) <= n)
-    val prefix = register(ranked.filter(col("pos") <=
-      col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    val a = prefix.select(col("doc_id").as("doc_a"), col("g64"),
-      col("pos").as("pa"), col("n").as("na"))
-    val b = prefix.select(col("doc_id").as("doc_b"), col("g64"),
-      col("pos").as("pb"), col("n").as("nb"))
-    val cand = a.join(b, Seq("g64"))
-      .filter(col("doc_a") < col("doc_b") &&
-        // length filter, both directions
-        col("nb") * lit(1000000L) >= lit(tPpm) * col("na") &&
-        col("na") * lit(1000000L) >= lit(tPpm) * col("nb") &&
-        // positional filter: (min_rem + 1)·(1+t) >= t·(na+nb), exact
-        // integer form of min_rem + 1 >= ceil(t/(1+t)·(na+nb))
-        (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
-          lit(1000000L + tPpm) >= lit(tPpm) * (col("na") + col("nb")))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+      .filter(col("pos") <=
+        col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
+  }
+
+  /** The LENGTH and POSITIONAL PPJoin bounds, expecting columns
+    * (pa, na) and (pb, nb) from the two prefixes:
+    * length — J ≥ t forces t·max(na,nb) ≤ min(na,nb);
+    * positional — (min_rem + 1)·(1+t) >= t·(na+nb), the exact integer
+    * form of min_rem + 1 >= ⌈t/(1+t)·(na+nb)⌉. */
+  private def ppjoinBounds(tPpm: Long): Column =
+    col("nb") * lit(1000000L) >= lit(tPpm) * col("na") &&
+      col("na") * lit(1000000L) >= lit(tPpm) * col("nb") &&
+      (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
+        lit(1000000L + tPpm) >= lit(tPpm) * (col("na") + col("nb"))
+
+  /** Verify stage: fetch both sides' sorted gram arrays (size-
+    * conditionally broadcast), exact two-cursor intersect, final
+    * Jaccard threshold in integer ppm. */
+  private def verifyPairs(cand: DataFrame, setsA: DataFrame, aCol: String,
+      setsB: DataFrame, bCol: String, szA: SetSizer, szB: SetSizer,
+      tPpm: Long): DataFrame =
     cand
-      .join(sized(gramSets.select(col("doc_id").as("doc_a"),
-        col("gs").as("gs_a"), col("n").as("na")), gramBytes), Seq("doc_a"))
-      .join(sized(gramSets.select(col("doc_id").as("doc_b"),
-        col("gs").as("gs_b"), col("n").as("nb")), gramBytes), Seq("doc_b"))
+      .join(szA(setsA.select(col("doc_id").as(aCol),
+        col("gs").as("gs_a"), col("n").as("na")), szA.gramBytes), Seq(aCol))
+      .join(szB(setsB.select(col("doc_id").as(bCol),
+        col("gs").as("gs_b"), col("n").as("nb")), szB.gramBytes), Seq(bCol))
       .withColumn("ni", call_function("sorted_intersect_count",
         col("gs_a"), col("gs_b")))
       .filter(col("ni") * lit(1000000L) >=
         lit(tPpm) * (col("na") + col("nb") - col("ni")))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col(aCol), col(bCol),
         expr("CAST((ni * 1000000) DIV (na + nb - ni) AS BIGINT)")
           .as("jaccard_ppm"))
-  }
 
   /** Query: every document pair with exact shingle Jaccard ≥ 0.7.
     * The total order comes from a single-partition sort rather than
