@@ -117,6 +117,48 @@ class TransferSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L), s"leftover staging rows published: ${got.toSeq}")
   }
 
+  test("atomicLoad failure property: a mid-write abort never touches the target") {
+    // the transactional-gap mitigation's actual contract: Spark's JDBC
+    // writer commits per PARTITION, so a poisoned row aborts its task
+    // only after sibling partitions already committed staging rows —
+    // the target must still see zero of them, and a clean retry must
+    // publish exactly its own rows (no leftovers from the failed run).
+    // Seeded random poison position / partitioning, 3 rounds.
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    val conn = DriverManager.getConnection(derbyUrl)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE ATOMIC_F (X BIGINT, Y VARCHAR(16))")
+    conn.createStatement().executeUpdate(
+      "INSERT INTO ATOMIC_F VALUES (100, 'pre'), (101, 'pre2')")
+    conn.close()
+    val pre = Set((100L, "pre"), (101L, "pre2"))
+    def targetRows(): Set[(Long, String)] =
+      spark.read.jdbc(derbyUrl, "ATOMIC_F", props)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { round =>
+      val n = 20 + rnd.nextInt(30)
+      val poison = 1L + rnd.nextInt(n)
+      val parts = 2 + rnd.nextInt(6)
+      val df = (1L to n.toLong).map(i => (i, s"v$i")).toDF("X", "Y")
+        .repartition(parts)
+        .withColumn("Y", when(col("X") === poison,
+          raise_error(lit("poisoned row"))).otherwise(col("Y")))
+      val e = intercept[Exception] {
+        Transfer.atomicLoad(df, derbyUrl, "ATOMIC_F", props,
+          () => DriverManager.getConnection(derbyUrl))
+      }
+      assert(targetRows() == pre,
+        s"round $round (n=$n poison=$poison parts=$parts, ${e.getMessage
+          .take(60)}): failed load leaked rows into the target")
+    }
+    // clean retry after the failures publishes exactly its rows
+    Transfer.atomicLoad(Seq((1L, "a"), (2L, "b")).toDF("X", "Y"),
+      derbyUrl, "ATOMIC_F", props,
+      () => DriverManager.getConnection(derbyUrl))
+    assert(targetRows() == pre + ((1L, "a")) + ((2L, "b")))
+  }
+
   test("atomicLoad handles lowercase DataFrame columns (quoted staging)") {
     // Spark's JDBC writer creates staging columns QUOTED, so lowercase
     // frame names must be quoted on the SELECT side while the unquoted
