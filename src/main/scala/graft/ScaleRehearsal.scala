@@ -1,0 +1,178 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 1x-vs-10x scale rehearsal for the dedup/similarity family — turns
+  * SCALE.md's design arguments into measured points (round-4 verdict
+  * item 6): synthesize a deterministic 10x corpus, run the candidate-
+  * generation-bound operators at both sizes, and report wall times +
+  * candidate counts so the near-linear-growth claim (PPJoin/LSH) is an
+  * observation, not an assertion. Results land in BASELINE.md.
+  *
+  * The 10x corpora are 10 SHARDS, each an exact structural isomorph of
+  * the sf0.1 original, so per-shard workload statistics are identical
+  * by construction and only the cross-shard interaction is new:
+  *  - documents: shard s applies a seeded letter permutation to [a-z]
+  *    via `translate` (shard 0 = identity). Injective char maps make
+  *    each shard's shingle sets isomorphic to the original (same
+  *    within-shard Jaccards, same frequency SHAPE), while rare content
+  *    grams are disjoint across shards and only space/stopword-heavy
+  *    grams stay shared — the realistic growth profile (new content
+  *    grows, function-word mass stays) and exactly the case the
+  *    frequency-ascending prefix order must keep pruning.
+  *  - embeddings: shard s applies a seeded signed permutation of the
+  *    64 dimensions (an orthogonal transformation: within-shard
+  *    geometry — norms, dots, cosines — is EXACTLY preserved; cross-
+  *    shard cosines concentrate near 0 even if the vectors share a
+  *    mean component, because the sign mask decorrelates them).
+  *
+  * Run: `sbt "runMain graft.ScaleRehearsal /root/testdata/sf0.1"`
+  * (writes the 10x corpus under java.io.tmpdir/graft_scale10, prints
+  * one JSON line per measurement).
+  */
+object ScaleRehearsal {
+
+  private def perm[T](xs: Seq[T], seed: Long): Seq[T] = {
+    val r = new scala.util.Random(seed)
+    r.shuffle(xs)
+  }
+
+  /** 10 letter-permuted document shards; doc_id offset 1e6 per shard. */
+  def docs10x(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    (0 until 10).map { s =>
+      val mapped =
+        if (s == 0) base.select(col("doc_id"), col("text"))
+        else base.select(col("doc_id"),
+          translate(col("text"), lower,
+            perm(lower.toSeq, 1000L + s).mkString).as("text"))
+      mapped.select((col("doc_id") + lit(s * 1000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** 10 signed-dimension-permuted embedding shards; vec_id offset 1e6
+    * per shard. */
+  def embeddings10x(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    (0 until 10).map { s =>
+      val e =
+        if (s == 0) base.select(col("vec_id"), col("embedding"))
+        else {
+          val p = perm(0 until 64, 2000L + s)
+          val r = new scala.util.Random(3000L + s)
+          val signs = Array.fill(64)(if (r.nextBoolean()) 1.0f else -1.0f)
+          base.select(col("vec_id"), array(p.zipWithIndex.map {
+            case (src, i) =>
+              (element_at(col("embedding"), src + 1) * lit(signs(i)))
+                .cast("float")
+          }: _*).as("embedding"))
+        }
+      e.select((col("vec_id") + lit(s * 1000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = sys.props("java.io.tmpdir") + "/graft_scale10"
+    val spark = SparkSession.builder()
+      .appName("graft-scale-rehearsal")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // dev knobs: SPARK_GRAFT_REHEARSAL_ONLY=q126 restricts the ops,
+    // SPARK_GRAFT_SETSIM_BCAST overrides the verify broadcast
+    // threshold (e.g. to quantify the broadcast-vs-SMJ switch cost)
+    sys.env.get("SPARK_GRAFT_SETSIM_BCAST")
+      .foreach(v => spark.conf.set("graft.setsim.broadcastBytes", v))
+    val onlyOps = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean =
+      onlyOps.forall(_.exists(name.startsWith))
+    // materialize the 10x corpora ONCE as parquet so generation cost
+    // never pollutes the operator timings (a real 10x corpus is read,
+    // not synthesized)
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      docs10x(spark, dir).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
+    if (!new java.io.File(s"$out/embeddings.parquet").exists())
+      embeddings10x(spark, dir).write.mode("overwrite")
+        .parquet(s"$out/embeddings.parquet")
+
+    def docsAt(scale: String): DataFrame =
+      if (scale == "1x") Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      else spark.read.parquet(s"$out/documents.parquet")
+    def embAt(scale: String): DataFrame =
+      if (scale == "1x") Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      else spark.read.parquet(s"$out/embeddings.parquet")
+
+    // an unreported 1x warmup pass first: JIT/codegen warmup otherwise
+    // lands entirely on the 1x numbers and flatters every 10x ratio
+    for ((scale, emit) <- Seq(("1x", false), ("1x", true), ("10x", true))) {
+      def report(name: String, seconds: Double, rows: Long): Unit =
+        if (emit)
+          println(s"""{"op":"$name","scale":"$scale",""" +
+            s""""sec":${f"$seconds%.2f"},"rows":$rows}""")
+      val d = docsAt(scale)
+      // q41 shape: MinHash LSH band candidates, then the full
+      // LSH -> estimate -> verify pipeline
+      if (wanted("q41")) {
+        val (nCand, tCand) = timed(
+          Dedup.lshCandidatePairs(
+            Dedup.signatureTable(d, "doc_id"), "doc_id").count())
+        Dedup.unpersistCaches()
+        report("q41_lsh_candidates", tCand, nCand)
+        val (nPairs, tPairs) = timed(
+          Dedup.nearDupPairs(d, "doc_id", 0.8).count())
+        Dedup.unpersistCaches()
+        report("q41_minhash_pipeline", tPairs, nPairs)
+      }
+      // q126 shape: PPJoin candidates, then the full exact join
+      if (wanted("q126")) {
+        val (nPp, tPp) = timed(
+          Dedup.setSimCandidates(d, "doc_id", 700000L).count())
+        Dedup.unpersistCaches()
+        report("q126_ppjoin_candidates", tPp, nPp)
+        val (nSs, tSs) = timed(Dedup.setSimJoin(d, "doc_id", 700000L).count())
+        Dedup.unpersistCaches()
+        report("q126_setsim_join", tSs, nSs)
+      }
+      // q119 shape: stride-1 substring extent dedup
+      if (wanted("q119")) {
+        val (nSub, tSub) = timed(Dedup.substringDedup(d).count())
+        Dedup.unpersistCaches()
+        report("q119_substring_dedup", tSub, nSub)
+      }
+      // q65 shape at the SCALE path: LSH embedding near-dup edges +
+      // connected components (the exact all-pairs generator is the
+      // deliberately id-bounded oracle tool, not the scale path)
+      if (wanted("q65")) {
+        val e = embAt(scale)
+        val edges = Similarity.lshEmbeddingNearDups(e, 0.2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (nEdges, tEdges) = timed(edges.count())
+        report("q65_lsh_edges", tEdges, nEdges)
+        val (nCc, tCc) = timed(
+          Dedup.dedupClusters(edges, "vec_a", "vec_b").count())
+        edges.unpersist()
+        Dedup.unpersistCaches()
+        report("q65_cc_clusters", tCc, nCc)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -188,6 +188,8 @@ object SparkEntry {
     "q140_freshness"        -> (Audit.freshnessAudit _),
     "q141_session_overlap"  -> (TimeSeries.sessionOverlapDay _),
     "q142_overlap_bucketed" -> (TimeSeries.sessionOverlapBucketed _),
+    "q143_gap_fill_capped"  -> ((s: SparkSession, d: String) =>
+      TimeSeries.gapFillLocfCapped(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2370,6 +2372,41 @@ object SparkEntry {
           |GROUP BY 1, 2
           |ORDER BY user_a, user_b, n_overlaps,
           |  total_overlap_us""".stripMargin,
+      // capped gap-fill: trailing-72h spine + carry-in seed (latest
+      // pre-window observation); DECIMAL until the final cast, the
+      // q87 discipline
+      "q143_gap_fill_capped" ->
+        """WITH hourly AS (
+          |  SELECT user_id, date_trunc('hour', ts) AS hour,
+          |    SUM(CAST(value AS DECIMAL(18,2))) AS sv, COUNT(*) AS n_events
+          |  FROM events GROUP BY 1, 2),
+          |bw AS (
+          |  SELECT user_id,
+          |    GREATEST(MIN(hour), MAX(hour) - INTERVAL 71 HOUR) AS w0,
+          |    MAX(hour) AS mx
+          |  FROM hourly GROUP BY user_id),
+          |spine AS (
+          |  SELECT user_id,
+          |    UNNEST(generate_series(w0, mx, INTERVAL 1 HOUR)) AS hour
+          |  FROM bw),
+          |carry AS (
+          |  SELECT h.user_id, h.sv AS carry_sv
+          |  FROM hourly h JOIN bw ON h.user_id = bw.user_id
+          |  WHERE h.hour < bw.w0
+          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h.user_id
+          |    ORDER BY h.hour DESC) = 1),
+          |joined AS (
+          |  SELECT s.user_id, s.hour, COALESCE(h.n_events, 0) AS n_events,
+          |    h.sv
+          |  FROM spine s LEFT JOIN hourly h
+          |    ON s.user_id = h.user_id AND s.hour = h.hour)
+          |SELECT j.user_id, j.hour, j.n_events,
+          |  CAST(COALESCE(LAST_VALUE(j.sv IGNORE NULLS) OVER (
+          |    PARTITION BY j.user_id ORDER BY j.hour
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |    c.carry_sv) AS DOUBLE) AS filled_value
+          |FROM joined j LEFT JOIN carry c ON j.user_id = c.user_id
+          |ORDER BY j.user_id, hour, n_events, filled_value""".stripMargin,
     )
   }
 }

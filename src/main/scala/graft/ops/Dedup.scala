@@ -698,11 +698,16 @@ object Dedup {
     * `graft.setsim.broadcastBytes` (default 64 MB, estimated from one
     * O(1) driver aggregate over the persisted signature table) it
     * reads both docs' sorted shingle arrays from a broadcast — fast
-    * at test scale; above the threshold it sort-merge joins on doc_id
-    * (the candidate list, not the arrays, is the small side), so a
-    * 100 TB corpus never forces a corpus-sized BroadcastExchange onto
-    * the driver. `hint("merge")` pins the shuffled path so AQE can't
-    * flip it back to broadcast. No stage touches the n² pair space.
+    * at test scale; above the threshold it shuffled-HASH joins on
+    * doc_id — measured at 10x sf0.1 (8.2M candidates x 50k docs):
+    * broadcast 13 s, shuffle_hash 65 s, sort-merge 168 s (sorting the
+    * candidate stream dominates SMJ; the hash build side is the
+    * per-partition slice of the gram-set table, which SHRINKS as
+    * partitions grow) — so a 100 TB corpus never forces a
+    * corpus-sized BroadcastExchange onto the driver and never sorts
+    * the candidate stream either. The hint pins the shuffled path so
+    * AQE can't flip it back to broadcast. No stage touches the n²
+    * pair space.
     */
   def setSimJoin(docs: DataFrame, idCol: String, tPpm: Long): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -714,6 +719,26 @@ object Dedup {
     val grams = packedGrams(docs, idCol)
     val gramSets = gramSetsOf(grams)
     val sz = sizer(docs.sparkSession, gramSets)
+    val cand = selfCandidates(grams, gramSets, sz, tPpm)
+    verifyPairs(cand, gramSets, "doc_a", gramSets, "doc_b", sz, sz, tPpm)
+  }
+
+  /** Pre-flight diagnostic: the PPJoin candidate pairs (after the
+    * prefix/length/positional filters, BEFORE the verify stage) — the
+    * quantity whose growth governs set-sim cost at scale, recorded by
+    * the 1x-vs-10x rehearsal (ScaleRehearsal / BASELINE.md). */
+  def setSimCandidates(docs: DataFrame, idCol: String,
+      tPpm: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    latin1Guard(docs)
+    val grams = packedGrams(docs, idCol)
+    val gramSets = gramSetsOf(grams)
+    val sz = sizer(docs.sparkSession, gramSets)
+    selfCandidates(grams, gramSets, sz, tPpm)
+  }
+
+  private def selfCandidates(grams: DataFrame, gramSets: DataFrame,
+      sz: SetSizer, tPpm: Long): DataFrame = {
     val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
     val prefix = register(
       prefixOf(grams, freq, gramSets, sz, tPpm, leftJoinFreq = false)
@@ -722,11 +747,10 @@ object Dedup {
       col("pos").as("pa"), col("n").as("na"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("g64"),
       col("pos").as("pb"), col("n").as("nb"))
-    val cand = a.join(b, Seq("g64"))
+    a.join(b, Seq("g64"))
       .filter(col("doc_a") < col("doc_b") && ppjoinBounds(tPpm))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyPairs(cand, gramSets, "doc_a", gramSets, "doc_b", sz, sz, tPpm)
   }
 
   /** Asymmetric exact set-similarity join: which NEW docs have exact
@@ -819,17 +843,23 @@ object Dedup {
     * field overhead. The lengths-only frame (doc_id, n) clears the
     * threshold far longer than the full gram arrays, but gets the
     * same guard: nothing corpus-sized is ever force-broadcast
-    * (VERDICT r4 #1); `hint("merge")` pins the shuffled path so AQE
-    * can't flip it back to broadcast. */
+    * (VERDICT r4 #1). Over the threshold the hint pins a shuffled
+    * HASH join (no AQE flip back to broadcast, no sort of the
+    * candidate stream — 2.6x faster than merge at the measured 10x
+    * point, BASELINE.md round 5). The 256 MB default is itself a
+    * measured choice: a ~120 MB gram-set broadcast beat the shuffled
+    * path 13 s to 65 s, and executors sized for 100 TB handle
+    * hundreds of MB routinely — the guard is against CORPUS-sized
+    * (GB+) payloads, not dim-table-sized ones. */
   private final case class SetSizer(nDocs: Long, gramBytes: Long,
       limit: Long) {
     def apply(df: DataFrame, estBytes: Long): DataFrame =
-      if (estBytes <= limit) broadcast(df) else df.hint("merge")
+      if (estBytes <= limit) broadcast(df) else df.hint("shuffle_hash")
   }
 
   private def sizer(sess: SparkSession, gramSets: DataFrame): SetSizer = {
     val limit = sess.conf.getOption("graft.setsim.broadcastBytes")
-      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
     val st = gramSets.agg(count(lit(1)).as("d"), sum(col("n")).as("g")).head()
     val nDocs = st.getLong(0)
     val gramBytes = (if (st.isNullAt(1)) 0L else st.getLong(1)) * 8L +

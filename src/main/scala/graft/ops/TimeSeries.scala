@@ -54,6 +54,49 @@ object TimeSeries {
         col("filled_value"))
   }
 
+  /** q143: the grain-cap fix q87's scale note prescribes — densify
+    * only the TRAILING `capHours` hours of each user's span, seeding
+    * LOCF with the user's latest observation strictly BEFORE the
+    * capped window, so fills inside the window are identical to what
+    * the uncapped fill produces for the same hours. This bounds the
+    * spine at users × capHours rows regardless of span — q87's spine
+    * is span × users and amplifies ~1e4× on mostly-silent keys with
+    * years-long spans; a 100 TB dashboard fill runs THIS shape.
+    *
+    * Scale shape: one keyed bounds aggregate, one carry aggregate
+    * (max_by over the pre-window rows, keyed), one bounded explode,
+    * one keyed LOCF window — nothing global, nothing span-sized. */
+  def gapFillLocfCapped(spark: SparkSession, dir: String,
+      capHours: Int = 72): DataFrame = {
+    val h = hourly(spark, dir)
+    val b = h.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"),
+        greatest(col("mn"),
+          col("mx") - expr(s"interval ${capHours - 1} hours")).as("w0"),
+        col("mx"))
+    val spine = b.select(col("user_id"),
+      explode(sequence(col("w0"), col("mx"), expr("interval 1 hour")))
+        .as("hour"))
+    // carry-in: latest observed hourly sum strictly before the capped
+    // window (hour is unique per user in `hourly`, so max_by is
+    // deterministic); stays DECIMAL until the final cast, like q87
+    val carry = h.join(b.select(col("user_id"), col("w0")), Seq("user_id"))
+      .filter(col("hour") < col("w0"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("sv"), col("hour")).as("carry_sv"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(h, Seq("user_id", "hour"), "left")
+      .join(carry, Seq("user_id"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(last(col("sv"), ignoreNulls = true).over(locf),
+          col("carry_sv")).cast("double").as("filled_value"))
+      .orderBy(col("user_id"), col("hour"), col("n_events"),
+        col("filled_value"))
+  }
+
   /** 30-minute-gap sessions as [start, last event + 30 min) intervals
     * — the same session_window semantics as Events.sessions. */
   private def sessionIntervals(spark: SparkSession, dir: String): DataFrame =

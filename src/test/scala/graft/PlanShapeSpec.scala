@@ -71,11 +71,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(cacheScans >= 4, s"only $cacheScans cache scans — signature table not reused")
   }
 
-  test("q126 verify stage is size-conditional: broadcast small, SMJ large") {
+  test("q126 verify stage is size-conditional: broadcast small, shuffled-hash large") {
     // below graft.setsim.broadcastBytes the gram-set verify joins
     // broadcast (fast at test scale); forcing the threshold to 0
-    // must flip every gram-set join to a doc_id sort-merge join with
-    // NO BroadcastExchange anywhere — the 100 TB contract is that no
+    // must flip every gram-set join to a doc_id shuffled-HASH join
+    // (measured 2.6x faster than sort-merge at the 10x point —
+    // sorting the candidate stream is pure waste) with NO
+    // BroadcastExchange anywhere — the 100 TB contract is that no
     // corpus-sized table is ever force-broadcast (VERDICT r4 #1)
     val docs = Tables.documents(spark, sf)
     Dedup.unpersistCaches() // hints are cache-canonicalization-invisible:
@@ -94,8 +96,8 @@ class PlanShapeSpec extends SparkSpec {
     try {
       Dedup.unpersistCaches()
       val big = plan(Dedup.setSimJoin(docs, "doc_id", 700000L))
-      assert(big.contains("SortMergeJoin"),
-        s"over-threshold corpus did not plan a sort-merge verify:\n${big.take(1200)}")
+      assert(big.contains("ShuffledHashJoin"),
+        s"over-threshold corpus did not plan a shuffled-hash verify:\n${big.take(1200)}")
       assert(!big.contains("BroadcastExchange"),
         s"over-threshold corpus still broadcasts:\n${big.take(1200)}")
     } finally {

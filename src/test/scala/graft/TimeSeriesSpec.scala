@@ -129,6 +129,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((3L, 4L)) == (1L, 15 * mn))
   }
 
+  test("capped gap-fill bounds the spine and seeds LOCF with the pre-window carry") {
+    import java.sql.Timestamp
+    // user 1: observations at hour 0 (value 5) and hour 200 (value 9)
+    // — uncapped spine = 201 hours; capped at 72 it is hours 129..200,
+    // all silent except the last, filled with the CARRY value 5.0
+    // user 2: a short dense span, cap is a no-op
+    val ev = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-03-01 00:10:00"), 5.0),
+      (2L, 1L, Timestamp.valueOf("2024-03-09 08:20:00"), 9.0),
+      (3L, 2L, Timestamp.valueOf("2024-03-01 10:00:00"), 1.0),
+      (4L, 2L, Timestamp.valueOf("2024-03-01 12:30:00"), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("gfc").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = TimeSeries.gapFillLocfCapped(spark, dir, capHours = 72)
+      .collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 72, s"spine not capped: ${u1.length} rows")
+    // every silent hour carries the pre-window value; the observed
+    // last hour has its own
+    assert(u1.count(_.getAs[Long]("n_events") == 0L) == 71)
+    assert(u1.filter(_.getAs[Long]("n_events") == 0L)
+      .forall(_.getAs[Double]("filled_value") == 5.0))
+    assert(u1.filter(_.getAs[Long]("n_events") == 1L)
+      .forall(_.getAs[Double]("filled_value") == 9.0))
+    // short span untouched: hours 10..12 inclusive
+    val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 3)
+    assert(u2.map(_.getAs[Double]("filled_value")).toSeq == Seq(1.0, 1.0, 2.0))
+  }
+
   test("autocorrelation: alternating monthly series gives exact ACF") {
     import java.sql.Timestamp
     // counts over Jan..Aug 1995 = (1,3,1,3,1,3,1,3): mean 2, n = 8,
