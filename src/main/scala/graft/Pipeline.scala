@@ -34,6 +34,7 @@ object Pipeline {
     * though `scored`/`exact` feed multiple downstream branches. */
   private def buildFunnel(docs: DataFrame, minQuality: Double,
       nearDupJaccard: Double,
+      exactNearDup: Boolean = false,
       tapQuality: DataFrame => DataFrame = identity,
       tapExact: DataFrame => DataFrame = identity,
       tapNear: DataFrame => DataFrame = identity): Funnel = {
@@ -52,17 +53,33 @@ object Pipeline {
       .select("doc_id")
     val exact = tapExact(scored.join(keep, "doc_id")).persist()
     // 3. near-dedup: drop the higher doc_id of each near-dup pair.
-    // The signature table is built HERE, untracked, so this run owns
-    // exactly its own cache lifecycle (the global registry would let a
-    // concurrent unpersistCaches strip it mid-flight, and repeated
-    // runs would grow the registry unboundedly)
-    val sigs = Dedup.signatureTable(exact, "doc_id", track = false)
-    val nearPairs = Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard,
-        sigsOpt = Some(sigs))
-      .select(col("doc_b").as("doc_id")).distinct()
+    // Default is the MinHash-LSH generator; `exactNearDup` swaps in
+    // the PPJoin exact join (Dedup.setSimJoin) — same question over
+    // the same shingle sets, no banding recall question, for runs
+    // where a missed pair costs more than the prefix join does.
+    // The LSH signature table is built HERE, untracked, so this run
+    // owns exactly its own cache lifecycle (the global registry would
+    // let a concurrent unpersistCaches strip it mid-flight, and
+    // repeated runs would grow the registry unboundedly); the exact
+    // path's caches live in the global registry, so its release
+    // drains that (single-pipeline sessions only — the same caveat
+    // Verify/Bench already operate under).
+    val (nearPairs, releaseNear: (() => Unit)) =
+      if (exactNearDup)
+        (Dedup.setSimJoin(exact, "doc_id",
+            math.round(nearDupJaccard * 1000000))
+          .select(col("doc_b").as("doc_id")).distinct(),
+          () => Dedup.unpersistCaches())
+      else {
+        val sigs = Dedup.signatureTable(exact, "doc_id", track = false)
+        (Dedup.nearDupPairs(exact, "doc_id", nearDupJaccard,
+            sigsOpt = Some(sigs))
+          .select(col("doc_b").as("doc_id")).distinct(),
+          () => sigs.unpersist(): Unit)
+      }
     val curatedBase = tapNear(exact.join(nearPairs, Seq("doc_id"), "left_anti"))
     Funnel(scored, exact, curatedBase,
-      () => { scored.unpersist(); exact.unpersist(); sigs.unpersist() })
+      () => { scored.unpersist(); exact.unpersist(); releaseNear() })
   }
 
   /** Curate a document corpus: returns (curated corpus, report).
@@ -77,9 +94,10 @@ object Pipeline {
       nearDupJaccard: Double = 0.9,
       sampleRates: Map[String, Double] = Map.empty,
       defaultSampleRate: Double = 1.0,
-      maxPerSource: Int = Int.MaxValue): (DataFrame, CurationReport) = {
+      maxPerSource: Int = Int.MaxValue,
+      exactNearDup: Boolean = false): (DataFrame, CurationReport) = {
     val input = docs.count()
-    val f = buildFunnel(docs, minQuality, nearDupJaccard)
+    val f = buildFunnel(docs, minQuality, nearDupJaccard, exactNearDup)
     val afterQuality = f.scored.count()
     val afterExact = f.exact.count()
     val curatedBase = f.curatedBase.persist()

@@ -31,6 +31,26 @@ class PipelineSpec extends SparkSpec {
     assert(curated.filter(length(col("content_hash")) =!= 64).count() == 0)
   }
 
+  test("exact near-dedup mode curates the same corpus as LSH on planted fixtures") {
+    val good = "the catalyst optimizer rewrites logical plans into " +
+      "physical plans of the engine and a broadcast join is the fast path"
+    val docs = Seq(
+      (1L, good),
+      (2L, good),                                   // exact dup of 1
+      (3L, good.replace("broadcast", "shuffle")),   // near dup of 1
+      (5L, "the quick brown fox jumps over a lazy dog and the day is long " +
+        "and of the morning a walk to the river is the best of plans"))
+      .toDF("doc_id", "text")
+    def idsOf(exactMode: Boolean) =
+      Pipeline.curate(docs, minQuality = 0.4, nearDupJaccard = 0.7,
+        exactNearDup = exactMode)._1
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lsh = idsOf(exactMode = false)
+    val ex = idsOf(exactMode = true)
+    assert(ex == lsh, s"exact=$ex lsh=$lsh")
+    assert(ex == Set(1L, 5L))
+  }
+
   test("curation scrubs PII and applies deterministic stratified sampling") {
     val docs = Tables.documents(spark, sf)
     val (_, r) = Pipeline.curate(docs,
