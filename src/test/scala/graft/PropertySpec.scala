@@ -89,6 +89,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("setSimJoinIncremental == brute force cross pairs for random splits") {
+    // the asymmetric variant's subtlety is the SHARED prefix order
+    // built from corpus-side df only (unseen increment grams take
+    // df = 0) — completeness must survive corpora where the increment
+    // carries vocabulary the corpus has never seen
+    for (seed <- 1 to 3; tPpm <- Seq(500000L, 800000L)) {
+      val rnd = new scala.util.Random(7700 + seed)
+      def doc(vocab: Int) = List.fill(4 + rnd.nextInt(12))(
+        "w" + rnd.nextInt(vocab)).mkString(" ")
+      val corpus = (1L to 10L).map(i => (i, doc(10))).toDF("doc_id", "text")
+      // batch: mutated corpus copies (cross near-dups) + docs over a
+      // WIDER vocab (grams with corpus df = 0 in their prefixes)
+      val batchRows = (1L to 5L).map { i =>
+        val t = corpus.collect()(rnd.nextInt(10)).getString(1)
+        (100L + i, if (rnd.nextBoolean()) t
+          else t.replaceFirst("w\\d+", "w" + rnd.nextInt(18)))
+      } ++ (6L to 9L).map(i => (100L + i, doc(18)))
+      val batch = batchRows.toDF("doc_id", "text")
+      def gramsOf(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("doc_id").as(as), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1))," +
+            " i -> substring(text, i, 8))"))).as("gram"))
+      val gn = gramsOf(batch, "new_doc_id")
+      val gc = gramsOf(corpus, "corpus_doc_id")
+      val sn = gn.groupBy("new_doc_id").agg(count(lit(1)).as("na"))
+      val sc = gc.groupBy("corpus_doc_id").agg(count(lit(1)).as("nb"))
+      val brute = gn.join(gc, Seq("gram"))
+        .groupBy("new_doc_id", "corpus_doc_id").agg(count(lit(1)).as("ni"))
+        .join(sn, Seq("new_doc_id")).join(sc, Seq("corpus_doc_id"))
+        .filter(col("ni") * lit(1000000L) >=
+          lit(tPpm) * (col("na") + col("nb") - col("ni")))
+        .select("new_doc_id", "corpus_doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graft.ops.Dedup
+        .setSimJoinIncremental(corpus, "doc_id", batch, "doc_id", tPpm)
+        .select("new_doc_id", "corpus_doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"seed=$seed t=$tPpm missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("KS distance: zero against itself, invariant to cohort swap") {
     // write a random lineitem-shaped table where R and A carry the
     // SAME multiset -> ks 0; then check swap symmetry on skewed data
