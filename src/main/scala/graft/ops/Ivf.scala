@@ -294,12 +294,11 @@ object Ivf {
     * micro-units) → probe ranking → cosine re-rank. */
   def deterministicOracleSql(k: Int = 8, iters: Int = 2, queryId: Long = 7,
       nProbe: Int = 2, topK: Int = 10): String = {
-    def d2(x: String, c: String) = oracleD2(x, c)
     s"""WITH ${buildCtes(k, iters)},
        |q AS (SELECT x AS qx FROM xi WHERE vec_id = $queryId),
        |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = $queryId),
        |probe AS (SELECT c.cell FROM cent$iters c CROSS JOIN q
-       |          QUALIFY ROW_NUMBER() OVER (ORDER BY ${d2("q.qx", "c.c")}, c.cell) <= $nProbe)
+       |          QUALIFY ROW_NUMBER() OVER (ORDER BY ${oracleD2("q.qx", "c.c")}, c.cell) <= $nProbe)
        |SELECT a.vec_id, a.cell,
        |  ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), qe.qemb) /
        |    (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
