@@ -190,6 +190,8 @@ object SparkEntry {
     "q142_overlap_bucketed" -> (TimeSeries.sessionOverlapBucketed _),
     "q143_gap_fill_capped"  -> ((s: SparkSession, d: String) =>
       TimeSeries.gapFillLocfCapped(s, d)),
+    "q144_pair_density"     -> ((s: SparkSession, d: String) =>
+      Similarity.pairDensityCurve(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2407,6 +2409,26 @@ object SparkEntry {
           |    c.carry_sv) AS DOUBLE) AS filled_value
           |FROM joined j LEFT JOIN carry c ON j.user_id = c.user_id
           |ORDER BY j.user_id, hour, n_events, filled_value""".stripMargin,
+      // pair-density curve: signed-cosine binning by EXPLICIT floor
+      // division (both engines' integer div truncates), 0.05 bins in
+      // integer ppm
+      "q144_pair_density" ->
+        """WITH p AS (
+          |  SELECT CAST(ROUND(ROUND(
+          |    LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+          |      CAST(b.embedding AS DOUBLE[])) /
+          |    (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+          |      CAST(a.embedding AS DOUBLE[]))) *
+          |     SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]),
+          |      CAST(b.embedding AS DOUBLE[])))), 6) * 1000000)
+          |    AS BIGINT) AS cppm
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |  WHERE a.vec_id < 200 AND b.vec_id < 200)
+          |SELECT CAST(((cppm // 50000) - (CASE WHEN cppm % 50000 < 0
+          |    THEN 1 ELSE 0 END)) * 50000 AS BIGINT) AS bin_lo_ppm,
+          |  COUNT(*) AS n_pairs
+          |FROM p GROUP BY 1
+          |ORDER BY bin_lo_ppm, n_pairs""".stripMargin,
     )
   }
 }

@@ -232,6 +232,43 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Pair-density curve (q144): pair counts per 0.05-wide cosine bin
+    * over an id-bounded subset — the pre-flight a dedup run reads to
+    * pick its threshold, operationalizing the round-5 rehearsal
+    * finding that "near-dup" edge counts explode once the threshold
+    * drops into the mildly-similar mass (cos ≥ 0.2 grew ~quadratically
+    * at 10x while true near-dups stayed linear; BASELINE.md). The
+    * curve shows exactly where the sparse regime ends.
+    *
+    * Determinism: cosine rounds to 6 decimals, scales to integer ppm,
+    * and bins by EXPLICIT floor division (truncating div minus one on
+    * negative remainders — cosines are signed; the q137 rule), so
+    * DuckDB replays every bin edge bit-exactly.
+    *
+    * Scale shape: the registered query is the audit-grade exact form
+    * on a bounded subset (q34's small-N discipline: one broadcast of
+    * ≤ maxId rows); at corpus scale, feed the same binning the
+    * LSH-bucket pair sample ([[lshEmbeddingNearDups]] at threshold
+    * −1) over a corpus fraction — the curve only needs relative
+    * densities, not the full pair set. */
+  def pairDensityCurve(spark: SparkSession, dir: String,
+      maxId: Long = 200): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cppm",
+        round(round(cosine(col("emb_a"), col("emb_b")), 6) * 1000000d, 0)
+          .cast("long"))
+      .withColumn("bin",
+        expr("(cppm div 50000) - (case when cppm % 50000 < 0" +
+          " then 1 else 0 end)"))
+      .groupBy((col("bin") * 50000L).as("bin_lo_ppm"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bin_lo_ppm"), col("n_pairs"))
+  }
+
   /** Scale path: near-dup pairs via LSH bucket join — only vectors in
     * the same bucket are compared (recall/threshold trade measured in
     * AnalyticsSpec with planted duplicates). */
