@@ -78,36 +78,122 @@ object CdcStream {
                 sum(col("s")).cast("decimal(38,0)").as("s"),
                 sum(col("ss")).cast("decimal(38,0)").as("ss"))
           } else partial
-        // state is tiny (one row per group): rewrite atomically via
-        // a collect-free staged overwrite into a temp dir + swap.
-        // Crash-safe ordering: the OLD state is renamed ASIDE (not
-        // deleted) before the new state is promoted, so no window
-        // exists where a crash leaves NO state on disk; the aside
-        // copy is removed only after a successful promote. Every
-        // rename is checked — a failed swap aborts the batch (and
-        // the checkpoint) instead of silently dropping the
-        // accumulated moments.
-        val tmp = stateDir + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        def rmr(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rmr)
-          f.delete(): Unit
-        }
-        val t = new java.io.File(tmp); val s0 = new java.io.File(stateDir)
-        val aside = new java.io.File(stateDir + ".old")
-        if (aside.exists()) rmr(aside) // leftover from a prior crash
-        if (s0.exists() && !s0.renameTo(aside))
-          throw new java.io.IOException(
-            s"incrementalMoments: failed to move $stateDir aside")
-        if (!t.renameTo(s0)) {
-          // roll the old state back so the next batch still sees it
-          if (aside.exists()) aside.renameTo(s0): Unit
-          throw new java.io.IOException(
-            s"incrementalMoments: failed to promote $tmp to $stateDir")
-        }
-        if (aside.exists()) rmr(aside)
+        promoteState(stateDir, merged)
     }
   }
+
+  /** Crash-safe state-table promotion shared by the foreachBatch
+    * twins: write the new state to `<stateDir>.next` (collect-free
+    * staged overwrite), rename the OLD state ASIDE (not deleted) so
+    * no window exists where a crash leaves NO state on disk, promote,
+    * then drop the aside copy. Every rename is checked — a failed
+    * swap aborts the batch (and the checkpoint) instead of silently
+    * dropping accumulated state. */
+  private[streaming] def promoteState(stateDir: String,
+      merged: DataFrame): Unit = {
+    val tmp = stateDir + ".next"
+    merged.write.mode("overwrite").parquet(tmp)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmr)
+      f.delete(): Unit
+    }
+    val t = new java.io.File(tmp); val s0 = new java.io.File(stateDir)
+    val aside = new java.io.File(stateDir + ".old")
+    if (aside.exists()) rmr(aside) // leftover from a prior crash
+    if (s0.exists() && !s0.renameTo(aside))
+      throw new java.io.IOException(
+        s"promoteState: failed to move $stateDir aside")
+    if (!t.renameTo(s0)) {
+      // roll the old state back so the next batch still sees it
+      if (aside.exists()) aside.renameTo(s0): Unit
+      throw new java.io.IOException(
+        s"promoteState: failed to promote $tmp to $stateDir")
+    }
+    if (aside.exists()) rmr(aside)
+  }
+
+  /** Streaming twin of the hourly gap-fill + LOCF
+    * (TimeSeries.gapFillLocf): each micro-batch advances a per-user
+    * (last_hour, last_sv) state and emits the FILLED hourly rows the
+    * batch op produces for the hours this batch completes — silent
+    * hours between the previous state and the batch's observations
+    * fill with the carried DECIMAL value, so chunking can never drift
+    * the fill (the carry is exactly the LOCF value at the previous
+    * chunk's last hour).
+    *
+    * In-order contract (the watermark analog, same as the chunked
+    * snapshot feed): per-user event time moves forward across
+    * micro-batches; rows at or before the user's state hour are LATE
+    * and dropped defensively. After the stream drains, the emitted
+    * union equals the batch gapFillLocf over the same events exactly
+    * (StreamingSpec).
+    *
+    * Scale shape: state is one row per user; each batch touches its
+    * own hourly aggregate plus the state join — nothing span-sized,
+    * nothing corpus-sized. */
+  def gapFillStream(events: DataFrame, outDir: String,
+      stateDir: String): DataStreamWriter[Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val hourly0 = batch.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
+            count(lit(1)).as("n_events"))
+        val prev =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir)
+          else spark.createDataFrame(
+            new java.util.ArrayList[Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("last_hour",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("last_sv",
+                org.apache.spark.sql.types.DataTypes
+                  .createDecimalType(18, 2)))))
+        // drop late rows (at or before the state hour) per contract
+        val hourly = hourly0.join(prev, Seq("user_id"), "left")
+          .filter(col("last_hour").isNull ||
+            col("hour") > col("last_hour"))
+          .select(col("user_id"), col("hour"), col("sv"), col("n_events"))
+        val bounds = hourly.groupBy(col("user_id"))
+          .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+          .join(prev, Seq("user_id"), "left")
+          .select(col("user_id"),
+            coalesce(col("last_hour") + expr("interval 1 hour"),
+              col("mn")).as("w0"),
+            col("mx"), col("last_sv"))
+        val spine = bounds.select(col("user_id"), col("last_sv"),
+          explode(sequence(col("w0"), col("mx"), expr("interval 1 hour")))
+            .as("hour"))
+        val locf = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // fill in DECIMAL (state must not round-trip through double)
+        val filled = spine.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(last(col("sv"), ignoreNulls = true).over(locf),
+              col("last_sv")).as("fill_dec"))
+          .persist()
+        filled.select(col("user_id"), col("hour"), col("n_events"),
+            col("fill_dec").cast("double").as("filled_value"))
+          .write.mode("append").parquet(outDir)
+        // advance state: users with new rows take (mx, fill at mx);
+        // untouched users keep their previous state row
+        val updates = filled
+          .join(bounds.select(col("user_id"), col("mx")), Seq("user_id"))
+          .filter(col("hour") === col("mx"))
+          .select(col("user_id"), col("hour").as("last_hour"),
+            col("fill_dec").as("last_sv"))
+        val newState = prev.join(updates.select(col("user_id")),
+            Seq("user_id"), "left_anti")
+          .unionByName(updates)
+        promoteState(stateDir, newState)
+        filled.unpersist(): Unit
+    }
 
   /** End-of-load delete reconciliation: old-snapshot rows whose key
     * never arrived in the stream, shaped exactly like the batch op's

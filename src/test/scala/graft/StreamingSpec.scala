@@ -237,6 +237,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming gap-fill state equals the batch LOCF fill") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"))
+    // stage as day-chunk files = micro-batches in event-time order
+    // (the in-order contract; day boundaries never split an hour)
+    val staged = Files.createTempDirectory("graft_gf_in").toString
+    val days = ev.select(date_trunc("day", col("ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+    days.foreach(d => ev.filter(date_trunc("day", col("ts")) === d)
+      .coalesce(1).write.mode("append").parquet(staged))
+    val outDir = Files.createTempDirectory("graft_gf_out").toString + "/o"
+    val stateDir = Files.createTempDirectory("graft_gf_st").toString + "/s"
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = CdcStream.gapFillStream(stream, outDir, stateDir).start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("hour")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("filled_value"))).toMap
+    val got = keyed(spark.read.parquet(outDir))
+    val want = keyed(graft.ops.TimeSeries.gapFillLocf(spark, sf))
+    assert(got.size == want.size,
+      s"row counts differ: stream ${got.size} batch ${want.size}")
+    assert(got == want, {
+      val bad = want.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k: batch=$v stream=${got.get(k)}" }.take(5)
+      s"first diffs: ${bad.mkString("; ")}"
+    })
+    // state landed on the last observed hour per user
+    val st = spark.read.parquet(stateDir)
+    assert(st.count() == ev.select("user_id").distinct().count())
+  }
+
   test("streaming incremental dedup equals the batch incremental dedup") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
