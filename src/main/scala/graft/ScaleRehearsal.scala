@@ -157,6 +157,28 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q119_substring_dedup", tSub, nSub)
       }
+      // q33 shape: exact dedup (sha2 groupBy — digests shuffle)
+      if (wanted("q33")) {
+        val (nEx, tEx) = timed(d
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies")).count())
+        report("q33_exact_dedup", tEx, nEx)
+      }
+      // q75 shape: fixed-chunk passage dedup (digest-keyed window)
+      if (wanted("q75")) {
+        val (nPa, tPa) = timed(Dedup.passageDedupDocs(d).count())
+        Dedup.unpersistCaches()
+        report("q75_passage_dedup", tPa, nPa)
+      }
+      // q120 shape: window novelty of a FIXED 1x ingest slice against
+      // the growing corpus (the corpus side is the scale variable)
+      if (wanted("q120")) {
+        val ingest = docsAt("1x").filter(col("doc_id") < 500)
+        val (nNo, tNo) = timed(Dedup.windowNovelty(ingest, d).count())
+        Dedup.unpersistCaches()
+        report("q120_window_novelty", tNo, nNo)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

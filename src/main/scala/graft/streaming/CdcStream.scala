@@ -126,7 +126,10 @@ object CdcStream {
     * micro-batches; rows at or before the user's state hour are LATE
     * and dropped defensively. After the stream drains, the emitted
     * union equals the batch gapFillLocf over the same events exactly
-    * (StreamingSpec).
+    * (StreamingSpec). The late-drop also makes a REPLAYED micro-batch
+    * a no-op (state already advanced past its hours — nothing emits,
+    * state unchanged), so a post-promote crash replay cannot
+    * double-fill.
     *
     * Scale shape: state is one row per user; each batch touches its
     * own hourly aggregate plus the state join — nothing span-sized,
