@@ -76,6 +76,17 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
   }
 
+  /** 10 user-offset event shards sharing the SAME calendar days —
+    * per-user structure identical, but every shared-day aggregate
+    * (concurrency sweeps, day-keyed overlap joins) sees 10x load. */
+  def events10x(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    (0 until 10).map { sh =>
+      base.select((col("user_id") + lit(sh * 10000000L)).as("user_id"),
+        col("ts"))
+    }.reduce(_ unionAll _)
+  }
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -89,6 +100,10 @@ object ScaleRehearsal {
       .appName("graft-scale-rehearsal")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS); Tables.events does the µs
+      // conversion under this flag (the CLAUDE.md events rule)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -110,6 +125,9 @@ object ScaleRehearsal {
     if (!new java.io.File(s"$out/embeddings.parquet").exists())
       embeddings10x(spark, dir).write.mode("overwrite")
         .parquet(s"$out/embeddings.parquet")
+    if (!new java.io.File(s"$out/events.parquet").exists())
+      events10x(spark, dir).write.mode("overwrite")
+        .parquet(s"$out/events.parquet")
 
     def docsAt(scale: String): DataFrame =
       if (scale == "1x") Tables.documents(spark, dir)
@@ -119,6 +137,10 @@ object ScaleRehearsal {
       if (scale == "1x") Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       else spark.read.parquet(s"$out/embeddings.parquet")
+    def evAt(scale: String): DataFrame =
+      if (scale == "1x") Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"))
+      else spark.read.parquet(s"$out/events.parquet")
 
     // an unreported 1x warmup pass first: JIT/codegen warmup otherwise
     // lands entirely on the 1x numbers and flatters every 10x ratio
@@ -178,6 +200,18 @@ object ScaleRehearsal {
         val (nNo, tNo) = timed(Dedup.windowNovelty(ingest, d).count())
         Dedup.unpersistCaches()
         report("q120_window_novelty", tNo, nNo)
+      }
+      // q88 shape: sessionize + day-partitioned concurrency sweep.
+      // The 10x events share the SAME calendar days across 10x users,
+      // so each day's sweep partition holds 10x the points — the
+      // single-partition-per-day sort is exactly the structure to
+      // stress
+      if (wanted("q88")) {
+        val ev = evAt(scale)
+        val (nCc, tCc) = timed(graft.ops.TimeSeries
+          .dailyConcurrencyOf(
+            graft.ops.TimeSeries.sessionIntervalsOf(ev)).count())
+        report("q88_concurrency", tCc, nCc)
       }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the

@@ -100,8 +100,11 @@ object TimeSeries {
   /** 30-minute-gap sessions as [start, last event + 30 min) intervals
     * — the same session_window semantics as Events.sessions. */
   private def sessionIntervals(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+    sessionIntervalsOf(Tables.events(spark, dir))
+
+  /** Same, over any (user_id, ts) event frame. */
+  def sessionIntervalsOf(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"))
 
@@ -280,9 +283,20 @@ object TimeSeries {
     * starts (ORDER BY t, delta) — back-to-back sessions never count
     * as overlapping. The per-day MAX of the running count is
     * insensitive to tie order within equal (t, delta) groups, which
-    * is what makes it oracle-safe. */
-  def dailyConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val segs = sessionIntervals(spark, dir)
+    * is what makes it oracle-safe.
+    *
+    * Scale note: the sweep sorts one partition PER DAY — measured
+    * fine at 10x shared-day load (0.62 → 1.45 s, BASELINE.md r5); a
+    * day holding billions of points would want the hierarchical form
+    * (net deltas pre-aggregated per (day, bucket), prefix-summed
+    * across buckets, sweep within) — same answer, bounded partitions. */
+  def dailyConcurrency(spark: SparkSession, dir: String): DataFrame =
+    dailyConcurrencyOf(sessionIntervals(spark, dir))
+
+  /** Core of q88 over any (s_start, s_end) interval table — exposed
+    * so the scale rehearsal can drive it with a 10x session load. */
+  def dailyConcurrencyOf(intervals: DataFrame): DataFrame = {
+    val segs = intervals
       .select(col("s_start"), col("s_end"),
         explode(sequence(date_trunc("day", col("s_start")),
           date_trunc("day", col("s_end")), expr("interval 1 day"))).as("day"))
