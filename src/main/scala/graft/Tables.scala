@@ -26,19 +26,33 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by Verify/Bench/tests) it surfaces as a nanos-since-epoch
-    * long, converted here to a microsecond timestamp. Integer `div`
-    * keeps the full 63-bit range (a double division would lose
-    * precision above 2^53); the generated data has no sub-µs residue
-    * so the truncation is lossless. */
+  /** events.ts has shipped in three parquet encodings across testdata
+    * generations, all normalized HERE (the one loader seam — see
+    * LoaderSchemaSpec) to a session-TZ TIMESTAMP in microseconds:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it natively; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    Verify/Bench/tests) it surfaces as a nanos-since-epoch long,
+    *    converted via integer `div` (a double division would lose
+    *    precision above 2^53; the data has no sub-µs residue so the
+    *    truncation is lossless).
+    *  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+    *    TIMESTAMP. Every entry-point session pins
+    *    spark.sql.session.timeZone=UTC, so the cast reinterprets the
+    *    wall-clock fields as the same UTC instant the generator wrote,
+    *    and `unix_micros`/DuckDB `epoch_us` stay aligned.
+    *  - timestamp[us] adjusted (LTZ): already TIMESTAMP, no-op. */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
