@@ -297,4 +297,17 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("sanitizeEvents parses props exactly once (q31 plan pin)") {
+    // Both k_val and props_canonical derive from one shared from_json
+    // struct; CollapseProject must NOT inline it into both consumers
+    // (it refuses to duplicate non-cheap expressions), or the JSON
+    // parse — the dominant cost of q31 — runs twice per row.
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    val df = graft.etl.Sanitize.sanitizeEvents(Tables.events(spark, sf))
+      .select("event_id", "k_val", "props_canonical", "value")
+    val n = df.queryExecution.optimizedPlan.map(p =>
+      p.expressions.map(_.collect { case j: JsonToStructs => j }.size).sum).sum
+    assert(n == 1, s"expected 1 JsonToStructs in the optimized plan, got $n")
+  }
 }
