@@ -63,11 +63,40 @@ object Tables {
     * is why both writes share this constant. */
   val FactBuckets = 8
 
-  // one bucketed layout per (root, dir) per JVM, like Ivf.persistedIndex;
-  // the on-disk name is a SHA-256 prefix of the dir (hashCode collisions
-  // would cross-contaminate two corpora's layouts)
+  // one bucketed layout per (root, dir, source fingerprint) per JVM,
+  // like Ivf.persistedIndex; the on-disk name is a SHA-256 prefix so
+  // hashCode collisions can't cross-contaminate two corpora's layouts
   private val bucketedNames =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Fingerprint of a table's source files — total byte length plus
+    * max modification time. Folded into the bucketed-layout digest so
+    * a REGENERATED corpus at the SAME path forces a fresh build: a
+    * digest keyed on the path alone would silently keep joining stale
+    * facts after the testdata changes under it (it did — round 5's
+    * regen). Local java.nio walk; on a cluster store this becomes one
+    * `FileSystem.listStatus` over the table directory yielding the
+    * same two numbers. */
+  private[graft] def sourceFingerprint(dir: String, tables: Seq[String])
+      : String = {
+    import java.nio.file.{Files, Paths}
+    tables.map { t =>
+      val p = Paths.get(dir, s"$t.parquet")
+      if (!Files.exists(p)) s"$t:absent"
+      else {
+        var len = 0L
+        var mtime = 0L
+        val it = Files.walk(p)
+        try it.forEach { q =>
+          if (Files.isRegularFile(q)) {
+            len += Files.size(q)
+            mtime = math.max(mtime, Files.getLastModifiedTime(q).toMillis)
+          }
+        } finally it.close()
+        s"$t:$len:$mtime"
+      }
+    }.mkString(",")
+  }
 
   /** The bucketed fact-table layout: lineitem and orders both written
     * `bucketBy(FactBuckets, orderkey)` + sorted within buckets, so a
@@ -83,7 +112,8 @@ object Tables {
       root: String = sys.props("java.io.tmpdir") + "/graft_buckets")
       : (DataFrame, DataFrame) =
     bucketedPair(spark, dir, root, "ok",
-      ("li", lineitem _, "l_orderkey"), ("o", orders _, "o_orderkey"))
+      ("li", "lineitem", lineitem _, "l_orderkey"),
+      ("o", "orders", orders _, "o_orderkey"))
 
   /** Second co-located layout, keyed by CUSTOMER: orders and customer
     * both bucketed by the custkey, so customer-grain joins (the
@@ -95,30 +125,38 @@ object Tables {
       root: String = sys.props("java.io.tmpdir") + "/graft_buckets")
       : (DataFrame, DataFrame) =
     bucketedPair(spark, dir, root, "ck",
-      ("c", customer _, "c_custkey"), ("ob", orders _, "o_custkey"))
+      ("c", "customer", customer _, "c_custkey"),
+      ("ob", "orders", orders _, "o_custkey"))
 
   private def bucketedPair(spark: SparkSession, dir: String, root: String,
       tag: String,
-      a: (String, (SparkSession, String) => DataFrame, String),
-      b: (String, (SparkSession, String) => DataFrame, String))
+      a: (String, String, (SparkSession, String) => DataFrame, String),
+      b: (String, String, (SparkSession, String) => DataFrame, String))
       : (DataFrame, DataFrame) = {
-    val (aName, bName) = bucketedNames.computeIfAbsent(s"$root|$dir|$tag", _ => {
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(s"$root|$dir".getBytes("UTF-8")).take(8)
-        .map(x => f"${x & 0xff}%02x").mkString
-      (s"${a._1}_bucketed_${tag}_$digest", s"${b._1}_bucketed_${tag}_$digest")
-    })
+    // the fingerprint participates in BOTH the per-JVM cache key and
+    // the on-disk digest: regenerated source parquet → new digest →
+    // new table name → rebuild (stale layouts are left behind under
+    // the old digest, bounded by the number of regens)
+    val fp = sourceFingerprint(dir, Seq(a._2, b._2))
+    val (aName, bName) = bucketedNames.computeIfAbsent(s"$root|$dir|$tag|$fp",
+      _ => {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$root|$dir|$fp".getBytes("UTF-8")).take(8)
+          .map(x => f"${x & 0xff}%02x").mkString
+        (s"${a._1}_bucketed_${tag}_$digest", s"${b._1}_bucketed_${tag}_$digest")
+      })
     // guard on BOTH tables: a build interrupted between the two writes
     // must retry on the next call, not take the fast path into a
     // missing-second-table AnalysisException forever
     if (!spark.catalog.tableExists(aName) ||
         !spark.catalog.tableExists(bName)) {
       val digest = aName.split('_').last
-      Seq((aName, a), (bName, b)).foreach { case (name, (short, load, key)) =>
-        load(spark, dir).write.mode("overwrite")
-          .bucketBy(FactBuckets, key).sortBy(key)
-          .option("path", s"$root/$digest/${tag}_$short")
-          .saveAsTable(name)
+      Seq((aName, a), (bName, b)).foreach {
+        case (name, (short, _, load, key)) =>
+          load(spark, dir).write.mode("overwrite")
+            .bucketBy(FactBuckets, key).sortBy(key)
+            .option("path", s"$root/$digest/${tag}_$short")
+            .saveAsTable(name)
       }
     }
     (spark.table(aName), spark.table(bName))

@@ -82,9 +82,14 @@ object Ivf {
     * distributed FS on a cluster). */
   def persistedIndex(spark: SparkSession, dir: String,
       indexRoot: String = sys.props("java.io.tmpdir") + "/graft_ivf"): Index = {
-    val path = indexPaths.computeIfAbsent(s"$indexRoot|$dir", _ => {
+    // the source fingerprint (length+mtime) is part of the digest so a
+    // corpus regenerated at the same path rebuilds instead of reading
+    // a stale on-disk index from a prior JVM (same guard as
+    // Tables.bucketedPair — round 5's in-place testdata regen)
+    val fp = Tables.sourceFingerprint(dir, Seq("embeddings"))
+    val path = indexPaths.computeIfAbsent(s"$indexRoot|$dir|$fp", _ => {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(8)
+        .digest(s"$dir|$fp".getBytes("UTF-8")).take(8)
         .map(b => f"${b & 0xff}%02x").mkString
       val p = s"$indexRoot/$digest"
       writeIndex(build(Tables.embeddings(spark, dir), fitFraction = 0.25), p)

@@ -123,4 +123,43 @@ class BucketingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("bucketed layout rebuilds when the source corpus is regenerated in place") {
+    // round-5 lesson: the driver regenerated the testdata at the SAME
+    // path, and a layout digest keyed on the path alone kept serving
+    // the STALE facts. The digest now folds in a source fingerprint
+    // (byte length + mtime), so an in-place regen must produce a new
+    // layout whose row count tracks the new data.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val corpus = Files.createTempDirectory("graft_regen").toString
+    val root = Files.createTempDirectory("graft_regen_buckets").toString
+    def cp(t: String): Unit = Files.copy(
+      Paths.get(sf, s"$t.parquet"), Paths.get(corpus, s"$t.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      cp("lineitem"); cp("orders")
+      val (li1, _) = Tables.bucketedFacts(spark, corpus, root)
+      val n1 = li1.count()
+      assert(n1 == Tables.lineitem(spark, sf).count())
+      // regenerate in place: half the lineitem rows, same path
+      val half = Tables.lineitem(spark, sf)
+        .filter(col("l_orderkey") % 2 === 0)
+      val staged = s"$corpus/_staged"
+      half.coalesce(1).write.mode("overwrite").parquet(staged)
+      Files.delete(Paths.get(corpus, "lineitem.parquet"))
+      val part = Files.list(Paths.get(staged)).iterator()
+      var moved = false
+      while (part.hasNext) {
+        val f = part.next()
+        if (f.toString.endsWith(".parquet") && !moved) {
+          Files.move(f, Paths.get(corpus, "lineitem.parquet")); moved = true
+        }
+      }
+      assert(moved, "no staged parquet part to promote")
+      val (li2, o2) = Tables.bucketedFacts(spark, corpus, root)
+      assert(li2.count() == half.count(),
+        "regenerated corpus still served the stale bucketed layout")
+      assert(o2.count() == Tables.orders(spark, sf).count())
+    } finally { rmTree(corpus); rmTree(root) }
+  }
 }
