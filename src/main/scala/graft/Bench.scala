@@ -61,11 +61,17 @@ object Bench {
     val names = queries.keys.toSeq
     val samples = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // a run that throws contributes an ERROR mark, not a timing: a
+    // fail-fast exception (round 5: 0.05 s DATATYPE_MISMATCH entries)
+    // would otherwise read as the suite's fastest "queries" and mask
+    // breakage as speed (ADVICE r5)
+    val errors = collection.mutable.Map[String, Int]().withDefaultValue(0)
     for (_ <- 1 to runs) {
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        val ok = try { materialize(fn(spark, sfDir)); true }
+          catch { case _: Throwable => errors(name) += 1; false }
+        if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
         // each dedup/setsim/MAD call pins intra-query caches; release
         // AFTER the timed sample so the next query (and the next run
         // of this one) starts with a clean 4 GB heap — 139 queries of
@@ -84,10 +90,17 @@ object Bench {
     val min = names.map(n => n -> (if (samples(n).isEmpty) 0.0 else samples(n).min))
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // failed queries: zero successful runs → excluded from the totals
+    // (they contribute no timing) and listed explicitly
+    val failed = names.filter(n => samples(n).isEmpty && errors(n) > 0)
+    val errObj = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${med.map(_._2).sum},"unit":"sec","runs":$runs,""" +
         s""""total_min":${min.map(_._2).sum},"queries":${obj(med)},""" +
-        s""""queries_min":${obj(min)},"sf":"$sfDir"}"""
+        s""""queries_min":${obj(min)},"n_ok":${names.size - failed.size},""" +
+        s""""failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""errors":$errObj,"sf":"$sfDir"}"""
     // atomic self-contained copy: temp + rename can't leave a torn tail
     val out = java.nio.file.Paths.get("bench_out.json")
     val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
@@ -112,7 +125,8 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"per_query_ms","n":${names.size},"q":$compact}""")
     println(s"""{"metric":"total","value":${med.map(_._2).sum},"unit":"sec",""" +
-      s""""total_min":${min.map(_._2).sum},"n":${names.size},"runs":$runs,"sf":"$sfDir"}""")
+      s""""total_min":${min.map(_._2).sum},"n":${names.size},""" +
+      s""""n_failed":${failed.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

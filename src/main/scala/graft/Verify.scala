@@ -25,10 +25,17 @@ object Verify {
         SparkEntry.queries.filter { case (n, _) => ks.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // a query that throws must leave a VISIBLE artifact, not a silent
+    // hole: round 5's seven failures surfaced only as absent rows in
+    // the driver's correctness file (ADVICE r5) — failures.json names
+    // every failed query with its error, and is written even when
+    // empty so "no file" can't be confused with "no failures"
+    val failures = collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = String.valueOf(e.getMessage).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       graft.ops.Dedup.unpersistCaches()
@@ -48,6 +55,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // exit 0 even on failures: the driver must still run its DuckDB
+    // compare over the queries that DID dump (round 5 proved it
+    // handles partial dumps); the failure signal is failures.json +
+    // the stderr line, not the exit code
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size}/${selected.size} queries FAILED: " +
+          failures.keys.mkString(", "))
     spark.stop()
   }
 }
