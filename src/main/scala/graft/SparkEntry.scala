@@ -192,6 +192,8 @@ object SparkEntry {
       TimeSeries.gapFillLocfCapped(s, d)),
     "q144_pair_density"     -> ((s: SparkSession, d: String) =>
       Similarity.pairDensityCurve(s, d)),
+    "q145_semantic_dedup"   -> ((s: SparkSession, d: String) =>
+      Ivf.semanticDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2429,6 +2431,7 @@ object SparkEntry {
           |  COUNT(*) AS n_pairs
           |FROM p GROUP BY 1
           |ORDER BY bin_lo_ppm, n_pairs""".stripMargin,
+      "q145_semantic_dedup" -> Ivf.semanticDedupOracleSql(),
     )
   }
 }

@@ -293,6 +293,99 @@ object Ivf {
        |FROM afin GROUP BY cell
        |ORDER BY cell, n_vecs, min_vec_id""".stripMargin
 
+  /** SemDeDup-style semantic dedup (q145): cluster embeddings, then
+    * prune within each cluster — a document whose embedding has a
+    * LOWER-id cluster-mate at cosine ≥ τ is dropped; the lowest id in
+    * every ε-ball survives (greedy keep-first, the deterministic
+    * variant of the paper's per-cluster pruning; SemDeDup, Abbas et
+    * al. 2023, arXiv:2303.09540). The cluster stage IS the reused
+    * [[deterministicIndex]] (integer-Lloyd, zero float ambiguity), so
+    * pair generation is within-cell only — never all-pairs — and the
+    * whole op replays bit-exactly in DuckDB: cosine rounds to 6
+    * decimals then scales to integer ppm BEFORE the threshold compare
+    * (the q144 discipline), so no boundary decision rides a float.
+    *
+    * τ defaults to 0.40 ppm-scaled: the synthetic corpus has no true
+    * near-dup embeddings (max pair cosine ≈ 0.51 at sf0.01 — measured
+    * via the q144 density curve), so a production-style 0.95 would
+    * never exercise the drop path; 0.40 yields a small planted-free
+    * drop set at every SF. On real embeddings τ is the calibrated
+    * knob (paper uses ~0.95) and the q144 curve is the pre-flight
+    * that picks it.
+    *
+    * Scale shape: one cell-keyed self-join (cells are the blocking
+    * unit — pair count is Σ|cell|², never N²), one keyed min-aggregate
+    * for survivors, one left join back. At 100 TB, k grows ∝ N to
+    * bound |cell| (the production ML-KMeans index with its
+    * cell-partitioned layout — [[persistedIndex]] — plays the same
+    * role; SemDeDupSpec proves the prune on planted duplicates there),
+    * and skewed mega-cells get the same star-guard treatment as LSH
+    * buckets (Dedup.lshCandidatePairs). */
+  def semanticDedup(spark: SparkSession, dir: String,
+      tauPpm: Long = 400000L): DataFrame = {
+    val idx = deterministicIndex(spark, dir)
+    val withEmb = idx.assigned
+      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    semanticDedupOn(withEmb, tauPpm)
+      .orderBy(col("vec_id"), col("cell"), col("kept"), col("dup_of"),
+        col("max_cos_ppm"))
+  }
+
+  /** DuckDB oracle for [[semanticDedup]]: replay the integer-Lloyd
+    * build, brute-force the within-cell pairs, apply the identical
+    * ppm threshold. Nullable output columns order NULLS FIRST to
+    * match Spark's asc default. */
+  def semanticDedupOracleSql(k: Int = 8, iters: Int = 2,
+      tauPpm: Long = 400000L): String = {
+    val cos =
+      """LIST_INNER_PRODUCT(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+        |      (SQRT(LIST_INNER_PRODUCT(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+        |       SQRT(LIST_INNER_PRODUCT(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))""".stripMargin
+    s"""WITH ${buildCtes(k, iters)},
+       |pairs AS (
+       |  SELECT fa.vec_id AS a_id, fb.vec_id AS b_id,
+       |    CAST(ROUND(ROUND($cos, 6) * 1000000) AS BIGINT) AS cppm
+       |  FROM afin fa JOIN afin fb
+       |    ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = fa.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = fb.vec_id),
+       |dropped AS (
+       |  SELECT b_id, CAST(MIN(a_id) AS BIGINT) AS dup_of,
+       |    CAST(MAX(cppm) AS BIGINT) AS max_cos_ppm
+       |  FROM pairs WHERE cppm >= $tauPpm GROUP BY b_id)
+       |SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+       |  d.b_id IS NULL AS kept, d.dup_of, d.max_cos_ppm
+       |FROM afin f LEFT JOIN dropped d ON f.vec_id = d.b_id
+       |ORDER BY f.vec_id, cell, kept, dup_of NULLS FIRST,
+       |  max_cos_ppm NULLS FIRST""".stripMargin
+  }
+
+  /** Production-shape semantic dedup over an arbitrary embedding frame:
+    * same cluster-then-prune, but cells come from the caller (the
+    * ML-KMeans [[persistedIndex]] assignment at corpus scale, where k
+    * grows with N). No oracle — k-means|| init is not replayable —
+    * so SemDeDupSpec proves the prune semantics on planted
+    * duplicates. */
+  def semanticDedupOn(assigned: DataFrame, tauPpm: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val dropped = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cppm",
+        round(round(Similarity.cosine(col("a_emb"), col("b_emb")), 6)
+          * 1000000d, 0).cast("long"))
+      .filter(col("cppm") >= tauPpm)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), max(col("cppm")).as("max_cos_ppm"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("max_cos_ppm"))
+  }
+
   /** DuckDB oracle replaying [[deterministicIndex]] + [[deterministicSearch]]
     * end-to-end: seeds → `iters` unrolled Lloyd rounds (assignment by
     * exact integer distance with cell tie-break, means re-rounded to

@@ -32,10 +32,16 @@ object TimeSeries {
     * spine hour per user is observed by construction (the span starts
     * at an observed min), so `filled_value` is never NULL.
     *
-    * Scale note: the spine is bounded by span×users — fine for
-    * event-shaped data (spans of days–months); a years-long span over
-    * a mostly-silent key would amplify rows ~10^4×, and the fix there
-    * is a coarser grain or capping the spine at the last K hours. */
+    * ROLE: this (q87) is the ORACLE EXEMPLAR of the fill — the
+    * simplest whole-span form, kept because its DuckDB replay is the
+    * cleanest correctness anchor for LOCF semantics. It is NOT the
+    * production shape: the spine is span×users, and a years-long span
+    * over a mostly-silent key amplifies rows ~10^4×. Production runs
+    * [[gapFillLocfCapped]] (q143), whose trailing-window spine is
+    * bounded at users×capHours and whose fills are proven identical
+    * to this one inside the window (TimeSeriesSpec). If this query's
+    * bench cost ever grows with the data's time span, cap it — the
+    * capped twin is the shape that survives 100 TB. */
   def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
     val h = hourly(spark, dir)
     val spine = h.groupBy(col("user_id"))

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Ivf
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (cluster-then-prune semantic dedup) — q145 is the
+  * oracle-checked deterministic form; these specs prove the prune
+  * SEMANTICS on planted duplicates and the production path over
+  * ML-KMeans cells (whose init no oracle can replay). */
+class SemDeDupSpec extends SparkSpec {
+
+  test("planted duplicate cluster keeps exactly the lowest id") {
+    import spark.implicits._
+    // cell 0: ids 10/11/12 are the SAME vector (mutual cos 1.0) and
+    // id 13 is orthogonal; cell 1: two near-identical vectors. The
+    // greedy keep-first rule must keep 10 (lowest of the ε-ball),
+    // drop 11 and 12 with dup_of=10, keep 13 (below τ to everything),
+    // and keep 20 / drop 21 in cell 1.
+    val v = Array.fill(64)(0.1f); v(0) = 1.0f
+    val w = Array.fill(64)(0.0f); w(1) = 1.0f            // ~orthogonal to v
+    val u = Array.fill(64)(0.1f); u(0) = 0.99f           // near-dup of v
+    val rows = Seq(
+      (10L, 0L, v), (11L, 0L, v), (12L, 0L, v), (13L, 0L, w),
+      (20L, 1L, v), (21L, 1L, u))
+      .toDF("vec_id", "cell", "embedding")
+    val out = Ivf.semanticDedupOn(rows, tauPpm = 950000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(10L) == ((true, -1L)))
+    assert(out(11L) == ((false, 10L)))
+    assert(out(12L) == ((false, 10L)))
+    assert(out(13L) == ((true, -1L)))
+    assert(out(20L) == ((true, -1L)))
+    assert(out(21L) == ((false, 20L)))
+  }
+
+  test("cross-cell near-dups are NOT pruned (blocking is per cell)") {
+    import spark.implicits._
+    val v = Array.fill(64)(0.5f)
+    val rows = Seq((1L, 0L, v), (2L, 1L, v)).toDF("vec_id", "cell", "embedding")
+    val out = Ivf.semanticDedupOn(rows, tauPpm = 950000L).collect()
+    assert(out.forall(_.getBoolean(2)),
+      "identical vectors in different cells must both survive — " +
+        "cell assignment is the recall boundary, as in LSH banding")
+  }
+
+  test("production path: ML-KMeans cells drop a planted duplicate pair") {
+    // append two identical synthetic vectors to the corpus; whatever
+    // cell k-means puts them in, they share it (identical input ⇒
+    // identical assignment), so the higher id must be dropped
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val planted = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val extra = Seq((maxId + 1, planted), (maxId + 2, planted))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding").union(extra)
+    val assigned = Ivf.build(corpus, k = 8).assigned
+      .select($"vec_id", $"cell", $"embedding")
+    val out = Ivf.semanticDedupOn(assigned, tauPpm = 999000L)
+      .filter($"vec_id" > maxId).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(maxId + 1), "lower planted id must be kept")
+    assert(!out(maxId + 2), "higher planted id must be dropped")
+  }
+
+  test("q145 registered form: deterministic cells, ppm threshold, stable order") {
+    val out = Ivf.semanticDedup(spark, sf, tauPpm = 400000L)
+    val rows = out.collect()
+    assert(rows.length ==
+      Tables.embeddings(spark, sf).count(), "one row per vector")
+    // every drop names a lower-id survivor in the same data
+    val dropped = rows.filter(!_.getBoolean(2))
+    dropped.foreach { r =>
+      assert(r.getLong(3) < r.getLong(0), "dup_of must be a lower id")
+      assert(r.getLong(4) >= 400000L, "recorded sim must clear τ")
+    }
+  }
+}
