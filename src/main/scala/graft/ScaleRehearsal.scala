@@ -118,16 +118,25 @@ object ScaleRehearsal {
       onlyOps.forall(_.exists(name.startsWith))
     // materialize the 10x corpora ONCE as parquet so generation cost
     // never pollutes the operator timings (a real 10x corpus is read,
-    // not synthesized)
-    if (!new java.io.File(s"$out/documents.parquet").exists())
+    // not synthesized); the source fingerprint marker invalidates the
+    // cache when the testdata is regenerated in place (same guard as
+    // Tables.bucketedPair — a stale 10x corpus would silently measure
+    // last round's data)
+    val fpFile = java.nio.file.Paths.get(s"$out/.source_fingerprint")
+    val fp = Tables.sourceFingerprint(dir,
+      Seq("documents", "embeddings", "events"))
+    val fresh = java.nio.file.Files.exists(fpFile) &&
+      java.nio.file.Files.readString(fpFile) == fp
+    if (!fresh) {
       docs10x(spark, dir).write.mode("overwrite")
         .parquet(s"$out/documents.parquet")
-    if (!new java.io.File(s"$out/embeddings.parquet").exists())
       embeddings10x(spark, dir).write.mode("overwrite")
         .parquet(s"$out/embeddings.parquet")
-    if (!new java.io.File(s"$out/events.parquet").exists())
       events10x(spark, dir).write.mode("overwrite")
         .parquet(s"$out/events.parquet")
+      java.nio.file.Files.createDirectories(fpFile.getParent)
+      java.nio.file.Files.writeString(fpFile, fp)
+    }
 
     def docsAt(scale: String): DataFrame =
       if (scale == "1x") Tables.documents(spark, dir)
@@ -212,6 +221,24 @@ object ScaleRehearsal {
           .dailyConcurrencyOf(
             graft.ops.TimeSeries.sessionIntervalsOf(ev)).count())
         report("q88_concurrency", tCc, nCc)
+      }
+      // q145 shape: SemDeDup cluster-then-prune. Two contrasting
+      // points at 10x: FIXED k (cells grow 10x, pair work ~100x — the
+      // anti-pattern) vs k SCALED with N (cell size constant, pair
+      // work ~10x — the production rule "k grows with the corpus").
+      if (wanted("q145")) {
+        val e = embAt(scale)
+        val kFixed = 8
+        val kScaled = if (scale == "1x") 8 else 80
+        for ((label, k) <- Seq(("k_fixed", kFixed), ("k_scaled", kScaled))
+             if scale == "10x" || label == "k_fixed") {
+          val assigned = graft.ops.Ivf.build(e, k = k).assigned
+            .select(col("vec_id"), col("cell"), col("embedding"))
+          val (nSd, tSd) = timed(
+            graft.ops.Ivf.semanticDedupOn(assigned, 400000L)
+              .filter(!col("kept")).count())
+          report(s"q145_semdedup_$label", tSd, nSd)
+        }
       }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the

@@ -194,6 +194,8 @@ object SparkEntry {
       Similarity.pairDensityCurve(s, d)),
     "q145_semantic_dedup"   -> ((s: SparkSession, d: String) =>
       Ivf.semanticDedup(s, d)),
+    "q146_dsir_select"      -> ((s: SparkSession, d: String) =>
+      Sampling.dsirAffinitySelect(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2432,6 +2434,7 @@ object SparkEntry {
           |FROM p GROUP BY 1
           |ORDER BY bin_lo_ppm, n_pairs""".stripMargin,
       "q145_semantic_dedup" -> Ivf.semanticDedupOracleSql(),
+      "q146_dsir_select" -> HashSql.dsirOracle(),
     )
   }
 }

@@ -274,4 +274,46 @@ object HashSql {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 6) >= $minJaccard
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT $limit""".stripMargin
+
+  /** q146: replay [[Sampling.dsirAffinitySelect]] — FNV unigram+bigram
+    * features into low-bit buckets (unsigned % B == Spark's signed
+    * pmod for power-of-two B), integer-ppm rate difference kernel,
+    * top-permille rank selection. */
+  def dsirOracle(buckets: Int = 1024, topPermille: Int = 100): String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents),
+       |feat AS (
+       |  SELECT doc_id, source, unnest(list_concat(sp,
+       |    CASE WHEN len(sp) < 2 THEN []::VARCHAR[]
+       |         ELSE [sp[i] || ' ' || sp[i+1] FOR i IN range(1, len(sp))]
+       |    END)) AS t
+       |  FROM sp),
+       |fh AS (
+       |  SELECT doc_id, source,
+       |    ${fnvReduce("[ascii(substr(t, i, 1))::HUGEINT FOR i IN range(1, length(t)+1)]")}
+       |      % $buckets AS b
+       |  FROM feat),
+       |kt AS (SELECT b, COUNT(*) AS k FROM fh WHERE source = 'src0' GROUP BY b),
+       |nt AS (SELECT SUM(k) AS n FROM kt),
+       |kr AS (SELECT b, COUNT(*) AS k FROM fh WHERE source <> 'src0' GROUP BY b),
+       |nr AS (SELECT SUM(k) AS n FROM kr),
+       |pt AS (SELECT b, k * 1000000 // (SELECT n FROM nt) AS p FROM kt),
+       |pr AS (SELECT b, k * 1000000 // (SELECT n FROM nr) AS p FROM kr),
+       |diff AS (
+       |  SELECT pr.b, COALESCE(pt.p, 0) - pr.p AS d
+       |  FROM pr LEFT JOIN pt USING (b)),
+       |dc AS (
+       |  SELECT doc_id, b, COUNT(*) AS c FROM fh
+       |  WHERE source <> 'src0' GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |    CAST(SUM(c * d) AS BIGINT) AS score
+       |  FROM dc JOIN diff USING (b) GROUP BY doc_id),
+       |nd AS (SELECT COUNT(*) AS nd FROM sc),
+       |r AS (
+       |  SELECT doc_id, n_feats, score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |SELECT doc_id, n_feats, score,
+       |  rk <= (SELECT nd * $topPermille // 1000 FROM nd) AS sel
+       |FROM r ORDER BY doc_id, n_feats, score, sel""".stripMargin
 }

@@ -361,6 +361,61 @@ object Ivf {
        |  max_cos_ppm NULLS FIRST""".stripMargin
   }
 
+  /** Assign an arbitrary (vec_id, embedding) frame to a FIXED centroid
+    * set (micro-unit quantization + exact integer argmin, cell id
+    * tie-break — the same rule the build uses). The incremental /
+    * streaming entry point: new vectors route to existing cells
+    * without refitting, exactly how a production IVF index absorbs
+    * an ingest batch between rebuilds. */
+  def assignToCells(frame: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame =
+    frame.withColumn("x", muCol)
+      .withColumn("cell", assignCol(cents))
+      .drop("x")
+
+  /** Incremental corpus-vs-batch semantic dedup: batch vectors route
+    * to the CORPUS index's cells, then a batch vector is dropped if
+    * its cell holds a corpus vector at cosine ≥ τ (corpus always
+    * wins — it is already kept data) or a lower-id batch-mate at
+    * cosine ≥ τ (in-batch first-win). The embedding-space analogue of
+    * [[graft.ops.Dedup.incrementalDedup]]'s corpus-anti-join +
+    * in-batch-first-win, and the same greedy rule as
+    * [[semanticDedupOn]]: SemDeDupSpec proves batch verdicts equal a
+    * full run over corpus ∪ batch under the same cell assignment.
+    *
+    * Scale shape: centroids are driver state (O(k·64)); both prune
+    * joins are cell-keyed; the corpus side reads the persisted
+    * assignment — nothing refits, nothing is all-pairs. */
+  def semanticDedupIncremental(spark: SparkSession, dir: String,
+      batch: DataFrame, tauPpm: Long = 400000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = deterministicIndex(spark, dir)
+    val b = assignToCells(
+      batch.select(col("vec_id"), col("embedding")), idx.centroids)
+    val corpus = idx.assigned
+      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"))
+    def cppm(a: Column, bc: Column): Column =
+      round(round(Similarity.cosine(a, bc), 6) * 1000000d, 0).cast("long")
+    val vsCorpus = b.join(corpus, Seq("cell"))
+      .filter(cppm(col("embedding"), col("c_emb")) >= tauPpm)
+      .groupBy(col("vec_id")).agg(min(col("c_id")).as("dup_of_corpus"))
+    val lower = b.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val vsBatch = b.join(lower, Seq("cell"))
+      .filter(col("b_id") < col("vec_id") &&
+        cppm(col("embedding"), col("b_emb")) >= tauPpm)
+      .groupBy(col("vec_id")).agg(min(col("b_id")).as("dup_of_batch"))
+    b.select(col("vec_id"), col("cell"))
+      .join(vsCorpus, Seq("vec_id"), "left")
+      .join(vsBatch, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (col("dup_of_corpus").isNull && col("dup_of_batch").isNull)
+          .as("kept"),
+        col("dup_of_corpus"), col("dup_of_batch"))
+  }
+
   /** Production-shape semantic dedup over an arbitrary embedding frame:
     * same cluster-then-prune, but cells come from the caller (the
     * ML-KMeans [[persistedIndex]] assignment at corpus scale, where k

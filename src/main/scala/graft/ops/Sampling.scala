@@ -131,4 +131,80 @@ object Sampling {
     df.withColumn("pick_rank", row_number().over(w))
       .filter(col("pick_rank") <= cap)
   }
+
+  /** DSIR-style target-affinity data selection (q146): score every
+    * RAW document by how much its hashed n-gram profile looks like
+    * the TARGET distribution, keep the top share. The shape follows
+    * Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) — hashed unigram+bigram features into B
+    * buckets, per-bucket target vs raw distributions, per-doc
+    * selection score — with ONE deliberate substitution: the paper's
+    * log-probability-ratio weight becomes the exact integer
+    * difference-of-rates kernel
+    *   score(doc) = Σ_b c_b(doc) · (ppm_target[b] − ppm_raw[b]),
+    * so every number in play is a BIGINT and the DuckDB oracle
+    * replays the full pipeline bit-exactly (the repo-wide integer-ppm
+    * discipline; a float log-ratio would need rounding rules at every
+    * fold). Positive score ⇒ the doc leans toward the target's
+    * feature mass; the kept set is the top `topPermille`/1000 by
+    * (score, doc_id) — deterministic under ties.
+    *
+    * Feature hash: `rolling_hash` (FNV-1a, the engine's replayable
+    * token hash); bucket = low log2(B) bits via pmod — B is a power
+    * of two, so Spark's signed pmod and the oracle's unsigned mod
+    * agree on exactly those bits. FNV's LOW bits mix well on short
+    * strings (the round-3 non-uniformity caveat concerns the HIGH
+    * bits / order statistics, not modulo buckets).
+    *
+    * Scale shape: feature explode (narrow) → two keyed aggregates
+    * (bucket counts; B=1024 rows each, broadcast back) → one keyed
+    * per-doc aggregate → a single top-share rank. The rank is the
+    * only global step; at 100 TB it becomes the q100 two-phase
+    * bin-walk (histogram to the boundary bucket, exact rank inside)
+    * — documented, not needed at bench scale. Target convention
+    * matches q51: source src0 is the target set. */
+  def dsirAffinitySelect(spark: SparkSession, dir: String,
+      buckets: Int = 1024, topPermille: Int = 100): DataFrame = {
+    require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    // unigram + bigram rolling_hash features, bucketed to low bits
+    val featB = expr(
+      s"""transform(
+         |  concat(
+         |    split(text, ' '),
+         |    CASE WHEN size(split(text, ' ')) < 2
+         |         THEN array()
+         |         ELSE transform(sequence(0, size(split(text, ' ')) - 2),
+         |           i -> concat(element_at(split(text, ' '), i + 1), ' ',
+         |                       element_at(split(text, ' '), i + 2)))
+         |    END),
+         |  t -> pmod(rolling_hash(t), ${buckets}L))""".stripMargin)
+    val feats = docs.select(col("doc_id"), col("source"),
+      explode(featB).as("b"))
+    val target = feats.filter(col("source") === "src0")
+    val raw = feats.filter(col("source") =!= "src0")
+    def ratesPpm(f: DataFrame, name: String): DataFrame = {
+      val k = f.groupBy(col("b")).agg(count(lit(1)).as("k"))
+      k.crossJoin(broadcast(k.agg(sum(col("k")).as("n"))))
+        .select(col("b"), expr("k * 1000000 div n").as(name))
+    }
+    val diff = ratesPpm(raw, "pr")
+      .join(ratesPpm(target, "pt"), Seq("b"), "left")
+      .select(col("b"),
+        (coalesce(col("pt"), lit(0L)) - col("pr")).as("d"))
+    val scored = raw.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(diff), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("d")).as("score"))
+    val nRaw = scored.agg(count(lit(1)).as("nd"))
+    val ranked = scored.crossJoin(broadcast(nRaw))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        (col("rk") <= expr(s"nd * $topPermille div 1000")).as("sel"))
+    ranked.orderBy(col("doc_id"), col("n_feats"), col("score"), col("sel"))
+  }
 }

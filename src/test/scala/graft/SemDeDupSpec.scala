@@ -64,6 +64,35 @@ class SemDeDupSpec extends SparkSpec {
     assert(!out(maxId + 2), "higher planted id must be dropped")
   }
 
+  test("incremental corpus-vs-batch verdicts equal the full run over corpus ∪ batch") {
+    import spark.implicits._
+    // batch = 40 perturbed copies of corpus vectors (ids 1000+, above
+    // every corpus id, so "corpus wins" and "lower id wins" coincide
+    // with the full run's greedy rule) + the corpus's own centroid
+    // routing. Full run: assign corpus ∪ batch to the CORPUS index's
+    // cells, prune with semanticDedupOn; its batch-row verdicts must
+    // match semanticDedupIncremental exactly.
+    val idx = Ivf.deterministicIndex(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val batch = emb.filter($"vec_id" < 40)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        expr("transform(embedding, v -> cast(v * 0.999 as float))")
+          .as("embedding"))
+    val inc = Ivf.semanticDedupIncremental(spark, sf, batch, 400000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val union = Ivf.assignToCells(
+      emb.select($"vec_id", $"embedding").union(batch), idx.centroids)
+    val full = Ivf.semanticDedupOn(union, 400000L)
+      .filter($"vec_id" >= 1000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(inc.size == 40 && full.size == 40)
+    assert(inc == full, s"diverging ids: ${
+      (inc.keySet ++ full.keySet).filter(k => inc.get(k) != full.get(k))}")
+    // a 0.999-scaled copy has cosine 1.0 with its original: everything
+    // in the batch must be dropped against the corpus
+    assert(inc.values.forall(_ == false), "scaled copies must all drop")
+  }
+
   test("q145 registered form: deterministic cells, ppm threshold, stable order") {
     val out = Ivf.semanticDedup(spark, sf, tauPpm = 400000L)
     val rows = out.collect()
