@@ -168,20 +168,27 @@ object Sampling {
     require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    // unigram + bigram rolling_hash features, bucketed to low bits
+    // split once into its own projection (CollapseProject keeps it —
+    // non-cheap, referenced thrice), hash unigram + bigram features,
+    // bucket to low bits. The exploded bucket table feeds THREE
+    // consumers (target rates, raw rates, per-doc counts), so it is
+    // persisted via the dedup cache registry — unregistered it
+    // re-evaluates the explode+hash per branch (the q65 lesson), which
+    // tripled this query's bench time.
     val featB = expr(
       s"""transform(
-         |  concat(
-         |    split(text, ' '),
-         |    CASE WHEN size(split(text, ' ')) < 2
+         |  concat(sp,
+         |    CASE WHEN size(sp) < 2
          |         THEN array()
-         |         ELSE transform(sequence(0, size(split(text, ' ')) - 2),
-         |           i -> concat(element_at(split(text, ' '), i + 1), ' ',
-         |                       element_at(split(text, ' '), i + 2)))
+         |         ELSE transform(sequence(0, size(sp) - 2),
+         |           i -> concat(element_at(sp, i + 1), ' ',
+         |                       element_at(sp, i + 2)))
          |    END),
          |  t -> pmod(rolling_hash(t), ${buckets}L))""".stripMargin)
-    val feats = docs.select(col("doc_id"), col("source"),
-      explode(featB).as("b"))
+    val feats = Dedup.register(docs
+      .withColumn("sp", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(featB).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val target = feats.filter(col("source") === "src0")
     val raw = feats.filter(col("source") =!= "src0")
     def ratesPpm(f: DataFrame, name: String): DataFrame = {
