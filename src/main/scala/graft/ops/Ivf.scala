@@ -396,9 +396,20 @@ object Ivf {
       .join(Tables.embeddings(spark, dir), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("c_id"),
         col("embedding").as("c_emb"))
+    semanticDedupAgainst(b, corpus, tauPpm)
+  }
+
+  /** Core prune shared by [[semanticDedupIncremental]] and the
+    * streaming twin (graft.streaming.EmbStream): batch rows
+    * (vec_id, cell, embedding) against prior rows
+    * (cell, c_id, c_emb). A prior match ≥ τ always drops the batch
+    * row (prior data is already kept/seen); within the batch the
+    * lower id wins. */
+  def semanticDedupAgainst(b: DataFrame, prior: DataFrame,
+      tauPpm: Long): DataFrame = {
     def cppm(a: Column, bc: Column): Column =
       round(round(Similarity.cosine(a, bc), 6) * 1000000d, 0).cast("long")
-    val vsCorpus = b.join(corpus, Seq("cell"))
+    val vsPrior = b.join(prior, Seq("cell"))
       .filter(cppm(col("embedding"), col("c_emb")) >= tauPpm)
       .groupBy(col("vec_id")).agg(min(col("c_id")).as("dup_of_corpus"))
     val lower = b.select(col("cell"), col("vec_id").as("b_id"),
@@ -408,7 +419,7 @@ object Ivf {
         cppm(col("embedding"), col("b_emb")) >= tauPpm)
       .groupBy(col("vec_id")).agg(min(col("b_id")).as("dup_of_batch"))
     b.select(col("vec_id"), col("cell"))
-      .join(vsCorpus, Seq("vec_id"), "left")
+      .join(vsPrior, Seq("vec_id"), "left")
       .join(vsBatch, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         (col("dup_of_corpus").isNull && col("dup_of_batch").isNull)

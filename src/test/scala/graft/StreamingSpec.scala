@@ -447,6 +447,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup equals the batch incremental run") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EmbStream
+    import graft.ops.Ivf
+    // ingest = 60 perturbed corpus copies with ids above every corpus
+    // id, staged as two id-ordered chunk files = two micro-batches —
+    // so cross-micro-batch suppression (batch-2 vector vs batch-1
+    // STREAM vector, carried by the seen-state table) is exercised,
+    // not just the corpus join
+    val ingest = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("transform(embedding, v -> cast(v * 0.999 as float))")
+          .as("embedding"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+          .as("ingest_ts"))
+    // the corpus copies all drop against their ORIGINALS, so they
+    // cannot distinguish a working seen-state from a broken one (the
+    // corpus suppressor is always the min id). Plant a pair only the
+    // state can catch: A = a direction verifiably >0.4 away from the
+    // whole corpus (unit dim 1 — precondition asserted), in batch 1;
+    // B = 0.999·A with the highest id, in batch 2. B's ONLY
+    // suppressor is stream vector A, carried across micro-batches.
+    graft.functions.GraftFunctions.register(spark)
+    val planted = expr(
+      "transform(sequence(0, 63), i -> cast(if(i = 1, 1.0, 0.0) as float))")
+    val maxAbsCos = Tables.embeddings(spark, sf)
+      .select(abs(round(graft.ops.Similarity.cosine(col("embedding"),
+        planted), 6)).as("c"))
+      .agg(max(col("c"))).head().getDouble(0)
+    assert(maxAbsCos < 0.4,
+      s"fixture precondition: dim-1 is no longer corpus-orthogonal " +
+        s"($maxAbsCos) — pick another direction")
+    import spark.implicits._
+    def plantRow(id: Long) = Seq(id).toDF("vec_id")
+      .select(col("vec_id"), planted.as("embedding"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+          .as("ingest_ts"))
+    val staged = Files.createTempDirectory("graft_emb_in").toString
+    ingest.filter(col("vec_id") < 1030).unionByName(plantRow(1500L))
+      .coalesce(1).write.mode("append").parquet(staged)
+    ingest.filter(col("vec_id") >= 1030).unionByName(
+        plantRow(2500L).select(col("vec_id"),
+          expr("transform(embedding, v -> cast(v * 0.999 as float))")
+            .as("embedding"), col("ingest_ts")))
+      .coalesce(1).write.mode("append").parquet(staged)
+    val outDir = Files.createTempDirectory("graft_emb_out").toString + "/o"
+    val stateDir = Files.createTempDirectory("graft_emb_st").toString + "/s"
+    val stream = spark.readStream.schema(EmbStream.embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = EmbStream.semanticDedupStream(stream, sf, outDir, stateDir).start()
+    try q.processAllAvailable() finally q.stop()
+    // compare (kept, overall min suppressor): a cross-micro-batch
+    // suppression lands in dup_of_corpus for the stream but
+    // dup_of_batch for the one-shot batch run — least() of the two
+    // is the invariant (ids share one space)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("kept"),
+        least(col("dup_of_corpus"), col("dup_of_batch")).as("dup_of"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val streamed = verdicts(spark.read.parquet(outDir))
+    val full = ingest.unionByName(plantRow(1500L))
+      .unionByName(plantRow(2500L).select(col("vec_id"),
+        expr("transform(embedding, v -> cast(v * 0.999 as float))")
+          .as("embedding"), col("ingest_ts")))
+    val batch = verdicts(Ivf.semanticDedupIncremental(spark, sf,
+      full.drop("ingest_ts")))
+    assert(streamed.size == 62 && batch.size == 62)
+    assert(streamed == batch, s"diverging: ${
+      (streamed.keySet ++ batch.keySet)
+        .filter(k => streamed.get(k) != batch.get(k)).take(5)}")
+    assert(streamed.values.exists(!_._1), "no drop was exercised")
+    // the direct evidence the seen-state works: B(2500) was dropped
+    // BY stream vector A(1500) from the previous micro-batch — no
+    // corpus vector is within tau of either (precondition above)
+    assert(streamed(1500L) == ((true, -1L)), "planted A must survive")
+    assert(streamed(2500L) == ((false, 1500L)),
+      "planted B must be dropped by cross-micro-batch state")
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
