@@ -196,6 +196,8 @@ object SparkEntry {
       Ivf.semanticDedup(s, d)),
     "q146_dsir_select"      -> ((s: SparkSession, d: String) =>
       Sampling.dsirAffinitySelect(s, d)),
+    "q147_shard_manifest"   -> ((s: SparkSession, d: String) =>
+      Layout.shardManifestQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2435,6 +2437,7 @@ object SparkEntry {
           |ORDER BY bin_lo_ppm, n_pairs""".stripMargin,
       "q145_semantic_dedup" -> Ivf.semanticDedupOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
+      "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
     )
   }
 }

@@ -47,6 +47,11 @@ object HashSql {
   def toSigned(x: String): String =
     s"(CASE WHEN $x >= $Signed63 THEN $x - $M64 ELSE $x END)::BIGINT"
 
+  /** SIGNED FNV-1a of a byte list — `rolling_hash`'s exact value as
+    * Spark sees it (a signed long), for oracles that fold the hash
+    * through non-power-of-two moduli. */
+  def fnvSignedSql(byteList: String): String = toSigned(fnvReduce(byteList))
+
   /** CTE chain producing, per documents row: doc_id, source, and `wh` —
     * the SIGNED 8-byte positional window hashes, exactly
     * ShingleHashes.windowHashes(bytes, 8) (FNV-1a + splitmix, one hash

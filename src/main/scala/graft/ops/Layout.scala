@@ -80,4 +80,79 @@ object Layout {
       .orderBy(col("z_cell"), col("n"), col("p_min"), col("p_max"),
         col("s_min"), col("s_max"))
   }
+
+  /** Deterministic training-shard assignment + manifest (q147): each
+    * document routes to shard `idBucket(doc_id) mod nShards` — the
+    * Sampling hash, so assignment is a pure function of the id
+    * (retry/AQE/growth-stable, the property a resumable training run
+    * needs from its shards), and shard fill is uniform-ish regardless
+    * of id clustering. The manifest row per shard carries the row
+    * count, total text bytes, and an exact integer content digest
+    * (sum of the FNV token hash folded to a prime residue — bounded,
+    * no wraparound), which is what a training loader checks before
+    * trusting a shard it resumes from.
+    *
+    * Scale shape: one narrow projection + one keyed aggregate;
+    * [[exportTrainingShards]] adds the partitionBy write (one shuffle
+    * on the shard key) and re-derives the manifest from the WRITTEN
+    * files, so the spec's round-trip equality is a real end-to-end
+    * integrity check, not a replay of the same lineage. */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(
+        pmod(Sampling.idBucket(col("doc_id")), lit(nShards.toLong))
+          .as("shard"),
+        length(col("text")).cast("long").as("len"),
+        expr(s"pmod(rolling_hash(text), ${Sampling.Prime}L)").as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"),
+        sum(col("h")).as("content_digest"))
+      .orderBy(col("shard"), col("n_docs"), col("sum_len"),
+        col("content_digest"))
+  }
+
+  /** Query entry (q147). */
+  def shardManifestQuery(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame =
+    shardManifest(Tables.documents(spark, dir), nShards)
+
+  /** DuckDB oracle for [[shardManifestQuery]]: same id mixer
+    * (Sampling.idBucketSql), same FNV hash (HashSql replay, converted
+    * to the SIGNED value first — Spark's pmod acts on the signed
+    * long, and the prime modulus is not a power of two). */
+  def shardManifestOracleSql(nShards: Int = 16): String = {
+    val p = Sampling.Prime
+    val fnv = graft.ops.HashSql.fnvSignedSql(
+      "[ascii(substr(text, i, 1))::HUGEINT FOR i IN range(1, length(text)+1)]")
+    s"""WITH d AS (
+       |  SELECT ${Sampling.idBucketSql("doc_id")} % $nShards AS shard,
+       |    length(text) AS len,
+       |    (($fnv % $p) + $p) % $p AS h
+       |  FROM documents)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len,
+       |  CAST(SUM(h) AS BIGINT) AS content_digest
+       |FROM d GROUP BY shard
+       |ORDER BY shard, n_docs, sum_len, content_digest""".stripMargin
+  }
+
+  /** Write the sharded corpus (partitionBy the shard key: one hash
+    * shuffle, one directory per shard) and return a manifest computed
+    * from the files JUST WRITTEN. */
+  def exportTrainingShards(docs: DataFrame, outDir: String,
+      nShards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    docs.withColumn("shard",
+        pmod(Sampling.idBucket(col("doc_id")), lit(nShards.toLong)))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        sum(expr(s"pmod(rolling_hash(text), ${Sampling.Prime}L)"))
+          .as("content_digest"))
+      .orderBy(col("shard"))
+  }
 }

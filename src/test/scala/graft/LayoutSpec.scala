@@ -69,4 +69,29 @@ class LayoutSpec extends SparkSpec {
     // (2,3)= spread(2)|spread(3)<<1 = 4 | 5<<1 = 14; max = 2^32-1
     assert(got == Seq(0L, 1L, 2L, 3L, 14L, 4294967295L), s"got $got")
   }
+
+  test("training-shard export round-trips: written files match the manifest") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val nShards = 8
+    val written = Layout.exportTrainingShards(docs, s"$out/s", nShards)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val planned = Layout.shardManifest(docs, nShards)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the manifest computed from the WRITTEN files equals the planned
+    // assignment — nothing lost, duplicated, or misrouted in the write
+    assert(written == planned, s"diverging shards: ${
+      (written.keySet ++ planned.keySet)
+        .filter(k => written.get(k) != planned.get(k))}")
+    assert(written.values.map(_._1).sum == docs.count())
+    assert(written.size == nShards, "uniform-ish hash left a shard empty")
+    // every row in a shard directory actually belongs there
+    val misrouted = spark.read.parquet(s"$out/s")
+      .filter(pmod(graft.ops.Sampling.idBucket(col("doc_id")),
+        lit(nShards.toLong)) =!= col("shard").cast("long")).count()
+    assert(misrouted == 0)
+  }
 }
