@@ -198,6 +198,7 @@ object SparkEntry {
       Sampling.dsirAffinitySelect(s, d)),
     "q147_shard_manifest"   -> ((s: SparkSession, d: String) =>
       Layout.shardManifestQuery(s, d)),
+    "q148_temperature_mix"  -> (Sampling.temperatureMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2438,6 +2439,7 @@ object SparkEntry {
       "q145_semantic_dedup" -> Ivf.semanticDedupOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
+      "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,
     )
   }
 }

@@ -132,6 +132,84 @@ object Sampling {
       .filter(col("pick_rank") <= cap)
   }
 
+  /** Temperature-balanced source mixing at α = 1/2 (q148): sampling
+    * weight per source ∝ n_s^α — the standard move (multilingual
+    * BERT/XLM-R, Gopher) that up-weights small sources relative to
+    * proportional sampling without letting any source dominate.
+    * α = 1/2 is the one temperature whose power is EXACTLY computable
+    * in integers: weight = ⌊√n_s⌋ via a float-seeded, ±1-adjusted
+    * integer sqrt (the q94 decimal-exact-adjustment trick — the double
+    * sqrt seeds, the integer compare corrects, so both engines agree
+    * bit-exactly for any n < 2^53). Keep rates come out in integer
+    * ppm, and the keep decision per doc is the idBucket mixer against
+    * the scaled rate — rand()-free, retry-stable, oracle-replayable.
+    *
+    * Output: one row per source — size, integer weight, the ppm rate
+    * that equalizes EXPECTED kept rows toward the α-mix, and the
+    * exact kept count under the deterministic mixer. The largest
+    * source's rate is 1e6 (never discard from the biggest; everything
+    * else scales by √(n_s/n_max) — the convention that makes the mix
+    * a pure DOWN-sample).
+    *
+    * Scale shape: one keyed count, one 1-row max broadcast, one
+    * narrow keep-filter aggregate — no shuffle beyond the source
+    * counts. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // exact ⌊√n⌋: double-sqrt seed, one ±1 integer adjustment
+    def isqrt(n: Column): Column = {
+      val s = floor(sqrt(n.cast("double"))).cast("long")
+      val s1 = s - when(s * s > n, 1L).otherwise(0L)
+      s1 + when((s1 + 1L) * (s1 + 1L) <= n, 1L).otherwise(0L)
+    }
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", isqrt(col("n_docs")))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("w")).as("wmax"))))
+      .select(col("source"), col("n_docs"), col("w"),
+        expr("w * 1000000 div wmax").as("rate_ppm"))
+    val kept = docs.join(broadcast(rates), Seq("source"))
+      .filter(idBucket(col("doc_id")) * 1000000L <
+        col("rate_ppm") * lit(Prime))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("w"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"), col("n_docs"), col("w"), col("rate_ppm"),
+        col("n_kept"))
+  }
+
+  /** DuckDB oracle for [[temperatureMix]]: identical isqrt adjustment,
+    * identical ppm rate, identical mixer compare. */
+  def temperatureMixOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |w0 AS (
+       |  SELECT source, n_docs,
+       |    CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s
+       |  FROM c),
+       |w AS (
+       |  SELECT source, n_docs,
+       |    (s - (CASE WHEN s * s > n_docs THEN 1 ELSE 0 END))
+       |      + (CASE WHEN (s - (CASE WHEN s * s > n_docs THEN 1 ELSE 0 END) + 1)
+       |              * (s - (CASE WHEN s * s > n_docs THEN 1 ELSE 0 END) + 1)
+       |              <= n_docs THEN 1 ELSE 0 END) AS w
+       |  FROM w0),
+       |r AS (
+       |  SELECT source, n_docs, w,
+       |    CAST(w * 1000000 // (SELECT MAX(w) FROM w) AS BIGINT) AS rate_ppm
+       |  FROM w),
+       |k AS (
+       |  SELECT d.source, COUNT(*) AS n_kept
+       |  FROM documents d JOIN r ON d.source = r.source
+       |  WHERE ${idBucketSql("d.doc_id")} * 1000000 < r.rate_ppm * $Prime
+       |  GROUP BY d.source)
+       |SELECT r.source, r.n_docs, CAST(r.w AS BIGINT) AS w, r.rate_ppm,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM r LEFT JOIN k ON r.source = k.source
+       |ORDER BY r.source, r.n_docs, w, rate_ppm, n_kept""".stripMargin
+
   /** DSIR-style target-affinity data selection (q146): score every
     * RAW document by how much its hashed n-gram profile looks like
     * the TARGET distribution, keep the top share. The shape follows

@@ -461,4 +461,36 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8,
       s"int8 quantization recall $recall too low vs brute force")
   }
+
+  test("temperature mix: planted source sizes give exact sqrt weights and counts") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // sources sized at perfect squares and one off-square: weights
+    // are hand-computable (isqrt 100=10, 25=5, 10=3, 9=3), biggest
+    // source keeps everything (rate 1e6), others scale by w/wmax
+    val rows =
+      (0L until 100L).map(i => (i, "big")) ++
+      (100L until 125L).map(i => (i, "mid")) ++
+      (125L until 135L).map(i => (i, "off")) ++
+      (135L until 144L).map(i => (i, "tiny"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tmix").toString
+    rows.toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Sampling.temperatureMix(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("big")._2 == 10L && got("mid")._2 == 5L &&
+      got("off")._2 == 3L && got("tiny")._2 == 3L, s"weights: $got")
+    assert(got("big")._3 == 1000000L && got("mid")._3 == 500000L &&
+      got("off")._3 == 300000L && got("tiny")._3 == 300000L)
+    // exact kept counts: replay the mixer driver-side
+    def kept(ids: Seq[Long], ratePpm: Long): Long = ids.count { id =>
+      (((id % Sampling.Prime) * Sampling.Mult) % Sampling.Prime) *
+        1000000L < ratePpm * Sampling.Prime
+    }.toLong
+    assert(got("big")._4 == 100L, "rate 1e6 must keep every row")
+    assert(got("mid")._4 == kept((100L until 125L).toSeq, 500000L))
+    assert(got("off")._4 == kept((125L until 135L).toSeq, 300000L))
+    assert(got("tiny")._4 == kept((135L until 144L).toSeq, 300000L))
+  }
 }
