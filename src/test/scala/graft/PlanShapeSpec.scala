@@ -298,6 +298,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup plans a keyed cell join, never a cartesian product") {
+    // the whole point of the cluster stage is that pair generation is
+    // an equi-join on cell — a cartesian (or broadcast nested loop)
+    // would mean the blocking key fell out of the join condition
+    val p = plan(graft.ops.Ivf.semanticDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop:\n${p.take(1200)}")
+  }
+
   test("sanitizeEvents parses props exactly once (q31 plan pin)") {
     // Both k_val and props_canonical derive from one shared from_json
     // struct; CollapseProject must NOT inline it into both consumers
