@@ -199,6 +199,7 @@ object SparkEntry {
     "q147_shard_manifest"   -> ((s: SparkSession, d: String) =>
       Layout.shardManifestQuery(s, d)),
     "q148_temperature_mix"  -> (Sampling.temperatureMix _),
+    "q149_fluency"          -> (Ranking.fluencyQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2440,6 +2441,7 @@ object SparkEntry {
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,
+      "q149_fluency" -> Ranking.fluencyOracleSql,
     )
   }
 }

@@ -104,6 +104,70 @@ object Ranking {
   def ngramQuery(spark: SparkSession, dir: String): DataFrame =
     ngramCounts(Tables.documents(spark, dir))
 
+  /** CCNet-style LM fluency proxy (q149): score each document by the
+    * mean corpus frequency of its token trigrams — common
+    * constructions score high ("head" of the corpus, in CCNet's
+    * perplexity-bucket terms), rare/garbled text scores low. The
+    * integer-exact twin of the LM-perplexity quality filter: where
+    * CCNet ranks by a KenLM perplexity, this ranks by
+    *   score_ppm = (Σ_t freq_ppm(trigram t)) div n_trigrams,
+    * with freq_ppm = corpus count × 1e6 div total trigram tokens —
+    * every fold a BIGINT, replayed exactly in DuckDB. Same trigram
+    * convention as [[ngramCounts]] (q77), so the two share one
+    * vocabulary definition.
+    *
+    * Docs with < 3 tokens have no trigrams and are excluded (a
+    * length filter catches them long before a fluency ranking at
+    * pipeline level — Pipeline.curate's quality gate).
+    *
+    * Scale shape: one trigram explode feeding a corpus aggregate
+    * (the LM table — at 100 TB this is the precomputed/persisted
+    * artifact, like the IVF index), broadcast-joined back onto the
+    * per-doc trigram stream for one keyed mean. No global step. */
+  def fluencyScores(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t0")))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t0"), col("t1"), col("t2")).as("ngram"))
+    val lm = tri.groupBy(col("ngram")).agg(count(lit(1)).as("k"))
+    val freq = lm.crossJoin(broadcast(lm.agg(sum(col("k")).as("tot"))))
+      .select(col("ngram"), expr("k * 1000000 div tot").as("fppm"))
+    tri.join(freq, Seq("ngram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        expr("CAST(sum(fppm) div count(1) AS BIGINT)").as("score_ppm"))
+      .orderBy(col("doc_id"), col("n_tri"), col("score_ppm"))
+  }
+
+  def fluencyQuery(spark: SparkSession, dir: String): DataFrame =
+    fluencyScores(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[fluencyQuery]] — q77's trigram construction,
+    * the same two truncating integer divisions. */
+  val fluencyOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      |), tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+      |    i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS ngram
+      |  FROM toks
+      |), lm AS (
+      |  SELECT ngram, COUNT(*) AS k FROM tg GROUP BY ngram
+      |), freq AS (
+      |  SELECT ngram, k * 1000000 // (SELECT SUM(k) FROM lm) AS fppm
+      |  FROM lm
+      |)
+      |SELECT tg.doc_id, COUNT(*) AS n_tri,
+      |  CAST(SUM(fppm) // COUNT(*) AS BIGINT) AS score_ppm
+      |FROM tg JOIN freq ON tg.ngram = freq.ngram
+      |GROUP BY tg.doc_id
+      |ORDER BY doc_id, n_tri, score_ppm""".stripMargin
+
   /** Per-document top-`k` TF-IDF keywords — the keyword-extraction /
     * topic-tagging op. idf = ln(N / df) over the full vocabulary;
     * scores are rounded to 6dp BEFORE ranking (ties broken by term)

@@ -462,6 +462,27 @@ class OpsSpec extends SparkSpec {
       s"int8 quantization recall $recall too low vs brute force")
   }
 
+  test("fluency proxy: common constructions outrank one-off garble") {
+    import spark.implicits._
+    import graft.ops.Ranking
+    // docs 1-4 share the same trigrams (high corpus frequency); doc 5
+    // is all hapax trigrams — its mean trigram frequency must be the
+    // strict minimum. doc 6 has <3 tokens and must be excluded.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "the quick brown fox jumps"),
+      (4L, "the quick brown fox runs"),
+      (5L, "zq xv jj pw qq kk"),
+      (6L, "too short")).toDF("doc_id", "text")
+    val got = Ranking.fluencyScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!got.contains(6L), "sub-trigram doc must be excluded")
+    assert(got(5L) < (got - 5L).values.min,
+      s"garble must score strictly lowest: $got")
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+  }
+
   test("temperature mix: planted source sizes give exact sqrt weights and counts") {
     import spark.implicits._
     import graft.ops.Sampling
