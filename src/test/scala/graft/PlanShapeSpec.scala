@@ -308,6 +308,31 @@ class PlanShapeSpec extends SparkSpec {
       s"nested loop:\n${p.take(1200)}")
   }
 
+  test("fluency trigrams are built by one generator, no window (q149 plan pin)") {
+    // round-6's one perf defect: the window-built trigram frame was
+    // evaluated three times per action. The rebuild uses one array
+    // transform + explode (single Generate, zero Window) and persists
+    // the LM aggregate so both its consumers (rates + total) read the
+    // cache; the trigram stream itself recomputes (cheap, narrow) —
+    // caching it was measured slower and is a corpus-sized copy.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Window => LWindow}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val triPlan = graft.ops.Ranking.trigramFrame(Tables.documents(spark, sf))
+      .queryExecution.optimizedPlan
+    val gens = triPlan.collect { case g: Generate => g }.size
+    val wins = triPlan.collect { case w: LWindow => w }.size
+    assert(gens == 1, s"expected 1 Generate in trigram plan, got $gens")
+    assert(wins == 0, s"expected 0 Window in trigram plan, got $wins")
+    try {
+      val q = graft.ops.Ranking.fluencyQuery(spark, sf)
+      val cacheRefs = q.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r
+      }.size
+      assert(cacheRefs >= 2,
+        s"trigram frame not cache-shared across consumers ($cacheRefs refs)")
+    } finally Dedup.unpersistCaches()
+  }
+
   test("sanitizeEvents parses props exactly once (q31 plan pin)") {
     // Both k_val and props_canonical derive from one shared from_json
     // struct; CollapseProject must NOT inline it into both consumers
