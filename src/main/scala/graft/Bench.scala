@@ -86,8 +86,13 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val med = names.map(n => n -> median(samples(n)))
-    val min = names.map(n => n -> (if (samples(n).isEmpty) 0.0 else samples(n).min))
+    // zero-sample queries are OMITTED from the per-query objects (not
+    // emitted as 0.0): a fully-failed query must never read as the
+    // round's fastest entry in a median diff (ADVICE r6) — it appears
+    // only in `failed`/`errors`
+    val timedNames = names.filter(n => samples(n).nonEmpty)
+    val med = timedNames.map(n => n -> median(samples(n)))
+    val min = timedNames.map(n => n -> samples(n).min)
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries: zero successful runs → excluded from the totals

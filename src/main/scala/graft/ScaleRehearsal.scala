@@ -39,18 +39,22 @@ object ScaleRehearsal {
     r.shuffle(xs)
   }
 
-  /** 10 letter-permuted document shards; doc_id offset 1e6 per shard. */
+  /** 10 letter-permuted document shards; doc_id offset 1e6 per shard.
+    * `source` passes through unchanged — every shard's source
+    * distribution equals the original's exactly (the isomorph
+    * property), which the source-keyed ops (DSIR target split,
+    * temperature mixing) need. */
   def docs10x(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
     val lower = "abcdefghijklmnopqrstuvwxyz"
     (0 until 10).map { s =>
       val mapped =
-        if (s == 0) base.select(col("doc_id"), col("text"))
-        else base.select(col("doc_id"),
+        if (s == 0) base.select(col("doc_id"), col("source"), col("text"))
+        else base.select(col("doc_id"), col("source"),
           translate(col("text"), lower,
             perm(lower.toSeq, 1000L + s).mkString).as("text"))
       mapped.select((col("doc_id") + lit(s * 1000000L)).as("doc_id"),
-        col("text"))
+        col("source"), col("text"))
     }.reduce(_ unionAll _)
   }
 
@@ -123,7 +127,10 @@ object ScaleRehearsal {
     // Tables.bucketedPair — a stale 10x corpus would silently measure
     // last round's data)
     val fpFile = java.nio.file.Paths.get(s"$out/.source_fingerprint")
-    val fp = Tables.sourceFingerprint(dir,
+    // "v2|" = corpus schema version (round 7 added the source column
+    // to the documents shards) — a code-level schema change must
+    // invalidate the cached corpus just like a testdata regen does
+    val fp = "v2|" + Tables.sourceFingerprint(dir,
       Seq("documents", "embeddings", "events"))
     val fresh = java.nio.file.Files.exists(fpFile) &&
       java.nio.file.Files.readString(fpFile) == fp
@@ -140,7 +147,7 @@ object ScaleRehearsal {
 
     def docsAt(scale: String): DataFrame =
       if (scale == "1x") Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("source"), col("text"))
       else spark.read.parquet(s"$out/documents.parquet")
     def embAt(scale: String): DataFrame =
       if (scale == "1x") Tables.embeddings(spark, dir)
@@ -239,6 +246,51 @@ object ScaleRehearsal {
               .filter(!col("kept")).count())
           report(s"q145_semdedup_$label", tSd, nSd)
         }
+      }
+      // q145 auto-k row: the SAME op with k left to the autoK rule —
+      // the code path a deployment actually runs (k ∝ N resolved from
+      // the corpus count: 2k vectors → 8 cells, 20k → 79)
+      if (wanted("q145_auto")) {
+        val e = embAt(scale)
+        val assigned = graft.ops.Ivf.build(e).assigned
+          .select(col("vec_id"), col("cell"), col("embedding"))
+        val (nSd, tSd) = timed(
+          graft.ops.Ivf.semanticDedupOn(assigned, 400000L)
+            .filter(!col("kept")).count())
+        report("q145_semdedup_k_auto", tSd, nSd)
+      }
+      // q146 shape: DSIR selection. The explode + B=1024 rate tables
+      // are linear; the watched step is the single global top-share
+      // rank (documented q100 bin-walk swap at corpus scale)
+      if (wanted("q146")) {
+        val (nDs, tDs) = timed(
+          graft.ops.Sampling.dsirAffinitySelectOn(d).count())
+        Dedup.unpersistCaches()
+        report("q146_dsir_select", tDs, nDs)
+      }
+      // q147 shape: shard manifest (pure-function shard of doc_id +
+      // one keyed aggregate — the narrowest op in the family)
+      if (wanted("q147")) {
+        val (nSh, tSh) = timed(
+          graft.ops.Layout.shardManifest(d, 16).count())
+        report("q147_shard_manifest", tSh, nSh)
+      }
+      // q148 shape: temperature mixing (keyed count + 1-row broadcast
+      // + stateless keep filter)
+      if (wanted("q148")) {
+        val (nTm, tTm) = timed(
+          graft.ops.Sampling.temperatureMixOn(d).count())
+        report("q148_temperature_mix", tTm, nTm)
+      }
+      // q149 shape: CCNet fluency (trigram explode -> LM aggregate ->
+      // size-conditional LM join). The LM side grows with the corpus;
+      // at 10x the broadcast-vs-shuffle_hash switch is the watched
+      // knob
+      if (wanted("q149")) {
+        val (nFl, tFl) = timed(
+          graft.ops.Ranking.fluencyScores(d).count())
+        Dedup.unpersistCaches()
+        report("q149_fluency", tFl, nFl)
       }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the

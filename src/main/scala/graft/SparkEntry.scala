@@ -200,6 +200,8 @@ object SparkEntry {
       Layout.shardManifestQuery(s, d)),
     "q148_temperature_mix"  -> (Sampling.temperatureMix _),
     "q149_fluency"          -> (Ranking.fluencyQuery _),
+    "q150_semantic_dedup_incremental" -> ((s: SparkSession, d: String) =>
+      Ivf.incrementalSemanticDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2438,6 +2440,8 @@ object SparkEntry {
           |FROM p GROUP BY 1
           |ORDER BY bin_lo_ppm, n_pairs""".stripMargin,
       "q145_semantic_dedup" -> Ivf.semanticDedupOracleSql(),
+      "q150_semantic_dedup_incremental" ->
+        Ivf.incrementalSemanticDedupOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -69,33 +69,41 @@ object Tables {
   private val bucketedNames =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  /** Fingerprint of a table's source files — total byte length plus
-    * max modification time. Folded into the bucketed-layout digest so
-    * a REGENERATED corpus at the SAME path forces a fresh build: a
-    * digest keyed on the path alone would silently keep joining stale
-    * facts after the testdata changes under it (it did — round 5's
-    * regen). Local java.nio walk; on a cluster store this becomes one
-    * `FileSystem.listStatus` over the table directory yielding the
-    * same two numbers. */
+  /** Fingerprint of a table's source files — a digest over every
+    * file's (relative path, size, mtime-millis) triple, in sorted path
+    * order. Folded into the bucketed-layout digest so a REGENERATED
+    * corpus at the SAME path forces a fresh build: a digest keyed on
+    * the path alone would silently keep joining stale facts after the
+    * testdata changes under it (it did — round 5's regen). Round 7
+    * moved from aggregate (total-size, max-mtime) to per-file triples:
+    * the aggregate form collides for a same-total-size regen written
+    * within one mtime millisecond, or a copy with preserved
+    * attributes whose file COUNT changed (ADVICE r6). Local java.nio
+    * walk; on a cluster store this becomes one `FileSystem.listStatus`
+    * over the table directory yielding the same triples. */
   private[graft] def sourceFingerprint(dir: String, tables: Seq[String])
       : String = {
     import java.nio.file.{Files, Paths}
-    tables.map { t =>
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    tables.foreach { t =>
       val p = Paths.get(dir, s"$t.parquet")
-      if (!Files.exists(p)) s"$t:absent"
+      if (!Files.exists(p)) md.update(s"$t:absent;".getBytes("UTF-8"))
       else {
-        var len = 0L
-        var mtime = 0L
         val it = Files.walk(p)
-        try it.forEach { q =>
-          if (Files.isRegularFile(q)) {
-            len += Files.size(q)
-            mtime = math.max(mtime, Files.getLastModifiedTime(q).toMillis)
+        val entries = try {
+          val b = Seq.newBuilder[String]
+          it.forEach { q =>
+            if (Files.isRegularFile(q))
+              b += s"${p.relativize(q)}:${Files.size(q)}:" +
+                s"${Files.getLastModifiedTime(q).toMillis}"
           }
+          b.result()
         } finally it.close()
-        s"$t:$len:$mtime"
+        md.update((s"$t{" + entries.sorted.mkString(",") + "};")
+          .getBytes("UTF-8"))
       }
-    }.mkString(",")
+    }
+    md.digest().take(12).map(x => f"${x & 0xff}%02x").mkString
   }
 
   /** The bucketed fact-table layout: lineitem and orders both written

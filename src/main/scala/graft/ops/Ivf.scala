@@ -24,21 +24,46 @@ object Ivf {
 
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** Target mean cell occupancy for the auto-k rule. */
+  val TargetCellSize = 256L
+
+  /** Within-cell pair-generation cap: cells above this star-pair
+    * against the cell's lowest id instead of all-pairs (see
+    * [[semanticCandidates]]). 4x the target occupancy, so healthy
+    * Lloyd skew never triggers it — only degenerate mass does. */
+  val MaxCell = 1024
+
+  /** k ∝ N, executable: k = max(8, ⌈N / target⌉). Round 6 measured
+    * why this must be code, not scaladoc: fixed k=8 at 10x data →
+    * 15.4x runtime (Σ|cell|² grows quadratically in |cell|); k scaled
+    * with N → 1.7x. Pure integer arithmetic so the DuckDB oracle
+    * ([[kSql]]) derives the SAME k from the same count. */
+  def autoK(n: Long, target: Long = TargetCellSize): Int =
+    math.max(8L, (n + target - 1) / target).toInt
+
+  /** The [[autoK]] formula as a DuckDB scalar subquery over the same
+    * corpus — `//` truncates on integers (positive operands, so it
+    * equals the Scala truncating division above). */
+  def kSql(target: Long = TargetCellSize): String =
+    s"GREATEST(8, ((SELECT COUNT(*) FROM embeddings) + ${target - 1}) // $target)"
+
   /** Build: fit a seeded k-means coarse quantizer on a sample, assign
     * every vector to its cell. `fitFraction` bounds the fit cost: the
     * sample only has to be large enough to place k coarse centroids
     * (guarded to >= 20*k expected rows; tiny inputs fit on everything
     * so local tests and huge corpora take the same code path). */
-  def build(emb: DataFrame, k: Int = 16, fitFraction: Double = 1.0): Index = {
+  def build(emb: DataFrame, k: Int = -1, fitFraction: Double = 1.0): Index = {
+    val resolvedK = if (k > 0) k else autoK(emb.count())
     val featurized = emb.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
     val fitOn =
       if (fitFraction >= 1.0) featurized
       else {
         val sampled = featurized.sample(withReplacement = false, fitFraction, 42L)
-        if (sampled.limit(20 * k).count() < 20 * k) featurized else sampled
+        if (sampled.limit(20 * resolvedK).count() < 20 * resolvedK) featurized
+        else sampled
       }
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(resolvedK).setSeed(42L).setMaxIter(10)
       .fit(fitOn)
     val assigned = model.transform(featurized)
       .select(col("vec_id"), col("embedding"),
@@ -169,17 +194,22 @@ object Ivf {
     * per-round aggregate collects k rows of (cell, 64 sums, count) —
     * centroid state is O(k·dim) regardless of corpus size, the same
     * driver-side footprint as readIndex. */
-  def deterministicIndex(spark: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 2): DetIndex =
+  def deterministicIndex(spark: SparkSession, dir: String, k: Int = -1,
+      iters: Int = 2): DetIndex = {
+    // k <= 0 means the autoK rule (k ∝ N) — resolved BEFORE the cache
+    // key so explicit-k and auto-k callers share an entry when they
+    // agree. The count is a parquet-metadata read, not a data scan.
+    val resolvedK =
+      if (k > 0) k else autoK(Tables.embeddings(spark, dir).count())
     // keyed by sessionUUID too: DetIndex.assigned is a persisted
     // DataFrame BOUND to its session (unlike persistedIndex, which
     // stores an on-disk path any session can re-read) — a cached entry
     // from a stopped session would poison later sessions in this JVM
     detIndexes.computeIfAbsent(
-        s"${System.identityHashCode(spark)}|$dir|$k|$iters", _ => {
+        s"${System.identityHashCode(spark)}|$dir|$resolvedK|$iters", _ => {
       val xi = Tables.embeddings(spark, dir)
         .select(col("vec_id"), muCol.as("x"))
-      var cents: Seq[(Long, Array[Long])] = xi.filter(col("vec_id") < k)
+      var cents: Seq[(Long, Array[Long])] = xi.filter(col("vec_id") < resolvedK)
         .orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
       for (_ <- 1 to iters) {
@@ -204,6 +234,7 @@ object Ivf {
         .select(col("vec_id"), col("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+  }
 
   /** Release the persisted deterministic indexes (test/driver hygiene —
     * mirrors Dedup.unpersistCaches). */
@@ -245,8 +276,11 @@ object Ivf {
 
   /** Shared oracle CTE chain replaying the [[deterministicIndex]]
     * BUILD: micro-unit quantization → seed centroids → `iters`
-    * unrolled Lloyd rounds → `afin` = final (vec_id, cell). */
-  private def buildCtes(k: Int, iters: Int): String = {
+    * unrolled Lloyd rounds → `afin` = final (vec_id, cell). `kExpr`
+    * is a SQL expression — the default replays the [[autoK]] rule
+    * from the corpus's own count, so the oracle derives k the same
+    * way the engine does and the hash compare proves the rule. */
+  private def buildCtes(iters: Int, kExpr: String = kSql()): String = {
     val mu = "list_transform(range(1, 65), i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
     val rounds = (0 until iters).map { r =>
       s"""d$r AS (SELECT x.vec_id, c.cell, ${oracleD2("x.x", "c.c")} AS d2
@@ -261,7 +295,7 @@ object Ivf {
          |cent${r + 1} AS (SELECT cell, list(m ORDER BY pos) AS c FROM s$r GROUP BY cell)""".stripMargin
     }.mkString(",\n")
     s"""xi AS (SELECT vec_id, $mu AS x FROM embeddings),
-       |cent0 AS (SELECT vec_id AS cell, x AS c FROM xi WHERE vec_id < $k),
+       |cent0 AS (SELECT vec_id AS cell, x AS c FROM xi WHERE vec_id < ($kExpr)),
        |$rounds,
        |afin AS (SELECT x.vec_id, c.cell FROM xi x CROSS JOIN cent$iters c
        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY x.vec_id
@@ -285,8 +319,8 @@ object Ivf {
 
   /** DuckDB oracle for [[detCellSummary]]: replay the build, group by
     * final cell. */
-  def detCellSummaryOracleSql(k: Int = 8, iters: Int = 2): String =
-    s"""WITH ${buildCtes(k, iters)}
+  def detCellSummaryOracleSql(iters: Int = 2): String =
+    s"""WITH ${buildCtes(iters)}
        |SELECT CAST(cell AS BIGINT) AS cell,
        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
        |  CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
@@ -315,12 +349,13 @@ object Ivf {
     *
     * Scale shape: one cell-keyed self-join (cells are the blocking
     * unit — pair count is Σ|cell|², never N²), one keyed min-aggregate
-    * for survivors, one left join back. At 100 TB, k grows ∝ N to
-    * bound |cell| (the production ML-KMeans index with its
-    * cell-partitioned layout — [[persistedIndex]] — plays the same
-    * role; SemDeDupSpec proves the prune on planted duplicates there),
-    * and skewed mega-cells get the same star-guard treatment as LSH
-    * buckets (Dedup.lshCandidatePairs). */
+    * for survivors, one left join back. Both 100 TB knobs are CODE,
+    * not advice (round-7): k grows ∝ N via [[autoK]] (the 10x
+    * rehearsal measured fixed k=8 → 15.4x time, scaled k → 1.7x),
+    * with the oracle deriving the same k from the same count
+    * ([[kSql]]); and skewed mega-cells get the LSH star-guard
+    * treatment in [[semanticCandidates]], replayed verbatim by the
+    * oracle so the guard itself is hash-checked. */
   def semanticDedup(spark: SparkSession, dir: String,
       tauPpm: Long = 400000L): DataFrame = {
     val idx = deterministicIndex(spark, dir)
@@ -336,20 +371,32 @@ object Ivf {
     * build, brute-force the within-cell pairs, apply the identical
     * ppm threshold. Nullable output columns order NULLS FIRST to
     * match Spark's asc default. */
-  def semanticDedupOracleSql(k: Int = 8, iters: Int = 2,
-      tauPpm: Long = 400000L): String = {
+  def semanticDedupOracleSql(iters: Int = 2,
+      tauPpm: Long = 400000L, maxCell: Int = MaxCell): String = {
     val cos =
       """LIST_INNER_PRODUCT(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
         |      (SQRT(LIST_INNER_PRODUCT(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
         |       SQRT(LIST_INNER_PRODUCT(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))""".stripMargin
-    s"""WITH ${buildCtes(k, iters)},
-       |pairs AS (
-       |  SELECT fa.vec_id AS a_id, fb.vec_id AS b_id,
-       |    CAST(ROUND(ROUND($cos, 6) * 1000000) AS BIGINT) AS cppm
-       |  FROM afin fa JOIN afin fb
+    s"""WITH ${buildCtes(iters)},
+       |sized AS (
+       |  SELECT vec_id, cell,
+       |    COUNT(*) OVER (PARTITION BY cell) AS cell_n,
+       |    MIN(vec_id) OVER (PARTITION BY cell) AS rep
+       |  FROM afin),
+       |cand AS (
+       |  SELECT fa.vec_id AS a_id, fb.vec_id AS b_id
+       |  FROM sized fa JOIN sized fb
        |    ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
-       |  JOIN embeddings ea ON ea.vec_id = fa.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = fb.vec_id),
+       |  WHERE fa.cell_n <= $maxCell
+       |  UNION ALL
+       |  SELECT rep AS a_id, vec_id AS b_id FROM sized
+       |  WHERE cell_n > $maxCell AND vec_id != rep),
+       |pairs AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(ROUND(ROUND($cos, 6) * 1000000) AS BIGINT) AS cppm
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a_id
+       |  JOIN embeddings eb ON eb.vec_id = c.b_id),
        |dropped AS (
        |  SELECT b_id, CAST(MIN(a_id) AS BIGINT) AS dup_of,
        |    CAST(MAX(cppm) AS BIGINT) AS max_cos_ppm
@@ -406,14 +453,35 @@ object Ivf {
     * row (prior data is already kept/seen); within the batch the
     * lower id wins. */
   def semanticDedupAgainst(b: DataFrame, prior: DataFrame,
-      tauPpm: Long): DataFrame = {
+      tauPpm: Long, maxCell: Int = MaxCell): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def cppm(a: Column, bc: Column): Column =
       round(round(Similarity.cosine(a, bc), 6) * 1000000d, 0).cast("long")
-    val vsPrior = b.join(prior, Seq("cell"))
+    // Mega-cell guards, mirroring [[semanticCandidates]]: a prior
+    // cell over the cap contributes only its representative (lowest
+    // c_id) to the batch-vs-prior join — batch x |mega prior cell|
+    // fan-out becomes batch x 1; a batch cell over the cap star-pairs
+    // against the batch cell's lowest id. Below the cap (every spec /
+    // oracle corpus) verdicts are identical to the unguarded form, so
+    // incremental == full parity holds exactly where SemDeDupSpec
+    // asserts it.
+    val wp = Window.partitionBy(col("cell"))
+    val priorSized = prior
+      .withColumn("cell_n", count(lit(1)).over(wp))
+      .withColumn("rep", min(col("c_id")).over(wp))
+    val priorPruned = priorSized
+      .filter(col("cell_n") <= maxCell || col("c_id") === col("rep"))
+      .select(col("cell"), col("c_id"), col("c_emb"))
+    val vsPrior = b.join(priorPruned, Seq("cell"))
       .filter(cppm(col("embedding"), col("c_emb")) >= tauPpm)
       .groupBy(col("vec_id")).agg(min(col("c_id")).as("dup_of_corpus"))
-    val lower = b.select(col("cell"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"))
+    val bSized = b
+      .withColumn("cell_n", count(lit(1)).over(wp))
+      .withColumn("rep", min(col("vec_id")).over(wp))
+    val lower = bSized
+      .filter(col("cell_n") <= maxCell || col("vec_id") === col("rep"))
+      .select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
     val vsBatch = b.join(lower, Seq("cell"))
       .filter(col("b_id") < col("vec_id") &&
         cppm(col("embedding"), col("b_emb")) >= tauPpm)
@@ -433,13 +501,49 @@ object Ivf {
     * grows with N). No oracle — k-means|| init is not replayable —
     * so SemDeDupSpec proves the prune semantics on planted
     * duplicates. */
-  def semanticDedupOn(assigned: DataFrame, tauPpm: Long): DataFrame = {
+  /** Within-cell candidate pairs (a_id < b_id, embeddings attached)
+    * with the mega-cell star guard: cells over `maxCell` emit
+    * (cell-min-id, member) star pairs instead of all-pairs — O(n) per
+    * cell instead of O(n²), the same degenerate-mass treatment as
+    * Dedup.lshCandidatePairs. A semantic mega-cell is a pile of
+    * near-identical mass (healthy Lloyd skew stays under 4x the
+    * [[TargetCellSize]] the autoK rule provisions), which all
+    * verifies against the representative; members below τ to the rep
+    * simply survive — bounded cost, never an unbounded |cell|² pair
+    * blowup. The size window shuffles on the cell key the pair join
+    * needs anyway. The q145 oracle replays this rule verbatim, so
+    * the guard itself is hash-checked. */
+  private[graft] def semanticCandidates(assigned: DataFrame,
+      maxCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell"))
+    val sized = assigned
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .withColumn("rep", min(col("vec_id")).over(w))
+    val small = sized.filter(col("cell_n") <= maxCell)
+    val smallPairs = small
+      .select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(small.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+    val mega = sized.filter(col("cell_n") > maxCell)
+    val starPairs = mega.filter(col("vec_id") =!= col("rep"))
+      .select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      .join(mega.filter(col("vec_id") === col("rep"))
+        .select(col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb")), Seq("cell"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+    smallPairs.unionByName(starPairs)
+  }
+
+  def semanticDedupOn(assigned: DataFrame, tauPpm: Long,
+      maxCell: Int = MaxCell): DataFrame = {
     graft.functions.GraftFunctions.register(assigned.sparkSession)
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"))
-    val dropped = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+    val dropped = semanticCandidates(assigned, maxCell)
       .withColumn("cppm",
         round(round(Similarity.cosine(col("a_emb"), col("b_emb")), 6)
           * 1000000d, 0).cast("long"))
@@ -452,13 +556,102 @@ object Ivf {
         col("dup_of"), col("max_cos_ppm"))
   }
 
+  /** Deterministic ingest batch for the q150 oracle — built from the
+    * corpus itself with only EXACT float ops (copy, negation), so the
+    * DuckDB replay is bit-identical with zero rounding rules:
+    *  - ids +1e6: exact copies of vec_id < 25 (cos 1.0 with their
+    *    originals ⇒ must drop against the corpus),
+    *  - ids +2e6: negations of 25 ≤ vec_id < 50 (cos −1.0 with their
+    *    originals; mostly novel ⇒ kept, unless −cos(v,u) ≥ τ for some
+    *    cell-mate — the oracle decides identically),
+    *  - ids +3e6: second copies of vec_id < 5 (suppressed by BOTH the
+    *    corpus original and the lower-id +1e6 batch-mate — populates
+    *    dup_of_corpus AND dup_of_batch in one verdict row). */
+  def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val neg = expr("transform(embedding, v -> cast(-v as float))")
+    e.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          neg.as("embedding")))
+      .unionByName(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** q150: the oracle-checked face of [[semanticDedupIncremental]] —
+    * the round-6 gap (incremental/streaming semantic dedup was
+    * spec-only). Batch vectors route onto the CORPUS index's cells
+    * (fixed centroids, no refit) and prune against corpus + lower-id
+    * batch-mates; [[incrementalSemanticDedupOracleSql]] replays the
+    * index build, the routing argmin, and both prune joins. */
+  def incrementalSemanticDedup(spark: SparkSession, dir: String,
+      tauPpm: Long = 400000L): DataFrame =
+    semanticDedupIncremental(spark, dir, incrementalBatch(spark, dir), tauPpm)
+      .orderBy(col("vec_id"), col("cell"), col("kept"),
+        col("dup_of_corpus"), col("dup_of_batch"))
+
+  /** DuckDB replay of [[incrementalSemanticDedup]]: corpus build CTEs
+    * (same autoK k), batch construction with the same exact float
+    * ops, micro-unit routing argmin with the same (d2, cell)
+    * tie-break, then the two prune joins with the identical ppm
+    * threshold. */
+  def incrementalSemanticDedupOracleSql(iters: Int = 2,
+      tauPpm: Long = 400000L): String = {
+    val muB = "list_transform(range(1, 65), i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
+    def cos(a: String, b: String) =
+      s"""ROUND(LIST_INNER_PRODUCT(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+         |  (SQRT(LIST_INNER_PRODUCT(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+         |   SQRT(LIST_INNER_PRODUCT(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
+    def cppm(a: String, b: String) =
+      s"CAST(ROUND(${cos(a, b)} * 1000000) AS BIGINT)"
+    s"""WITH ${buildCtes(iters)},
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS vec_id, embedding
+       |  FROM embeddings WHERE vec_id < 25
+       |  UNION ALL
+       |  SELECT vec_id + 2000000,
+       |    list_transform(embedding, v -> -v)
+       |  FROM embeddings WHERE vec_id >= 25 AND vec_id < 50
+       |  UNION ALL
+       |  SELECT vec_id + 3000000, embedding
+       |  FROM embeddings WHERE vec_id < 5),
+       |bx AS (SELECT vec_id, $muB AS x, embedding FROM batch),
+       |bcell AS (
+       |  SELECT b.vec_id, c.cell, b.embedding
+       |  FROM bx b CROSS JOIN cent$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |    ORDER BY ${oracleD2("b.x", "c.c")}, c.cell) = 1),
+       |vs_prior AS (
+       |  SELECT bc.vec_id, CAST(MIN(f.vec_id) AS BIGINT) AS dup_of_corpus
+       |  FROM bcell bc
+       |  JOIN afin f ON f.cell = bc.cell
+       |  JOIN embeddings ce ON ce.vec_id = f.vec_id
+       |  WHERE ${cppm("bc.embedding", "ce.embedding")} >= $tauPpm
+       |  GROUP BY bc.vec_id),
+       |vs_batch AS (
+       |  SELECT hi.vec_id, CAST(MIN(lo.vec_id) AS BIGINT) AS dup_of_batch
+       |  FROM bcell hi
+       |  JOIN bcell lo ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+       |  WHERE ${cppm("hi.embedding", "lo.embedding")} >= $tauPpm
+       |  GROUP BY hi.vec_id)
+       |SELECT bc.vec_id, CAST(bc.cell AS BIGINT) AS cell,
+       |  (p.vec_id IS NULL AND q.vec_id IS NULL) AS kept,
+       |  p.dup_of_corpus, q.dup_of_batch
+       |FROM bcell bc
+       |LEFT JOIN vs_prior p ON p.vec_id = bc.vec_id
+       |LEFT JOIN vs_batch q ON q.vec_id = bc.vec_id
+       |ORDER BY bc.vec_id, cell, kept,
+       |  dup_of_corpus NULLS FIRST, dup_of_batch NULLS FIRST""".stripMargin
+  }
+
   /** DuckDB oracle replaying [[deterministicIndex]] + [[deterministicSearch]]
     * end-to-end: seeds → `iters` unrolled Lloyd rounds (assignment by
     * exact integer distance with cell tie-break, means re-rounded to
     * micro-units) → probe ranking → cosine re-rank. */
-  def deterministicOracleSql(k: Int = 8, iters: Int = 2, queryId: Long = 7,
+  def deterministicOracleSql(iters: Int = 2, queryId: Long = 7,
       nProbe: Int = 2, topK: Int = 10): String = {
-    s"""WITH ${buildCtes(k, iters)},
+    s"""WITH ${buildCtes(iters)},
        |q AS (SELECT x AS qx FROM xi WHERE vec_id = $queryId),
        |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = $queryId),
        |probe AS (SELECT c.cell FROM cent$iters c CROSS JOIN q

@@ -154,8 +154,13 @@ object Sampling {
     * Scale shape: one keyed count, one 1-row max broadcast, one
     * narrow keep-filter aggregate — no shuffle beyond the source
     * counts. */
-  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOn(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[temperatureMix]] (needs doc_id + source) —
+    * the 10x rehearsal entry point. */
+  def temperatureMixOn(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("source"))
     // exact ⌊√n⌋: double-sqrt seed, one ±1 integer adjustment
     def isqrt(n: Column): Column = {
       val s = floor(sqrt(n.cast("double"))).cast("long")
@@ -242,10 +247,15 @@ object Sampling {
     * — documented, not needed at bench scale. Target convention
     * matches q51: source src0 is the target set. */
   def dsirAffinitySelect(spark: SparkSession, dir: String,
+      buckets: Int = 1024, topPermille: Int = 100): DataFrame =
+    dsirAffinitySelectOn(Tables.documents(spark, dir), buckets, topPermille)
+
+  /** Frame-based core of [[dsirAffinitySelect]] (needs doc_id,
+    * source, text) — the 10x rehearsal entry point. */
+  def dsirAffinitySelectOn(docs: DataFrame,
       buckets: Int = 1024, topPermille: Int = 100): DataFrame = {
     require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
-    graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // split once into its own projection (CollapseProject keeps it —
     // non-cheap, referenced thrice), hash unigram + bigram features,
     // bucket to low bits. The exploded bucket table feeds THREE

@@ -35,10 +35,22 @@ object EmbStream {
   val embSchema: StructType = StructType.fromDDL(
     "vec_id LONG, embedding ARRAY<FLOAT>, ingest_ts TIMESTAMP")
 
+  /** Crash/replay safety (ADVICE r6): verdicts land in a
+    * batchId-keyed partition dir with overwrite — a replayed
+    * micro-batch (crash between the output write and the state
+    * promotion, or a restart) rewrites the SAME `batch_id=N` path
+    * instead of appending duplicate rows, and readers see one table
+    * via partition discovery on `outDir`. A checkpointLocation is set
+    * by default (next to the state dir) so a bare `.start()` resumes
+    * instead of replaying the source from scratch; callers may
+    * override the option. The state union drops duplicate vec_ids so
+    * a replay after a promoted-but-uncommitted batch cannot grow the
+    * seen-state. */
   def semanticDedupStream(vecs: DataFrame, dir: String, outDir: String,
       stateDir: String, tauPpm: Long = 400000L): DataStreamWriter[Row] =
-    vecs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+    vecs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$stateDir.ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s: SparkSession = batch.sparkSession
         graft.functions.GraftFunctions.register(s)
         val idx = Ivf.deterministicIndex(s, dir)
@@ -57,9 +69,10 @@ object EmbStream {
             st.select(col("cell"), col("vec_id").as("c_id"),
               col("embedding").as("c_emb"))))
           Ivf.semanticDedupAgainst(b, prior, tauPpm)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           val newSeen = seen.fold(b)(_.unionByName(b))
+            .dropDuplicates("vec_id")
           CdcStream.promoteState(stateDir, newSeen)
         } finally { b.unpersist(): Unit }
-    }
+      }
 }

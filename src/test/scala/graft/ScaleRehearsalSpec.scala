@@ -11,9 +11,18 @@ class ScaleRehearsalSpec extends SparkSpec {
     val base = Tables.documents(spark, sf)
     val ten = ScaleRehearsal.docs10x(spark, sf)
     assert(ten.count() == 10 * base.count())
-    // shard 0 is the identity embed
+    // shard 0 is the identity embed (source passes through — the
+    // source-keyed ops' isomorph requirement, round 7)
     val s0 = ten.filter(col("doc_id") < 1000000L)
-    assert(s0.exceptAll(base.select(col("doc_id"), col("text"))).count() == 0)
+    assert(s0.exceptAll(
+      base.select(col("doc_id"), col("source"), col("text"))).count() == 0)
+    // every shard's source distribution equals the original's
+    val perShard = ten.groupBy(expr("doc_id div 1000000").as("shard"),
+        col("source")).count()
+    assert(perShard.groupBy(col("source"))
+      .agg(countDistinct(col("count")).as("d"), count(lit(1)).as("n"))
+      .filter(col("d") =!= 1L || col("n") =!= 10L).count() == 0,
+      "a shard's source distribution diverged from the original")
     // letter permutation preserves length per doc (injective char map)
     val lens = ten.groupBy((col("doc_id") % 1000000L).as("base_id"))
       .agg(countDistinct(length(col("text"))).as("d"))

@@ -93,6 +93,67 @@ class SemDeDupSpec extends SparkSpec {
     assert(inc.values.forall(_ == false), "scaled copies must all drop")
   }
 
+  test("mega-cell star guard bounds pair fan-out, keeps dissimilar members") {
+    import spark.implicits._
+    // cell 0 holds 21 members (> maxCell=10): 20 identical vectors
+    // plus one dissimilar; cell 1 is small (all-pairs path). The
+    // guard must emit exactly n-1 star pairs for the mega cell —
+    // not C(21,2)=210 — and still (a) drop every near-identical
+    // member against the representative, (b) keep the dissimilar
+    // member (below τ to the rep ⇒ survives; the documented recall
+    // trade of star pairing over degenerate mass).
+    val v = Array.fill(64)(0.5f)
+    val w = Array.fill(64)(0.0f); w(0) = 1.0f // cos(v, w) = 0.125
+    val rows = ((0L to 19L).map(i => (i, 0L, v)) ++ Seq((20L, 0L, w)) ++
+      Seq((30L, 1L, v), (31L, 1L, v))).toDF("vec_id", "cell", "embedding")
+    val nPairs = Ivf.semanticCandidates(rows, maxCell = 10).count()
+    assert(nPairs == 21L, // 20 star pairs (cell 0) + 1 all-pair (cell 1)
+      s"expected 21 guarded pairs, got $nPairs")
+    val out = Ivf.semanticDedupOn(rows, tauPpm = 950000L, maxCell = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(0L) == ((true, -1L)), "rep survives")
+    (1L to 19L).foreach(i =>
+      assert(out(i) == ((false, 0L)), s"member $i must drop against rep"))
+    assert(out(20L) == ((true, -1L)), "dissimilar member survives")
+    assert(out(30L) == ((true, -1L)) && out(31L) == ((false, 30L)),
+      "small cell keeps exact all-pairs semantics")
+  }
+
+  test("incremental guard: mega prior cell prunes to its representative") {
+    import spark.implicits._
+    val v = Array.fill(64)(0.5f)
+    val u = Array.fill(64)(0.0f); u(1) = 1.0f
+    // prior cell 0: rep c_id=100 is v, members 101..114 are u (cell
+    // over maxCell=10). A batch copy of the REP must still drop
+    // (dup_of_corpus = 100); a batch copy of a NON-rep member is kept
+    // — the star guard's bounded-recall trade, same as LSH buckets.
+    val prior = (Seq((0L, 100L, v)) ++
+      (101L to 114L).map(i => (0L, i, u)))
+      .toDF("cell", "c_id", "c_emb")
+    val batch = Seq((1000L, 0L, v), (1001L, 0L, u))
+      .toDF("vec_id", "cell", "embedding")
+    val out = Ivf.semanticDedupAgainst(batch, prior, 950000L, maxCell = 10)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1000L) == ((false, 100L)), "rep copy drops against corpus")
+    assert(out(1001L)._1, "non-rep copy kept under the star guard")
+  }
+
+  test("autoK grows with N and both engines derive the same k") {
+    assert(Ivf.autoK(500) == 8 && Ivf.autoK(2000) == 8,
+      "test corpora stay at k=8 (floor)")
+    assert(Ivf.autoK(5000) == 20 && Ivf.autoK(20000) == 79 &&
+      Ivf.autoK(1000000) == 3907, "k scales as ceil(N/256) above the floor")
+    // the oracle's scalar-subquery form computes the identical k for
+    // this corpus (DuckDB replay of the same integer formula)
+    val n = Tables.embeddings(spark, sf).count()
+    val sql = Ivf.kSql()
+    assert(sql.contains("GREATEST(8,") && sql.contains("// 256"),
+      s"kSql must replay the autoK integers: $sql")
+    assert(Ivf.autoK(n) == 8, "bundled corpus resolves to the floor")
+  }
+
   test("q145 registered form: deterministic cells, ppm threshold, stable order") {
     val out = Ivf.semanticDedup(spark, sf, tauPpm = 400000L)
     val rows = out.collect()
