@@ -202,6 +202,14 @@ object SparkEntry {
     "q149_fluency"          -> (Ranking.fluencyQuery _),
     "q150_semantic_dedup_incremental" -> ((s: SparkSession, d: String) =>
       Ivf.incrementalSemanticDedup(s, d)),
+    "q151_filter_cascade"   -> (TextAnalysis.filterCascade _),
+    "q152_curriculum_schedule" -> ((s: SparkSession, d: String) =>
+      Sampling.curriculumSchedule(s, d)),
+    "q153_training_order"   -> ((s: SparkSession, d: String) =>
+      Layout.trainingOrder(s, d)),
+    "q154_chunk_spans"      -> ((s: SparkSession, d: String) =>
+      Layout.chunkSpans(s, d)),
+    "q155_token_fertility"  -> (TextAnalysis.tokenFertility _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2442,6 +2450,11 @@ object SparkEntry {
       "q145_semantic_dedup" -> Ivf.semanticDedupOracleSql(),
       "q150_semantic_dedup_incremental" ->
         Ivf.incrementalSemanticDedupOracleSql(),
+      "q151_filter_cascade" -> TextAnalysis.filterCascadeOracleSql,
+      "q152_curriculum_schedule" -> Sampling.curriculumScheduleOracleSql(),
+      "q153_training_order" -> Layout.trainingOrderOracleSql(),
+      "q154_chunk_spans" -> Layout.chunkSpansOracleSql(),
+      "q155_token_fertility" -> TextAnalysis.tokenFertilityOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

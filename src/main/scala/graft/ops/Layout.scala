@@ -136,6 +136,99 @@ object Layout {
        |ORDER BY shard, n_docs, sum_len, content_digest""".stripMargin
   }
 
+  /** Deterministic training-order shuffle (q153): assign every
+    * document a (shard, position) so that reading shards in position
+    * order yields a reproducible pseudo-random global order — the
+    * training-data shuffle that must NOT be rand() (retries, re-runs
+    * and engine ports must see the identical order; same argument as
+    * Sampling.idBucket). Shard = the q147 id-mixer bucket (so shuffle
+    * shards and export shards agree); within-shard order = a SECOND
+    * independent mixer (different multiplier — ordering by the shard
+    * mixer itself would correlate position with shard membership),
+    * ties broken by doc_id.
+    *
+    * Scale shape: narrow hash projection + one window rank per shard
+    * partition — the per-shard sort is the irreducible cost of
+    * producing an explicit order, and shard count scales with the
+    * cluster. No global sort: positions are per-shard by design
+    * (training readers consume shards independently). */
+  def trainingOrder(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(Sampling.idBucket(col("doc_id")), lit(nShards.toLong))
+          .as("shard"),
+        Sampling.idShuffleKey(col("doc_id")).as("shuffle_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("shuffle_key"), col("pos"))
+      .orderBy(col("doc_id"), col("shard"), col("shuffle_key"), col("pos"))
+  }
+
+  /** DuckDB oracle for [[trainingOrder]]: same two mixers, same
+    * window rank. Positive operands, so `%` = Spark's pmod. */
+  def trainingOrderOracleSql(nShards: Int = 16): String =
+    s"""SELECT doc_id,
+       |  CAST(${Sampling.idBucketSql("doc_id")} % $nShards AS BIGINT)
+       |    AS shard,
+       |  CAST(${Sampling.idShuffleKeySql("doc_id")} AS BIGINT)
+       |    AS shuffle_key,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY ${Sampling.idBucketSql("doc_id")} % $nShards
+       |    ORDER BY ${Sampling.idShuffleKeySql("doc_id")}, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM documents
+       |ORDER BY doc_id, shard, shuffle_key, pos""".stripMargin
+
+  /** Sliding-window chunking (q154): split each document into
+    * training sequences of `chunk` tokens with stride `stride`
+    * (overlap = chunk − stride, the standard context-window
+    * chunking for pre-training ingestion; the companion of q79's
+    * sequence PACKING — chunking cuts long docs down, packing fills
+    * short ones up). Emits (doc_id, start_tok, chunk_idx, n_tok)
+    * spans; the materialization step (substring slice per span) is a
+    * narrow follow-on projection.
+    *
+    * Scale shape: one generator per row (sequence over token starts,
+    * ~n/stride elements) — no shuffle at all; span arithmetic is
+    * codegen'd integer math. */
+  def chunkSpans(spark: SparkSession, dir: String, chunk: Int = 128,
+      stride: Int = 96): DataFrame =
+    chunkSpansDocs(Tables.documents(spark, dir), chunk, stride)
+
+  /** Frame-based core of [[chunkSpans]] (needs doc_id + text). */
+  def chunkSpansDocs(docs: DataFrame, chunk: Int = 128,
+      stride: Int = 96): DataFrame = {
+    require(stride > 0 && chunk >= stride, "need 0 < stride <= chunk")
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(expr(s"sequence(0L, n - 1, ${stride}L)")).as("start_tok"))
+      .select(col("doc_id"), col("start_tok"),
+        expr(s"CAST(start_tok div $stride AS BIGINT)").as("chunk_idx"),
+        least(lit(chunk.toLong), col("n") - col("start_tok")).as("n_tok"))
+      .orderBy(col("doc_id"), col("start_tok"), col("chunk_idx"),
+        col("n_tok"))
+  }
+
+  /** DuckDB oracle for [[chunkSpans]]: half-open range(0, n, stride)
+    * equals Spark's inclusive sequence(0, n-1, stride) for n ≥ 1. */
+  def chunkSpansOracleSql(chunk: Int = 128, stride: Int = 96): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, UNNEST(range(0, n, $stride)) AS start_tok
+       |  FROM d)
+       |SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(start_tok // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(LEAST($chunk, n - start_tok) AS BIGINT) AS n_tok
+       |FROM s
+       |ORDER BY doc_id, start_tok, chunk_idx, n_tok""".stripMargin
+
   /** Write the sharded corpus (partitionBy the shard key: one hash
     * shuffle, one directory per shard) and return a manifest computed
     * from the files JUST WRITTEN. */

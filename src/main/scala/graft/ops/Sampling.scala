@@ -32,6 +32,18 @@ object Sampling {
   def idBucketSql(idExpr: String): String =
     s"(($idExpr % $Prime) * $Mult) % $Prime"
 
+  /** Second, independent id mixer (different multiplier) for
+    * within-shard shuffle ORDER (Layout.trainingOrder): ordering by
+    * [[idBucket]] itself would correlate position with shard
+    * membership, since the shard is idBucket mod nShards. */
+  val Mult2 = 1566083941L // Borosh–Niederreiter LCG multiplier
+
+  def idShuffleKey(id: Column): Column =
+    pmod(pmod(id, lit(Prime)) * Mult2, lit(Prime))
+
+  def idShuffleKeySql(idExpr: String): String =
+    s"(($idExpr % $Prime) * $Mult2) % $Prime"
+
   /** Keep a per-stratum fraction of rows: row kept iff its id bucket
     * falls below rate * Prime for its stratum's rate. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
@@ -157,16 +169,27 @@ object Sampling {
   def temperatureMix(spark: SparkSession, dir: String): DataFrame =
     temperatureMixOn(Tables.documents(spark, dir))
 
+  /** Exact ⌊√n⌋: double-sqrt seed, one ±1 integer adjustment —
+    * bit-identical in Spark, JVM and the DuckDB replay (shared by the
+    * temperature mix q148 and the curriculum schedule q152). */
+  private[ops] def isqrt(n: Column): Column = {
+    val s = floor(sqrt(n.cast("double"))).cast("long")
+    val s1 = s - when(s * s > n, 1L).otherwise(0L)
+    s1 + when((s1 + 1L) * (s1 + 1L) <= n, 1L).otherwise(0L)
+  }
+
+  /** The [[isqrt]] adjustment as DuckDB SQL over a column expression
+    * `n` (assumes a prior CTE exposes `s` = FLOOR(SQRT(n))). */
+  private[ops] def isqrtSql(n: String, s: String): String =
+    s"""(($s - (CASE WHEN $s * $s > $n THEN 1 ELSE 0 END))
+       |      + (CASE WHEN ($s - (CASE WHEN $s * $s > $n THEN 1 ELSE 0 END) + 1)
+       |              * ($s - (CASE WHEN $s * $s > $n THEN 1 ELSE 0 END) + 1)
+       |              <= $n THEN 1 ELSE 0 END))""".stripMargin
+
   /** Frame-based core of [[temperatureMix]] (needs doc_id + source) —
     * the 10x rehearsal entry point. */
   def temperatureMixOn(docsIn: DataFrame): DataFrame = {
     val docs = docsIn.select(col("doc_id"), col("source"))
-    // exact ⌊√n⌋: double-sqrt seed, one ±1 integer adjustment
-    def isqrt(n: Column): Column = {
-      val s = floor(sqrt(n.cast("double"))).cast("long")
-      val s1 = s - when(s * s > n, 1L).otherwise(0L)
-      s1 + when((s1 + 1L) * (s1 + 1L) <= n, 1L).otherwise(0L)
-    }
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", isqrt(col("n_docs")))
@@ -302,4 +325,78 @@ object Sampling {
         (col("rk") <= expr(s"nd * $topPermille div 1000")).as("sel"))
     ranked.orderBy(col("doc_id"), col("n_feats"), col("score"), col("sel"))
   }
+
+  /** Curriculum mixing schedule (q152): per training phase, the
+    * per-source sampling shares, annealing LINEARLY from
+    * size-proportional (phase 0 — natural distribution, the standard
+    * pre-training start) to temperature-balanced α=1/2 (final phase —
+    * the q148 mix, upweighting small/rare sources late in training,
+    * the data-scheduling shape of curriculum/annealed mixtures à la
+    * DoReMi-style reweighting schedules).
+    *
+    * Integer-exact: phase-p weight is the integer interpolation
+    *   w_p(s) = (P−1−p)·n_s + p·⌊√n_s⌋·K
+    * (K = ⌊√n_max⌋ rescales the sqrt leg to the proportional leg's
+    * magnitude so the interpolation mixes comparable units), and the
+    * reported share is w·1e6 div Σ_s w — every fold a BIGINT, so the
+    * DuckDB oracle replays the schedule bit-exactly.
+    *
+    * Scale shape: one keyed source count (the only pass over data),
+    * then all schedule arithmetic on |sources|×P rows — driver-scale
+    * frames; a 1-row broadcast for n_max. No global step over docs. */
+  def curriculumSchedule(spark: SparkSession, dir: String,
+      phases: Int = 4): DataFrame =
+    curriculumScheduleOn(Tables.documents(spark, dir), phases)
+
+  /** Frame-based core of [[curriculumSchedule]]. */
+  def curriculumScheduleOn(docsIn: DataFrame, phases: Int = 4): DataFrame = {
+    require(phases >= 2, "need at least a start and an end phase")
+    val counts = docsIn.select(col("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", isqrt(col("n_docs")))
+    val withK = counts.crossJoin(broadcast(
+      counts.agg(max(col("n_docs")).as("n_max"))))
+      .withColumn("k", isqrt(col("n_max")))
+    val sched = withK
+      .select(col("source"), col("n_docs"), col("sq"), col("k"),
+        explode(sequence(lit(0L), lit((phases - 1).toLong))).as("phase"))
+      .withColumn("w",
+        (lit((phases - 1).toLong) - col("phase")) * col("n_docs") +
+          col("phase") * col("sq") * col("k"))
+    val tot = Window.partitionBy(col("phase"))
+    sched
+      .withColumn("tw", sum(col("w")).over(tot))
+      .select(col("phase"), col("source"), col("n_docs"), col("w"),
+        expr("CAST(w * 1000000 div tw AS BIGINT)").as("share_ppm"))
+      .orderBy(col("phase"), col("source"), col("n_docs"), col("w"),
+        col("share_ppm"))
+  }
+
+  /** DuckDB oracle for [[curriculumSchedule]]: same isqrt adjustment,
+    * same integer interpolation, same ppm division. */
+  def curriculumScheduleOracleSql(phases: Int = 4): String =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |c0 AS (
+       |  SELECT source, n_docs,
+       |    CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s
+       |  FROM c),
+       |cq AS (
+       |  SELECT source, n_docs, ${isqrtSql("n_docs", "s")} AS sq FROM c0),
+       |m0 AS (
+       |  SELECT MAX(n_docs) AS n_max,
+       |    CAST(FLOOR(SQRT(CAST(MAX(n_docs) AS DOUBLE))) AS BIGINT) AS s
+       |  FROM c),
+       |mk AS (SELECT ${isqrtSql("n_max", "s")} AS k FROM m0),
+       |sched AS (
+       |  SELECT p.phase, cq.source, cq.n_docs,
+       |    (${phases - 1} - p.phase) * cq.n_docs + p.phase * cq.sq * mk.k AS w
+       |  FROM cq CROSS JOIN mk
+       |  CROSS JOIN (SELECT UNNEST(range(0, $phases)) AS phase) p),
+       |tot AS (SELECT phase, SUM(w) AS tw FROM sched GROUP BY phase)
+       |SELECT CAST(s.phase AS BIGINT) AS phase, s.source, s.n_docs,
+       |  CAST(s.w AS BIGINT) AS w,
+       |  CAST(s.w * 1000000 // t.tw AS BIGINT) AS share_ppm
+       |FROM sched s JOIN tot t USING (phase)
+       |ORDER BY phase, source, n_docs, w, share_ppm""".stripMargin
 }

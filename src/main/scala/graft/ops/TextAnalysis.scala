@@ -367,4 +367,130 @@ object TextAnalysis {
           " div (n_tokens * n_tokens)").as("gini_ppm"))
       .orderBy(col("doc_id"), col("n_tokens"), col("n_types"),
         col("gini_ppm"))
+
+  /** Quality-filter cascade funnel (q151): the FineWeb/CCNet corpus
+    * curation shape — documents flow through an ordered cascade of
+    * cheap heuristic gates, and the per-source survival funnel is THE
+    * diagnostic a pipeline operator reads before committing a corpus
+    * (which source dies at which gate). Four integer-exact stages,
+    * each conjunctive with its predecessors:
+    *   1. length: chars ≥ 150;
+    *   2. tokens: whitespace tokens ≥ 30;
+    *   3. lexical diversity: distinct/total tokens ≥ 0.40 (Gopher's
+    *      type-token-ratio rule, as a cross-multiply — no division);
+    *   4. stopword mass: en-marker tokens/total ≥ 0.02 (CCNet-style
+    *      language fluency floor, cross-multiplied).
+    * Every decision is integer arithmetic on counts, so the DuckDB
+    * oracle replays the funnel bit-exactly.
+    *
+    * Scale shape: one narrow codegen'd pass computing four booleans
+    * per row, one keyed aggregate over sources — map-side combined,
+    * state = |sources| rows. The cascade ORDER is free (all four
+    * flags come from one scan); the funnel semantics live in the
+    * conjunctions. */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame =
+    filterCascadeDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[filterCascade]] (needs source + text). */
+  def filterCascadeDocs(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val toks = tokens(t)
+    val nTok = size(toks).cast("long")
+    val nChar = length(t).cast("long")
+    val nDis = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks,
+      tk => tk.isin(markers.toMap.apply("en"): _*))).cast("long")
+    val flagged = docs.select(col("source"),
+      (nChar >= 150L).as("s1"),
+      (nChar >= 150L && nTok >= 30L).as("s2"),
+      (nChar >= 150L && nTok >= 30L &&
+        nDis * 1000000L >= nTok * 400000L).as("s3"),
+      (nChar >= 150L && nTok >= 30L &&
+        nDis * 1000000L >= nTok * 400000L &&
+        nStop * 1000000L >= nTok * 20000L).as("s4"))
+    flagged.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("pass_len"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("pass_tokens"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("pass_ttr"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("pass_stopword"))
+      .orderBy(col("source"), col("n_docs"), col("pass_len"),
+        col("pass_tokens"), col("pass_ttr"), col("pass_stopword"))
+  }
+
+  /** DuckDB oracle for [[filterCascade]]: identical gates, identical
+    * cross-multiplied thresholds. */
+  val filterCascadeOracleSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    LENGTH(text) >= 150 AS s1,
+      |    LEN(STRING_SPLIT(text, ' ')) AS nt,
+      |    LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS nd,
+      |    LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+      |      tk -> LIST_CONTAINS(['the', 'a', 'and', 'of', 'to'], tk)))
+      |      AS ns
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, s1,
+      |    (s1 AND nt >= 30) AS s2,
+      |    (s1 AND nt >= 30 AND nd * 1000000 >= nt * 400000) AS s3,
+      |    (s1 AND nt >= 30 AND nd * 1000000 >= nt * 400000
+      |      AND ns * 1000000 >= nt * 20000) AS s4
+      |  FROM f)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+      |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
+      |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_ttr,
+      |  CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword
+      |FROM g GROUP BY source
+      |ORDER BY source, n_docs, pass_len, pass_tokens, pass_ttr,
+      |  pass_stopword""".stripMargin
+
+  /** Per-source tokenizer fertility (q155): bytes-per-token statistics
+    * under the whitespace and BPE-ish regex tokenizations (q37's two
+    * conventions) — the corpus-planning number that converts a byte
+    * budget into a token budget per source, and flags sources whose
+    * token cost is anomalous (boilerplate, code, non-prose). The
+    * fertility ratio is reported in integer ppm (chars·1e6 div
+    * regex-tokens) so the fold is a BIGINT everywhere.
+    *
+    * Scale shape: narrow per-row counting, one map-side-combined
+    * aggregate; |sources| output rows. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val re = expr(
+      "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), length(t).cast("long").as("nc"),
+        size(tokens(t)).cast("long").as("nw"), re.as("nr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("sum_chars"),
+        sum(col("nw")).as("sum_ws_tokens"),
+        sum(col("nr")).as("sum_re_tokens"),
+        expr("CAST(sum(nc) * 1000000 div sum(nr) AS BIGINT)")
+          .as("chars_per_re_token_ppm"))
+      .orderBy(col("source"), col("n_docs"), col("sum_chars"),
+        col("sum_ws_tokens"), col("sum_re_tokens"),
+        col("chars_per_re_token_ppm"))
+  }
+
+  /** DuckDB oracle for [[tokenFertility]] — q37's tokenization
+    * conventions aggregated per source. */
+  val tokenFertilityOracleSql: String =
+    """WITH d AS (
+      |  SELECT source, LENGTH(text) AS nc,
+      |    LEN(STRING_SPLIT(text, ' ')) AS nw,
+      |    LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nr
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nc) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(nw) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(SUM(nr) AS BIGINT) AS sum_re_tokens,
+      |  CAST(SUM(nc) * 1000000 // SUM(nr) AS BIGINT)
+      |    AS chars_per_re_token_ppm
+      |FROM d GROUP BY source
+      |ORDER BY source, n_docs, sum_chars, sum_ws_tokens, sum_re_tokens,
+      |  chars_per_re_token_ppm""".stripMargin
 }
