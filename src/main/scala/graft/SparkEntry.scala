@@ -210,6 +210,9 @@ object SparkEntry {
     "q154_chunk_spans"      -> ((s: SparkSession, d: String) =>
       Layout.chunkSpans(s, d)),
     "q155_token_fertility"  -> (TextAnalysis.tokenFertility _),
+    "q156_dedup_savings"    -> (Dedup.dedupSavings _),
+    "q157_padding_waste"    -> ((s: SparkSession, d: String) =>
+      Layout.paddingWaste(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2455,6 +2458,8 @@ object SparkEntry {
       "q153_training_order" -> Layout.trainingOrderOracleSql(),
       "q154_chunk_spans" -> Layout.chunkSpansOracleSql(),
       "q155_token_fertility" -> TextAnalysis.tokenFertilityOracleSql,
+      "q156_dedup_savings" -> Dedup.dedupSavingsOracleSql,
+      "q157_padding_waste" -> Layout.paddingWasteOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

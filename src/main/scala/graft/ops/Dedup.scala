@@ -940,4 +940,62 @@ object Dedup {
     setSimJoin(Tables.documents(spark, dir), "doc_id", 700000L)
       .repartition(1)
       .sortWithinPartitions(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
+
+  /** Dedup-savings accounting (q156): the token-budget view of exact
+    * dedup — per source, how many documents and tokens survive when
+    * only the corpus-wide FIRST copy (min doc_id over identical text)
+    * of each document is kept. Duplicates die in the source holding
+    * the HIGHER id, so a source that mostly re-hosts content shows a
+    * high savings_ppm even though the content survives elsewhere —
+    * the cross-source twin of the q114 contamination matrix, answering
+    * the planning question "how many tokens does each source really
+    * contribute".
+    *
+    * The keep decision groups by sha2(text) in the engine (32-byte
+    * shuffle keys, the q33/q75 discipline) while the oracle groups by
+    * text itself — digests never cross engines (q63 rule); equality
+    * is all that is used, so the verdicts are identical.
+    *
+    * Scale shape: one digest-keyed window (the same single shuffle as
+    * exactDedup) + one map-side-combined source aggregate. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame =
+    dedupSavingsDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[dedupSavings]]. */
+  def dedupSavingsDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col("text"), 256))
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L))
+          .as("kept_tokens"),
+        expr("CAST((sum(n_tok) - sum(CASE WHEN keep THEN n_tok ELSE 0 END))" +
+          " * 1000000 div sum(n_tok) AS BIGINT)").as("savings_ppm"))
+      .orderBy(col("source"), col("n_docs"), col("n_kept"),
+        col("sum_tokens"), col("kept_tokens"), col("savings_ppm"))
+  }
+
+  /** DuckDB oracle for [[dedupSavings]]: text-equality grouping. */
+  val dedupSavingsOracleSql: String =
+    """WITH k AS (
+      |  SELECT source, doc_id,
+      |    LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY text) AS keep
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  CAST((SUM(n_tok) - SUM(CASE WHEN keep THEN n_tok ELSE 0 END))
+      |    * 1000000 // SUM(n_tok) AS BIGINT) AS savings_ppm
+      |FROM k GROUP BY source
+      |ORDER BY source, n_docs, n_kept, sum_tokens, kept_tokens,
+      |  savings_ppm""".stripMargin
 }

@@ -194,13 +194,23 @@ object Ivf {
     * per-round aggregate collects k rows of (cell, 64 sums, count) —
     * centroid state is O(k·dim) regardless of corpus size, the same
     * driver-side footprint as readIndex. */
+  // corpus count per (dir, source fingerprint): the autoK resolution
+  // would otherwise launch a (metadata-only, but scheduled) count job
+  // on EVERY index lookup; the fingerprint key makes an in-place
+  // testdata regen refresh it
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def deterministicIndex(spark: SparkSession, dir: String, k: Int = -1,
       iters: Int = 2): DetIndex = {
     // k <= 0 means the autoK rule (k ∝ N) — resolved BEFORE the cache
     // key so explicit-k and auto-k callers share an entry when they
     // agree. The count is a parquet-metadata read, not a data scan.
     val resolvedK =
-      if (k > 0) k else autoK(Tables.embeddings(spark, dir).count())
+      if (k > 0) k
+      else autoK(corpusCounts.computeIfAbsent(
+        s"$dir|${Tables.sourceFingerprint(dir, Seq("embeddings"))}",
+        _ => Tables.embeddings(spark, dir).count()))
     // keyed by sessionUUID too: DetIndex.assigned is a persisted
     // DataFrame BOUND to its session (unlike persistedIndex, which
     // stores an on-disk path any session can re-read) — a cached entry
@@ -437,8 +447,17 @@ object Ivf {
       batch: DataFrame, tauPpm: Long = 400000L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val idx = deterministicIndex(spark, dir)
+    // the routed batch feeds FOUR plan branches (vsPrior, both sides
+    // of vsBatch, final verdicts); unpersisted, each re-evaluates the
+    // batch union AND the k×64-literal assignment expression — worse,
+    // the ANALYZER re-walks that ~4k-node tree once per branch, which
+    // persist alone cannot avoid (cache substitution happens after
+    // analysis; measured 12.5 s warm unpersisted, 4.2 s persisted).
+    // localCheckpoint truncates the logical plan itself (the
+    // dedupClusters rule), so every branch sees a leaf — 1.1 s warm.
     val b = assignToCells(
-      batch.select(col("vec_id"), col("embedding")), idx.centroids)
+        batch.select(col("vec_id"), col("embedding")), idx.centroids)
+      .localCheckpoint()
     val corpus = idx.assigned
       .join(Tables.embeddings(spark, dir), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("c_id"),
@@ -486,9 +505,14 @@ object Ivf {
       .filter(col("b_id") < col("vec_id") &&
         cppm(col("embedding"), col("b_emb")) >= tauPpm)
       .groupBy(col("vec_id")).agg(min(col("b_id")).as("dup_of_batch"))
+    // both verdict aggregates are ≤ batch-sized; shuffle_hash skips
+    // the static planner's sort-merge sorts without assuming the
+    // batch fits a broadcast (a backfill-sized batch must not pin an
+    // unbounded broadcast — the SetSizer argument; AQE still converts
+    // truly tiny sides to broadcast at runtime)
     b.select(col("vec_id"), col("cell"))
-      .join(vsPrior, Seq("vec_id"), "left")
-      .join(vsBatch, Seq("vec_id"), "left")
+      .join(vsPrior.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .join(vsBatch.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         (col("dup_of_corpus").isNull && col("dup_of_batch").isNull)
           .as("kept"),
@@ -587,8 +611,12 @@ object Ivf {
     * index build, the routing argmin, and both prune joins. */
   def incrementalSemanticDedup(spark: SparkSession, dir: String,
       tauPpm: Long = 400000L): DataFrame =
+    // single-partition sort, not orderBy: the verdict set is batch-
+    // sized (tiny) and a global orderBy would re-execute the join
+    // child for range-boundary sampling (the q126 rule)
     semanticDedupIncremental(spark, dir, incrementalBatch(spark, dir), tauPpm)
-      .orderBy(col("vec_id"), col("cell"), col("kept"),
+      .repartition(1)
+      .sortWithinPartitions(col("vec_id"), col("cell"), col("kept"),
         col("dup_of_corpus"), col("dup_of_batch"))
 
   /** DuckDB replay of [[incrementalSemanticDedup]]: corpus build CTEs

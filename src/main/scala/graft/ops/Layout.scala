@@ -229,6 +229,72 @@ object Layout {
        |FROM s
        |ORDER BY doc_id, start_tok, chunk_idx, n_tok""".stripMargin
 
+  /** Padding-waste packing audit (q157): batch the q154 chunk spans
+    * greedily in length-sorted order (the standard length-bucketing
+    * trick) into fixed batches of `batchSize`, and report each
+    * batch's padding waste — the fraction of the padded token grid
+    * (n_seqs × batch_max_len) that is padding. The training-efficiency
+    * pre-flight: high waste means the chunk/stride/batch knobs burn
+    * accelerator time on pad tokens. Integer-exact (counts and one
+    * ppm division), so DuckDB replays the batching bit-for-bit.
+    *
+    * Scale shape: the span stream is narrow; the length-sort rank is
+    * ONE global window at audit scale — in production the rank runs
+    * per training shard (the q153 partitioning), making it a per-shard
+    * window like trainingOrder. Batch aggregation is keyed by
+    * batch_idx. */
+  def paddingWaste(spark: SparkSession, dir: String, chunk: Int = 128,
+      stride: Int = 96, batchSize: Int = 32): DataFrame =
+    paddingWasteDocs(Tables.documents(spark, dir), chunk, stride, batchSize)
+
+  /** Frame-based core of [[paddingWaste]]. */
+  def paddingWasteDocs(docs: DataFrame, chunk: Int = 128,
+      stride: Int = 96, batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = chunkSpansDocs(docs, chunk, stride)
+    val r = row_number().over(Window.orderBy(col("n_tok").desc,
+      col("doc_id"), col("start_tok")))
+    spans
+      .withColumn("rk", r.cast("long"))
+      .withColumn("batch_idx", expr(s"(rk - 1L) div ${batchSize}L"))
+      .groupBy(col("batch_idx"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .select(col("batch_idx"), col("n_seqs"), col("max_tok"),
+        col("sum_tok"),
+        expr("CAST((n_seqs * max_tok - sum_tok) * 1000000" +
+          " div (n_seqs * max_tok) AS BIGINT)").as("waste_ppm"))
+      .orderBy(col("batch_idx"), col("n_seqs"), col("max_tok"),
+        col("sum_tok"), col("waste_ppm"))
+  }
+
+  /** DuckDB oracle for [[paddingWaste]]: same span construction
+    * ([[chunkSpansOracleSql]]'s CTEs), same rank, same ppm. */
+  def paddingWasteOracleSql(chunk: Int = 128, stride: Int = 96,
+      batchSize: Int = 32): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, UNNEST(range(0, n, $stride)) AS start_tok
+       |  FROM d),
+       |sp AS (
+       |  SELECT doc_id, start_tok,
+       |    LEAST($chunk, n - start_tok) AS n_tok
+       |  FROM s),
+       |rk AS (
+       |  SELECT n_tok,
+       |    (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id, start_tok)
+       |      - 1) // $batchSize AS batch_idx
+       |  FROM sp)
+       |SELECT CAST(batch_idx AS BIGINT) AS batch_idx,
+       |  COUNT(*) AS n_seqs, CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       |  CAST((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1000000
+       |    // (COUNT(*) * MAX(n_tok)) AS BIGINT) AS waste_ppm
+       |FROM rk GROUP BY batch_idx
+       |ORDER BY batch_idx, n_seqs, max_tok, sum_tok, waste_ppm""".stripMargin
+
   /** Write the sharded corpus (partitionBy the shard key: one hash
     * shuffle, one directory per shard) and return a manifest computed
     * from the files JUST WRITTEN. */

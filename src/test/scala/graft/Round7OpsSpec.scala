@@ -89,6 +89,38 @@ class Round7OpsSpec extends SparkSpec {
       (2L, 0L, 0L, 1L)))
   }
 
+  test("q156 dedup savings: duplicates die in the higher-id source") {
+    import spark.implicits._
+    // "x y z" appears in A(1), A(2), B(3): only A(1) is kept; B keeps
+    // its unique doc. A: 2 docs / 1 kept, 6 tokens / 3 kept -> 500000
+    // ppm saved. B: 2 docs / 1 kept, 5 tokens / 2 kept -> 600000 ppm.
+    val docs = Seq(
+      (1L, "A", "x y z"), (2L, "A", "x y z"),
+      (3L, "B", "x y z"), (4L, "B", "unique doc"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.Dedup.dedupSavingsDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("A") == ((2L, 1L, 6L, 3L, 500000L)))
+    assert(out("B") == ((2L, 1L, 5L, 2L, 600000L)))
+  }
+
+  test("q157 padding waste: hand-computed batches for planted spans") {
+    import spark.implicits._
+    // spans of a 250-token doc (128/128/58) + three 10-token docs,
+    // batchSize 4: batch 0 = [128,128,58,10] -> waste (512-324)/512 =
+    // 367187 ppm; batch 1 = [10,10] -> zero waste
+    val docs = (Seq((1L, (1 to 250).map(i => s"t$i").mkString(" "))) ++
+      (2 to 4).map(i => (i.toLong, (1 to 10).map(j => s"w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = Layout.paddingWasteDocs(docs, batchSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSet == Set(
+      (0L, 4L, 128L, 324L, 367187L),
+      (1L, 2L, 10L, 20L, 0L)))
+  }
+
   test("q155 fertility ppm equals the integer ratio of the summed counts") {
     val out = TextAnalysis.tokenFertility(spark, sf).collect()
     assert(out.nonEmpty)
