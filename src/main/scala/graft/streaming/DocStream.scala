@@ -89,4 +89,33 @@ object DocStream {
             batch.select(col("doc_id"), col("text")), corpus)
           .write.mode("append").parquet(outDir)
     }
+
+  /** Streaming twin of the quality-filter cascade funnel
+    * (TextAnalysis.filterCascade, q151): every micro-batch scores its
+    * documents with the SAME gate expressions (per-row decisions are
+    * stateless, so chunking cannot flip any verdict) and folds the
+    * per-source funnel counts into a parquet state table by additive
+    * merge — the incrementalMoments shape. After any chunking of the
+    * corpus the state equals the one-shot funnel exactly (counts are
+    * associative+commutative sums; StreamingSpec asserts it). This is
+    * the live curation dashboard a crawl ingest feeds. */
+  def cascadeFunnelStream(docs: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.ops.TextAnalysis.filterCascadeDocs(
+          batch.select(col("source"), col("text")))
+        val merged =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir).unionByName(partial)
+              .groupBy(col("source"))
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("pass_len")).as("pass_len"),
+                sum(col("pass_tokens")).as("pass_tokens"),
+                sum(col("pass_ttr")).as("pass_ttr"),
+                sum(col("pass_stopword")).as("pass_stopword"))
+          else partial
+        CdcStream.promoteState(stateDir, merged)
+    }
 }

@@ -237,6 +237,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cascade-funnel state equals the one-shot funnel") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+    // 3 chunk files = 3 micro-batches folded into funnel state
+    val staged = Files.createTempDirectory("graft_casc_in").toString
+    (0 to 2).foreach(i => docs
+      .filter(pmod(length(col("text")), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(staged))
+    val stateDir = Files.createTempDirectory("graft_casc_st").toString + "/s"
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.cascadeFunnelStream(stream, stateDir).start()
+    try q.processAllAvailable() finally q.stop()
+    def funnel(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (1 to 5).map(r.getLong)).toMap
+    val streamed = funnel(spark.read.parquet(stateDir))
+    val batch = funnel(graft.ops.TextAnalysis.filterCascade(spark, sf))
+    assert(streamed == batch,
+      s"diverging sources: ${(streamed.keySet ++ batch.keySet)
+        .filter(k => streamed.get(k) != batch.get(k)).take(3)}")
+    // the fixture must exercise a non-trivial funnel
+    assert(batch.values.exists(v => v(4) < v(0)),
+      "no document died anywhere in the cascade — parity is vacuous")
+  }
+
   test("streaming gap-fill state equals the batch LOCF fill") {
     import org.apache.spark.sql.functions._
     import graft.streaming.CdcStream
