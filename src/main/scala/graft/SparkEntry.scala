@@ -213,6 +213,14 @@ object SparkEntry {
     "q156_dedup_savings"    -> (Dedup.dedupSavings _),
     "q157_padding_waste"    -> ((s: SparkSession, d: String) =>
       Layout.paddingWaste(s, d)),
+    "q158_l_diversity"      -> ((s: SparkSession, d: String) =>
+      Audit.lDiversity(s, d)),
+    "q159_dim_correlation"  -> ((s: SparkSession, d: String) =>
+      Similarity.dimensionCorrelation(s, d)),
+    "q160_large_orders"     -> ((s: SparkSession, d: String) =>
+      Relational.largeOrderCustomers(s, d)),
+    "q161_sole_late_supplier" -> ((s: SparkSession, d: String) =>
+      Relational.soleLateSuppliers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2460,6 +2468,10 @@ object SparkEntry {
       "q155_token_fertility" -> TextAnalysis.tokenFertilityOracleSql,
       "q156_dedup_savings" -> Dedup.dedupSavingsOracleSql,
       "q157_padding_waste" -> Layout.paddingWasteOracleSql(),
+      "q158_l_diversity" -> Audit.lDiversityOracleSql(),
+      "q159_dim_correlation" -> Similarity.dimensionCorrelationOracleSql(),
+      "q160_large_orders" -> Relational.largeOrderCustomersOracleSql(),
+      "q161_sole_late_supplier" -> Relational.soleLateSuppliersOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

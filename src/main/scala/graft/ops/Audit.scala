@@ -226,4 +226,55 @@ object Audit {
       .orderBy(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
         col("at_risk"), col("risk_share_ppm"))
   }
+
+  /** l-diversity audit (q158): the sibling of [[kAnonymity]] — a
+    * quasi-identifier class is safe only if its SENSITIVE attribute
+    * takes at least `l` distinct values within the class (k-anonymity
+    * alone admits a class of 50 rows that all share one diagnosis).
+    * Quasi-identifier: c_nationkey; sensitive: c_mktsegment. Reports
+    * each class's size and diversity plus the population share living
+    * in under-diverse classes (integer ppm).
+    *
+    * Scale shape: one keyed aggregate (count + distinct-count per
+    * class), one 1-row broadcast — the countDistinct Expand doubles
+    * class-scan rows, acceptable for an audit that runs per release,
+    * not per query. */
+  def lDiversity(spark: SparkSession, dir: String, l: Long = 3L): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+    val risk = classes.agg(
+      sum(col("class_size")).as("total_rows"),
+      sum(when(col("l_div") < l, col("class_size")).otherwise(0L))
+        .as("risk_rows"))
+    classes.crossJoin(broadcast(risk))
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("class_size"), col("l_div"),
+        (col("l_div") < l).as("at_risk"),
+        expr("risk_rows * 1000000 div total_rows").as("risk_share_ppm"))
+      .orderBy(col("c_nationkey"), col("class_size"), col("l_div"),
+        col("at_risk"), col("risk_share_ppm"))
+  }
+
+  /** DuckDB oracle for [[lDiversity]]. */
+  def lDiversityOracleSql(l: Long = 3L): String =
+    s"""WITH c AS (
+       |  SELECT c_nationkey, COUNT(*) AS class_size,
+       |    COUNT(DISTINCT c_mktsegment) AS l_div
+       |  FROM customer GROUP BY c_nationkey),
+       |r AS (
+       |  SELECT SUM(class_size) AS total_rows,
+       |    SUM(CASE WHEN l_div < $l THEN class_size ELSE 0 END)
+       |      AS risk_rows
+       |  FROM c)
+       |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       |  CAST(class_size AS BIGINT) AS class_size,
+       |  CAST(l_div AS BIGINT) AS l_div,
+       |  l_div < $l AS at_risk,
+       |  CAST(risk_rows * 1000000 // total_rows AS BIGINT)
+       |    AS risk_share_ppm
+       |FROM c CROSS JOIN r
+       |ORDER BY c_nationkey, class_size, l_div, at_risk,
+       |  risk_share_ppm""".stripMargin
 }

@@ -287,4 +287,106 @@ object Relational {
         min(col("o_orderdate")).as("first_order"))
       .orderBy(col("c_custkey"))
   }
+
+  /** TPC-H-Q18-style large-order customers (q160): orders whose total
+    * lineitem quantity clears a threshold, joined back to order and
+    * customer attributes — the aggregate-then-having-then-enrich
+    * shape.
+    *
+    * Scale shape: BOTH fact passes ride the orderkey-bucketed layout —
+    * the groupBy(l_orderkey) needs no exchange (the scan is already
+    * hash-distributed on the key) and the orders join sort-merges
+    * bucket-to-bucket with no exchange on either side (hint("merge")
+    * pins it; the q00/q49 discipline). Only the customer dim
+    * broadcasts. The qty sum is the exact-decimal fold cast to double
+    * once (Det.exactSum), so the HAVING compare cannot drift. */
+  def largeOrderCustomers(spark: SparkSession, dir: String,
+      minQty: Long = 300L): DataFrame = {
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** DuckDB oracle for [[largeOrderCustomers]]. */
+  def largeOrderCustomersOracleSql(minQty: Long = 300L): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${Det.Sql.exactSum("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${Det.Sql.exactSum("l_quantity")} > $minQty)
+       |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       |  o.o_totalprice, b.sum_qty
+       |FROM big b
+       |JOIN orders o ON b.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |ORDER BY c_custkey, c_name, o_orderkey, o_orderdate,
+       |  o_totalprice, sum_qty""".stripMargin
+
+  /** TPC-H-Q21-style sole-late-supplier screen (q161), adapted to the
+    * bundled schema (no commit/receipt dates): a lineitem is LATE when
+    * it ships more than `lateDays` days after its order date. For each
+    * supplier, count the multi-supplier orders where it was the ONLY
+    * late supplier — the "who alone holds up shared orders" operations
+    * query, classically written with EXISTS/NOT EXISTS; the aggregate
+    * formulation below (per-order supplier/late counts, then a filter)
+    * is equivalent and joins once instead of thrice.
+    *
+    * Scale shape: the fact-fact join rides the bucketed layout (no
+    * exchange); the per-(order, supplier) and per-order aggregates
+    * re-use the same orderkey distribution; the supplier rollup is
+    * |suppliers|-sized. */
+  def soleLateSuppliers(spark: SparkSession, dir: String,
+      lateDays: Int = 60): DataFrame = {
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    val flags = li.join(o.hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
+          .otherwise(0L).as("late"))
+    val perSupp = flags.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    // per-order supplier/late counts as a WINDOW over the same
+    // orderkey clustering, not a second aggregate: a perOrder frame
+    // would make perSupp a two-consumer subtree and re-scan both
+    // bucketed facts (measured: 4 scans vs 2); the window needs no
+    // exchange because perSupp is already distributed on the order key
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("supp_late")).over(w))
+      .filter(col("supp_late") === 1L &&
+        col("n_supp") >= 2L && col("n_late") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("l_suppkey"), col("numwait"))
+  }
+
+  /** DuckDB oracle for [[soleLateSuppliers]]. */
+  def soleLateSuppliersOracleSql(lateDays: Int = 60): String =
+    s"""WITH flags AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |    CASE WHEN l.l_shipdate >
+       |      o.o_orderdate + INTERVAL $lateDays DAY THEN 1 ELSE 0 END
+       |      AS late
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |per_supp AS (
+       |  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+       |  FROM flags GROUP BY l_orderkey, l_suppkey),
+       |per_order AS (
+       |  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+       |  FROM per_supp GROUP BY l_orderkey)
+       |SELECT s.l_suppkey, COUNT(*) AS numwait
+       |FROM per_supp s JOIN per_order po ON s.l_orderkey = po.l_orderkey
+       |WHERE s.supp_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+       |GROUP BY s.l_suppkey
+       |ORDER BY l_suppkey, numwait""".stripMargin
 }

@@ -432,6 +432,81 @@ object Similarity {
       .orderBy(col("vec_id"), col("pos"), col("z"))
   }
 
+  /** Embedding dimension-correlation screen (q159): the top-`topK`
+    * most-correlated dimension PAIRS across the corpus — the
+    * diagnostics pass that flags redundant/collapsed embedding
+    * dimensions (high |corr| pairs mean the representation wastes
+    * capacity; a whitening/PCA step would target exactly these). The
+    * exact-integer-moments discipline (q99/q110): micro-unit
+    * quantization, DECIMAL(38,0) folds for n·Σxy − Σx·Σy and the two
+    * variance numerators, then ONE IEEE division/sqrt sequence
+    * written symbol-for-symbol in both engines, round(,6).
+    *
+    * Scale shape: one double-explode self-join keyed by vec_id
+    * (64·63/2 pair rows per vector — a constant 2016× fan-out,
+    * shuffle-free since the join key is the source row id and Spark
+    * plans it as a local join after the explode... in practice one
+    * shuffle on vec_id), one map-side-combined (pos_i, pos_j)
+    * aggregate with 2016 groups, one tiny top-k sort. At 100 TB the
+    * fan-out is the cost: run it on a deterministic SAMPLE (the
+    * IVF fitFraction argument) — moments are sample-stable. */
+  def dimensionCorrelation(spark: SparkSession, dir: String,
+      topK: Int = 10): DataFrame = {
+    val flat = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        (col("v").cast("double").cast("decimal(18,6)") * 1000000)
+          .cast("long").as("m"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val a = flat.select(col("vec_id"), col("pos").as("pos_i"),
+      col("m").as("mi"))
+    val b = flat.select(col("vec_id"), col("pos").as("pos_j"),
+      col("m").as("mj"))
+    val mom = a.join(b, Seq("vec_id")).filter(col("pos_i") < col("pos_j"))
+      .groupBy(col("pos_i"), col("pos_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("mi"))).as("si"), sum(d(col("mj"))).as("sj"),
+        sum(d(col("mi")) * d(col("mi"))).as("ssi"),
+        sum(d(col("mj")) * d(col("mj"))).as("ssj"),
+        sum(d(col("mi")) * d(col("mj"))).as("sij"))
+    val covn = col("n") * col("sij") - col("si") * col("sj")
+    val vi = col("n") * col("ssi") - col("si") * col("si")
+    val vj = col("n") * col("ssj") - col("sj") * col("sj")
+    mom.filter(vi =!= 0 && vj =!= 0)
+      .select(col("pos_i"), col("pos_j"),
+        round(covn.cast("double") /
+          sqrt(vi.cast("double") * vj.cast("double")), 6).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("pos_i"), col("pos_j"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[dimensionCorrelation]] — HUGEINT folds, the
+    * identical single IEEE sequence. */
+  def dimensionCorrelationOracleSql(topK: Int = 10): String =
+    s"""WITH flat AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+       |      * 1000000 AS BIGINT) AS m
+       |  FROM embeddings, GENERATE_SERIES(1, 64) s(i)),
+       |mom AS (
+       |  SELECT a.pos AS pos_i, b.pos AS pos_j, COUNT(*) AS n,
+       |    SUM(CAST(a.m AS HUGEINT)) AS si,
+       |    SUM(CAST(b.m AS HUGEINT)) AS sj,
+       |    SUM(CAST(a.m AS HUGEINT) * a.m) AS ssi,
+       |    SUM(CAST(b.m AS HUGEINT) * b.m) AS ssj,
+       |    SUM(CAST(a.m AS HUGEINT) * b.m) AS sij
+       |  FROM flat a JOIN flat b
+       |    ON a.vec_id = b.vec_id AND a.pos < b.pos
+       |  GROUP BY a.pos, b.pos)
+       |SELECT pos_i, pos_j,
+       |  ROUND(CAST(n * sij - si * sj AS DOUBLE) /
+       |    SQRT(CAST(n * ssi - si * si AS DOUBLE) *
+       |         CAST(n * ssj - sj * sj AS DOUBLE)), 6) AS corr
+       |FROM mom
+       |WHERE n * ssi - si * si != 0 AND n * ssj - sj * sj != 0
+       |ORDER BY ABS(corr) DESC, pos_i, pos_j
+       |LIMIT $topK""".stripMargin
+
   /** Typed Aggregator form of the centroid — the showcase custom
     * aggregate (SURVEY.md §2B): no builtin aggregates array<float>
     * directly; this one merges (sum-vector, count) buffers. */

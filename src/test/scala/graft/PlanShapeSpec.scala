@@ -248,7 +248,13 @@ class PlanShapeSpec extends SparkSpec {
       "q17_cube"                -> (2, 1),
       "q07_join_broadcast_dims" -> (2, 5),
       "q86_lateral_topn"        -> (2, 2),
-      "q109_histo_quantiles"    -> (4, 1))
+      "q109_histo_quantiles"    -> (4, 1),
+      // Q18/Q21 shapes ride the bucketed layout: the ONLY shuffles are
+      // the tails (q160: final sort; q161: suppkey rollup + sort) —
+      // groupBy(orderkey), the fact-fact merge join, and q161's
+      // per-order window all reuse the bucket distribution
+      "q160_large_orders"       -> (1, 3),
+      "q161_sole_late_supplier" -> (2, 2))
     budgets.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, maxScans)) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
