@@ -221,6 +221,7 @@ object SparkEntry {
       Relational.largeOrderCustomers(s, d)),
     "q161_sole_late_supplier" -> ((s: SparkSession, d: String) =>
       Relational.soleLateSuppliers(s, d)),
+    "q162_ewma_activity"    -> (TimeSeries.ewmaActivity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2472,6 +2473,7 @@ object SparkEntry {
       "q159_dim_correlation" -> Similarity.dimensionCorrelationOracleSql(),
       "q160_large_orders" -> Relational.largeOrderCustomersOracleSql(),
       "q161_sole_late_supplier" -> Relational.soleLateSuppliersOracleSql(),
+      "q162_ewma_activity" -> TimeSeries.ewmaActivityOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

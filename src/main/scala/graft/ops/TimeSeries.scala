@@ -217,6 +217,68 @@ object TimeSeries {
         col("balance_micro"))
   }
 
+  /** Integer EWMA activity score (q162): exponential smoothing of
+    * each user's event-value stream with per-event decay 7/8:
+    *   s_t = (s_{t-1} · 7) div 8 + v_t   (micro-units),
+    * reporting each user's event count and FINAL smoothed score — the
+    * recency-weighted activity signal (recent events dominate, old
+    * mass decays geometrically) behind engagement scoring and
+    * freshness-weighted sampling. Like [[cappedBalance]] this is a
+    * sequential fold no window frame expresses (the decay compounds
+    * per event); flatMapSortedGroups streams each user's events in
+    * (ts, event_id) order with one long of state. Division is
+    * TRUNCATING in all three places (Scala `/`, Spark `div`, DuckDB
+    * `//` on integers — the round-5 rule), so the fold replays
+    * bit-exactly in the recursive-CTE oracle.
+    *
+    * Scale shape: one shuffle on user_id with secondary sort; state
+    * is O(1) per key; output is |users| rows. */
+  def ewmaActivity(spark: SparkSession, dir: String): DataFrame =
+    ewmaActivityOn(Tables.events(spark, dir))
+
+  /** Frame-based core of [[ewmaActivity]] (needs user_id, ts,
+    * event_id, value). */
+  def ewmaActivityOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups(col("tsm"), col("event_id")) { (u, it) =>
+        var s = 0L
+        var n = 0L
+        it.foreach { case (_, _, _, v) => s = s * 7 / 8 + v; n += 1 }
+        Iterator.single((u, n, s))
+      }
+      .toDF("user_id", "n_events", "ewma_micro")
+      .orderBy(col("user_id"), col("n_events"), col("ewma_micro"))
+  }
+
+  /** DuckDB oracle for [[ewmaActivity]]: per-key recursive CTE
+    * stepping a row_number index (the q105 pattern), final row per
+    * user. */
+  val ewmaActivityOracleSql: String =
+    """WITH RECURSIVE seq AS (
+      |  SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS i,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |fold AS (
+      |  SELECT user_id, i, n, v AS s FROM seq WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.i, s.n, (f.s * 7) // 8 + s.v
+      |  FROM fold f JOIN seq s
+      |    ON s.user_id = f.user_id AND s.i = f.i + 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST(s AS BIGINT) AS ewma_micro
+      |FROM fold WHERE i = n
+      |ORDER BY user_id, n_events, ewma_micro""".stripMargin
+
   /** Chained event throttle (true rate limiting): per (user, type),
     * keep an event iff it is ≥ 5 minutes after the LAST KEPT event —
     * the state references kept rows, not raw predecessors, so a burst

@@ -121,6 +121,22 @@ class Round7OpsSpec extends SparkSpec {
       (1L, 2L, 10L, 20L, 0L)))
   }
 
+  test("q162 EWMA fold: hand-computed decay with truncating division") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user 1, values 15/0/8 micro-unit-scaled by 1e-6 so v = 15, 0, 8:
+    //   s1 = 15; s2 = 15*7/8 = 13 (truncation!); s3 = 13*7/8 + 8 = 19
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 10L, 0.000015),
+      (1L, Timestamp.valueOf("2026-01-01 00:01:00"), 11L, 0.0),
+      (1L, Timestamp.valueOf("2026-01-01 00:02:00"), 12L, 0.000008))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = graft.ops.TimeSeries.ewmaActivityOn(rows).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L && out.head.getLong(2) == 19L,
+      s"expected (3 events, ewma 19), got ${out.head}")
+  }
+
   test("q155 fertility ppm equals the integer ratio of the summed counts") {
     val out = TextAnalysis.tokenFertility(spark, sf).collect()
     assert(out.nonEmpty)
