@@ -292,6 +292,32 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q149_fluency", tFl, nFl)
       }
+      // round-7 op family: per-row gate/count aggregates (q151/q155),
+      // schedule arithmetic (q152), per-shard rank (q153), span
+      // explode (q154), digest-window dedup accounting (q156),
+      // global length-rank batching (q157 — the one global window,
+      // the watched step at 10x)
+      if (wanted("q151")) {
+        val (n1, t1) = timed(
+          graft.ops.TextAnalysis.filterCascadeDocs(d).count())
+        report("q151_filter_cascade", t1, n1)
+      }
+      if (wanted("q153")) {
+        val (n3, t3) = timed(graft.ops.Layout.trainingOrderDocs(d).count())
+        report("q153_training_order", t3, n3)
+      }
+      if (wanted("q154")) {
+        val (n4, t4) = timed(graft.ops.Layout.chunkSpansDocs(d).count())
+        report("q154_chunk_spans", t4, n4)
+      }
+      if (wanted("q156")) {
+        val (n6, t6) = timed(graft.ops.Dedup.dedupSavingsDocs(d).count())
+        report("q156_dedup_savings", t6, n6)
+      }
+      if (wanted("q157")) {
+        val (n7, t7) = timed(graft.ops.Layout.paddingWasteDocs(d).count())
+        report("q157_padding_waste", t7, n7)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

@@ -153,11 +153,15 @@ object Layout {
     * cluster. No global sort: positions are per-shard by design
     * (training readers consume shards independently). */
   def trainingOrder(spark: SparkSession, dir: String,
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = 16): DataFrame =
+    trainingOrderDocs(Tables.documents(spark, dir), nShards)
+
+  /** Frame-based core of [[trainingOrder]] (needs doc_id). */
+  def trainingOrderDocs(docs: DataFrame, nShards: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col("doc_id"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         pmod(Sampling.idBucket(col("doc_id")), lit(nShards.toLong))
           .as("shard"),
