@@ -82,6 +82,56 @@ object CdcStream {
     }
   }
 
+  /** Streaming twin of the integer EWMA activity fold
+    * (TimeSeries.ewmaActivity, q162): per-user state (n_events,
+    * ewma_micro) advances through each micro-batch's events in
+    * (ts, event_id) order. The truncating-division decay is NOT
+    * affine-composable (⌊⌊s·7/8⌋·7/8⌋ ≠ ⌊s·49/64⌋ in general), so a
+    * batch cannot be folded locally and merged — instead the prior
+    * state enters the sort as a MARKER row (tsm = Long.MinValue,
+    * event_id = -1) that SEEDS the fold, and every event then applies
+    * the identical step the batch op uses. In-order contract as
+    * gapFillStream: per-user event time moves forward across
+    * micro-batches. After the stream drains, the state table equals
+    * the one-pass [[graft.ops.TimeSeries.ewmaActivityOn]] exactly
+    * (StreamingSpec).
+    *
+    * Scale shape: state is one row per user; each batch shuffles only
+    * its own events plus |users-in-batch| marker rows. */
+  def ewmaStream(events: DataFrame, stateDir: String)
+      : DataStreamWriter[Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ev = batch
+          .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+            col("event_id"),
+            (col("value").cast("decimal(18,6)") * 1000000).cast("long")
+              .as("v"), lit(0L).as("n0"))
+        val withState =
+          if (new java.io.File(stateDir).exists())
+            ev.unionByName(spark.read.parquet(stateDir)
+              .select(col("user_id"), lit(Long.MinValue).as("tsm"),
+                lit(-1L).as("event_id"), col("ewma_micro").as("v"),
+                col("n_events").as("n0")))
+          else ev
+        val folded = withState
+          .as[(Long, Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("tsm"), col("event_id")) { (u, it) =>
+            var s = 0L
+            var n = 0L
+            it.foreach { case (_, _, eid, v, n0) =>
+              if (eid == -1L) { s = v; n = n0 }
+              else { s = s * 7 / 8 + v; n += 1 }
+            }
+            Iterator.single((u, n, s))
+          }
+          .toDF("user_id", "n_events", "ewma_micro")
+        promoteState(stateDir, folded)
+    }
+
   /** Crash-safe state-table promotion shared by the foreachBatch
     * twins: write the new state to `<stateDir>.next` (collect-free
     * staged overwrite), rename the OLD state ASIDE (not deleted) so

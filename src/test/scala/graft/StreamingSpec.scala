@@ -264,6 +264,37 @@ class StreamingSpec extends SparkSpec {
       "no document died anywhere in the cascade — parity is vacuous")
   }
 
+  test("streaming EWMA state equals the one-pass decay fold") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // day-chunk files = micro-batches in event-time order (the
+    // in-order contract; the truncating decay makes order load-bearing)
+    val staged = Files.createTempDirectory("graft_ew_in").toString
+    val days = ev.select(date_trunc("day", col("ts")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0))
+    days.grouped(math.max(1, days.length / 3)).zipWithIndex.foreach {
+      case (chunk, _) =>
+        ev.filter(date_trunc("day", col("ts")).isin(chunk.toSeq: _*))
+          .coalesce(1).write.mode("append").parquet(staged)
+    }
+    val stateDir = Files.createTempDirectory("graft_ew_st").toString + "/s"
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = CdcStream.ewmaStream(stream, stateDir).start()
+    try q.processAllAvailable() finally q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val streamed = m(spark.read.parquet(stateDir))
+    val batch = m(graft.ops.TimeSeries.ewmaActivityOn(ev))
+    assert(streamed == batch, s"diverging users: ${
+      (streamed.keySet ++ batch.keySet)
+        .filter(k => streamed.get(k) != batch.get(k)).take(3)}")
+    assert(batch.nonEmpty && days.length >= 3,
+      "fixture must span multiple micro-batches")
+  }
+
   test("streaming gap-fill state equals the batch LOCF fill") {
     import org.apache.spark.sql.functions._
     import graft.streaming.CdcStream
