@@ -318,6 +318,14 @@ object ScaleRehearsal {
         val (n7, t7) = timed(graft.ops.Layout.paddingWasteDocs(d).count())
         report("q157_padding_waste", t7, n7)
       }
+      // q159 shape: dimension-pair moment screen — the constant
+      // 2016x pair fan-out is the scale term (linear in vectors)
+      if (wanted("q159")) {
+        val e = embAt(scale)
+        val (n9, t9) = timed(
+          graft.ops.Similarity.dimensionCorrelationOn(e).count())
+        report("q159_dim_correlation", t9, n9)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

@@ -222,6 +222,7 @@ object SparkEntry {
     "q161_sole_late_supplier" -> ((s: SparkSession, d: String) =>
       Relational.soleLateSuppliers(s, d)),
     "q162_ewma_activity"    -> (TimeSeries.ewmaActivity _),
+    "q163_self_repetition"  -> (Ranking.selfRepetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2474,6 +2475,7 @@ object SparkEntry {
       "q160_large_orders" -> Relational.largeOrderCustomersOracleSql(),
       "q161_sole_late_supplier" -> Relational.soleLateSuppliersOracleSql(),
       "q162_ewma_activity" -> TimeSeries.ewmaActivityOracleSql,
+      "q163_self_repetition" -> Ranking.selfRepetitionOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -205,6 +205,51 @@ object Ranking {
       |GROUP BY tg.doc_id
       |ORDER BY doc_id, n_tri, score_ppm""".stripMargin
 
+  /** Intra-document repetition spans (q163): per document, how many
+    * of its trigram OCCURRENCES are repeats of an earlier identical
+    * trigram in the SAME document — the within-doc half of the
+    * repeated-substring dedup family (Lee et al. 2022's "deduplicate
+    * repeated spans inside documents" observation; the cross-doc half
+    * is q119/q75). Complements the Gopher repetition stats (q74,
+    * token/bigram top-fraction) with an n=3 span view, and shares
+    * [[trigramFrame]] with the q149 fluency LM so the trigram
+    * convention cannot drift.
+    *
+    * repeat_ppm = (n_tri − n_distinct_tri)·1e6 div n_tri — pure
+    * counts, bit-exact replay.
+    *
+    * Scale shape: one generator + one (doc, trigram) aggregate and a
+    * per-doc rollup — both map-side combined, keyed by doc. */
+  def selfRepetition(spark: SparkSession, dir: String): DataFrame =
+    trigramFrame(Tables.documents(spark, dir))
+      .groupBy(col("doc_id"), col("ngram"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tri"),
+        count(lit(1)).as("n_distinct_tri"))
+      .select(col("doc_id"), col("n_tri"), col("n_distinct_tri"),
+        expr("(n_tri - n_distinct_tri) * 1000000 div n_tri")
+          .as("repeat_ppm"))
+      .orderBy(col("doc_id"), col("n_tri"), col("n_distinct_tri"),
+        col("repeat_ppm"))
+
+  /** DuckDB oracle for [[selfRepetition]] — the q149 trigram CTEs. */
+  val selfRepetitionOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      |), tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+      |    i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS ngram
+      |  FROM toks
+      |), per AS (
+      |  SELECT doc_id, ngram, COUNT(*) AS k FROM tg GROUP BY doc_id, ngram)
+      |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tri,
+      |  COUNT(*) AS n_distinct_tri,
+      |  CAST((SUM(k) - COUNT(*)) * 1000000 // SUM(k) AS BIGINT)
+      |    AS repeat_ppm
+      |FROM per GROUP BY doc_id
+      |ORDER BY doc_id, n_tri, n_distinct_tri, repeat_ppm""".stripMargin
+
   /** Per-document top-`k` TF-IDF keywords — the keyword-extraction /
     * topic-tagging op. idf = ln(N / df) over the full vocabulary;
     * scores are rounded to 6dp BEFORE ranking (ties broken by term)

@@ -451,8 +451,13 @@ object Similarity {
     * fan-out is the cost: run it on a deterministic SAMPLE (the
     * IVF fitFraction argument) — moments are sample-stable. */
   def dimensionCorrelation(spark: SparkSession, dir: String,
-      topK: Int = 10): DataFrame = {
-    val flat = Tables.embeddings(spark, dir)
+      topK: Int = 10): DataFrame =
+    dimensionCorrelationOn(Tables.embeddings(spark, dir), topK)
+
+  /** Frame-based core of [[dimensionCorrelation]] (needs vec_id +
+    * embedding) — the 10x rehearsal entry point. */
+  def dimensionCorrelationOn(emb: DataFrame, topK: Int = 10): DataFrame = {
+    val flat = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         (col("v").cast("double").cast("decimal(18,6)") * 1000000)
