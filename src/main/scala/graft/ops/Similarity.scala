@@ -442,14 +442,13 @@ object Similarity {
     * variance numerators, then ONE IEEE division/sqrt sequence
     * written symbol-for-symbol in both engines, round(,6).
     *
-    * Scale shape: one double-explode self-join keyed by vec_id
-    * (64·63/2 pair rows per vector — a constant 2016× fan-out,
-    * shuffle-free since the join key is the source row id and Spark
-    * plans it as a local join after the explode... in practice one
-    * shuffle on vec_id), one map-side-combined (pos_i, pos_j)
-    * aggregate with 2016 groups, one tiny top-k sort. At 100 TB the
-    * fan-out is the cost: run it on a deterministic SAMPLE (the
-    * IVF fitFraction argument) — moments are sample-stable. */
+    * Scale shape: one self-join keyed by vec_id (one exchange of the
+    * exploded 64-row-per-vector frame), producing a constant
+    * 64·63/2 = 2016 pair rows per vector; then one map-side-combined
+    * (pos_i, pos_j) aggregate with 2016 groups and a tiny top-k
+    * sort. The fan-out is linear in vectors (rehearsal: 1.4x at 10x);
+    * at 100 TB run it on a deterministic SAMPLE (the IVF fitFraction
+    * argument) — moments are sample-stable. */
   def dimensionCorrelation(spark: SparkSession, dir: String,
       topK: Int = 10): DataFrame =
     dimensionCorrelationOn(Tables.embeddings(spark, dir), topK)

@@ -212,4 +212,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.ops.TextAnalysis.tokenDiversityDocs(
       empty.select("doc_id", "text")).count() == 0)
   }
+
+  test("round-7 doc ops on degenerate corpora: empty, null text, short docs") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(graft.ops.TextAnalysis.filterCascadeDocs(empty).count() == 0)
+    assert(graft.ops.Layout.chunkSpansDocs(
+      empty.select("doc_id", "text")).count() == 0)
+    assert(graft.ops.Layout.paddingWasteDocs(
+      empty.select("doc_id", "text")).count() == 0)
+    assert(graft.ops.Dedup.dedupSavingsDocs(empty).count() == 0)
+    // null text: every per-row gate/count is null-safe (no rows leak
+    // a null into an aggregate as a spurious pass); chunk spans emit
+    // nothing for a null doc (size(split(null)) is null -> empty
+    // generator), mirroring the DuckDB oracle's NULL propagation
+    val withNull = Seq((1L, "s", null: String), (2L, "s", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val cascade = graft.ops.TextAnalysis.filterCascadeDocs(withNull)
+      .collect().head
+    assert(cascade.getLong(1) == 2L && cascade.getLong(2) == 0L,
+      s"null text must count in n_docs but pass no gate: $cascade")
+    val spans = graft.ops.Layout.chunkSpansDocs(withNull
+      .select(col("doc_id"), col("text"))).collect()
+    assert(spans.map(_.getLong(0)).toSet == Set(2L),
+      "null doc must emit no spans")
+    // single-token doc flows through the fluency trigram frame as
+    // zero rows (guarded transform), not a failure
+    assert(graft.ops.Ranking.trigramFrame(
+      Seq((1L, "solo")).toDF("doc_id", "text")).count() == 0)
+  }
 }
