@@ -223,6 +223,9 @@ object SparkEntry {
       Relational.soleLateSuppliers(s, d)),
     "q162_ewma_activity"    -> (TimeSeries.ewmaActivity _),
     "q163_self_repetition"  -> (Ranking.selfRepetition _),
+    "q164_rrf_fusion"       -> ((s: SparkSession, d: String) =>
+      Ranking.rrfFusion(s, d)),
+    "q165_corpus_card"      -> (TextAnalysis.corpusCard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2476,6 +2479,8 @@ object SparkEntry {
       "q161_sole_late_supplier" -> Relational.soleLateSuppliersOracleSql(),
       "q162_ewma_activity" -> TimeSeries.ewmaActivityOracleSql,
       "q163_self_repetition" -> Ranking.selfRepetitionOracleSql,
+      "q164_rrf_fusion" -> Ranking.rrfFusionOracleSql(),
+      "q165_corpus_card" -> TextAnalysis.corpusCardOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

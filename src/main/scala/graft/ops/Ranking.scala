@@ -205,6 +205,112 @@ object Ranking {
       |GROUP BY tg.doc_id
       |ORDER BY doc_id, n_tri, score_ppm""".stripMargin
 
+  /** Reciprocal-rank fusion (q164): the hybrid-retrieval combiner —
+    * fuse the LEXICAL ranking (q73's BM25 over [[QueryTerms]]) with
+    * the SEMANTIC ranking (exact cosine against a fixed query
+    * vector, the q71 convention: vec_id 7's embedding; embeddings
+    * pair with documents by id in the bundled corpus) via
+    *   rrf_ppm = Σ_lists ⌊1e6 / (60 + rank)⌋,
+    * the standard RRF with k=60, in truncating integer division so
+    * both engines fold identically. Docs missing from a list simply
+    * contribute nothing (full outer join + coalesce 0) — RRF's
+    * defining robustness property.
+    *
+    * Rank determinism: BM25 scores are decimal-exact sums (q73's Det
+    * discipline) ranked by (score desc, doc_id); cosine rounds to
+    * 6dp before ranking (the repo-wide float rule).
+    *
+    * Scale shape: two ranking subplans (each already scale-shaped —
+    * see q73/q71) + two global row_number windows over RESULT lists
+    * (candidate-sized, not corpus-sized: a production retrieval
+    * fuses top-k lists per query) + one keyed outer join. */
+  def rrfFusion(spark: SparkSession, dir: String, queryId: Long = 7,
+      rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val a = bm25(spark, dir)
+      .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("rank_a"))
+    val qEmb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val qCol = array(qEmb.map(lit): _*)
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("embedding"), qCol), 6).as("cs"))
+      .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("cs").desc, col("doc_id")))
+        .cast("long").as("rank_b"))
+    a.join(b, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("rank_a"), col("rank_b"),
+        (coalesce(expr(s"1000000 div ($rrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + rank_b)"), lit(0L)))
+          .as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"), col("rank_a"),
+        col("rank_b"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[rrfFusion]] — the q73 CTEs plus a cosine
+    * ranking, fused with the same truncating division. */
+  def rrfFusionOracleSql(queryId: Long = 7, rrfK: Int = 60,
+      topK: Int = 20): String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+       |), bm AS (
+       |  SELECT tf.doc_id,
+       |    CAST(SUM(CAST(ROUND(
+       |      LN(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |        tf.tf * ${K1 + 1} /
+       |        (tf.tf + $K1 * (${1 - B} + $B * dl.dl / stats.avgdl)), 6)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY tf.doc_id
+       |), ra AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+       |    AS rank_a FROM bm
+       |), qe AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+       |  WHERE vec_id = $queryId
+       |), cs AS (
+       |  SELECT vec_id AS doc_id,
+       |    ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), qe.q) /
+       |      (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(e.embedding AS DOUBLE[]))) *
+       |       SQRT(LIST_INNER_PRODUCT(qe.q, qe.q))), 6) AS cs
+       |  FROM embeddings e CROSS JOIN qe
+       |), rb AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id)
+       |    AS rank_b FROM cs
+       |)
+       |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       |  CAST(rank_a AS BIGINT) AS rank_a,
+       |  CAST(rank_b AS BIGINT) AS rank_b,
+       |  CAST(COALESCE(1000000 // ($rrfK + rank_a), 0) +
+       |       COALESCE(1000000 // ($rrfK + rank_b), 0) AS BIGINT)
+       |    AS rrf_ppm
+       |FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+       |ORDER BY rrf_ppm DESC, doc_id, rank_a NULLS FIRST,
+       |  rank_b NULLS FIRST
+       |LIMIT $topK""".stripMargin
+  }
+
   /** Intra-document repetition spans (q163): per document, how many
     * of its trigram OCCURRENCES are repeats of an earlier identical
     * trigram in the SAME document — the within-doc half of the

@@ -476,6 +476,66 @@ object TextAnalysis {
         col("chars_per_re_token_ppm"))
   }
 
+  /** Corpus card (q165): the one-page summary a data release ships —
+    * document/source/language counts, token and byte mass, exact-dup
+    * mass, mean document length — as (metric, value) BIGINT rows from
+    * ONE corpus pass (a single multi-aggregate, then an unpivot of
+    * the 1-row result; the dup figure reuses exact dedup's
+    * distinct-text rule).
+    *
+    * Scale shape: one scan, one map-side-combined aggregate (the
+    * countDistincts expand the scan rows by the distinct-column
+    * count — the release-cadence audit trade, as q158); the unpivot
+    * touches one row. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val agg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), t,
+        size(tokens(t)).cast("long").as("nw"),
+        length(t).cast("long").as("nc"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("nw")).as("total_ws_tokens"),
+        sum(col("nc")).as("total_chars"),
+        (count(lit(1)) - countDistinct(t)).as("exact_dup_docs"),
+        expr("sum(nw) * 1000000 div count(1)").as("mean_doc_tokens_ppm"))
+    agg.select(expr(
+      """stack(7,
+        |  'n_docs', n_docs,
+        |  'n_sources', n_sources,
+        |  'n_langs', n_langs,
+        |  'total_ws_tokens', total_ws_tokens,
+        |  'total_chars', total_chars,
+        |  'exact_dup_docs', exact_dup_docs,
+        |  'mean_doc_tokens_ppm', mean_doc_tokens_ppm)
+        |AS (metric, value)""".stripMargin))
+      .orderBy(col("metric"), col("value"))
+  }
+
+  /** DuckDB oracle for [[corpusCard]]. */
+  val corpusCardOracleSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    SUM(LEN(STRING_SPLIT(text, ' '))) AS total_ws_tokens,
+      |    SUM(LENGTH(text)) AS total_chars,
+      |    COUNT(*) - COUNT(DISTINCT text) AS exact_dup_docs,
+      |    SUM(LEN(STRING_SPLIT(text, ' '))) * 1000000 // COUNT(*)
+      |      AS mean_doc_tokens_ppm
+      |  FROM documents)
+      |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+      |  UNION ALL SELECT 'n_sources', n_sources FROM a
+      |  UNION ALL SELECT 'n_langs', n_langs FROM a
+      |  UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM a
+      |  UNION ALL SELECT 'total_chars', total_chars FROM a
+      |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM a
+      |  UNION ALL SELECT 'mean_doc_tokens_ppm', mean_doc_tokens_ppm
+      |    FROM a)
+      |ORDER BY metric, value""".stripMargin
+
   /** DuckDB oracle for [[tokenFertility]] — q37's tokenization
     * conventions aggregated per source. */
   val tokenFertilityOracleSql: String =
