@@ -226,6 +226,9 @@ object SparkEntry {
     "q164_rrf_fusion"       -> ((s: SparkSession, d: String) =>
       Ranking.rrfFusion(s, d)),
     "q165_corpus_card"      -> (TextAnalysis.corpusCard _),
+    "q166_cluster_sizes"    -> ((s: SparkSession, d: String) =>
+      Similarity.clusterSizeProfile(s, d)),
+    "q167_code_switching"   -> (TextAnalysis.codeSwitchScreen _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -825,23 +828,9 @@ object SparkEntry {
       // the same fixpoint as a recursive transitive closure over the
       // identical (q44) edge set — cluster id = min id reachable
       "q65_dedup_clusters" ->
-        """WITH RECURSIVE pairs AS (
-          |  SELECT a.vec_id AS va, b.vec_id AS vb
-          |  FROM embeddings a JOIN embeddings b
-          |    ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-          |  WHERE ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-          |      (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-          |       SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2
-          |),
-          |e AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
-          |reach AS (
-          |  SELECT a, b FROM e
-          |  UNION
-          |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
-          |)
-          |SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
-          |FROM reach GROUP BY a
-          |ORDER BY vec_id, cluster_id""".stripMargin,
+        s"""WITH RECURSIVE ${Similarity.clusterOracleCtes()}
+           |SELECT vec_id, cluster_id FROM cl
+           |ORDER BY vec_id, cluster_id""".stripMargin,
       // each output column's SEMANTIC reduction — the struct/map
       // machinery runs Spark-side, the compare is flat scalars
       "q66_complex_types" ->
@@ -2481,6 +2470,8 @@ object SparkEntry {
       "q163_self_repetition" -> Ranking.selfRepetitionOracleSql,
       "q164_rrf_fusion" -> Ranking.rrfFusionOracleSql(),
       "q165_corpus_card" -> TextAnalysis.corpusCardOracleSql,
+      "q166_cluster_sizes" -> Similarity.clusterSizeProfileOracleSql(),
+      "q167_code_switching" -> TextAnalysis.codeSwitchScreenOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

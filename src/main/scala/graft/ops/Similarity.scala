@@ -304,6 +304,69 @@ object Similarity {
       .select(col("node").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"), col("cluster_id"))
 
+  /** Shared oracle CTE chain for the q65 connected-components replay:
+    * id-bounded exact near-dup edges → symmetric closure → transitive
+    * reachability fixpoint → `cl` = (vec_id, cluster_id). The caller
+    * prepends WITH RECURSIVE. Shared by q65 (default τ) and the q166
+    * size profile (tighter τ — at 0.2 the 200-node graph is one giant
+    * component, a single-row profile) so the cluster definition
+    * cannot drift. */
+  def clusterOracleCtes(minCos: Double = 0.2): String =
+    s"""pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+      |  WHERE ROUND(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |      (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |       SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= $minCos
+      |),
+      |e AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+      |),
+      |cl AS (
+      |  SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY a
+      |)""".stripMargin
+
+  /** Near-dup cluster size profile (q166): the distribution of
+    * connected-component sizes over the q65 near-dup graph — the
+    * release metric that tells a corpus owner whether duplication is
+    * a long tail of pairs or a few giant template families (which
+    * decides star-guard/canonicalization strategy). Rows are
+    * (cluster_size, n_clusters, n_members) — exact counts over the
+    * same cluster labels q65 emits.
+    *
+    * Scale shape: two keyed aggregates on top of the CC output
+    * (cluster_id sizes, then size histogram) — both map-side
+    * combined, output is O(distinct sizes). */
+  def clusterSizeProfile(spark: SparkSession, dir: String,
+      minCos: Double = 0.35): DataFrame =
+    Dedup.dedupClusters(embeddingNearDups(spark, dir, minCos = minCos),
+        "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        expr("CAST(cluster_size * count(1) AS BIGINT)").as("n_members"))
+      .orderBy(col("cluster_size"), col("n_clusters"), col("n_members"))
+
+  /** DuckDB oracle for [[clusterSizeProfile]] — the q65 CTEs plus two
+    * rollups. */
+  def clusterSizeProfileOracleSql(minCos: Double = 0.35): String =
+    s"""WITH RECURSIVE ${clusterOracleCtes(minCos)},
+       |sz AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size
+       |  FROM cl GROUP BY cluster_id)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  COUNT(*) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_members
+       |FROM sz GROUP BY cluster_size
+       |ORDER BY cluster_size, n_clusters, n_members""".stripMargin
+
   /** Deterministic integer PageRank over the near-dup graph: a fixed
     * number of power iterations in exact ppm arithmetic — pr0 =
     * 1000000 div N, contrib(u) = pr(u) div deg(u), pr'(v) =

@@ -476,6 +476,63 @@ object TextAnalysis {
         col("chars_per_re_token_ppm"))
   }
 
+  /** Code-switching screen (q167): per document, how many of the five
+    * marker-language profiles register at least one marker word, and
+    * whether the document MIXES languages (≥ 2 profiles present) —
+    * the multilingual-corpus triage signal (mixed docs break
+    * per-language routing and often indicate boilerplate templates
+    * with embedded foreign navigation text). Uses the SAME
+    * [[markerScore]] presence counts as q36's language ID, so the
+    * screen and the classifier cannot disagree about what a marker
+    * hit is.
+    *
+    * Scale shape: per-row codegen'd substring tests, one narrow
+    * projection — no shuffle at all before the final sort. */
+  def codeSwitchScreen(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val present = markers.map { case (l, ms) =>
+      when(markerScore(t, ms) > 0L, 1L).otherwise(0L).as(s"p_$l")
+    }
+    val nLangs = markers.map { case (l, _) => col(s"p_$l") }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("lang_label") +: present: _*)
+      .withColumn("n_langs_present", nLangs)
+      .withColumn("mixed", col("n_langs_present") >= 2L)
+      .select(col("doc_id"), col("lang_label"), col("n_langs_present"),
+        col("mixed"))
+      .orderBy(col("doc_id"), col("lang_label"), col("n_langs_present"),
+        col("mixed"))
+  }
+
+  /** DuckDB oracle for [[codeSwitchScreen]] — q36's LIST_INTERSECT
+    * presence tests per profile. */
+  val codeSwitchScreenOracleSql: String =
+    """SELECT doc_id, lang AS lang_label,
+      |  CAST((CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['the', 'a', 'and', 'of', 'to'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['der', 'die', 'und', 'das', 'ist'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['le', 'la', 'les', 'et', 'des'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['el', 'los', 'las', 'y', 'una'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['的', '了', '是', '在', '我'])) > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_langs_present,
+      |  (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['the', 'a', 'and', 'of', 'to'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['der', 'die', 'und', 'das', 'ist'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['le', 'la', 'les', 'et', 'des'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['el', 'los', 'las', 'y', 'una'])) > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+      |      ['的', '了', '是', '在', '我'])) > 0 THEN 1 ELSE 0 END)
+      |    >= 2 AS mixed
+      |FROM documents
+      |ORDER BY doc_id, lang_label, n_langs_present, mixed""".stripMargin
+
   /** Corpus card (q165): the one-page summary a data release ships —
     * document/source/language counts, token and byte mass, exact-dup
     * mass, mean document length — as (metric, value) BIGINT rows from
