@@ -229,6 +229,8 @@ object SparkEntry {
     "q166_cluster_sizes"    -> ((s: SparkSession, d: String) =>
       Similarity.clusterSizeProfile(s, d)),
     "q167_code_switching"   -> (TextAnalysis.codeSwitchScreen _),
+    "q168_priority_audit"   -> ((s: SparkSession, d: String) =>
+      Relational.orderPriorityAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2472,6 +2474,7 @@ object SparkEntry {
       "q165_corpus_card" -> TextAnalysis.corpusCardOracleSql,
       "q166_cluster_sizes" -> Similarity.clusterSizeProfileOracleSql(),
       "q167_code_switching" -> TextAnalysis.codeSwitchScreenOracleSql,
+      "q168_priority_audit" -> Relational.orderPriorityAuditOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

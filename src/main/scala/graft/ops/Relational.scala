@@ -370,6 +370,54 @@ object Relational {
       .orderBy(col("l_suppkey"), col("numwait"))
   }
 
+  /** TPC-H-Q4-style order-priority checking (q168): for each order
+    * priority, how many orders placed in a window have at least one
+    * LATE lineitem (shipped more than `lateDays` days after the order
+    * date — the bundled schema's lateness rule, as q161). The classic
+    * EXISTS-subquery shape, expressed as a per-order max-flag
+    * aggregate (one pass, no second fact scan).
+    *
+    * Scale shape: both facts ride the orderkey-bucketed layout — the
+    * merge join and the per-order aggregate reuse the bucket
+    * distribution (no fact exchange); the priority rollup is 5
+    * groups. */
+  def orderPriorityAudit(spark: SparkSession, dir: String,
+      lateDays: Int = 60, from: String = "1996-01-01",
+      until: String = "1997-01-01"): DataFrame = {
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    val inWindow = o
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+    val perOrder = li.join(inWindow.hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
+        .otherwise(0L)).as("has_late"))
+    perOrder.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("has_late")).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"), col("n_orders"),
+        col("n_late_orders"))
+  }
+
+  /** DuckDB oracle for [[orderPriorityAudit]]. */
+  def orderPriorityAuditOracleSql(lateDays: Int = 60,
+      from: String = "1996-01-01", until: String = "1997-01-01"): String =
+    s"""WITH per_order AS (
+       |  SELECT o.o_orderkey, o.o_orderpriority,
+       |    MAX(CASE WHEN l.l_shipdate >
+       |      o.o_orderdate + INTERVAL $lateDays DAY THEN 1 ELSE 0 END)
+       |      AS has_late
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_orderdate >= TIMESTAMP '$from'
+       |    AND o.o_orderdate < TIMESTAMP '$until'
+       |  GROUP BY o.o_orderkey, o.o_orderpriority)
+       |SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(SUM(has_late) AS BIGINT) AS n_late_orders
+       |FROM per_order GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority, n_orders, n_late_orders""".stripMargin
+
   /** DuckDB oracle for [[soleLateSuppliers]]. */
   def soleLateSuppliersOracleSql(lateDays: Int = 60): String =
     s"""WITH flags AS (
