@@ -231,6 +231,8 @@ object SparkEntry {
     "q167_code_switching"   -> (TextAnalysis.codeSwitchScreen _),
     "q168_priority_audit"   -> ((s: SparkSession, d: String) =>
       Relational.orderPriorityAudit(s, d)),
+    "q169_ann_recall"       -> ((s: SparkSession, d: String) =>
+      Ivf.annRecallAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2475,6 +2477,7 @@ object SparkEntry {
       "q166_cluster_sizes" -> Similarity.clusterSizeProfileOracleSql(),
       "q167_code_switching" -> TextAnalysis.codeSwitchScreenOracleSql,
       "q168_priority_audit" -> Relational.orderPriorityAuditOracleSql(),
+      "q169_ann_recall" -> Ivf.annRecallAuditOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

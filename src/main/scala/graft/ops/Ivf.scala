@@ -673,6 +673,71 @@ object Ivf {
        |  dup_of_corpus NULLS FIRST, dup_of_batch NULLS FIRST""".stripMargin
   }
 
+  /** ANN recall audit (q169): overlap@k between the deterministic IVF
+    * probe ([[deterministicSearch]]) and the brute-force exact cosine
+    * top-k for the same query — the index-quality gate every ANN
+    * deployment runs before trusting probe results (recall loss from
+    * a bad fit/probe budget shows up here, not in a crash). One row:
+    * (k, n_overlap, recall_ppm). Both rankings are deterministic
+    * (rounded cosine, id tie-breaks), so the DuckDB oracle replays
+    * the ENTIRE audit — index build, probe routing, both rankings,
+    * and the overlap count.
+    *
+    * Scale shape: the approx side is the partition-pruned probe; the
+    * exact side is one corpus cosine pass with a TakeOrdered top-k —
+    * the audit's honest cost (run per release or on a sampled query
+    * set, not per query). */
+  def annRecallAudit(spark: SparkSession, dir: String, queryId: Long = 7,
+      nProbe: Int = 2, topK: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val approx = deterministicSearch(spark, dir, queryId, nProbe, topK)
+      .select(col("vec_id"))
+    val qEmb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val qCol = array(qEmb.map(lit): _*)
+    val exact = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), qCol), 6).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"))
+    approx.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(topK.toLong).as("k"), col("n_overlap"),
+        expr(s"n_overlap * 1000000 div ${topK}L").as("recall_ppm"))
+  }
+
+  /** DuckDB oracle for [[annRecallAudit]] — the q71 probe CTEs plus
+    * the exact ranking and the overlap count. */
+  def annRecallAuditOracleSql(queryId: Long = 7, nProbe: Int = 2,
+      topK: Int = 10): String =
+    s"""WITH ${buildCtes(2)},
+       |q AS (SELECT x AS qx FROM xi WHERE vec_id = $queryId),
+       |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = $queryId),
+       |probe AS (SELECT c.cell FROM cent2 c CROSS JOIN q
+       |          QUALIFY ROW_NUMBER() OVER (ORDER BY ${oracleD2("q.qx", "c.c")}, c.cell) <= $nProbe),
+       |approx AS (
+       |  SELECT a.vec_id,
+       |    ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), qe.qemb) /
+       |      (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |       SQRT(LIST_INNER_PRODUCT(qe.qemb, qe.qemb))), 6) AS cos_sim
+       |  FROM afin a
+       |  JOIN probe p ON a.cell = p.cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  CROSS JOIN qe
+       |  ORDER BY cos_sim DESC, a.vec_id LIMIT $topK),
+       |exact AS (
+       |  SELECT e.vec_id,
+       |    ROUND(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), qe.qemb) /
+       |      (SQRT(LIST_INNER_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |       SQRT(LIST_INNER_PRODUCT(qe.qemb, qe.qemb))), 6) AS cs
+       |  FROM embeddings e CROSS JOIN qe
+       |  ORDER BY cs DESC, e.vec_id LIMIT $topK)
+       |SELECT CAST($topK AS BIGINT) AS k, COUNT(*) AS n_overlap,
+       |  CAST(COUNT(*) * 1000000 // $topK AS BIGINT) AS recall_ppm
+       |FROM approx JOIN exact ON approx.vec_id = exact.vec_id""".stripMargin
+
   /** DuckDB oracle replaying [[deterministicIndex]] + [[deterministicSearch]]
     * end-to-end: seeds → `iters` unrolled Lloyd rounds (assignment by
     * exact integer distance with cell tie-break, means re-rounded to
