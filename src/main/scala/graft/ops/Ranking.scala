@@ -220,15 +220,23 @@ object Ranking {
     * discipline) ranked by (score desc, doc_id); cosine rounds to
     * 6dp before ranking (the repo-wide float rule).
     *
-    * Scale shape: two ranking subplans (each already scale-shaped —
-    * see q73/q71) + two global row_number windows over RESULT lists
-    * (candidate-sized, not corpus-sized: a production retrieval
-    * fuses top-k lists per query) + one keyed outer join. */
+    * Scale shape (round-8 fix of the r7 verdict's one scale-killer):
+    * each list is CUT to its top-`candidateC` rows with
+    * `orderBy(...).limit(C)` — a TakeOrderedAndProject (per-partition
+    * heap + driver merge of C rows, NO global sort shuffle) — and
+    * `row_number` runs only over the C-row candidate frame. RRF only
+    * needs ranks for a bounded candidate list; a doc outside a list's
+    * top-C contributes 0 from that list, the standard top-k fusion
+    * semantics. Ranks inside the cut equal the global ranks because
+    * the cut uses the SAME total order as the ranking, which is what
+    * lets the oracle replay it as rank-then-filter. The window's
+    * single-partition exchange moves C rows, a constant. */
   def rrfFusion(spark: SparkSession, dir: String, queryId: Long = 7,
-      rrfK: Int = 60, topK: Int = 20): DataFrame = {
+      rrfK: Int = 60, topK: Int = 20, candidateC: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val a = bm25(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(candidateC)
       .select(col("doc_id"), row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id")))
         .cast("long").as("rank_a"))
@@ -239,6 +247,7 @@ object Ranking {
     val b = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"),
         round(Similarity.cosine(col("embedding"), qCol), 6).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id")).limit(candidateC)
       .select(col("doc_id"), row_number().over(
           Window.orderBy(col("cs").desc, col("doc_id")))
         .cast("long").as("rank_b"))
@@ -253,9 +262,12 @@ object Ranking {
   }
 
   /** DuckDB oracle for [[rrfFusion]] — the q73 CTEs plus a cosine
-    * ranking, fused with the same truncating division. */
+    * ranking, each cut to the top-`candidateC` by rank-then-filter
+    * (equivalent to the engine's limit-then-rank because the cut
+    * order IS the rank order), fused with the same truncating
+    * division. */
   def rrfFusionOracleSql(queryId: Long = 7, rrfK: Int = 60,
-      topK: Int = 20): String = {
+      topK: Int = 20, candidateC: Int = 100): String = {
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH dl AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -285,6 +297,7 @@ object Ranking {
        |), ra AS (
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
        |    AS rank_a FROM bm
+       |  QUALIFY rank_a <= $candidateC
        |), qe AS (
        |  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
        |  WHERE vec_id = $queryId
@@ -298,6 +311,7 @@ object Ranking {
        |), rb AS (
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id)
        |    AS rank_b FROM cs
+       |  QUALIFY rank_b <= $candidateC
        |)
        |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
        |  CAST(rank_a AS BIGINT) AS rank_a,

@@ -535,28 +535,40 @@ object TextAnalysis {
 
   /** Corpus card (q165): the one-page summary a data release ships —
     * document/source/language counts, token and byte mass, exact-dup
-    * mass, mean document length — as (metric, value) BIGINT rows from
-    * ONE corpus pass (a single multi-aggregate, then an unpivot of
-    * the 1-row result; the dup figure reuses exact dedup's
-    * distinct-text rule).
+    * mass, mean document length — as (metric, value) BIGINT rows.
     *
-    * Scale shape: one scan, one map-side-combined aggregate (the
-    * countDistincts expand the scan rows by the distinct-column
-    * count — the release-cadence audit trade, as q158); the unpivot
-    * touches one row. */
+    * Scale shape (round-8 restructure of the r7 verdict's #2): the
+    * old plan stacked three countDistincts — one over FULL DOCUMENT
+    * TEXT — into one aggregate, planning an Expand that multiplied
+    * corpus scan rows 4× and shuffled entire bodies. Now ONE scan
+    * projects a NARROW row (source, lang, sha2 digest, token/char
+    * counts — the q33 digest rule: distinct digests stand in for
+    * distinct texts, engine-side only, the oracle keeps
+    * COUNT(DISTINCT text)); a (source, lang, digest)-keyed
+    * pre-aggregate collapses exact duplicates in one digest-keyed
+    * shuffle of narrow rows; the three distincts then fold over the
+    * PRE-AGGREGATE, so the residual Expand multiplies only
+    * digest-narrow rows, never the scan, and no text ever crosses a
+    * shuffle. The unpivot touches one row. */
   def corpusCard(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val agg = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"), t,
+    val pre = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), sha2(t, 256).as("digest"),
         size(tokens(t)).cast("long").as("nw"),
         length(t).cast("long").as("nc"))
-      .agg(count(lit(1)).as("n_docs"),
+      .groupBy(col("source"), col("lang"), col("digest"))
+      .agg(count(lit(1)).as("cnt"), sum(col("nw")).as("snw"),
+        sum(col("nc")).as("snc"))
+    val agg = pre
+      .agg(sum(col("cnt")).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         countDistinct(col("lang")).as("n_langs"),
-        sum(col("nw")).as("total_ws_tokens"),
-        sum(col("nc")).as("total_chars"),
-        (count(lit(1)) - countDistinct(t)).as("exact_dup_docs"),
-        expr("sum(nw) * 1000000 div count(1)").as("mean_doc_tokens_ppm"))
+        sum(col("snw")).as("total_ws_tokens"),
+        sum(col("snc")).as("total_chars"),
+        (sum(col("cnt")) - countDistinct(col("digest")))
+          .as("exact_dup_docs"),
+        expr("sum(snw) * 1000000 div sum(cnt)")
+          .as("mean_doc_tokens_ppm"))
     agg.select(expr(
       """stack(7,
         |  'n_docs', n_docs,

@@ -339,6 +339,63 @@ class PlanShapeSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  test("q164 RRF ranks only candidate cuts: every window sits above a limit") {
+    // round-7 verdict's one scale-killer: the semantic list was ranked
+    // by a row_number window over the ENTIRE corpus (single-task sort
+    // of every embedding at scale). The fix cuts BOTH lists to top-C
+    // via orderBy().limit(C) — TakeOrderedAndProject, no global sort
+    // shuffle — and ranks within the C-row frame. Pin: the optimized
+    // plan's Window nodes (the two rank computations) each have a
+    // Limit in their subtree, so no window ever consumes a
+    // corpus-sized input; and the physical plan contains the
+    // TakeOrdered cuts.
+    // (bm25's internal df window is PARTITIONED by term — skew-safe —
+    // so the pin targets only windows with an empty partition spec,
+    // the ones that would single-task the corpus)
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, GlobalLimit, Window => LWindow}
+    val df = graft.ops.Ranking.rrfFusion(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.size == 2, s"expected 2 unpartitioned rank windows, got ${wins.size}")
+    wins.foreach { w =>
+      val limited = w.collectFirst {
+        case _: LocalLimit => true
+        case _: GlobalLimit => true
+      }.isDefined
+      assert(limited, s"rank window consumes an unbounded input:\n$w")
+    }
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate cut lost its TakeOrdered:\n${p.take(1200)}")
+  }
+
+  test("q165 corpus card: no Expand over the documents scan, no text in a shuffle") {
+    // the r7 verdict's #2: three countDistincts (one over full text)
+    // in a single aggregate planned an Expand multiplying CORPUS scan
+    // rows 4× and shuffled document bodies. The restructure folds the
+    // distincts over a (source, lang, digest) pre-aggregate: any
+    // residual Expand must sit ABOVE an Aggregate (narrow digest
+    // rows), and the scan's output must not reach an Expand directly.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LeafNode}
+    val df = graft.ops.TextAnalysis.corpusCard(spark, sf)
+    val plan0 = df.queryExecution.optimizedPlan
+    plan0.collect { case e: Expand => e }.foreach { e =>
+      val aggBelow = e.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(aggBelow, s"Expand sits directly over the scan:\n$e")
+      val leafInExpandPath = e.child.collect {
+        case a: Aggregate => a
+      }
+      assert(leafInExpandPath.nonEmpty)
+    }
+    // and the digest rule keeps text out of every aggregate key
+    val aggs = plan0.collect { case a: Aggregate => a }
+    aggs.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.references.exists(_.name == "text")),
+        s"aggregate keys on raw text:\n${a.groupingExpressions}")
+    }
+  }
+
   test("sanitizeEvents parses props exactly once (q31 plan pin)") {
     // Both k_val and props_canonical derive from one shared from_json
     // struct; CollapseProject must NOT inline it into both consumers
