@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dotf"),
       info("dotf", "dotf(arr, arr) - double-precision array dot product"),
       (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("l2mu"),
+      info("l2mu", "l2mu(arr, arr) - exact integer squared-L2 distance"),
+      (exprs: Seq[Expression]) => L2MuSq(exprs.head, exprs(1))))
   }
 }

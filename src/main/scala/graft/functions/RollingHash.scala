@@ -80,6 +80,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2mu", exprs => L2MuSq(exprs.head, exprs(1)), "internal")
   }
 
   /** Plain-Scala splitmix64 reference for differential testing. */

@@ -33,6 +33,33 @@ object Ivf {
     * Lloyd skew never triggers it — only degenerate mass does. */
   val MaxCell = 1024
 
+  /** Above this k the deterministic assignment switches from the
+    * unrolled per-centroid LITERAL argmin expression to a
+    * broadcast-join argmin (k-row centroid table × corpus, native
+    * `l2mu` distance, min_by per vector). Measured round 8: the
+    * literal form OOMs an 8 GB driver at k=128 (codegen/optimizer
+    * state explodes around ~260 plan nodes per centroid), while at
+    * the autoK floor (k=8..20) it beats the join by skipping a
+    * shuffle — so small k keeps the literal plan, large k joins.
+    * Both compute the identical exact-integer (d², cell) argmin. */
+  val LiteralArgminMaxK = 32
+
+  /** Ceiling for the DETERMINISTIC index's k (round-8, verdict #5):
+    * above [[LiteralArgminMaxK]] the assignment is a broadcast-join
+    * argmin, so the remaining O(k) costs are the per-Lloyd-round
+    * k-row centroid collect, the broadcast of the k×64-long centroid
+    * table (~2 MB at this ceiling), and the DuckDB verify replay's
+    * N×k cross product. Since [[autoK]] grows k ∝ N, an unguarded
+    * huge corpus would quietly drag gigabytes of centroid state
+    * through the driver. Above the ceiling the deterministic path
+    * REFUSES loudly and the caller must use [[persistedIndex]]
+    * (ML-KMeans: distributed centroids, no replay contract) — i.e.
+    * the oracle-replayable envelope is corpora up to
+    * ~MaxDetK·TargetCellSize ≈ 1M vectors; beyond that the
+    * production index serves, with its recall specs standing in for
+    * the hash oracle. */
+  val MaxDetK = 4096
+
   /** k ∝ N, executable: k = max(8, ⌈N / target⌉). Round 6 measured
     * why this must be code, not scaladoc: fixed k=8 at 10x data →
     * 15.4x runtime (Σ|cell|² grows quadratically in |cell|); k scaled
@@ -187,6 +214,31 @@ object Ivf {
       struct(d2ToLiteral(col("x"), c).as("d"), lit(id).as("cell"))
     }: _*).getField("cell")
 
+  /** Attach the argmin `cell` column to a frame carrying a unique
+    * `vec_id` and the micro-unit `x` array — literal expression for
+    * small k, broadcast-join argmin above [[LiteralArgminMaxK]] (see
+    * there for the measured crossover). The join form streams the
+    * N×k expansion through a BroadcastNestedLoopJoin into a
+    * map-side-combined min_by — nothing N×k is ever materialized —
+    * then joins the (vec_id, cell) verdict back on the key. */
+  private def withCellCol(df: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame =
+    if (cents.size <= LiteralArgminMaxK) df.withColumn("cell", assignCol(cents))
+    else {
+      val spark = df.sparkSession
+      graft.functions.GraftFunctions.register(spark)
+      import spark.implicits._
+      val centDf = cents.map { case (id, c) => (id, c.toSeq) }
+        .toDF("cent_cell", "cent_x")
+      val assigned = df.select(col("vec_id"), col("x"))
+        .crossJoin(broadcast(centDf))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cent_cell"),
+          struct(call_function("l2mu", col("x"), col("cent_x")).as("d"),
+            col("cent_cell").as("c"))).as("cell"))
+      df.join(assigned, Seq("vec_id"))
+    }
+
   private val detIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, DetIndex]()
 
@@ -211,6 +263,12 @@ object Ivf {
       else autoK(corpusCounts.computeIfAbsent(
         s"$dir|${Tables.sourceFingerprint(dir, Seq("embeddings"))}",
         _ => Tables.embeddings(spark, dir).count()))
+    require(resolvedK <= MaxDetK,
+      s"deterministic IVF k=$resolvedK exceeds MaxDetK=$MaxDetK: the " +
+        s"per-round centroid collect, centroid broadcast and oracle " +
+        s"replay are O(k) driver/verify costs (see MaxDetK scaladoc). " +
+        s"For corpora above ~${MaxDetK * TargetCellSize} vectors use " +
+        s"Ivf.persistedIndex (ML-KMeans production path).")
     // keyed by sessionUUID too: DetIndex.assigned is a persisted
     // DataFrame BOUND to its session (unlike persistedIndex, which
     // stores an on-disk path any session can re-read) — a cached entry
@@ -225,7 +283,7 @@ object Ivf {
       for (_ <- 1 to iters) {
         val sumCols = (0 until 64).map(i =>
           sum(element_at(col("x"), i + 1)).as(s"s$i"))
-        val rows = xi.withColumn("cell", assignCol(cents))
+        val rows = withCellCol(xi, cents)
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("n"), sumCols: _*)
           .collect()
@@ -240,7 +298,7 @@ object Ivf {
       // over the whole corpus (measured as the slowest bench entry);
       // the production path persists its cell table partitionBy(cell)
       // the same way
-      DetIndex(cents, xi.withColumn("cell", assignCol(cents))
+      DetIndex(cents, withCellCol(xi, cents)
         .select(col("vec_id"), col("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
@@ -426,8 +484,7 @@ object Ivf {
     * an ingest batch between rebuilds. */
   def assignToCells(frame: DataFrame,
       cents: Seq[(Long, Array[Long])]): DataFrame =
-    frame.withColumn("x", muCol)
-      .withColumn("cell", assignCol(cents))
+    withCellCol(frame.withColumn("x", muCol), cents)
       .drop("x")
 
   /** Incremental corpus-vs-batch semantic dedup: batch vectors route
@@ -623,9 +680,14 @@ object Ivf {
     * (same autoK k), batch construction with the same exact float
     * ops, micro-unit routing argmin with the same (d2, cell)
     * tie-break, then the two prune joins with the identical ppm
-    * threshold. */
+    * threshold — INCLUDING the mega-cell star guard
+    * [[semanticDedupAgainst]] applies on both the prior and the
+    * in-batch side (round-8, ADVICE r7: the unguarded oracle would
+    * silently diverge the moment a regenerated corpus produced a
+    * cell over MaxCell, with a confusing hash diff instead of a
+    * guarded replay). */
   def incrementalSemanticDedupOracleSql(iters: Int = 2,
-      tauPpm: Long = 400000L): String = {
+      tauPpm: Long = 400000L, maxCell: Int = MaxCell): String = {
     val muB = "list_transform(range(1, 65), i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
     def cos(a: String, b: String) =
       s"""ROUND(LIST_INNER_PRODUCT(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
@@ -650,17 +712,31 @@ object Ivf {
        |  FROM bx b CROSS JOIN cent$iters c
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
        |    ORDER BY ${oracleD2("b.x", "c.c")}, c.cell) = 1),
+       |prior_pruned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      COUNT(*) OVER (PARTITION BY cell) AS cell_n,
+       |      MIN(vec_id) OVER (PARTITION BY cell) AS rep
+       |    FROM afin)
+       |  WHERE cell_n <= $maxCell OR vec_id = rep),
+       |b_lower AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT vec_id, cell, embedding,
+       |      COUNT(*) OVER (PARTITION BY cell) AS cell_n,
+       |      MIN(vec_id) OVER (PARTITION BY cell) AS rep
+       |    FROM bcell)
+       |  WHERE cell_n <= $maxCell OR vec_id = rep),
        |vs_prior AS (
        |  SELECT bc.vec_id, CAST(MIN(f.vec_id) AS BIGINT) AS dup_of_corpus
        |  FROM bcell bc
-       |  JOIN afin f ON f.cell = bc.cell
+       |  JOIN prior_pruned f ON f.cell = bc.cell
        |  JOIN embeddings ce ON ce.vec_id = f.vec_id
        |  WHERE ${cppm("bc.embedding", "ce.embedding")} >= $tauPpm
        |  GROUP BY bc.vec_id),
        |vs_batch AS (
        |  SELECT hi.vec_id, CAST(MIN(lo.vec_id) AS BIGINT) AS dup_of_batch
        |  FROM bcell hi
-       |  JOIN bcell lo ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+       |  JOIN b_lower lo ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
        |  WHERE ${cppm("hi.embedding", "lo.embedding")} >= $tauPpm
        |  GROUP BY hi.vec_id)
        |SELECT bc.vec_id, CAST(bc.cell AS BIGINT) AS cell,

@@ -160,16 +160,29 @@ object Ranking {
     // pure waste (set-sim verify measured broadcast 13 s <
     // shuffle_hash 65 s < merge 168 s on the same shape). Broadcast
     // while the LM estimate fits, shuffle_hash above. The estimate
-    // comes from Spark's own plan statistics on the input (file-size
-    // based, zero extra action — an eager sizing aggregate over the
-    // lm cache measured +0.4 s/run at sf0.1): the distinct-trigram
-    // table is bounded by ~3x the text bytes (each token starts at
-    // most one trigram; x3 covers parquet string compression).
+    // comes from Spark's own plan statistics (file-size based, zero
+    // extra action — an eager sizing aggregate over the lm cache
+    // measured +0.4 s/run at sf0.1): the distinct-trigram table is
+    // bounded by ~3x the text bytes (each token starts at most one
+    // trigram; x3 covers parquet string compression). The bytes are
+    // summed over the plan's FILE/CACHE LEAVES, not the root stats —
+    // a cached/union rehearsal frame's derived root estimate can be
+    // badly off (ADVICE r7), while leaf sizes are the honest text
+    // mass; a plan with no measurable leaf gets the conservative
+    // shuffle_hash (never an unbounded broadcast on a guess).
     // Measured at sf0.1: broadcast 1.55 s vs shuffle_hash 7.6 s warm.
     val limit = docs.sparkSession.conf
       .getOption("graft.setsim.broadcastBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
-    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 3
+    val leafBytes = docs.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.stats.sizeInBytes
+      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        c.stats.sizeInBytes
+    }
+    val estBytes =
+      if (leafBytes.nonEmpty) leafBytes.sum * 3
+      else BigInt(Long.MaxValue)
     val freq = lm.crossJoin(broadcast(lm.agg(sum(col("k")).as("tot"))))
       .select(col("ngram"), expr("k * 1000000 div tot").as("fppm"))
     val freqSized =

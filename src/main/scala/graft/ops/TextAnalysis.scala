@@ -469,7 +469,10 @@ object TextAnalysis {
         sum(col("nc")).as("sum_chars"),
         sum(col("nw")).as("sum_ws_tokens"),
         sum(col("nr")).as("sum_re_tokens"),
-        expr("CAST(sum(nc) * 1000000 div sum(nr) AS BIGINT)")
+        // nullif: a source whose docs have NO regex tokens (e.g.
+        // whitespace-only text) degrades to a NULL ratio instead of
+        // an ANSI divide-by-zero error (ADVICE r7); oracle mirrors
+        expr("CAST(sum(nc) * 1000000 div nullif(sum(nr), 0) AS BIGINT)")
           .as("chars_per_re_token_ppm"))
       .orderBy(col("source"), col("n_docs"), col("sum_chars"),
         col("sum_ws_tokens"), col("sum_re_tokens"),
@@ -617,9 +620,9 @@ object TextAnalysis {
       |  CAST(SUM(nc) AS BIGINT) AS sum_chars,
       |  CAST(SUM(nw) AS BIGINT) AS sum_ws_tokens,
       |  CAST(SUM(nr) AS BIGINT) AS sum_re_tokens,
-      |  CAST(SUM(nc) * 1000000 // SUM(nr) AS BIGINT)
+      |  CAST(SUM(nc) * 1000000 // NULLIF(SUM(nr), 0) AS BIGINT)
       |    AS chars_per_re_token_ppm
       |FROM d GROUP BY source
       |ORDER BY source, n_docs, sum_chars, sum_ws_tokens, sum_re_tokens,
-      |  chars_per_re_token_ppm""".stripMargin
+      |  chars_per_re_token_ppm NULLS FIRST""".stripMargin
 }

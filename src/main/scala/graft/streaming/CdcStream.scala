@@ -104,26 +104,31 @@ object CdcStream {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // the state seed is flagged by an EXPLICIT is_marker column —
+        // not an in-band event_id sentinel (ADVICE r7: a legitimate
+        // event_id = -1 would silently reset the user's state). The
+        // marker's tsm = Long.MinValue still sorts it first in the
+        // per-user fold.
         val ev = batch
           .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
             col("event_id"),
             (col("value").cast("decimal(18,6)") * 1000000).cast("long")
-              .as("v"), lit(0L).as("n0"))
+              .as("v"), lit(0L).as("n0"), lit(false).as("is_marker"))
         val withState =
           if (new java.io.File(stateDir).exists())
             ev.unionByName(spark.read.parquet(stateDir)
               .select(col("user_id"), lit(Long.MinValue).as("tsm"),
                 lit(-1L).as("event_id"), col("ewma_micro").as("v"),
-                col("n_events").as("n0")))
+                col("n_events").as("n0"), lit(true).as("is_marker")))
           else ev
         val folded = withState
-          .as[(Long, Long, Long, Long, Long)]
+          .as[(Long, Long, Long, Long, Long, Boolean)]
           .groupByKey(_._1)
           .flatMapSortedGroups(col("tsm"), col("event_id")) { (u, it) =>
             var s = 0L
             var n = 0L
-            it.foreach { case (_, _, eid, v, n0) =>
-              if (eid == -1L) { s = v; n = n0 }
+            it.foreach { case (_, _, _, v, n0, marker) =>
+              if (marker) { s = v; n = n0 }
               else { s = s * 7 / 8 + v; n += 1 }
             }
             Iterator.single((u, n, s))

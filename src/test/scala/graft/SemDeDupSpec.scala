@@ -154,6 +154,52 @@ class SemDeDupSpec extends SparkSpec {
     assert(Ivf.autoK(n) == 8, "bundled corpus resolves to the floor")
   }
 
+  test("deterministic index refuses k above MaxDetK, routes to the ML path") {
+    // the driver envelope (round-8, verdict #5): autoK grows k ∝ N,
+    // and the det path's centroid state/collect/broadcast/oracle
+    // replay are all O(k) — above MaxDetK it must fail LOUDLY naming
+    // the production alternative, not drag gigabytes through the
+    // driver.
+    val e = intercept[IllegalArgumentException] {
+      Ivf.deterministicIndex(spark, sf, k = Ivf.MaxDetK + 1)
+    }
+    assert(e.getMessage.contains("MaxDetK") &&
+      e.getMessage.contains("persistedIndex"),
+      s"guard message must name the ceiling and the ML route: ${e.getMessage}")
+    // autoK crosses the ceiling at N > MaxDetK * TargetCellSize — the
+    // documented envelope boundary (~1M vectors)
+    assert(Ivf.autoK(Ivf.MaxDetK * Ivf.TargetCellSize) == Ivf.MaxDetK)
+    assert(Ivf.autoK(Ivf.MaxDetK * Ivf.TargetCellSize + 1) == Ivf.MaxDetK + 1)
+  }
+
+  test("above LiteralArgminMaxK the assignment joins — and matches the literal path") {
+    // k=256 forces the broadcast-join argmin (the literal expression
+    // OOMs an 8 GB driver at k=128 — measured round 8, the reason the
+    // switch exists). Exactness check: every vector's final cell must
+    // equal a brute-force driver replay of the same exact-long
+    // (d², cell) argmin over the index's own centroids.
+    val t0 = System.nanoTime()
+    val idx = Ivf.deterministicIndex(spark, sf, k = 256, iters = 1)
+    val n = idx.assigned.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"k=256 join-argmin build+assign: $secs%.1f s")
+    assert(n == Tables.embeddings(spark, sf).count(), "every vector assigned")
+    assert(secs < 120, f"near-ceiling build pathologically slow: $secs%.1f s")
+    // exactness: replay the assignment for every vector on the driver
+    // in the same long arithmetic and compare cells
+    val xs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(
+        "transform(embedding, v -> cast(round(cast(v as double) * 1000000, 0) as bigint))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val got = idx.assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { case (id, x) =>
+      val want = idx.centroids.map { case (cid, c) =>
+        (c.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+      assert(got(id) == want, s"vec $id routed to ${got(id)}, brute force says $want")
+    }
+  }
+
   test("q145 registered form: deterministic cells, ppm threshold, stable order") {
     val out = Ivf.semanticDedup(spark, sf, tauPpm = 400000L)
     val rows = out.collect()
