@@ -40,21 +40,22 @@ object ScaleRehearsal {
   }
 
   /** 10 letter-permuted document shards; doc_id offset 1e6 per shard.
-    * `source` passes through unchanged — every shard's source
-    * distribution equals the original's exactly (the isomorph
-    * property), which the source-keyed ops (DSIR target split,
-    * temperature mixing) need. */
+    * `source` and `lang` pass through unchanged — every shard's
+    * source/lang distribution equals the original's exactly (the
+    * isomorph property), which the source-keyed ops (DSIR target
+    * split, temperature mixing) and the corpus card need. */
   def docs10x(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
     val lower = "abcdefghijklmnopqrstuvwxyz"
     (0 until 10).map { s =>
       val mapped =
-        if (s == 0) base.select(col("doc_id"), col("source"), col("text"))
-        else base.select(col("doc_id"), col("source"),
+        if (s == 0)
+          base.select(col("doc_id"), col("source"), col("lang"), col("text"))
+        else base.select(col("doc_id"), col("source"), col("lang"),
           translate(col("text"), lower,
             perm(lower.toSeq, 1000L + s).mkString).as("text"))
       mapped.select((col("doc_id") + lit(s * 1000000L)).as("doc_id"),
-        col("source"), col("text"))
+        col("source"), col("lang"), col("text"))
     }.reduce(_ unionAll _)
   }
 
@@ -127,10 +128,10 @@ object ScaleRehearsal {
     // Tables.bucketedPair — a stale 10x corpus would silently measure
     // last round's data)
     val fpFile = java.nio.file.Paths.get(s"$out/.source_fingerprint")
-    // "v2|" = corpus schema version (round 7 added the source column
-    // to the documents shards) — a code-level schema change must
-    // invalidate the cached corpus just like a testdata regen does
-    val fp = "v2|" + Tables.sourceFingerprint(dir,
+    // "v3|" = corpus schema version (round 7 added source, round 8
+    // added lang for the corpus-card row) — a code-level schema change
+    // must invalidate the cached corpus just like a testdata regen
+    val fp = "v3|" + Tables.sourceFingerprint(dir,
       Seq("documents", "embeddings", "events"))
     val fresh = java.nio.file.Files.exists(fpFile) &&
       java.nio.file.Files.readString(fpFile) == fp
@@ -147,7 +148,7 @@ object ScaleRehearsal {
 
     def docsAt(scale: String): DataFrame =
       if (scale == "1x") Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
       else spark.read.parquet(s"$out/documents.parquet")
     def embAt(scale: String): DataFrame =
       if (scale == "1x") Tables.embeddings(spark, dir)
@@ -325,6 +326,83 @@ object ScaleRehearsal {
         val (n9, t9) = timed(
           graft.ops.Similarity.dimensionCorrelationOn(e).count())
         report("q159_dim_correlation", t9, n9)
+      }
+      // round-8 rows (VERDICT r7 #6): the q163–q169 wave. q167
+      // (per-row marker projection) and q160/q161/q168 (fact-table
+      // shapes; no 10x fact corpus — their scale property is the
+      // PlanShapeSpec exchange/scan budget on the bucketed layouts)
+      // are documented rather than measured here.
+      if (wanted("q163")) {
+        val (nSr, tSr) = timed(
+          graft.ops.Ranking.selfRepetitionDocs(d).count())
+        report("q163_self_repetition", tSr, nSr)
+      }
+      // q164 RRF: post-fix shape — both lists cut to top-C via
+      // TakeOrdered before any rank window; the 10x point is what the
+      // pre-fix corpus-wide window would have choked on
+      if (wanted("q164")) {
+        val e = embAt(scale)
+        val (nRf, tRf) = timed(
+          graft.ops.Ranking.rrfFusionOn(d, e).count())
+        Dedup.unpersistCaches()
+        report("q164_rrf_fusion", tRf, nRf)
+      }
+      // q165 corpus card: post-restructure shape — digest pre-agg,
+      // no text through a shuffle, Expand only over narrow rows
+      if (wanted("q165")) {
+        val (nCc5, tCc5) = timed(
+          graft.ops.TextAnalysis.corpusCardDocs(d).count())
+        report("q165_corpus_card", tCc5, nCc5)
+      }
+      // q166 cluster-size profile at τ=0.35 over the LSH scale path
+      // (the exact all-pairs edge source is the id-bounded oracle
+      // tool): edge density grows faster at the tighter τ — the
+      // watched term is the CC fixpoint round count staying flat
+      if (wanted("q166")) {
+        val e = embAt(scale)
+        val edges = Similarity.lshEmbeddingNearDups(e, 0.35)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (nEdges, tEdges) = timed(edges.count())
+        report("q166_edges_tau35", tEdges, nEdges)
+        val (nPr, tPr) = timed(
+          Dedup.dedupClusters(edges, "vec_a", "vec_b")
+            .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+            .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+            .count())
+        edges.unpersist()
+        Dedup.unpersistCaches()
+        report("q166_cluster_sizes", tPr, nPr)
+      }
+      // q169 ANN recall audit on a frame-built deterministic index at
+      // the autoK k (N=5000 at 10x → k=20): build + probe + exact
+      // ranking + overlap — the full audit the registered query runs
+      if (wanted("q169")) {
+        val e = embAt(scale)
+        val (rec, tRa) = timed {
+          val k = graft.ops.Ivf.autoK(e.count())
+          val idx = graft.ops.Ivf.deterministicIndexOn(e, k)
+          val r = graft.ops.Ivf.annRecallAuditOn(idx, e, queryId = 7)
+            .head().getLong(2)
+          idx.assigned.unpersist()
+          r
+        }
+        report("q169_ann_recall_ppm", tRa, rec)
+      }
+      // q157 scale branch: the per-shard length rank (nShards = 16)
+      // vs the global default — the round-8 executable swap
+      if (wanted("q157_sharded")) {
+        val (n7s, t7s) = timed(
+          graft.ops.Layout.paddingWasteDocs(d, nShards = 16).count())
+        report("q157_padding_waste_sharded", t7s, n7s)
+      }
+      // q146 scale branch: the q100 bin-walk rank forced on (cutoff
+      // 0) vs the one-phase default — the other round-8 swap
+      if (wanted("q146_binwalk")) {
+        val (nBw, tBw) = timed(
+          graft.ops.Sampling.dsirAffinitySelectOn(d, binWalkMinDocs = 0L)
+            .count())
+        Dedup.unpersistCaches()
+        report("q146_dsir_binwalk", tBw, nBw)
       }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the

@@ -233,6 +233,11 @@ object SparkEntry {
       Relational.orderPriorityAudit(s, d)),
     "q169_ann_recall"       -> ((s: SparkSession, d: String) =>
       Ivf.annRecallAudit(s, d)),
+    // q170: the q157 audit's SCALE branch — per-shard length rank on
+    // the q153 shard key (round-8 executable swap), oracle-replayed
+    // with the same nShards parameter the way kSql replays autoK
+    "q170_padding_waste_sharded" -> ((s: SparkSession, d: String) =>
+      Layout.paddingWaste(s, d, nShards = 4)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2478,6 +2483,7 @@ object SparkEntry {
       "q167_code_switching" -> TextAnalysis.codeSwitchScreenOracleSql,
       "q168_priority_audit" -> Relational.orderPriorityAuditOracleSql(),
       "q169_ann_recall" -> Ivf.annRecallAuditOracleSql(),
+      "q170_padding_waste_sharded" -> Layout.paddingWasteOracleSql(nShards = 4),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -274,34 +274,45 @@ object Ivf {
     // stores an on-disk path any session can re-read) — a cached entry
     // from a stopped session would poison later sessions in this JVM
     detIndexes.computeIfAbsent(
-        s"${System.identityHashCode(spark)}|$dir|$resolvedK|$iters", _ => {
-      val xi = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), muCol.as("x"))
-      var cents: Seq[(Long, Array[Long])] = xi.filter(col("vec_id") < resolvedK)
-        .orderBy("vec_id").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
-      for (_ <- 1 to iters) {
-        val sumCols = (0 until 64).map(i =>
-          sum(element_at(col("x"), i + 1)).as(s"s$i"))
-        val rows = withCellCol(xi, cents)
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("n"), sumCols: _*)
-          .collect()
-        cents = rows.map { r =>
-          val n = r.getLong(1)
-          (r.getLong(0),
-            (0 until 64).map(i => Det.halfUpLong(r.getLong(2 + i).toDouble / n)).toArray)
-        }.sortBy(_._1).toSeq
-      }
-      // persist the tiny (vec_id, cell) table: every probe would
-      // otherwise re-evaluate the k×64-literal assignment expression
-      // over the whole corpus (measured as the slowest bench entry);
-      // the production path persists its cell table partitionBy(cell)
-      // the same way
-      DetIndex(cents, withCellCol(xi, cents)
-        .select(col("vec_id"), col("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+        s"${System.identityHashCode(spark)}|$dir|$resolvedK|$iters",
+        _ => deterministicIndexOn(
+          Tables.embeddings(spark, dir), resolvedK, iters))
+  }
+
+  /** Frame-based deterministic build (the rehearsal entry point —
+    * no cache, no dir fingerprint; [[deterministicIndex]] wraps this
+    * with both). `k` must be explicit here; the [[MaxDetK]] guard
+    * applies the same. */
+  def deterministicIndexOn(emb: DataFrame, k: Int,
+      iters: Int = 2): DetIndex = {
+    require(k > 0 && k <= MaxDetK,
+      s"deterministic IVF k=$k outside (0, MaxDetK=$MaxDetK] — see " +
+        s"MaxDetK scaladoc; use Ivf.persistedIndex above the ceiling.")
+    val xi = emb.select(col("vec_id"), muCol.as("x"))
+    var cents: Seq[(Long, Array[Long])] = xi.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    for (_ <- 1 to iters) {
+      val sumCols = (0 until 64).map(i =>
+        sum(element_at(col("x"), i + 1)).as(s"s$i"))
+      val rows = withCellCol(xi, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      cents = rows.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0),
+          (0 until 64).map(i => Det.halfUpLong(r.getLong(2 + i).toDouble / n)).toArray)
+      }.sortBy(_._1).toSeq
+    }
+    // persist the tiny (vec_id, cell) table: every probe would
+    // otherwise re-evaluate the assignment (literal expression or
+    // argmin join) over the whole corpus (measured as the slowest
+    // bench entry); the production path persists its cell table
+    // partitionBy(cell) the same way
+    DetIndex(cents, withCellCol(xi, cents)
+      .select(col("vec_id"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Release the persisted deterministic indexes (test/driver hygiene —
@@ -320,8 +331,17 @@ object Ivf {
   def deterministicSearch(spark: SparkSession, dir: String,
       queryId: Long = 7, nProbe: Int = 2, topK: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val idx = deterministicIndex(spark, dir)
-    val qEmb = Tables.embeddings(spark, dir)
+    deterministicSearchOn(deterministicIndex(spark, dir),
+      Tables.embeddings(spark, dir), queryId, nProbe, topK)
+  }
+
+  /** Frame-based probe core of [[deterministicSearch]] (the rehearsal
+    * entry point — caller supplies the index and the embedding
+    * frame). */
+  def deterministicSearchOn(idx: DetIndex, emb: DataFrame,
+      queryId: Long, nProbe: Int = 2, topK: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val qEmb = emb
       .filter(col("vec_id") === queryId).select(col("embedding"))
       .head().getSeq[Float](0)
     val qMu = qEmb.map(v => Det.halfUpLong(v.toDouble * 1e6)).toArray
@@ -332,7 +352,7 @@ object Ivf {
     val qCol = array(qEmb.map(lit): _*)
     idx.assigned
       .filter(col("cell").isin(probed.map(java.lang.Long.valueOf): _*))
-      .join(Tables.embeddings(spark, dir), Seq("vec_id"))
+      .join(emb, Seq("vec_id"))
       .select(col("vec_id"), col("cell"),
         round(Similarity.cosine(col("embedding"), qCol), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"), col("cell"))
@@ -766,13 +786,22 @@ object Ivf {
   def annRecallAudit(spark: SparkSession, dir: String, queryId: Long = 7,
       nProbe: Int = 2, topK: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val approx = deterministicSearch(spark, dir, queryId, nProbe, topK)
+    annRecallAuditOn(deterministicIndex(spark, dir),
+      Tables.embeddings(spark, dir), queryId, nProbe, topK)
+  }
+
+  /** Frame-based core of [[annRecallAudit]] (the rehearsal entry
+    * point): probe-vs-exact overlap@k against a caller-supplied index
+    * and embedding frame. */
+  def annRecallAuditOn(idx: DetIndex, emb: DataFrame, queryId: Long,
+      nProbe: Int = 2, topK: Int = 10): DataFrame = {
+    val approx = deterministicSearchOn(idx, emb, queryId, nProbe, topK)
       .select(col("vec_id"))
-    val qEmb = Tables.embeddings(spark, dir)
+    val qEmb = emb
       .filter(col("vec_id") === queryId).select(col("embedding"))
       .head().getSeq[Float](0)
     val qCol = array(qEmb.map(lit): _*)
-    val exact = Tables.embeddings(spark, dir)
+    val exact = emb
       .select(col("vec_id"),
         round(Similarity.cosine(col("embedding"), qCol), 6).as("cs"))
       .orderBy(col("cs").desc, col("vec_id"))

@@ -242,40 +242,56 @@ object Layout {
     * accelerator time on pad tokens. Integer-exact (counts and one
     * ppm division), so DuckDB replays the batching bit-for-bit.
     *
-    * Scale shape: the span stream is narrow; the length-sort rank is
-    * ONE global window at audit scale — in production the rank runs
-    * per training shard (the q153 partitioning), making it a per-shard
-    * window like trainingOrder. Batch aggregation is keyed by
-    * batch_idx. */
+    * Scale shape: the length-sort rank is parameterized by the q153
+    * SHARD KEY (round-8, the autoK precedent — the scale swap is
+    * code, not scaladoc): `nShards = 0` (the audit/test default)
+    * ranks globally in one window; `nShards > 0` partitions the rank
+    * by `pmod(idBucket(doc_id), nShards)` — the SAME mixer shard the
+    * training-order shuffle (q153) and shard export (q147) use, so
+    * batches are formed within the shards training readers actually
+    * consume and no window ever sees more than 1/nShards of the span
+    * stream. The oracle takes the same parameter and replays either
+    * branch (q157 checks the global form, q170 the sharded form).
+    * Batch aggregation is keyed by (shard, batch_idx). */
   def paddingWaste(spark: SparkSession, dir: String, chunk: Int = 128,
-      stride: Int = 96, batchSize: Int = 32): DataFrame =
-    paddingWasteDocs(Tables.documents(spark, dir), chunk, stride, batchSize)
+      stride: Int = 96, batchSize: Int = 32, nShards: Int = 0): DataFrame =
+    paddingWasteDocs(Tables.documents(spark, dir), chunk, stride,
+      batchSize, nShards)
 
   /** Frame-based core of [[paddingWaste]]. */
   def paddingWasteDocs(docs: DataFrame, chunk: Int = 128,
-      stride: Int = 96, batchSize: Int = 32): DataFrame = {
+      stride: Int = 96, batchSize: Int = 32, nShards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = chunkSpansDocs(docs, chunk, stride)
-    val r = row_number().over(Window.orderBy(col("n_tok").desc,
-      col("doc_id"), col("start_tok")))
+    val shardCol =
+      if (nShards > 0) pmod(Sampling.idBucket(col("doc_id")), lit(nShards.toLong))
+      else lit(0L)
+    val r = row_number().over(Window.partitionBy(col("shard"))
+      .orderBy(col("n_tok").desc, col("doc_id"), col("start_tok")))
     spans
+      .withColumn("shard", shardCol)
       .withColumn("rk", r.cast("long"))
       .withColumn("batch_idx", expr(s"(rk - 1L) div ${batchSize}L"))
-      .groupBy(col("batch_idx"))
+      .groupBy(col("shard"), col("batch_idx"))
       .agg(count(lit(1)).as("n_seqs"), max(col("n_tok")).as("max_tok"),
         sum(col("n_tok")).as("sum_tok"))
-      .select(col("batch_idx"), col("n_seqs"), col("max_tok"),
-        col("sum_tok"),
+      .select(col("shard"), col("batch_idx"), col("n_seqs"),
+        col("max_tok"), col("sum_tok"),
         expr("CAST((n_seqs * max_tok - sum_tok) * 1000000" +
           " div (n_seqs * max_tok) AS BIGINT)").as("waste_ppm"))
-      .orderBy(col("batch_idx"), col("n_seqs"), col("max_tok"),
-        col("sum_tok"), col("waste_ppm"))
+      .orderBy(col("shard"), col("batch_idx"), col("n_seqs"),
+        col("max_tok"), col("sum_tok"), col("waste_ppm"))
   }
 
   /** DuckDB oracle for [[paddingWaste]]: same span construction
-    * ([[chunkSpansOracleSql]]'s CTEs), same rank, same ppm. */
+    * ([[chunkSpansOracleSql]]'s CTEs), same (possibly sharded) rank,
+    * same ppm — `nShards` replays the engine's parameter the way
+    * kSql replays autoK. */
   def paddingWasteOracleSql(chunk: Int = 128, stride: Int = 96,
-      batchSize: Int = 32): String =
+      batchSize: Int = 32, nShards: Int = 0): String = {
+    val shardSql =
+      if (nShards > 0) s"${Sampling.idBucketSql("doc_id")} % $nShards"
+      else "0"
     s"""WITH d AS (
        |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n
        |  FROM documents),
@@ -283,21 +299,24 @@ object Layout {
        |  SELECT doc_id, n, UNNEST(range(0, n, $stride)) AS start_tok
        |  FROM d),
        |sp AS (
-       |  SELECT doc_id, start_tok,
+       |  SELECT doc_id, start_tok, $shardSql AS shard,
        |    LEAST($chunk, n - start_tok) AS n_tok
        |  FROM s),
        |rk AS (
-       |  SELECT n_tok,
-       |    (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id, start_tok)
+       |  SELECT shard, n_tok,
+       |    (ROW_NUMBER() OVER (PARTITION BY shard
+       |        ORDER BY n_tok DESC, doc_id, start_tok)
        |      - 1) // $batchSize AS batch_idx
        |  FROM sp)
-       |SELECT CAST(batch_idx AS BIGINT) AS batch_idx,
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(batch_idx AS BIGINT) AS batch_idx,
        |  COUNT(*) AS n_seqs, CAST(MAX(n_tok) AS BIGINT) AS max_tok,
        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
        |  CAST((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1000000
        |    // (COUNT(*) * MAX(n_tok)) AS BIGINT) AS waste_ppm
-       |FROM rk GROUP BY batch_idx
-       |ORDER BY batch_idx, n_seqs, max_tok, sum_tok, waste_ppm""".stripMargin
+       |FROM rk GROUP BY shard, batch_idx
+       |ORDER BY shard, batch_idx, n_seqs, max_tok, sum_tok, waste_ppm""".stripMargin
+  }
 
   /** Write the sharded corpus (partitionBy the shard key: one hash
     * shuffle, one directory per shard) and return a manifest computed

@@ -245,19 +245,25 @@ object Ranking {
     * lets the oracle replay it as rank-then-filter. The window's
     * single-partition exchange moves C rows, a constant. */
   def rrfFusion(spark: SparkSession, dir: String, queryId: Long = 7,
+      rrfK: Int = 60, topK: Int = 20, candidateC: Int = 100): DataFrame =
+    rrfFusionOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      queryId, rrfK, topK, candidateC)
+
+  /** Frame-based core of [[rrfFusion]] (the rehearsal entry point). */
+  def rrfFusionOn(docs: DataFrame, emb: DataFrame, queryId: Long = 7,
       rrfK: Int = 60, topK: Int = 20, candidateC: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(spark)
-    val a = bm25(spark, dir)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val a = bm25Docs(docs)
       .orderBy(col("bm25").desc, col("doc_id")).limit(candidateC)
       .select(col("doc_id"), row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id")))
         .cast("long").as("rank_a"))
-    val qEmb = Tables.embeddings(spark, dir)
+    val qEmb = emb
       .filter(col("vec_id") === queryId).select(col("embedding"))
       .head().getSeq[Float](0)
     val qCol = array(qEmb.map(lit): _*)
-    val b = Tables.embeddings(spark, dir)
+    val b = emb
       .select(col("vec_id").as("doc_id"),
         round(Similarity.cosine(col("embedding"), qCol), 6).as("cs"))
       .orderBy(col("cs").desc, col("doc_id")).limit(candidateC)
@@ -354,7 +360,12 @@ object Ranking {
     * Scale shape: one generator + one (doc, trigram) aggregate and a
     * per-doc rollup — both map-side combined, keyed by doc. */
   def selfRepetition(spark: SparkSession, dir: String): DataFrame =
-    trigramFrame(Tables.documents(spark, dir))
+    selfRepetitionDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[selfRepetition]] (the rehearsal entry
+    * point). */
+  def selfRepetitionDocs(docs: DataFrame): DataFrame =
+    trigramFrame(docs)
       .groupBy(col("doc_id"), col("ngram"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("doc_id"))

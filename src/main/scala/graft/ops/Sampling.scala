@@ -264,19 +264,32 @@ object Sampling {
     *
     * Scale shape: feature explode (narrow) → two keyed aggregates
     * (bucket counts; B=1024 rows each, broadcast back) → one keyed
-    * per-doc aggregate → a single top-share rank. The rank is the
-    * only global step; at 100 TB it becomes the q100 two-phase
-    * bin-walk (histogram to the boundary bucket, exact rank inside)
-    * — documented, not needed at bench scale. Target convention
-    * matches q51: source src0 is the target set. */
+    * per-doc aggregate → the top-share rank. The rank's scale swap is
+    * CODE (round-8, the autoK precedent): below `binWalkMinDocs` the
+    * one-phase global window ranks directly (measured faster at bench
+    * scale — the round-4 q128/q135 lesson that two-phase only pays on
+    * big inputs); at or above the cutoff it becomes the q100
+    * two-phase bin-walk — a coarse score histogram
+    * (bin = score >> 16, arithmetic shift = floor-by-2¹⁶, exact for
+    * negatives), a cumulative walk over the tiny bin table to the
+    * boundary bin, and an exact (score desc, doc_id) rank ONLY inside
+    * the boundary bin, so no single task ever sorts more than one
+    * bin. Both branches produce IDENTICAL `sel` verdicts (bins
+    * partition the rank order; SamplingSpec asserts equality with the
+    * cutoff forced to 0). The doc count feeding the rule is a
+    * parquet-metadata read. Target convention matches q51: source
+    * src0 is the target set. */
   def dsirAffinitySelect(spark: SparkSession, dir: String,
-      buckets: Int = 1024, topPermille: Int = 100): DataFrame =
-    dsirAffinitySelectOn(Tables.documents(spark, dir), buckets, topPermille)
+      buckets: Int = 1024, topPermille: Int = 100,
+      binWalkMinDocs: Long = 100000000L): DataFrame =
+    dsirAffinitySelectOn(Tables.documents(spark, dir), buckets,
+      topPermille, binWalkMinDocs)
 
   /** Frame-based core of [[dsirAffinitySelect]] (needs doc_id,
     * source, text) — the 10x rehearsal entry point. */
   def dsirAffinitySelectOn(docs: DataFrame,
-      buckets: Int = 1024, topPermille: Int = 100): DataFrame = {
+      buckets: Int = 1024, topPermille: Int = 100,
+      binWalkMinDocs: Long = 100000000L): DataFrame = {
     require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // split once into its own projection (CollapseProject keeps it —
@@ -311,18 +324,55 @@ object Sampling {
       .join(ratesPpm(target, "pt"), Seq("b"), "left")
       .select(col("b"),
         (coalesce(col("pt"), lit(0L)) - col("pr")).as("d"))
-    val scored = raw.groupBy(col("doc_id"), col("b"))
+    // per-doc scores feed multiple consumers in BOTH rank branches
+    // (count + rank one-phase; bin assignment + bin histogram +
+    // decided/boundary splits two-phase — measured 9.7 s vs 2.8 s at
+    // 10x unpersisted, the q65/q146-explode lesson at one level up):
+    // register-persisted, narrow (doc_id, n_feats, score) rows
+    val scored = Dedup.register(raw.groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(diff), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("d")).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nRaw = scored.agg(count(lit(1)).as("nd"))
-    val ranked = scored.crossJoin(broadcast(nRaw))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("n_feats"), col("score"),
-        (col("rk") <= expr(s"nd * $topPermille div 1000")).as("sel"))
+    val ranked =
+      if (docs.count() < binWalkMinDocs) {
+        scored.crossJoin(broadcast(nRaw))
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("n_feats"), col("score"),
+            (col("rk") <= expr(s"nd * $topPermille div 1000")).as("sel"))
+      } else {
+        // q100 two-phase: coarse bins decide everything except the ONE
+        // boundary bin, which gets the only exact rank — and that rank
+        // runs over a single bin's rows, never the corpus
+        val binned = scored.withColumn("bin", shiftright(col("score"), 16))
+        val binMeta = binned.groupBy(col("bin")).agg(count(lit(1)).as("bn"))
+          .crossJoin(broadcast(nRaw))
+          .withColumn("cum_above", coalesce(sum(col("bn")).over(
+            Window.orderBy(col("bin").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("cutoff", expr(s"nd * $topPermille div 1000"))
+          .select(col("bin"), col("bn"), col("cum_above"), col("cutoff"))
+        val withMeta = binned.join(broadcast(binMeta), Seq("bin"))
+        val decided = withMeta
+          .filter(col("cum_above") + col("bn") <= col("cutoff") ||
+            col("cum_above") >= col("cutoff"))
+          .select(col("doc_id"), col("n_feats"), col("score"),
+            (col("cum_above") + col("bn") <= col("cutoff")).as("sel"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bin"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val boundary = withMeta
+          .filter(col("cum_above") < col("cutoff") &&
+            col("cum_above") + col("bn") > col("cutoff"))
+          .withColumn("rib", row_number().over(wB).cast("long"))
+          .select(col("doc_id"), col("n_feats"), col("score"),
+            (col("rib") + col("cum_above") <= col("cutoff")).as("sel"))
+        decided.unionByName(boundary)
+      }
     ranked.orderBy(col("doc_id"), col("n_feats"), col("score"), col("sel"))
   }
 

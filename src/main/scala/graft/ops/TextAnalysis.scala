@@ -553,9 +553,14 @@ object TextAnalysis {
     * PRE-AGGREGATE, so the residual Expand multiplies only
     * digest-narrow rows, never the scan, and no text ever crosses a
     * shuffle. The unpivot touches one row. */
-  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+  def corpusCard(spark: SparkSession, dir: String): DataFrame =
+    corpusCardDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[corpusCard]] (the rehearsal entry point;
+    * needs source, lang, text). */
+  def corpusCardDocs(docsIn: DataFrame): DataFrame = {
     val t = col("text")
-    val pre = Tables.documents(spark, dir)
+    val pre = docsIn
       .select(col("source"), col("lang"), sha2(t, 256).as("digest"),
         size(tokens(t)).cast("long").as("nw"),
         length(t).cast("long").as("nc"))

@@ -254,7 +254,10 @@ class PlanShapeSpec extends SparkSpec {
       // groupBy(orderkey), the fact-fact merge join, and q161's
       // per-order window all reuse the bucket distribution
       "q160_large_orders"       -> (1, 3),
-      "q161_sole_late_supplier" -> (2, 2))
+      "q161_sole_late_supplier" -> (2, 2),
+      // Q4 shape (round 8): lateness semi-join on the bucketed scans,
+      // then a 5-row priority rollup + sort
+      "q168_priority_audit"     -> (2, 2))
     budgets.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, maxScans)) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
@@ -394,6 +397,27 @@ class PlanShapeSpec extends SparkSpec {
       assert(!a.groupingExpressions.exists(_.references.exists(_.name == "text")),
         s"aggregate keys on raw text:\n${a.groupingExpressions}")
     }
+  }
+
+  test("q169 recall audit builds ONE det index shared by probe and routing") {
+    // the audit's approx branch (probe) and its cell routing must read
+    // the SAME session-cached DetIndex — a second Lloyd build per
+    // branch would double the most expensive step. The cache must
+    // return the identical instance, and the audit plan's only
+    // InMemoryRelation references are the shared idx.assigned cache
+    // (the exact branch scans parquet directly).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val i1 = graft.ops.Ivf.deterministicIndex(spark, sf)
+    val i2 = graft.ops.Ivf.deterministicIndex(spark, sf)
+    assert(i1 eq i2, "deterministicIndex cache returned distinct builds")
+    val df = graft.ops.Ivf.annRecallAudit(spark, sf)
+    val caches = df.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r.cacheBuilder.cachedPlan
+    }
+    assert(caches.nonEmpty, "probe branch does not read the cached index")
+    assert(caches.distinct.size == 1,
+      s"audit references ${caches.distinct.size} distinct caches — " +
+        "branches are not sharing one index")
   }
 
   test("sanitizeEvents parses props exactly once (q31 plan pin)") {

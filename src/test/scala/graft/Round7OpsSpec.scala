@@ -115,10 +115,10 @@ class Round7OpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Layout.paddingWasteDocs(docs, batchSize = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-    assert(out.toSet == Set(
-      (0L, 4L, 128L, 324L, 367187L),
-      (1L, 2L, 10L, 20L, 0L)))
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSet == Set( // global default = single shard 0
+      (0L, 0L, 4L, 128L, 324L, 367187L),
+      (0L, 1L, 2L, 10L, 20L, 0L)))
   }
 
   test("q162 EWMA fold: hand-computed decay with truncating division") {

@@ -11,11 +11,12 @@ class ScaleRehearsalSpec extends SparkSpec {
     val base = Tables.documents(spark, sf)
     val ten = ScaleRehearsal.docs10x(spark, sf)
     assert(ten.count() == 10 * base.count())
-    // shard 0 is the identity embed (source passes through — the
-    // source-keyed ops' isomorph requirement, round 7)
+    // shard 0 is the identity embed (source and lang pass through —
+    // the source-keyed ops' and corpus card's isomorph requirement,
+    // rounds 7–8)
     val s0 = ten.filter(col("doc_id") < 1000000L)
-    assert(s0.exceptAll(
-      base.select(col("doc_id"), col("source"), col("text"))).count() == 0)
+    assert(s0.exceptAll(base.select(col("doc_id"), col("source"),
+      col("lang"), col("text"))).count() == 0)
     // every shard's source distribution equals the original's
     val perShard = ten.groupBy(expr("doc_id div 1000000").as("shard"),
         col("source")).count()
