@@ -238,6 +238,14 @@ object SparkEntry {
     // with the same nShards parameter the way kSql replays autoK
     "q170_padding_waste_sharded" -> ((s: SparkSession, d: String) =>
       Layout.paddingWaste(s, d, nShards = 4)),
+    // round-8 wave: eval hygiene + quantization/repetition planners
+    "q171_cluster_split"    -> ((s: SparkSession, d: String) =>
+      Sampling.clusterSplit(s, d)),
+    "q172_fluency_terciles" -> (Ranking.fluencyTerciles _),
+    "q173_eval_overlap"     -> (Decontaminate.evalOverlapScore _),
+    "q174_sq_error"         -> (Similarity.sqErrorAudit _),
+    "q175_epoch_budget"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.epochBudget(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2484,6 +2492,11 @@ object SparkEntry {
       "q168_priority_audit" -> Relational.orderPriorityAuditOracleSql(),
       "q169_ann_recall" -> Ivf.annRecallAuditOracleSql(),
       "q170_padding_waste_sharded" -> Layout.paddingWasteOracleSql(nShards = 4),
+      "q171_cluster_split" -> HashSql.clusterSplitOracle(),
+      "q172_fluency_terciles" -> Ranking.fluencyTercilesOracleSql,
+      "q173_eval_overlap" -> Decontaminate.evalOverlapOracleSql,
+      "q174_sq_error" -> Similarity.sqErrorAuditOracleSql,
+      "q175_epoch_budget" -> TextAnalysis.epochBudgetOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -37,6 +37,70 @@ object Decontaminate {
     corpus.join(contaminated(corpus, evalSet, minShared)
       .select("doc_id"), Seq("doc_id"), "left_anti")
 
+  /** Per-document eval-overlap FRACTION (q173): what share of a
+    * training document's distinct token trigrams also occur in the
+    * eval set (source src0, the q51 convention) — the GPT-3-style
+    * contamination SCORE (Brown et al. 2020, arXiv:2005.14165,
+    * appendix C measures n-gram overlap against evals; the n here is
+    * the repo's shared trigram convention, q149/q163, so the gram
+    * definition cannot drift between the LM and the contamination
+    * screen). q51 answers "is this doc contaminated?" (winnow
+    * membership, run-length guarantee); this answers "HOW MUCH of it
+    * overlaps" — the number a filtering threshold is calibrated on.
+    * Integer ppm output: overlap_ppm = shared·1e6 div distinct.
+    *
+    * Scale shape: the corpus side reduces to distinct (doc_id, gram)
+    * pairs once; the EVAL gram set is small by nature and broadcasts
+    * (the [[contaminated]] asymmetry); one left join + one doc-keyed
+    * aggregate. Docs under 3 tokens have no trigrams and no row. */
+  def evalOverlapScore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val tri = Ranking.trigramFrame(docs).distinct()
+    val withSrc = tri
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val evalGrams = withSrc.filter(col("source") === "src0")
+      .select(col("ngram")).distinct().withColumn("hit", lit(1L))
+    withSrc.filter(col("source") =!= "src0")
+      .join(broadcast(evalGrams), Seq("ngram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_tri"), col("n_shared"),
+        expr("n_shared * 1000000 div n_tri").as("overlap_ppm"))
+      .orderBy(col("doc_id"), col("n_tri"), col("n_shared"),
+        col("overlap_ppm"))
+  }
+
+  /** DuckDB oracle for [[evalOverlapScore]] — the q149 trigram CTEs,
+    * distinct per doc, split by source, left-joined. */
+  val evalOverlapOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      |), tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+      |    i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS ngram
+      |  FROM toks
+      |), dtg AS (
+      |  SELECT DISTINCT doc_id, ngram FROM tg
+      |), ev AS (
+      |  SELECT DISTINCT dtg.ngram FROM dtg
+      |  JOIN documents d ON d.doc_id = dtg.doc_id
+      |  WHERE d.source = 'src0'
+      |), raw AS (
+      |  SELECT dtg.doc_id, dtg.ngram FROM dtg
+      |  JOIN documents d ON d.doc_id = dtg.doc_id
+      |  WHERE d.source <> 'src0'
+      |)
+      |SELECT raw.doc_id, COUNT(*) AS n_tri,
+      |  CAST(SUM(CASE WHEN ev.ngram IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_shared,
+      |  CAST(SUM(CASE WHEN ev.ngram IS NOT NULL THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS overlap_ppm
+      |FROM raw LEFT JOIN ev ON raw.ngram = ev.ngram
+      |GROUP BY raw.doc_id
+      |ORDER BY doc_id, n_tri, n_shared, overlap_ppm""".stripMargin
+
   /** Incremental near-dedup: which NEW docs near-duplicate the
     * EXISTING corpus. The corpus side is its (band, hash) index —
     * computed once and persisted in practice; the increment's bands

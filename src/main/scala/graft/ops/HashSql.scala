@@ -280,6 +280,36 @@ object HashSql {
        |WHERE ROUND(CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE), 6) >= $minJaccard
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT $limit""".stripMargin
 
+  /** q171: replay [[Sampling.clusterSplit]] — the q65 recursive
+    * cluster CTEs, singletons coalesced to self, then splitmix64 of
+    * the INTEGER cluster id (no FNV step — the key is already a
+    * number), sign dropped (mod 2^63 == Spark's `& Long.MaxValue`),
+    * mod-100 bucket mapped to split names. */
+  def clusterSplitOracle(trainPct: Int = 80, valPct: Int = 10,
+      minCos: Double = 0.35): String = {
+    val c1 = BigInt("bf58476d1ce4e5b9", 16)
+    val c2 = BigInt("94d049bb133111eb", 16)
+    s"""WITH RECURSIVE ${Similarity.clusterOracleCtes(minCos)},
+       |asg AS (
+       |  SELECT e.vec_id, COALESCE(cl.cluster_id, e.vec_id) AS cluster_id
+       |  FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id
+       |  WHERE e.vec_id < 200),
+       |f0 AS (SELECT vec_id, cluster_id, cluster_id::HUGEINT AS h FROM asg),
+       |f1 AS (SELECT vec_id, cluster_id, xor(h, h // 1073741824) AS h FROM f0),
+       |f2 AS (SELECT vec_id, cluster_id, ${mulmod64("h", c1)} AS h FROM f1),
+       |f3 AS (SELECT vec_id, cluster_id, xor(h, h // 134217728) AS h FROM f2),
+       |f4 AS (SELECT vec_id, cluster_id, ${mulmod64("h", c2)} AS h FROM f3),
+       |f5 AS (SELECT vec_id, cluster_id,
+       |  xor(h, h // 2147483648) % $Signed63 AS h FROM f4),
+       |b AS (SELECT vec_id, cluster_id, h % 100 AS gb FROM f5)
+       |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(gb AS BIGINT) AS grp_bucket,
+       |  CASE WHEN gb < $trainPct THEN 'train'
+       |       WHEN gb < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY vec_id, cluster_id, grp_bucket, split""".stripMargin
+  }
+
   /** q146: replay [[Sampling.dsirAffinitySelect]] — FNV unigram+bigram
     * features into low-bit buckets (unsigned % B == Spark's signed
     * pmod for power-of-two B), integer-ppm rate difference kernel,

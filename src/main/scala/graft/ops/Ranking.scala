@@ -218,6 +218,70 @@ object Ranking {
       |GROUP BY tg.doc_id
       |ORDER BY doc_id, n_tri, score_ppm""".stripMargin
 
+  /** Fluency terciles (q172): bucket every scored document into
+    * head / middle / tail by its q149 fluency score WITHIN ITS SOURCE
+    * — the CCNet move (Wenzek et al. 2020, arXiv:1911.00359: split
+    * the corpus into perplexity terciles per language and keep/weight
+    * by bucket) with the repo's integer LM score standing in for the
+    * perplexity and source standing in for language. Bucket
+    * boundaries are exact integer rank arithmetic
+    * (tercile = (rank−1)·3 div n_source), so no quantile float ever
+    * crosses engines. Docs under 3 tokens have no trigrams and no
+    * score — they are the cascade's (q151) problem, not a tercile.
+    *
+    * Scale shape: the q149 scoring plan + one rank window PARTITIONED
+    * by source (never global) and a per-source count carried by the
+    * same partitioning — no additional shuffle beyond the score
+    * join's. */
+  def fluencyTerciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    fluencyScores(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ns",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("score_ppm"),
+        expr("CASE (rk - 1) * 3 div ns WHEN 0 THEN 'head'" +
+          " WHEN 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
+      .orderBy(col("doc_id"), col("source"), col("score_ppm"),
+        col("bucket"))
+  }
+
+  /** DuckDB oracle for [[fluencyTerciles]] — the q149 CTEs + the same
+    * per-source integer rank arithmetic. */
+  val fluencyTercilesOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      |), tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+      |    i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS ngram
+      |  FROM toks
+      |), lm AS (
+      |  SELECT ngram, COUNT(*) AS k FROM tg GROUP BY ngram
+      |), freq AS (
+      |  SELECT ngram, k * 1000000 // (SELECT SUM(k) FROM lm) AS fppm
+      |  FROM lm
+      |), sc AS (
+      |  SELECT tg.doc_id,
+      |    CAST(SUM(fppm) // COUNT(*) AS BIGINT) AS score_ppm
+      |  FROM tg JOIN freq ON tg.ngram = freq.ngram
+      |  GROUP BY tg.doc_id
+      |), r AS (
+      |  SELECT sc.doc_id, d.source, sc.score_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY sc.score_ppm DESC, sc.doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY d.source) AS ns
+      |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+      |)
+      |SELECT doc_id, source, score_ppm,
+      |  CASE (rk - 1) * 3 // ns WHEN 0 THEN 'head'
+      |    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM r
+      |ORDER BY doc_id, source, score_ppm, bucket""".stripMargin
+
   /** Reciprocal-rank fusion (q164): the hybrid-retrieval combiner —
     * fuse the LEXICAL ranking (q73's BM25 over [[QueryTerms]]) with
     * the SEMANTIC ranking (exact cosine against a fixed query

@@ -95,6 +95,54 @@ object Sampling {
       .orderBy(col("doc_id"), col("grp_bucket"), col("split"))
   }
 
+  /** Cluster-consistent train/val/test split (q171): the eval-hygiene
+    * upgrade of q89 — the split key is the NEAR-DUP CLUSTER id (q65's
+    * min-reachable-id label over the cos ≥ 0.2 graph), so not just
+    * exact duplicates but whole near-duplicate families land in one
+    * split; a val doc can never have a train-side near-copy (the
+    * leakage mode group-by-content-hash misses, and the reason
+    * dedup-aware corpora split AFTER clustering). Vectors with no
+    * near-dup edge are their own cluster (coalesce to self).
+    *
+    * Bucket = splitmix64 of the cluster id (an INTEGER key — FNV's
+    * short-string non-uniformity doesn't apply, but the finalizer
+    * still decorrelates adjacent ids), sign dropped, mod 100 — the
+    * q89 convention on a different key.
+    *
+    * Scale shape: clustering cost is q65's (amortized — a dedup
+    * pipeline has the labels already); the split itself is a narrow
+    * stateless projection + one keyed left join of labels, stable
+    * under retries and corpus growth.
+    *
+    * τ defaults to the q166 tighter 0.35: at the q65 default 0.2 the
+    * bundled 200-node graph is ONE component (a vacuous split —
+    * everything lands together); 0.35 yields real multi-member
+    * clusters among singletons at every SF. */
+  def clusterSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 80, valPct: Int = 10,
+      minCos: Double = 0.35): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val clusters = Dedup.dedupClusters(
+        Similarity.embeddingNearDups(spark, dir, minCos = minCos),
+        "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("cluster_id"))
+    val allv = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200L).select(col("vec_id"))
+    val bucket = pmod(
+      call_function("splitmix64", col("cluster_id"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(100L))
+    val split = when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+    allv.join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        bucket.as("grp_bucket"), split.as("split"))
+      .orderBy(col("vec_id"), col("cluster_id"), col("grp_bucket"),
+        col("split"))
+  }
+
   /** Weighted deterministic Bernoulli sample: keep probability is a
     * rational weight num/den per row (here min(n_chars, cap)/cap —
     * long documents always kept, short ones proportionally). The keep

@@ -215,6 +215,50 @@ object Similarity {
        |CROSS JOIN qe
        |ORDER BY cos_sim DESC, c.vec_id, c.int_score LIMIT $topK""".stripMargin
 
+  /** SQ reconstruction-error audit (q174): per vector, the worst and
+    * total error the int8-style scalar quantization (the q76 codes:
+    * round(v·255)) introduces, measured in exact micro-units —
+    * err_i = |round(v_i·1e6) − code_i·1e6 div 255| (truncating div,
+    * identical in both engines incl. negatives — the round-5 `//`
+    * finding). The deploy-gate every quantized-index rollout runs:
+    * a vector whose max_err_mu is large sits near a code boundary
+    * and its int-score candidate cut (q76) is least trustworthy.
+    * Pure integer output (err ≤ ~3922 µu, sum of 64 squares < 2^40),
+    * so the DuckDB replay is bit-exact.
+    *
+    * Scale shape: one narrow per-row array fold, no shuffle, no join
+    * — linear in vectors; audit cadence (the per-element HOF lambdas
+    * are interpreted, which is fine off the hot path — the hot probe
+    * path q76 keeps its unrolled codegen literals). */
+  def sqErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val errs = expr(
+      s"""transform(embedding, v ->
+         |  abs(cast(round(cast(v as double) * 1000000, 0) as bigint)
+         |    - (cast(round(cast(v as double) * $SqScale, 0) as bigint)
+         |       * 1000000 div $SqScale)))""".stripMargin)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), errs.as("errs"))
+      .select(col("vec_id"),
+        array_max(col("errs")).as("max_err_mu"),
+        expr("aggregate(errs, 0L, (a, e) -> a + e * e)").as("sum_sq_err"))
+      .orderBy(col("vec_id"), col("max_err_mu"), col("sum_sq_err"))
+  }
+
+  /** DuckDB oracle for [[sqErrorAudit]] — same quantize/dequantize
+    * integer chain per element. */
+  def sqErrorAuditOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(range(1, 65), i ->
+       |    abs(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+       |      - (CAST(ROUND(CAST(embedding[i] AS DOUBLE) * $SqScale) AS BIGINT)
+       |         * 1000000 // $SqScale))) AS errs
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(list_max(errs) AS BIGINT) AS max_err_mu,
+       |  CAST(list_sum(list_transform(errs, x -> x * x)) AS BIGINT)
+       |    AS sum_sq_err
+       |FROM e
+       |ORDER BY vec_id, max_err_mu, sum_sq_err""".stripMargin
+
   /** Embedding near-duplicate pairs, exact form over an id-bounded
     * subset (the oracle-checkable shape: one side is 200 rows and
     * broadcasts). Cosine is rounded BEFORE thresholding so the float

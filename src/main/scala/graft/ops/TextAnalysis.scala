@@ -613,6 +613,64 @@ object TextAnalysis {
       |    FROM a)
       |ORDER BY metric, value""".stripMargin
 
+  /** Epoch-repetition budget (q175): per source, how many EPOCHS of
+    * its deduplicated token mass are needed to meet a training token
+    * target, and whether that exceeds the repetition cap — the
+    * data-constrained-scaling planner (Muennighoff et al. 2023,
+    * arXiv:2305.16264: repeating data up to ~4 epochs costs little;
+    * beyond that returns decay sharply, so a source whose unique
+    * tokens force more epochs than the cap needs MORE DATA, not more
+    * repeats). Unique mass counts each distinct text once (the q33
+    * digest rule — exact dups contribute nothing to epoch value);
+    * epochs_needed = ⌈target / unique_tokens⌉ in pure integer
+    * arithmetic.
+    *
+    * Scale shape: the q165 digest pre-aggregate (one digest-keyed
+    * shuffle of narrow rows, no text through a shuffle), then a
+    * |sources|-row rollup. */
+  def epochBudget(spark: SparkSession, dir: String,
+      targetTokens: Long = 200000L, maxEpochs: Int = 4): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir)
+      .select(col("source"), sha2(t, 256).as("digest"),
+        size(tokens(t)).cast("long").as("nw"))
+      .groupBy(col("source"), col("digest"))
+      .agg(count(lit(1)).as("cnt"), min(col("nw")).as("nw"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        expr("CAST(sum(cnt * nw) AS BIGINT)").as("total_tokens"),
+        count(lit(1)).as("n_unique_docs"),
+        sum(col("nw")).as("unique_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_unique_docs"), col("unique_tokens"),
+        expr(s"($targetTokens + unique_tokens - 1) div unique_tokens")
+          .as("epochs_needed"),
+        (expr(s"($targetTokens + unique_tokens - 1) div unique_tokens")
+          > maxEpochs).as("over_cap"))
+      .orderBy(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_unique_docs"), col("unique_tokens"),
+        col("epochs_needed"), col("over_cap"))
+  }
+
+  /** DuckDB oracle for [[epochBudget]] — groups by raw text where the
+    * engine groups by digest (the q33 equivalence). */
+  def epochBudgetOracleSql(targetTokens: Long = 200000L,
+      maxEpochs: Int = 4): String =
+    s"""WITH pre AS (
+       |  SELECT source, COUNT(*) AS cnt,
+       |    MIN(LEN(STRING_SPLIT(text, ' '))) AS nw
+       |  FROM documents GROUP BY source, text)
+       |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       |  CAST(SUM(cnt * nw) AS BIGINT) AS total_tokens,
+       |  COUNT(*) AS n_unique_docs,
+       |  CAST(SUM(nw) AS BIGINT) AS unique_tokens,
+       |  CAST(($targetTokens + SUM(nw) - 1) // SUM(nw) AS BIGINT)
+       |    AS epochs_needed,
+       |  ($targetTokens + SUM(nw) - 1) // SUM(nw) > $maxEpochs AS over_cap
+       |FROM pre GROUP BY source
+       |ORDER BY source, n_docs, total_tokens, n_unique_docs,
+       |  unique_tokens, epochs_needed, over_cap""".stripMargin
+
   /** DuckDB oracle for [[tokenFertility]] — q37's tokenization
     * conventions aggregated per source. */
   val tokenFertilityOracleSql: String =

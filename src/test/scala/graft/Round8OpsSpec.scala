@@ -32,6 +32,59 @@ class Round8OpsSpec extends SparkSpec {
         s"manual-only: ${(manual -- sharded).take(3)}")
   }
 
+  test("q171 cluster split: no near-dup cluster ever straddles splits") {
+    // the defining property — the one q89's content-hash split cannot
+    // give: EVERY member of a near-dup cluster carries the same split,
+    // so a val doc can never have a train-side near-copy
+    val rows = Sampling.clusterSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.size == 1,
+        s"cluster $c straddles splits: ${members.map(_._3).distinct}")
+    }
+    assert(rows.map(_._3).distinct.size >= 2,
+      "fixture must produce at least two splits")
+    assert(byCluster.exists(_._2.size > 1),
+      "fixture must contain a real multi-member cluster")
+  }
+
+  test("q172 terciles are balanced within one doc per source") {
+    val rows = graft.ops.Ranking.fluencyTerciles(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    try rows.groupBy(_._1).foreach { case (src, members) =>
+      val counts = members.groupBy(_._2).view.mapValues(_.size)
+      val sizes = Seq("head", "middle", "tail").map(b => counts.getOrElse(b, 0))
+      assert(sizes.max - sizes.min <= 1,
+        s"source $src terciles unbalanced: $sizes")
+    } finally graft.ops.Dedup.unpersistCaches()
+  }
+
+  test("q174 SQ error bound: every element error is at most half a code step") {
+    // one int8-ish code spans 1e6/255 ≈ 3921.6 micro-units; round-to-
+    // nearest-code keeps every per-element error within half a step
+    // (+1 for the two roundings). A vector violating the bound means
+    // the quantizer is not round-to-nearest — the audit's whole point.
+    val rows = graft.ops.Similarity.sqErrorAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 1000000L / 255 / 2 + 2,
+        s"vec ${r.getLong(0)} max_err_mu=${r.getLong(1)} exceeds half a code step")
+    }
+  }
+
+  test("q175 epoch arithmetic: ceil division replayed driver-side") {
+    val rows = graft.ops.TextAnalysis.epochBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uniq = r.getLong(4); val epochs = r.getLong(5)
+      assert(epochs == (200000L + uniq - 1) / uniq,
+        s"${r.getString(0)}: epochs $epochs != ceil(200000/$uniq)")
+      assert(r.getBoolean(6) == (epochs > 4))
+      assert(r.getLong(2) >= uniq, "total tokens below unique tokens")
+    }
+  }
+
   test("q146 bin-walk rank (forced) selects exactly the one-phase set") {
     // binWalkMinDocs = 0 forces the q100 two-phase branch; its sel
     // verdicts must be IDENTICAL to the one-phase global window —
