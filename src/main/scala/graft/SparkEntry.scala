@@ -246,6 +246,11 @@ object SparkEntry {
     "q174_sq_error"         -> (Similarity.sqErrorAudit _),
     "q175_epoch_budget"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.epochBudget(s, d)),
+    "q176_quantile_contract" -> ((s: SparkSession, d: String) =>
+      Grouping.quantileContract(s, d)),
+    "q177_click_attribution" -> ((s: SparkSession, d: String) =>
+      AsOf.clickAttribution(s, d)),
+    "q178_interval_union"   -> (TimeSeries.intervalUnion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2497,6 +2502,9 @@ object SparkEntry {
       "q173_eval_overlap" -> Decontaminate.evalOverlapOracleSql,
       "q174_sq_error" -> Similarity.sqErrorAuditOracleSql,
       "q175_epoch_budget" -> TextAnalysis.epochBudgetOracleSql(),
+      "q176_quantile_contract" -> Grouping.quantileContractOracleSql(),
+      "q177_click_attribution" -> AsOf.clickAttributionOracleSql(),
+      "q178_interval_union" -> TimeSeries.intervalUnionOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -154,6 +154,78 @@ object Grouping {
         col("est_within_5pct"))
   }
 
+  /** Approximate-quantile accuracy contract (q176): the q57 pattern
+    * applied to percentile_approx — the NATIVE KLL-style sketch stays
+    * in-path (the 100 TB product: bounded state, mergeable; the exact
+    * sort is what you deleted), and the oracle checks the CONTRACT:
+    * the sketch's median must land between the exact order statistics
+    * at ranks mid ± (n div accuracy + 1), the rank-error guarantee
+    * percentile_approx publishes. The exact bounds are integer rank
+    * selections (value ties irrelevant — any tie order yields the
+    * same value at a rank), so DuckDB replays bounds + n exactly and
+    * `TRUE` stands for the within flag (a sketch violation flips the
+    * engine's boolean and fails the hash at both scales).
+    *
+    * Scale shape: one grouped sketch aggregate (map-side combined)
+    * plus the audit-grade exact rank pass per group partition —
+    * the yardstick a deployment runs on a sample, as q57. */
+  def quantileContract(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), v.as("v"))
+    val w = Window.partitionBy(col("grp"))
+    val ranked = base
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("v"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mid", expr("(n + 1) div 2"))
+      .withColumn("tol", expr(s"n div $accuracy + 1"))
+    val bounds = ranked
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === greatest(lit(1L), col("mid") - col("tol")),
+          col("v"))).as("lo_cents"),
+        min(when(col("rn") === least(col("n"), col("mid") + col("tol")),
+          col("v"))).as("hi_cents"))
+    val approx = base.groupBy(col("grp"))
+      .agg(percentile_approx(col("v"), lit(0.5), lit(accuracy))
+        .as("approx_med"))
+    bounds.join(approx, Seq("grp"))
+      .select(col("grp"), col("n"), col("lo_cents"), col("hi_cents"),
+        (col("approx_med") >= col("lo_cents") &&
+          col("approx_med") <= col("hi_cents")).as("within_bounds"))
+      .orderBy(col("grp"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("within_bounds"))
+  }
+
+  /** DuckDB oracle for [[quantileContract]] — exact rank bounds, TRUE
+    * for the contract flag (the q57 convention). */
+  def quantileContractOracleSql(accuracy: Int = 1000): String =
+    s"""WITH v AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(o_totalprice * 100 AS BIGINT) AS v
+       |  FROM orders),
+       |r AS (
+       |  SELECT grp, v,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY grp) AS n
+       |  FROM v),
+       |b AS (
+       |  SELECT grp, n, (n + 1) // 2 AS mid, n // $accuracy + 1 AS tol
+       |  FROM r GROUP BY grp, n)
+       |SELECT r.grp, CAST(b.n AS BIGINT) AS n,
+       |  CAST(MIN(CASE WHEN rn = GREATEST(1, mid - tol) THEN v END)
+       |    AS BIGINT) AS lo_cents,
+       |  CAST(MIN(CASE WHEN rn = LEAST(b.n, mid + tol) THEN v END)
+       |    AS BIGINT) AS hi_cents,
+       |  TRUE AS within_bounds
+       |FROM r JOIN b ON r.grp = b.grp
+       |GROUP BY r.grp, b.n
+       |ORDER BY r.grp, n, lo_cents, hi_cents, within_bounds""".stripMargin
+
   /** Exact interpolated percentiles per group — both engines use the
     * same linear interpolation (Spark percentile / DuckDB
     * quantile_cont); quantities are integral doubles so the single

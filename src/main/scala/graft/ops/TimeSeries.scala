@@ -554,4 +554,84 @@ object TimeSeries {
       .orderBy(col("o_orderpriority"), col("lag_k"), col("n_months"),
         col("acf"))
   }
+
+  /** Interval union (q178): merge each user's OVERLAPPING hold
+    * intervals into maximal disjoint spans and report per-user
+    * coverage — the classic interval-merge operator (downtime
+    * stitching, attention-time accounting). Intervals here are
+    * per-event holds [ts, ts + value-scaled µs] (events within a hold
+    * of each other chain into one span; session windows would be
+    * pre-merged by construction, so the hold interval is what gives
+    * the operator real overlaps to merge). The merge is the
+    * textbook single-pass running-max rule: a row opens a NEW span
+    * iff its start exceeds the max end seen so far in (start, end)
+    * order; span ids are the running sum of open flags — two windows
+    * over the same user partition, one grouped rollup, no join, no
+    * self-join. All epoch-micros longs, bit-exact in both engines.
+    *
+    * Scale shape: one user-keyed shuffle; windows and rollups all
+    * ride the same partitioning; output is |users| rows. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val holdUs = expr(
+      "greatest(1L, cast(round(cast(value as double) * 100000000, 0) as bigint))")
+    intervalUnionOf(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + holdUs).as("e")))
+  }
+
+  /** Frame-based merge core of [[intervalUnion]] over (user_id, s, e)
+    * rows — the planted-fixture entry point. */
+  def intervalUnionOf(iv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("opens",
+        when(col("s") > coalesce(prevMax, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("span_id"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"),
+        count(lit(1)).as("n_iv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss")).as("covered_us"),
+        sum(col("n_iv")).as("n_events"),
+        max(col("n_iv")).as("max_span_events"))
+      .orderBy(col("user_id"), col("n_spans"), col("covered_us"),
+        col("n_events"), col("max_span_events"))
+  }
+
+  /** DuckDB oracle for [[intervalUnion]] — the same two windows and
+    * rollups. */
+  val intervalUnionOracleSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + GREATEST(1,
+      |      CAST(ROUND(CAST(value AS DOUBLE) * 100000000) AS BIGINT)) AS e
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+      |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -9223372036854775808) THEN 1 ELSE 0 END AS opens
+      |  FROM iv),
+      |spans AS (
+      |  SELECT user_id, s, e,
+      |    SUM(opens) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM flagged),
+      |rolled AS (
+      |  SELECT user_id, span_id, MIN(s) AS ss, MAX(e) AS se,
+      |    COUNT(*) AS n_iv
+      |  FROM spans GROUP BY user_id, span_id)
+      |SELECT user_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(se - ss) AS BIGINT) AS covered_us,
+      |  CAST(SUM(n_iv) AS BIGINT) AS n_events,
+      |  CAST(MAX(n_iv) AS BIGINT) AS max_span_events
+      |FROM rolled GROUP BY user_id
+      |ORDER BY user_id, n_spans, covered_us, n_events,
+      |  max_span_events""".stripMargin
 }

@@ -85,6 +85,55 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q176 quantile contract: sketch median lands inside the exact rank bounds") {
+    val rows = graft.ops.Grouping.quantileContract(spark, sf).collect()
+    assert(rows.length == 5, "five order priorities")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "lo bound above hi bound")
+      assert(r.getBoolean(4),
+        s"${r.getString(0)}: percentile_approx left its rank-error envelope")
+    }
+  }
+
+  test("q177 forward as-of: planted window picks the first in-window match") {
+    import spark.implicits._
+    // click at t=100: purchases at 90 (before, ignored), 150 and 200
+    // (in window) -> match 150. click at t=1000: only purchase at
+    // 1000 + tol + 1 -> beyond tolerance, null. click at t=5000 with
+    // a purchase at exactly t=5000 -> inclusive match. Ties: two
+    // purchases at 150 (ids 71, 72) -> min id 71 wins.
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 1000L), (3L, 20L, 5000L))
+      .toDF("click_id", "user_id", "click_tsm")
+    val purchases = Seq(
+      (10L, 90L, 70L), (10L, 150L, 72L), (10L, 150L, 71L),
+      (10L, 200L, 73L), (10L, 1501L, 74L), (20L, 5000L, 80L))
+      .toDF("user_id", "p_tsm", "event_id")
+    val out = graft.ops.AsOf.joinForward(clicks, purchases, Seq("user_id"),
+        "click_tsm", "p_tsm", Seq("event_id", "p_tsm"), "event_id",
+        toleranceUs = 500L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == 71L, s"click 1 must match purchase 71: $out")
+    assert(out(2L) == -1L, "click 2's only purchase is beyond tolerance")
+    assert(out(3L) == 80L, "simultaneous purchase is an inclusive match")
+  }
+
+  test("q178 interval union: planted overlaps merge into exact spans") {
+    import spark.implicits._
+    // user 1: [0,10],[5,20],[30,40] -> 2 spans, covered 20+10 = 30;
+    // touching intervals chain ([30,40],[40,45] share a boundary ->
+    // s=40 is NOT > maxEnd=40, same span); user 2: disjoint singles
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 40L),
+      (1L, 40L, 45L), (2L, 0L, 1L), (2L, 10L, 11L))
+      .toDF("user_id", "s", "e")
+    val out = graft.ops.TimeSeries.intervalUnionOf(iv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 35L)),
+      s"user 1: expected 2 spans covering 35, got ${out(1L)}")
+    assert(out(2L) == ((2L, 2L)),
+      s"user 2: expected 2 unit spans, got ${out(2L)}")
+  }
+
   test("q146 bin-walk rank (forced) selects exactly the one-phase set") {
     // binWalkMinDocs = 0 forces the q100 two-phase branch; its sel
     // verdicts must be IDENTICAL to the one-phase global window —
