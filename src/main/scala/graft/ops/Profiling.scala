@@ -623,6 +623,66 @@ object Profiling {
         col("share1_ppm"), col("share2_ppm"), col("tvd_ppm"))
   }
 
+  /** Population Stability Index drift (q179): the third member of the
+    * drift family next to KS (q122, continuous rank distance) and TVD
+    * (q125, categorical L1) — PSI is the industry-standard monitoring
+    * score, per-bin (p_ref − p_cur)·ln(p_ref/p_cur) over a fixed
+    * binning. Counts are exact integers with Laplace +1 smoothing (no
+    * ln(0) special-casing, deterministic for empty bins); each bin's
+    * term is then ONE IEEE sequence (two divisions, one ln, one
+    * multiply) written symbol-for-symbol the same in both engines and
+    * rounded to 6dp — emitted PER BIN, never summed across bins in
+    * float (the round-3 one-IEEE-fold rule; the consumer sums the
+    * rounded terms or reads the worst bins directly).
+    *
+    * Scale shape: one keyed bin aggregate (map-side combined,
+    * |bins| rows), a 1-row totals broadcast, per-bin arithmetic. */
+  def psiDrift(spark: SparkSession, dir: String,
+      binCents: Long = 5000000L): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(expr(s"CAST(o_totalprice * 100 AS BIGINT) div $binCents")
+          .as("bin"),
+        (col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .as("cur"))
+    val counts = o.groupBy(col("bin")).agg(
+      sum(when(!col("cur"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"), count(lit(1)).as("nb"))
+    val pr = (col("n_ref") + 1L).cast("double") /
+      (col("tr") + col("nb")).cast("double")
+    val pc = (col("n_cur") + 1L).cast("double") /
+      (col("tc") + col("nb")).cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((pr - pc) * log(pr / pc), 6).as("psi_term"))
+      .orderBy(col("bin"), col("n_ref"), col("n_cur"), col("psi_term"))
+  }
+
+  /** DuckDB oracle for [[psiDrift]] — identical smoothing and the
+    * same single IEEE sequence per bin. */
+  def psiDriftOracleSql(binCents: Long = 5000000L): String =
+    s"""WITH o AS (
+       |  SELECT CAST(o_totalprice * 100 AS BIGINT) // $binCents AS bin,
+       |    o_orderdate >= TIMESTAMP '1996-01-01' AS cur
+       |  FROM orders),
+       |c AS (
+       |  SELECT bin,
+       |    SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS n_ref,
+       |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+       |  FROM o GROUP BY bin),
+       |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc,
+       |        COUNT(*) AS nb FROM c)
+       |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+       |  CAST(n_cur AS BIGINT) AS n_cur,
+       |  ROUND((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE)
+       |       - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE))
+       |    * LN((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE))
+       |       / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE))), 6)
+       |    AS psi_term
+       |FROM c CROSS JOIN t
+       |ORDER BY bin, n_ref, n_cur, psi_term""".stripMargin
+
   /** Per-supplier Pareto frontier of (minimize price, maximize
     * quantity) over lineitem under WEAK domination: a row is removed
     * iff some other row of the same supplier has lower-or-equal price

@@ -555,6 +555,96 @@ object TimeSeries {
         col("acf"))
   }
 
+  /** Linear-interpolation resampling (q180): densify each user's
+    * hourly series over their own span — like the q87 LOCF fill, but
+    * silent hours take the LINE between the surrounding observations
+    * instead of the carry:
+    *   v(t) = v0 + (v1 − v0)·(t − t0) div (t1 − t0)
+    * in exact micro-units with truncating integer division (identical
+    * in both engines for either sign of the slope — the round-5 `//`
+    * finding), so the resample replays bit-exactly with no float
+    * interpolation at all. Span endpoints are observed by
+    * construction, so (t0, v0) and (t1, v1) always exist and
+    * t1 − t0 = 0 only on observed rows, which take their own value.
+    *
+    * Scale shape: q87's spine (the oracle exemplar — the q143
+    * grain-cap applies verbatim if the span grows), one user-keyed
+    * window in each direction; the (t0,v0)/(t1,v1) pairs ride single
+    * structs so a carried pair can never mix two observations (the
+    * AsOf struct-atomicity rule). */
+  def linearInterp(spark: SparkSession, dir: String): DataFrame = {
+    val h = hourly(spark, dir)
+      .select(col("user_id"), col("hour"),
+        (col("sv") * 1000000).cast("long").as("vmu"))
+    val spine = h.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("hour"))
+    val j = spine.join(h, Seq("user_id", "hour"), "left")
+      .withColumn("t", expr("unix_micros(hour) div 3600000000"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j
+      .withColumn("pv", last(when(col("vmu").isNotNull,
+        struct(col("t").as("t0"), col("vmu").as("v0"))),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(when(col("vmu").isNotNull,
+        struct(col("t").as("t1"), col("vmu").as("v1"))),
+        ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("hour"),
+        col("vmu").isNotNull.as("observed"),
+        when(col("vmu").isNotNull, col("vmu")).otherwise(expr(
+          "pv.v0 + (nv.v1 - pv.v0) * (t - pv.t0) div (nv.t1 - pv.t0)"))
+          .as("v_interp_mu"))
+      .orderBy(col("user_id"), col("hour"), col("observed"),
+        col("v_interp_mu"))
+  }
+
+  /** DuckDB oracle for [[linearInterp]] — same spine, same two
+    * IGNORE NULLS window carries (the t/v carriers share one null
+    * pattern, so per-column carries cannot mix observations), same
+    * truncating division. */
+  val linearInterpOracleSql: String =
+    """WITH h AS (
+      |  SELECT user_id, DATE_TRUNC('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 1000000 AS BIGINT)
+      |      AS vmu
+      |  FROM events GROUP BY user_id, DATE_TRUNC('hour', ts)),
+      |spine AS (
+      |  SELECT user_id,
+      |    UNNEST(generate_series(MIN(hour), MAX(hour),
+      |      INTERVAL 1 HOUR)) AS hour
+      |  FROM h GROUP BY user_id),
+      |j AS (
+      |  SELECT s.user_id, s.hour, h.vmu,
+      |    epoch_us(s.hour) // 3600000000 AS t
+      |  FROM spine s LEFT JOIN h
+      |    ON h.user_id = s.user_id AND h.hour = s.hour),
+      |c AS (
+      |  SELECT user_id, hour, vmu, t,
+      |    LAST_VALUE(CASE WHEN vmu IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+      |    LAST_VALUE(CASE WHEN vmu IS NOT NULL THEN vmu END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+      |    FIRST_VALUE(CASE WHEN vmu IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+      |    FIRST_VALUE(CASE WHEN vmu IS NOT NULL THEN vmu END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      |  FROM j)
+      |SELECT user_id, hour, vmu IS NOT NULL AS observed,
+      |  CAST(CASE WHEN vmu IS NOT NULL THEN vmu
+      |    ELSE v0 + (v1 - v0) * (t - t0) // (t1 - t0) END AS BIGINT)
+      |    AS v_interp_mu
+      |FROM c
+      |ORDER BY user_id, hour, observed, v_interp_mu""".stripMargin
+
   /** Interval union (q178): merge each user's OVERLAPPING hold
     * intervals into maximal disjoint spans and report per-user
     * coverage — the classic interval-merge operator (downtime
