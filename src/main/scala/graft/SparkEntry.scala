@@ -251,6 +251,10 @@ object SparkEntry {
     "q177_click_attribution" -> ((s: SparkSession, d: String) =>
       AsOf.clickAttribution(s, d)),
     "q178_interval_union"   -> (TimeSeries.intervalUnion _),
+    // round-9: the drift-family third member + interpolating resampler
+    "q179_psi_drift"        -> ((s: SparkSession, d: String) =>
+      Profiling.psiDrift(s, d)),
+    "q180_linear_interp"    -> (TimeSeries.linearInterp _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2505,6 +2509,8 @@ object SparkEntry {
       "q176_quantile_contract" -> Grouping.quantileContractOracleSql(),
       "q177_click_attribution" -> AsOf.clickAttributionOracleSql(),
       "q178_interval_union" -> TimeSeries.intervalUnionOracleSql,
+      "q179_psi_drift" -> Profiling.psiDriftOracleSql(),
+      "q180_linear_interp" -> TimeSeries.linearInterpOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -639,11 +639,21 @@ object Profiling {
     * |bins| rows), a 1-row totals broadcast, per-bin arithmetic. */
   def psiDrift(spark: SparkSession, dir: String,
       binCents: Long = 5000000L): DataFrame = {
-    val o = Tables.orders(spark, dir)
-      .select(expr(s"CAST(o_totalprice * 100 AS BIGINT) div $binCents")
-          .as("bin"),
+    // Cents via the repo's cents() convention (double -> DECIMAL(18,2)
+    // -> *100 -> BIGINT): a direct CAST(x * 100 AS BIGINT) truncates
+    // in Spark but rounds in DuckDB, which diverges on ~5% of rows for
+    // any binCents not aligned to whole-dollar boundaries.
+    psiDriftOf(Tables.orders(spark, dir)
+      .select(expr(
+          s"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            s" div $binCents").as("bin"),
         (col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
-          .as("cur"))
+          .as("cur")))
+  }
+
+  /** Frame-based core of [[psiDrift]] over pre-binned
+    * (bin: long, cur: boolean) observation rows. */
+  def psiDriftOf(o: DataFrame): DataFrame = {
     val counts = o.groupBy(col("bin")).agg(
       sum(when(!col("cur"), 1L).otherwise(0L)).as("n_ref"),
       sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"))
@@ -663,7 +673,7 @@ object Profiling {
     * same single IEEE sequence per bin. */
   def psiDriftOracleSql(binCents: Long = 5000000L): String =
     s"""WITH o AS (
-       |  SELECT CAST(o_totalprice * 100 AS BIGINT) // $binCents AS bin,
+       |  SELECT ${centsSql("o_totalprice")} // $binCents AS bin,
        |    o_orderdate >= TIMESTAMP '1996-01-01' AS cur
        |  FROM orders),
        |c AS (

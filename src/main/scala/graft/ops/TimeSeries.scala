@@ -572,10 +572,14 @@ object TimeSeries {
     * window in each direction; the (t0,v0)/(t1,v1) pairs ride single
     * structs so a carried pair can never mix two observations (the
     * AsOf struct-atomicity rule). */
-  def linearInterp(spark: SparkSession, dir: String): DataFrame = {
-    val h = hourly(spark, dir)
+  def linearInterp(spark: SparkSession, dir: String): DataFrame =
+    linearInterpOf(hourly(spark, dir)
       .select(col("user_id"), col("hour"),
-        (col("sv") * 1000000).cast("long").as("vmu"))
+        (col("sv") * 1000000).cast("long").as("vmu")))
+
+  /** Frame-based core of [[linearInterp]] over observed
+    * (user_id, hour: timestamp, vmu: long) rows. */
+  def linearInterpOf(h: DataFrame): DataFrame = {
     val spine = h.groupBy(col("user_id"))
       .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
       .select(col("user_id"),

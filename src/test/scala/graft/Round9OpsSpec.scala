@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.{Profiling, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Round-9 planted fixtures for the two ops registered this round
+  * (q179 PSI drift, q180 linear interpolation) — each pins the exact
+  * arithmetic the oracle hash-compare can only check in aggregate:
+  * the Laplace empty-bin smoothing and the truncating (not flooring)
+  * integer division on a negative slope. */
+class Round9OpsSpec extends SparkSpec {
+
+  test("q179 PSI: planted shift with hand-computed per-bin terms incl. empty bins") {
+    import spark.implicits._
+    // bin 0: ref={3 rows}, cur={1 row}; bin 1: ref EMPTY, cur={2};
+    // bin 2: ref={1}, cur EMPTY. Totals tr=4, tc=3, nb=3 bins.
+    // Laplace +1: pr = (n_ref+1)/(tr+nb) = (n_ref+1)/7,
+    //             pc = (n_cur+1)/(tc+nb) = (n_cur+1)/6.
+    // bin 0: (4/7 - 2/6)·ln((4/7)/(2/6)) = 0.2380952…·0.5389965… =
+    //   0.12833250… -> 0.128333 (HALF_UP at 6dp). The empty bins get
+    //   finite positive terms instead of ln(0) blowups.
+    val o = Seq(
+      (0L, false), (0L, false), (0L, false), (0L, true),
+      (1L, true), (1L, true),
+      (2L, false)).toDF("bin", "cur")
+    val out = Profiling.psiDriftOf(o).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def term(nRef: Long, nCur: Long): Double = {
+      val pr = (nRef + 1).toDouble / 7.0
+      val pc = (nCur + 1).toDouble / 6.0
+      BigDecimal((pr - pc) * math.log(pr / pc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0L) == ((3L, 1L, term(3, 1))), s"bin 0: ${out(0L)}")
+    assert(out(0L)._3 == 0.128333, "hand-checked bin-0 term")
+    assert(out(1L) == ((0L, 2L, term(0, 2))), s"bin 1 (empty ref): ${out(1L)}")
+    assert(out(2L) == ((1L, 0L, term(1, 0))), s"bin 2 (empty cur): ${out(2L)}")
+    // PSI terms are non-negative by construction ((p-q) and ln(p/q)
+    // always share a sign) — the planted empty bins must stay finite
+    out.values.foreach { case (_, _, t) =>
+      assert(t >= 0.0 && !t.isInfinite && !t.isNaN)
+    }
+  }
+
+  test("q180 interp: planted gap values, negative slope truncates toward zero") {
+    import spark.implicits._
+    // user 1: v(0h)=1_000_000, v(3h)=4_000_000 -> silent hours get the
+    // exact line: 2_000_000, 3_000_000. user 2: v(0h)=5, v(3h)=-5 ->
+    // slope -10/3: t=1 gives 5 + (-10·1) div 3 = 5 - 3 = 2 (TRUNCATING;
+    // a flooring division would give 5 - 4 = 1), t=2 gives
+    // 5 + (-20) div 3 = 5 - 6 = -1 (floor(-20/3) = -7 would give -2).
+    // Both engines truncate on integer operands (the round-5 finding).
+    val h = Seq(
+      (1L, "2024-01-01 00:00:00", 1000000L),
+      (1L, "2024-01-01 03:00:00", 4000000L),
+      (2L, "2024-01-01 00:00:00", 5L),
+      (2L, "2024-01-01 03:00:00", -5L))
+      .toDF("user_id", "hs", "vmu")
+      .select(col("user_id"), col("hs").cast("timestamp").as("hour"),
+        col("vmu"))
+    val out = TimeSeries.linearInterpOf(h).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(13),
+        r.getBoolean(2), r.getLong(3)))
+    assert(out.length == 8, s"two users x four spine hours: ${out.length}")
+    val byKey = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byKey((1L, "2024-01-01 00")) == ((true, 1000000L)))
+    assert(byKey((1L, "2024-01-01 01")) == ((false, 2000000L)))
+    assert(byKey((1L, "2024-01-01 02")) == ((false, 3000000L)))
+    assert(byKey((1L, "2024-01-01 03")) == ((true, 4000000L)))
+    assert(byKey((2L, "2024-01-01 01")) == ((false, 2L)),
+      "negative slope must truncate toward zero, not floor")
+    assert(byKey((2L, "2024-01-01 02")) == ((false, -1L)))
+    assert(byKey((2L, "2024-01-01 03")) == ((true, -5L)))
+  }
+}
