@@ -50,19 +50,50 @@ object Decontaminate {
     * Integer ppm output: overlap_ppm = shared·1e6 div distinct.
     *
     * Scale shape: the corpus side reduces to distinct (doc_id, gram)
-    * pairs once; the EVAL gram set is small by nature and broadcasts
-    * (the [[contaminated]] asymmetry); one left join + one doc-keyed
-    * aggregate. Docs under 3 tokens have no trigrams and no row. */
+    * pairs once; the EVAL gram set is small by nature and usually
+    * broadcasts (the [[contaminated]] asymmetry) — but "small by
+    * nature" is a labeling convention, not a structural bound, so the
+    * join is SIZE-CONDITIONAL (the fluencyScores leaf-stats rule): a
+    * mislabeled corpus-sized eval source degrades to a shuffle_hash
+    * join instead of pinning an OOM-sized broadcast. One left join +
+    * one doc-keyed aggregate. Docs under 3 tokens have no row. */
   def evalOverlapScore(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, dir)
+      dir: String): DataFrame =
+    evalOverlapScoreOn(graft.Tables.documents(spark, dir))
+
+  /** Frame-based core of [[evalOverlapScore]] over documents
+    * (doc_id, source, text); `evalSource` names the eval share. */
+  def evalOverlapScoreOn(docs: DataFrame,
+      evalSource: String = "src0"): DataFrame = {
     val tri = Ranking.trigramFrame(docs).distinct()
     val withSrc = tri
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    val evalGrams = withSrc.filter(col("source") === "src0")
+    val evalGrams = withSrc.filter(col("source") === evalSource)
       .select(col("ngram")).distinct().withColumn("hit", lit(1L))
-    withSrc.filter(col("source") =!= "src0")
-      .join(broadcast(evalGrams), Seq("ngram"), "left")
+    // Leaf-stats sizing (the Ranking.fluencyScores rule verbatim): the
+    // eval gram set is bounded by ~3x the source text bytes (each
+    // token starts at most one trigram; x3 covers parquet string
+    // compression). Filter selectivity is unknowable without CBO
+    // stats, so the WHOLE corpus leaf mass is the conservative bound —
+    // under the limit broadcast; above it (or with no measurable
+    // leaf) shuffle_hash, never an unbounded broadcast on a guess.
+    val limit = docs.sparkSession.conf
+      .getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val leafBytes = docs.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.stats.sizeInBytes
+      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        c.stats.sizeInBytes
+    }
+    val estBytes =
+      if (leafBytes.nonEmpty) leafBytes.sum * 3
+      else BigInt(Long.MaxValue)
+    val evalSized =
+      if (estBytes <= limit) broadcast(evalGrams)
+      else evalGrams.hint("shuffle_hash")
+    withSrc.filter(col("source") =!= evalSource)
+      .join(evalSized, Seq("ngram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
         sum(coalesce(col("hit"), lit(0L))).as("n_shared"))

@@ -380,22 +380,50 @@ class PlanShapeSpec extends SparkSpec {
     // distincts over a (source, lang, digest) pre-aggregate: any
     // residual Expand must sit ABOVE an Aggregate (narrow digest
     // rows), and the scan's output must not reach an Expand directly.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LeafNode}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LeafNode, LogicalPlan}
     val df = graft.ops.TextAnalysis.corpusCard(spark, sf)
     val plan0 = df.queryExecution.optimizedPlan
+    // every root-to-leaf path under an Expand must cross an Aggregate
+    // BEFORE reaching any leaf — i.e. no scan's rows are multiplied
+    // un-aggregated (the actual r7 defect: 4x corpus scan rows)
+    def leavesAboveAgg(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case _: Aggregate => Nil
+      case l: LeafNode => Seq(l)
+      case other => other.children.flatMap(leavesAboveAgg)
+    }
     plan0.collect { case e: Expand => e }.foreach { e =>
-      val aggBelow = e.child.collectFirst { case a: Aggregate => a }.isDefined
-      assert(aggBelow, s"Expand sits directly over the scan:\n$e")
-      val leafInExpandPath = e.child.collect {
-        case a: Aggregate => a
-      }
-      assert(leafInExpandPath.nonEmpty)
+      val exposed = leavesAboveAgg(e.child)
+      assert(exposed.isEmpty,
+        s"Expand multiplies un-aggregated scan rows via ${exposed.map(_.nodeName)}:\n$e")
     }
     // and the digest rule keeps text out of every aggregate key
     val aggs = plan0.collect { case a: Aggregate => a }
     aggs.foreach { a =>
       assert(!a.groupingExpressions.exists(_.references.exists(_.name == "text")),
         s"aggregate keys on raw text:\n${a.groupingExpressions}")
+    }
+  }
+
+  test("q173 eval-gram join is size-conditional: broadcast small, shuffled-hash large") {
+    // "eval sets are small" is a labeling convention, not a structural
+    // bound — a mislabeled corpus-sized eval source must degrade to a
+    // shuffle_hash join, never pin an OOM-sized broadcast (the q126
+    // SetSizer contract applied to the decontamination screen)
+    val docs = Tables.documents(spark, sf)
+    val small = plan(graft.ops.Decontaminate.evalOverlapScoreOn(docs))
+    assert(small.contains("BroadcastHashJoin"),
+      s"sub-threshold eval grams lost their broadcast:\n${small.take(1200)}")
+    spark.conf.set("graft.setsim.broadcastBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = plan(graft.ops.Decontaminate.evalOverlapScoreOn(docs))
+      assert(big.contains("ShuffledHashJoin"),
+        s"over-threshold eval grams did not plan shuffled-hash:\n${big.take(1200)}")
+      assert(!big.contains("BroadcastExchange"),
+        s"over-threshold eval grams still broadcast:\n${big.take(1200)}")
+    } finally {
+      spark.conf.unset("graft.setsim.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Profiling, TimeSeries}
+import graft.ops.{Decontaminate, Profiling, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-9 planted fixtures for the two ops registered this round
@@ -41,6 +41,32 @@ class Round9OpsSpec extends SparkSpec {
     out.values.foreach { case (_, _, t) =>
       assert(t >= 0.0 && !t.isInfinite && !t.isNaN)
     }
+  }
+
+  test("q173 planted contamination fractions incl. distinct-before-join") {
+    import spark.implicits._
+    // eval doc "a b c d" -> eval grams {a b c, b c d}.
+    // doc 1 shares 1 of 3 trigrams -> 333333 ppm; doc 2 shares 2 of 3
+    // -> 666666; doc 3 shares none; doc 4 repeats "a b c" three times
+    // but its DISTINCT trigram set is {a b c, b c a, c a b} -> 1 of 3,
+    // NOT 3 of 7 (428571) — pins the distinct-before-join rule the
+    // corpus-scale oracle can only check in aggregate.
+    val docs = Seq(
+      (100L, "src0", "a b c d"),
+      (1L, "src1", "a b c x y"),
+      (2L, "src1", "a b c d e"),
+      (3L, "src1", "p q r s"),
+      (4L, "src2", "a b c a b c a b c"))
+      .toDF("doc_id", "source", "text")
+    val out = Decontaminate.evalOverlapScoreOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 333333L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((3L, 2L, 666666L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, 0L)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((3L, 1L, 333333L)),
+      s"doc 4 must count duplicate trigrams once: ${out(4L)}")
+    assert(!out.contains(100L), "eval docs are excluded from scoring")
   }
 
   test("q180 interp: planted gap values, negative slope truncates toward zero") {
