@@ -66,8 +66,23 @@ object Bench {
     // would otherwise read as the suite's fastest "queries" and mask
     // breakage as speed (ADVICE r5)
     val errors = collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // Ambient-load self-identification (VERDICT r8 #4): the committed
+    // r8 record was ~35-40% inflated by concurrent system load and
+    // read as phantom regressions. Sample /proc/loadavg (1-min field)
+    // at the START of every timed run and report per-query MAX plus
+    // overall mean/max — a loaded record now carries its own evidence
+    // and can never again masquerade as a code regression signal.
+    def loadavg(): Double =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        s.split(" ")(0).toDouble
+      } catch { case _: Throwable => -1.0 }
+    val loads = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     for (_ <- 1 to runs) {
       queries.foreach { case (name, fn) =>
+        loads(name) = loads(name) :+ loadavg()
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
           catch { case _: Throwable => errors(name) += 1; false }
@@ -100,12 +115,19 @@ object Bench {
     val failed = names.filter(n => samples(n).isEmpty && errors(n) > 0)
     val errObj = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val allLoads = names.flatMap(n => loads(n)).filter(_ >= 0.0)
+    def r2(x: Double): Double = math.round(x * 100) / 100.0
+    val loadMean = if (allLoads.isEmpty) -1.0 else r2(allLoads.sum / allLoads.size)
+    val loadMax = if (allLoads.isEmpty) -1.0 else r2(allLoads.max)
+    val qLoadMax = timedNames.map(n =>
+      n -> (if (loads(n).exists(_ >= 0)) r2(loads(n).max) else -1.0))
     val json =
       s"""{"metric":"total","value":${med.map(_._2).sum},"unit":"sec","runs":$runs,""" +
         s""""total_min":${min.map(_._2).sum},"queries":${obj(med)},""" +
         s""""queries_min":${obj(min)},"n_ok":${names.size - failed.size},""" +
         s""""failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""errors":$errObj,"sf":"$sfDir"}"""
+        s""""errors":$errObj,"loadavg_mean":$loadMean,"loadavg_max":$loadMax,""" +
+        s""""queries_loadavg_max":${obj(qLoadMax)},"sf":"$sfDir"}"""
     // atomic self-contained copy: temp + rename can't leave a torn tail
     val out = java.nio.file.Paths.get("bench_out.json")
     val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
@@ -131,7 +153,8 @@ object Bench {
     println(s"""{"metric":"per_query_ms","n":${names.size},"q":$compact}""")
     println(s"""{"metric":"total","value":${med.map(_._2).sum},"unit":"sec",""" +
       s""""total_min":${min.map(_._2).sum},"n":${names.size},""" +
-      s""""n_failed":${failed.size},"runs":$runs,"sf":"$sfDir"}""")
+      s""""n_failed":${failed.size},"runs":$runs,""" +
+      s""""loadavg_mean":$loadMean,"loadavg_max":$loadMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,15 +80,7 @@ object Decontaminate {
     val limit = docs.sparkSession.conf
       .getOption("graft.setsim.broadcastBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
-    val leafBytes = docs.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.stats.sizeInBytes
-      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        c.stats.sizeInBytes
-    }
-    val estBytes =
-      if (leafBytes.nonEmpty) leafBytes.sum * 3
-      else BigInt(Long.MaxValue)
+    val estBytes = PlanStats.leafBytes(docs) * 3
     val evalSized =
       if (estBytes <= limit) broadcast(evalGrams)
       else evalGrams.hint("shuffle_hash")

@@ -168,28 +168,74 @@ object Grouping {
     *
     * Scale shape: one grouped sketch aggregate (map-side combined)
     * plus the audit-grade exact rank pass per group partition —
-    * the yardstick a deployment runs on a sample, as q57. */
+    * the yardstick a deployment runs on a sample, as q57. Above
+    * `binWalkMinRows` (estimated from plan statistics, zero action)
+    * the exact-bounds side swaps to the q100 two-phase histogram
+    * bin-walk: a coarse per-(group, v>>16) bin count locates the TWO
+    * boundary bins holding the lo/hi ranks, and only those bins' rows
+    * get an exact in-bin rank — no task ever sorts a whole group
+    * partition. Rank selection is algorithm-independent, so both
+    * branches produce IDENTICAL bounds (Round9OpsSpec forces the
+    * cutoff and asserts equality; the oracle keeps the one-phase
+    * SQL — the q100/q170 swap convention). */
   def quantileContract(spark: SparkSession, dir: String,
-      accuracy: Int = 1000): DataFrame = {
+      accuracy: Int = 1000,
+      binWalkMinRows: Long = 100000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = (col("o_totalprice").cast("decimal(12,2)") * 100)
       .cast("long")
     val base = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("grp"), v.as("v"))
-    val w = Window.partitionBy(col("grp"))
-    val ranked = base
-      .withColumn("rn",
-        row_number().over(w.orderBy(col("v"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("mid", expr("(n + 1) div 2"))
-      .withColumn("tol", expr(s"n div $accuracy + 1"))
-    val bounds = ranked
-      .groupBy(col("grp"))
-      .agg(max(col("n")).as("n"),
-        min(when(col("rn") === greatest(lit(1L), col("mid") - col("tol")),
-          col("v"))).as("lo_cents"),
-        min(when(col("rn") === least(col("n"), col("mid") + col("tol")),
-          col("v"))).as("hi_cents"))
+    val bounds =
+      if (PlanStats.estRows(base) < binWalkMinRows) {
+        val w = Window.partitionBy(col("grp"))
+        val ranked = base
+          .withColumn("rn",
+            row_number().over(w.orderBy(col("v"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("mid", expr("(n + 1) div 2"))
+          .withColumn("tol", expr(s"n div $accuracy + 1"))
+        ranked
+          .groupBy(col("grp"))
+          .agg(max(col("n")).as("n"),
+            min(when(col("rn") === greatest(lit(1L), col("mid") - col("tol")),
+              col("v"))).as("lo_cents"),
+            min(when(col("rn") === least(col("n"), col("mid") + col("tol")),
+              col("v"))).as("hi_cents"))
+      } else {
+        // two-phase: bin = v >> 16 (arithmetic shift = floor-by-2^16,
+        // exact for negatives); the bin table is |grps| x |bins| tiny
+        // rows, broadcast back; only boundary-bin rows pay a window
+        val binned = base.withColumn("bin", shiftright(col("v"), 16))
+        val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val meta = binned.groupBy(col("grp"), col("bin"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("cum_before",
+            coalesce(sum(col("bn")).over(wCum), lit(0L)))
+          .withColumn("n",
+            sum(col("bn")).over(Window.partitionBy(col("grp"))))
+          .withColumn("mid", expr("(n + 1) div 2"))
+          .withColumn("tol", expr(s"n div $accuracy + 1"))
+          .withColumn("lo_rank", greatest(lit(1L), col("mid") - col("tol")))
+          .withColumn("hi_rank", least(col("n"), col("mid") + col("tol")))
+        val tgt = meta.filter(
+          (col("cum_before") < col("lo_rank") &&
+            col("cum_before") + col("bn") >= col("lo_rank")) ||
+          (col("cum_before") < col("hi_rank") &&
+            col("cum_before") + col("bn") >= col("hi_rank")))
+          .select(col("grp"), col("bin"), col("cum_before"), col("n"),
+            col("lo_rank"), col("hi_rank"))
+        val wB = Window.partitionBy(col("grp"), col("bin"))
+          .orderBy(col("v"))
+        binned.join(broadcast(tgt), Seq("grp", "bin"))
+          .withColumn("rk",
+            col("cum_before") + row_number().over(wB).cast("long"))
+          .groupBy(col("grp"))
+          .agg(max(col("n")).as("n"),
+            min(when(col("rk") === col("lo_rank"), col("v"))).as("lo_cents"),
+            min(when(col("rk") === col("hi_rank"), col("v"))).as("hi_cents"))
+      }
     val approx = base.groupBy(col("grp"))
       .agg(percentile_approx(col("v"), lit(0.5), lit(accuracy))
         .as("approx_med"))

@@ -174,15 +174,7 @@ object Ranking {
     val limit = docs.sparkSession.conf
       .getOption("graft.setsim.broadcastBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
-    val leafBytes = docs.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.stats.sizeInBytes
-      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        c.stats.sizeInBytes
-    }
-    val estBytes =
-      if (leafBytes.nonEmpty) leafBytes.sum * 3
-      else BigInt(Long.MaxValue)
+    val estBytes = PlanStats.leafBytes(docs) * 3
     val freq = lm.crossJoin(broadcast(lm.agg(sum(col("k")).as("tot"))))
       .select(col("ngram"), expr("k * 1000000 div tot").as("fppm"))
     val freqSized =

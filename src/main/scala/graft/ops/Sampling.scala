@@ -395,18 +395,7 @@ object Sampling {
     // leaf also takes the scale branch. Forced cutoffs
     // (0 / Long.MaxValue, the Round8OpsSpec equality fixture) behave
     // exactly as before.
-    val estDocs: BigInt = {
-      val p = docs.queryExecution.optimizedPlan
-      p.stats.rowCount.getOrElse {
-        val leafBytes = p.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            l.stats.sizeInBytes
-          case c: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-            c.stats.sizeInBytes
-        }
-        if (leafBytes.nonEmpty) leafBytes.sum / 64 else BigInt(Long.MaxValue)
-      }
-    }
+    val estDocs = PlanStats.estRows(docs)
     val ranked =
       if (estDocs < binWalkMinDocs) {
         scored.crossJoin(broadcast(nRaw))

@@ -269,6 +269,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-8 wave budgets: q171 no cartesian, q172 partitioned windows, q177 keyed shuffles") {
+    // the q160/q161/q168 discipline extended to the round-8 wave
+    // (VERDICT r8 #7). Budgets are the counts measured when each plan
+    // was reviewed as scale-correct: q177 = ONE user_id exchange for
+    // the union+window as-of + the final sort; q171 = the CC label
+    // join + split bucket + final sort (the fixpoint loop itself runs
+    // on checkpointed frames); q172 = q149's LM shuffles + the
+    // per-source rank. The only nested-loop allowed anywhere is a
+    // 1-row total broadcast (q172's LM normalizer); every rank window
+    // must be PARTITIONED (per-source), never corpus-global.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val budgets = Map(
+      "q171_cluster_split"     -> (3, 1),
+      "q172_fluency_terciles"  -> (4, 2),
+      "q177_click_attribution" -> (2, 2))
+    try budgets.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, maxScans)) =>
+      graft.ops.Dedup.unpersistCaches()
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val (sh, sc) = planCounts(df)
+      val unpart = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      val pStr = df.queryExecution.executedPlan.toString
+      info(s"$name: shuffles=$sh scans=$sc unpartitionedWindows=${unpart.size}")
+      assert(sh <= maxShuffles && sc <= maxScans,
+        s"$name plan regressed: shuffles=$sh (budget $maxShuffles), " +
+          s"scans=$sc (budget $maxScans)")
+      assert(unpart.isEmpty,
+        s"$name ranks over an unpartitioned window:\n${unpart.headOption}")
+      assert(!pStr.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    } finally graft.ops.Dedup.unpersistCaches()
+  }
+
   test("theta join keeps the equi conjunct as the join key") {
     val p = plan(graft.ops.Grouping.joinTheta(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

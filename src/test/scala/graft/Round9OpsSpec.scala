@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Decontaminate, Profiling, TimeSeries}
+import graft.ops.{Decontaminate, Grouping, Profiling, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-9 planted fixtures for the two ops registered this round
@@ -41,6 +41,26 @@ class Round9OpsSpec extends SparkSpec {
     out.values.foreach { case (_, _, t) =>
       assert(t >= 0.0 && !t.isInfinite && !t.isNaN)
     }
+  }
+
+  test("q176 bin-walk bounds (forced) equal the one-phase window bounds") {
+    // binWalkMinRows = 0 forces the q100 two-phase branch for the
+    // exact-bounds side; the (n, lo, hi) bounds must be IDENTICAL to
+    // the one-phase per-group window — rank selection is
+    // algorithm-independent (bins partition the value order), the
+    // property that makes the swap safe to flip at 100 TB. The approx
+    // side is shared, so only the bounds are compared.
+    def bounds(minRows: Long) =
+      Grouping.quantileContract(spark, sf, binWalkMinRows = minRows)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val onePhase = bounds(Long.MaxValue)
+    val binWalk = bounds(0L)
+    assert(onePhase.size == 5, "five order priorities")
+    assert(binWalk == onePhase,
+      s"bin-walk-only: ${(binWalk -- onePhase).take(3)}; " +
+        s"one-phase-only: ${(onePhase -- binWalk).take(3)}")
   }
 
   test("q173 planted contamination fractions incl. distinct-before-join") {
