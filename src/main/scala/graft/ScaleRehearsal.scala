@@ -83,12 +83,19 @@ object ScaleRehearsal {
 
   /** 10 user-offset event shards sharing the SAME calendar days —
     * per-user structure identical, but every shared-day aggregate
-    * (concurrency sweeps, day-keyed overlap joins) sees 10x load. */
+    * (concurrency sweeps, day-keyed overlap joins) sees 10x load.
+    * Carries event_id (shard-offset, stays unique), event_type and
+    * value so the event-time wave (q177 attribution, q178 interval
+    * union, q180 interpolation) runs on the same corpus. */
   def events10x(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
     (0 until 10).map { sh =>
-      base.select((col("user_id") + lit(sh * 10000000L)).as("user_id"),
-        col("ts"))
+      base.select(
+        (col("event_id") + lit(sh * 100000000L)).as("event_id"),
+        (col("user_id") + lit(sh * 10000000L)).as("user_id"),
+        col("event_type"), col("ts"), col("value"))
     }.reduce(_ unionAll _)
   }
 
@@ -128,10 +135,12 @@ object ScaleRehearsal {
     // Tables.bucketedPair — a stale 10x corpus would silently measure
     // last round's data)
     val fpFile = java.nio.file.Paths.get(s"$out/.source_fingerprint")
-    // "v3|" = corpus schema version (round 7 added source, round 8
-    // added lang for the corpus-card row) — a code-level schema change
-    // must invalidate the cached corpus just like a testdata regen
-    val fp = "v3|" + Tables.sourceFingerprint(dir,
+    // "v4|" = corpus schema version (round 7 added source, round 8
+    // added lang for the corpus-card row, round 9 added
+    // event_id/event_type/value for the event-time wave) — a
+    // code-level schema change must invalidate the cached corpus just
+    // like a testdata regen
+    val fp = "v4|" + Tables.sourceFingerprint(dir,
       Seq("documents", "embeddings", "events"))
     val fresh = java.nio.file.Files.exists(fpFile) &&
       java.nio.file.Files.readString(fpFile) == fp
@@ -156,7 +165,8 @@ object ScaleRehearsal {
       else spark.read.parquet(s"$out/embeddings.parquet")
     def evAt(scale: String): DataFrame =
       if (scale == "1x") Tables.events(spark, dir)
-        .select(col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
       else spark.read.parquet(s"$out/events.parquet")
 
     // an unreported 1x warmup pass first: JIT/codegen warmup otherwise
@@ -403,6 +413,84 @@ object ScaleRehearsal {
             .count())
         Dedup.unpersistCaches()
         report("q146_dsir_binwalk", tBw, nBw)
+      }
+      // round-9 rows (VERDICT r8 #2): the q171–q180 wave. q176/q179
+      // are orders-shaped (no 10x fact corpus — their scale property
+      // is the bin-walk swap / the |bins|-row aggregate, documented
+      // at the op); everything else measures here.
+      // q171 at the SCALE path: LSH edges at the tighter τ=0.35 (the
+      // q166 harness) + CC + the splitmix split — the watched terms
+      // are the denser edge set and the fixpoint round count
+      if (wanted("q171")) {
+        val e = embAt(scale)
+        val edges = Similarity.lshEmbeddingNearDups(e, 0.35)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val (nCs, tCs) = timed(
+          graft.ops.Sampling.clusterSplitOn(
+            e.select(col("vec_id")), edges).count())
+        edges.unpersist()
+        Dedup.unpersistCaches()
+        report("q171_cluster_split", tCs, nCs)
+      }
+      // q172: the q149 scoring plan + per-source rank windows — should
+      // inherit q149's ratio (the rank adds no shuffle)
+      if (wanted("q172")) {
+        val (nFt, tFt) = timed(
+          graft.ops.Ranking.fluencyTercilesDocs(d).count())
+        Dedup.unpersistCaches()
+        report("q172_fluency_terciles", tFt, nFt)
+      }
+      // q173: the corpus side reduces to distinct (doc, gram) pairs;
+      // the eval-gram side GROWS with the corpus here (10 letter-
+      // permuted src0 shards are mostly disjoint gram sets) — exactly
+      // the case the size-conditional broadcast guard exists for. The
+      // eval-gram row count is reported alongside as the payload proxy.
+      if (wanted("q173")) {
+        val (nEo, tEo) = timed(
+          graft.ops.Decontaminate.evalOverlapScoreOn(d).count())
+        report("q173_eval_overlap", tEo, nEo)
+        val (nEg, tEg) = timed(graft.ops.Ranking.trigramFrame(
+            d.filter(col("source") === "src0"))
+          .select(col("ngram")).distinct().count())
+        report("q173_eval_gram_set", tEg, nEg)
+      }
+      // q174: narrow per-row array fold, no shuffle — linear by
+      // construction; the row exists to catch an accidental join/
+      // shuffle creeping into the audit
+      if (wanted("q174")) {
+        val e = embAt(scale)
+        val (nSq, tSq) = timed(
+          graft.ops.Similarity.sqErrorAuditOn(e).count())
+        report("q174_sq_error", tSq, nSq)
+      }
+      // q175: digest pre-aggregate + |sources|-row rollup (the q165
+      // shape on a different rollup)
+      if (wanted("q175")) {
+        val (nEb, tEb) = timed(
+          graft.ops.TextAnalysis.epochBudgetDocs(d).count())
+        report("q175_epoch_budget", tEb, nEb)
+      }
+      // q177/q178/q180: single-user_id-keyed event shapes — 10x users
+      // over the same days should scale near-linearly (more
+      // partitions, same per-user work)
+      if (wanted("q177")) {
+        val ev = evAt(scale)
+        val (nCa, tCa) = timed(
+          graft.ops.AsOf.clickAttributionEv(ev).count())
+        report("q177_click_attribution", tCa, nCa)
+      }
+      if (wanted("q178")) {
+        val ev = evAt(scale)
+        val (nIu, tIu) = timed(
+          graft.ops.TimeSeries.intervalUnionEv(ev).count())
+        report("q178_interval_union", tIu, nIu)
+      }
+      if (wanted("q180")) {
+        val ev = evAt(scale)
+        val (nLi, tLi) = timed(
+          graft.ops.TimeSeries.linearInterpEv(ev).count())
+        report("q180_linear_interp", tLi, nLi)
       }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the

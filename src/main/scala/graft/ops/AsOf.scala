@@ -111,8 +111,13 @@ object AsOf {
     * micros out, so the DuckDB oracle replays the window arithmetic
     * exactly. */
   def clickAttribution(spark: SparkSession, dir: String,
+      toleranceUs: Long = 86400000000L): DataFrame =
+    clickAttributionEv(Tables.events(spark, dir), toleranceUs)
+
+  /** Frame-based core of [[clickAttribution]] (needs event_id,
+    * user_id, event_type, ts) — the 10x rehearsal entry point. */
+  def clickAttributionEv(ev: DataFrame,
       toleranceUs: Long = 86400000000L): DataFrame = {
-    val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         unix_micros(col("ts")).as("click_tsm"))

@@ -225,9 +225,13 @@ object Ranking {
     * by source (never global) and a per-source count carried by the
     * same partitioning — no additional shuffle beyond the score
     * join's. */
-  def fluencyTerciles(spark: SparkSession, dir: String): DataFrame = {
+  def fluencyTerciles(spark: SparkSession, dir: String): DataFrame =
+    fluencyTercilesDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[fluencyTerciles]] (needs doc_id, source,
+    * text) — the 10x rehearsal entry point. */
+  def fluencyTercilesDocs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
     fluencyScores(docs)

@@ -122,12 +122,25 @@ object Sampling {
       trainPct: Int = 80, valPct: Int = 10,
       minCos: Double = 0.35): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val clusters = Dedup.dedupClusters(
-        Similarity.embeddingNearDups(spark, dir, minCos = minCos),
-        "vec_a", "vec_b")
+    clusterSplitOn(
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 200L).select(col("vec_id")),
+      Similarity.embeddingNearDups(spark, dir, minCos = minCos),
+      trainPct, valPct)
+  }
+
+  /** Frame-based core of [[clusterSplit]]: `allVecs` is the vec_id
+    * universe, `edges` the near-dup graph (vec_a, vec_b) from ANY
+    * generator — the exact all-pairs oracle tool at test scale, the
+    * LSH path ([[Similarity.lshEmbeddingNearDups]]) at corpus scale
+    * (the q65/q166 edge-parity convention; the 10x rehearsal entry
+    * point). */
+  def clusterSplitOn(allVecs: DataFrame, edges: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(allVecs.sparkSession)
+    val clusters = Dedup.dedupClusters(edges, "vec_a", "vec_b")
       .select(col("node").as("vec_id"), col("cluster_id"))
-    val allv = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < 200L).select(col("vec_id"))
+    val allv = allVecs
     val bucket = pmod(
       call_function("splitmix64", col("cluster_id"))
         .bitwiseAND(lit(Long.MaxValue)), lit(100L))

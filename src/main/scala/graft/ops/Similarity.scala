@@ -230,13 +230,18 @@ object Similarity {
     * — linear in vectors; audit cadence (the per-element HOF lambdas
     * are interpreted, which is fine off the hot path — the hot probe
     * path q76 keeps its unrolled codegen literals). */
-  def sqErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+  def sqErrorAudit(spark: SparkSession, dir: String): DataFrame =
+    sqErrorAuditOn(Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[sqErrorAudit]] (needs vec_id, embedding) —
+    * the 10x rehearsal entry point. */
+  def sqErrorAuditOn(emb: DataFrame): DataFrame = {
     val errs = expr(
       s"""transform(embedding, v ->
          |  abs(cast(round(cast(v as double) * 1000000, 0) as bigint)
          |    - (cast(round(cast(v as double) * $SqScale, 0) as bigint)
          |       * 1000000 div $SqScale)))""".stripMargin)
-    Tables.embeddings(spark, dir)
+    emb
       .select(col("vec_id"), errs.as("errs"))
       .select(col("vec_id"),
         array_max(col("errs")).as("max_err_mu"),

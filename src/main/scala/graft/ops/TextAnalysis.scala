@@ -629,9 +629,15 @@ object TextAnalysis {
     * shuffle of narrow rows, no text through a shuffle), then a
     * |sources|-row rollup. */
   def epochBudget(spark: SparkSession, dir: String,
+      targetTokens: Long = 200000L, maxEpochs: Int = 4): DataFrame =
+    epochBudgetDocs(Tables.documents(spark, dir), targetTokens, maxEpochs)
+
+  /** Frame-based core of [[epochBudget]] (needs source, text) — the
+    * 10x rehearsal entry point. */
+  def epochBudgetDocs(docs: DataFrame,
       targetTokens: Long = 200000L, maxEpochs: Int = 4): DataFrame = {
     val t = col("text")
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"), sha2(t, 256).as("digest"),
         size(tokens(t)).cast("long").as("nw"))
       .groupBy(col("source"), col("digest"))

@@ -573,7 +573,14 @@ object TimeSeries {
     * structs so a carried pair can never mix two observations (the
     * AsOf struct-atomicity rule). */
   def linearInterp(spark: SparkSession, dir: String): DataFrame =
-    linearInterpOf(hourly(spark, dir)
+    linearInterpEv(Tables.events(spark, dir))
+
+  /** Hourly-aggregate + interpolate over an events frame (needs
+    * user_id, ts, value) — the 10x rehearsal entry point. */
+  def linearInterpEv(ev: DataFrame): DataFrame =
+    linearInterpOf(ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
       .select(col("user_id"), col("hour"),
         (col("sv") * 1000000).cast("long").as("vmu")))
 
@@ -665,10 +672,15 @@ object TimeSeries {
     *
     * Scale shape: one user-keyed shuffle; windows and rollups all
     * ride the same partitioning; output is |users| rows. */
-  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame =
+    intervalUnionEv(Tables.events(spark, dir))
+
+  /** Hold-interval projection + merge over an events frame (needs
+    * user_id, ts, value) — the 10x rehearsal entry point. */
+  def intervalUnionEv(ev: DataFrame): DataFrame = {
     val holdUs = expr(
       "greatest(1L, cast(round(cast(value as double) * 100000000, 0) as bigint))")
-    intervalUnionOf(Tables.events(spark, dir)
+    intervalUnionOf(ev
       .select(col("user_id"), unix_micros(col("ts")).as("s"),
         (unix_micros(col("ts")) + holdUs).as("e")))
   }
