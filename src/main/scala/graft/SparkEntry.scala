@@ -255,6 +255,14 @@ object SparkEntry {
     "q179_psi_drift"        -> ((s: SparkSession, d: String) =>
       Profiling.psiDrift(s, d)),
     "q180_linear_interp"    -> (TimeSeries.linearInterp _),
+    // round-9 wave: containment dedup + selection/statistics planners
+    "q181_containment_join" -> (Dedup.containmentNearDups _),
+    "q182_budget_select"    -> ((s: SparkSession, d: String) =>
+      Sampling.budgetSelect(s, d)),
+    "q183_cdc_chunks"       -> (Layout.cdcChunks _),
+    "q184_length_tail"      -> (Profiling.lengthTailProfile _),
+    "q185_spearman"         -> (Profiling.spearman _),
+    "q186_cell_medoids"     -> (Ivf.cellMedoids _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2511,6 +2519,12 @@ object SparkEntry {
       "q178_interval_union" -> TimeSeries.intervalUnionOracleSql,
       "q179_psi_drift" -> Profiling.psiDriftOracleSql(),
       "q180_linear_interp" -> TimeSeries.linearInterpOracleSql,
+      "q181_containment_join" -> Dedup.containmentOracleSql(),
+      "q182_budget_select" -> Sampling.budgetSelectOracleSql(),
+      "q183_cdc_chunks" -> Layout.cdcChunksOracleSql,
+      "q184_length_tail" -> Profiling.lengthTailProfileOracleSql,
+      "q185_spearman" -> Profiling.spearmanOracleSql,
+      "q186_cell_medoids" -> Ivf.cellMedoidsOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

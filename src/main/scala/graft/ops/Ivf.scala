@@ -415,6 +415,66 @@ object Ivf {
        |FROM afin GROUP BY cell
        |ORDER BY cell, n_vecs, min_vec_id""".stripMargin
 
+  /** Cell-medoid coreset (q186): per deterministic-IVF cell, the
+    * member vector closest to the cell centroid (exact integer µu
+    * L2², tie-break min vec_id) with the cell population — the
+    * diversity-preserving coreset selection (one representative per
+    * region, the k-center-lite every "select a diverse subsample"
+    * recipe starts from, and the natural companion of SemDeDup: q145
+    * keeps min-id per ε-ball, this keeps the most CENTRAL member per
+    * cell). Distances ride the native codegen `l2mu` (round-8) over
+    * the broadcast k-row centroid table; the medoid is a map-side
+    * combined min(struct) — no window, no pair join.
+    *
+    * Scale shape: one broadcast join (k rows) + one cell-keyed
+    * aggregate; at k ∝ N the per-cell work is constant. */
+  def cellMedoids(spark: SparkSession, dir: String): DataFrame =
+    cellMedoidsOn(deterministicIndex(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[cellMedoids]] (caller supplies index +
+    * embeddings) — the planted-fixture / rehearsal entry point. */
+  def cellMedoidsOn(idx: DetIndex, emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val centDf = idx.centroids.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "cent")
+    idx.assigned
+      .join(emb, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), muCol.as("xmu"))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("d2", call_function("l2mu", col("xmu"), col("cent")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(struct(col("d2"), col("vec_id"))).as("m"))
+      .select(col("cell"), col("n_vecs"),
+        col("m.vec_id").as("medoid_id"), col("m.d2").as("d2_mu"))
+      .orderBy(col("cell"), col("n_vecs"), col("medoid_id"),
+        col("d2_mu"))
+  }
+
+  /** DuckDB oracle for [[cellMedoids]] — replay the build, compute
+    * the same integer distances against the final centroids. */
+  def cellMedoidsOracleSql(iters: Int = 2): String =
+    s"""WITH ${buildCtes(iters)},
+       |dd AS (
+       |  SELECT a.vec_id, a.cell, ${oracleD2("x.x", "c.c")} AS d2
+       |  FROM afin a
+       |  JOIN xi x ON x.vec_id = a.vec_id
+       |  JOIN cent$iters c ON c.cell = a.cell),
+       |nn AS (SELECT cell, COUNT(*) AS n_vecs FROM afin GROUP BY cell),
+       |md AS (
+       |  SELECT cell, vec_id, d2 FROM dd
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY d2, vec_id) = 1)
+       |SELECT CAST(md.cell AS BIGINT) AS cell,
+       |  CAST(nn.n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(md.vec_id AS BIGINT) AS medoid_id,
+       |  CAST(md.d2 AS BIGINT) AS d2_mu
+       |FROM md JOIN nn ON nn.cell = md.cell
+       |ORDER BY cell, n_vecs, medoid_id, d2_mu""".stripMargin
+
   /** SemDeDup-style semantic dedup (q145): cluster embeddings, then
     * prune within each cluster — a document whose embedding has a
     * LOWER-id cluster-mate at cosine ≥ τ is dropped; the lowest id in

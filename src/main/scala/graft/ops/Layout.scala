@@ -218,6 +218,89 @@ object Layout {
         col("n_tok"))
   }
 
+  /** Content-defined chunking audit (q183): split each document at
+    * ROLLING-HASH boundaries (a window position whose FNV+splitmix
+    * hash has its low 6 bits zero — expected chunk ≈ 64 chars) and
+    * report per-source chunk counts, cross-doc duplicated-chunk mass
+    * and the max chunk length. The FastCDC/rsync insight, applied to
+    * corpus dedup: FIXED chunking (q75 passages) misses every
+    * duplicate after a single inserted prefix shifts the grid, while
+    * content-defined cuts REALIGN at the next hash boundary — so
+    * shared text between shifted copies still lands in identical
+    * chunks (Round9OpsSpec plants exactly that). Boundary test uses
+    * the splitmix-finalized window hash (the round-3 rule: plain FNV
+    * of short windows is non-uniform) with a power-of-two modulus so
+    * Spark's signed pmod and the DuckDB replay agree on the low bits.
+    * Distinctness is by sha2 digest in the engine and raw chunk text
+    * in the oracle (the q63 digests-never-cross-engines rule).
+    *
+    * Scale shape: linear in corpus bytes (one interpreted HOF pass to
+    * find cuts — audit cadence, like q174), one (source, digest)
+    * map-side-combined aggregate, a |sources|-row rollup. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    cdcChunksDocs(Tables.documents(spark, dir))
+  }
+
+  /** Frame-based core of [[cdcChunks]] (needs source + text). */
+  def cdcChunksDocs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // cuts computed ONCE into their own projection (shingle8_seq is
+    // the per-byte cost; referencing it twice would double it)
+    val cuts = expr(
+      """filter(transform(shingle8_seq(text),
+        |  (h, i) -> CASE WHEN i > 0 AND pmod(h, 64L) = 0L
+        |            THEN i + 1 END), x -> x IS NOT NULL)""".stripMargin)
+    val chunks = expr(
+      """zip_with(concat(array(1), cuts),
+        |  concat(cuts, array(length(text) + 1)),
+        |  (s, e) -> substring(text, s, e - s))""".stripMargin)
+    docs
+      .select(col("source"), col("text"), cuts.as("cuts"))
+      .select(col("source"), explode(chunks).as("chunk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(sha2(col("chunk"), 256)).as("n_distinct"),
+        max(length(col("chunk"))).cast("long").as("max_chunk_len"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+          .as("dup_chunk_ppm"),
+        col("max_chunk_len"))
+      .orderBy(col("source"), col("n_chunks"), col("n_distinct"),
+        col("dup_chunk_ppm"), col("max_chunk_len"))
+  }
+
+  /** DuckDB oracle for [[cdcChunks]] — the HashSql window-hash replay,
+    * the same power-of-two boundary test on the signed hash
+    * (((h % 64) + 64) % 64 = low 6 bits = Spark pmod), raw-text
+    * distinctness. */
+  def cdcChunksOracleSql: String =
+    s"""WITH ${HashSql.windowHashCtes},
+       |cuts AS (
+       |  SELECT w.doc_id, w.source, d.text, length(d.text) AS nn,
+       |    list_filter(list_transform(range(1, len(wh) + 1),
+       |      i -> CASE WHEN i > 1 AND ((wh[i] % 64) + 64) % 64 = 0
+       |           THEN i END), x -> x IS NOT NULL) AS cs
+       |  FROM whs w JOIN documents d ON d.doc_id = w.doc_id),
+       |ck AS (
+       |  SELECT source, unnest(list_transform(
+       |    range(1, len(cs) + 2),
+       |    j -> substr(text,
+       |      CASE WHEN j = 1 THEN 1 ELSE cs[j - 1] END,
+       |      (CASE WHEN j = len(cs) + 1 THEN nn + 1 ELSE cs[j] END)
+       |        - (CASE WHEN j = 1 THEN 1 ELSE cs[j - 1] END))))
+       |    AS chunk
+       |  FROM cuts)
+       |SELECT source, COUNT(*) AS n_chunks,
+       |  CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct,
+       |  CAST((COUNT(*) - COUNT(DISTINCT chunk)) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS dup_chunk_ppm,
+       |  CAST(MAX(LENGTH(chunk)) AS BIGINT) AS max_chunk_len
+       |FROM ck
+       |GROUP BY source
+       |ORDER BY source, n_chunks, n_distinct, dup_chunk_ppm,
+       |  max_chunk_len""".stripMargin
+
   /** DuckDB oracle for [[chunkSpans]]: half-open range(0, n, stride)
     * equals Spark's inclusive sequence(0, n-1, stride) for n ≥ 1. */
   def chunkSpansOracleSql(chunk: Int = 128, stride: Int = 96): String =

@@ -693,6 +693,131 @@ object Profiling {
        |FROM c CROSS JOIN t
        |ORDER BY bin, n_ref, n_cur, psi_term""".stripMargin
 
+  /** Document-length tail profile (q184): per source, the log2-binned
+    * length histogram with per-bin DECAY ratios — the scale-free view
+    * of the length distribution's tail (a power-law-ish corpus decays
+    * at a roughly constant ratio per doubling; a truncated or
+    * boilerplate-stuffed source shows a cliff or a spike). Emitting
+    * the per-bin ratio (cnt·1e6 div prev_cnt) instead of a fitted
+    * exponent keeps the whole operator in exact integers — the fit is
+    * the reader's one division away, and the per-bin shape is what
+    * actually localizes an anomaly.
+    *
+    * Scale shape: one map-side-combined (source, bin) count —
+    * |sources|·~20 rows; the lag is a window over that tiny frame. */
+  def lengthTailProfile(spark: SparkSession, dir: String): DataFrame =
+    lengthTailProfileDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[lengthTailProfile]] (needs source, text). */
+  def lengthTailProfileDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // floor(log2 n) via the BINARY-STRING length — exact integer
+    // arithmetic on both engines (a float log2 can land a hair under
+    // an integer on one engine and exactly on it on the other,
+    // flipping the floor at every power-of-two boundary)
+    val bins = docs
+      .select(col("source"),
+        (length(expr("bin(greatest(CAST(length(text) AS BIGINT), 1L))"))
+          - 1).cast("long").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+    bins
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .select(col("source"), col("bin"), col("cnt"),
+        expr("CAST(cnt * 1000000 div prev_cnt AS BIGINT)")
+          .as("decay_ppm"))
+      .orderBy(col("source"), col("bin"), col("cnt"), col("decay_ppm"))
+  }
+
+  /** DuckDB oracle for [[lengthTailProfile]] — the same binary-string
+    * floor(log2): LENGTH(BIN(n)) − 1 on both engines, no float log. */
+  val lengthTailProfileOracleSql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |    CAST(LENGTH(BIN(GREATEST(LENGTH(text), 1))) - 1 AS BIGINT)
+      |      AS bin
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, bin, COUNT(*) AS cnt FROM b GROUP BY source, bin),
+      |r AS (
+      |  SELECT source, bin, cnt,
+      |    LAG(cnt) OVER (PARTITION BY source ORDER BY bin) AS prev_cnt
+      |  FROM c)
+      |SELECT source, bin, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(cnt * 1000000 // prev_cnt AS BIGINT) AS decay_ppm
+      |FROM r
+      |ORDER BY source, bin, cnt, decay_ppm""".stripMargin
+
+  /** Spearman rank correlation (q185): per source, the rank
+    * correlation between document LENGTH and STOPWORD COUNT — the
+    * signal-agreement audit for quality scoring (two signals that
+    * rank the corpus the same way are redundant in a filter cascade;
+    * anti-correlated ones flag a scoring bug). Ranks are row_number
+    * over (value asc, doc_id asc) — the deterministic tie-break
+    * convention, documented as part of the contract — which makes
+    * both marginals permutations of 1..n, so the classic
+    *   ρ = 1 − 6·Σd² / (n·(n²−1))
+    * holds EXACTLY and the whole statistic stays in integer ppm:
+    * rho_ppm = (n(n²−1) − 6Σd²)·1e6 div (n(n²−1)). No float enters at
+    * any step (unlike Pearson's one-IEEE fold, q99 — rank moments are
+    * fixed by n).
+    *
+    * Scale shape: two rank windows PARTITIONED by source + one
+    * |sources|-row rollup; the same shape as q172's terciles. */
+  def spearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[spearman]] (needs doc_id, source, text). */
+  def spearmanDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = size(filter(split(col("text"), " "),
+      tk => tk.isin("the", "a", "and", "of", "to"))).cast("long")
+    val vals = docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("x"), stop.as("y"))
+    val wx = Window.partitionBy(col("source"))
+      .orderBy(col("x").asc, col("doc_id").asc)
+    val wy = Window.partitionBy(col("source"))
+      .orderBy(col("y").asc, col("doc_id").asc)
+    vals
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .as("sum_d2"))
+      .select(col("source"), col("n"), col("sum_d2"),
+        expr("CAST((n * (n * n - 1) - 6 * sum_d2) * 1000000" +
+          " div nullif(n * (n * n - 1), 0L) AS BIGINT)").as("rho_ppm"))
+      .orderBy(col("source"), col("n"), col("sum_d2"), col("rho_ppm"))
+  }
+
+  /** DuckDB oracle for [[spearman]] — same deterministic tie-break,
+    * same all-integer formula. */
+  val spearmanOracleSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, source, LENGTH(text) AS x,
+      |    LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+      |      t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS y
+      |  FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY x, doc_id) AS rx,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY y, doc_id) AS ry
+      |  FROM v),
+      |a AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    SUM((rx - ry) * (rx - ry)) AS sum_d2
+      |  FROM r GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  CAST(sum_d2 AS BIGINT) AS sum_d2,
+      |  CAST((n * (n * n - 1) - 6 * sum_d2) * 1000000
+      |    // NULLIF(n * (n * n - 1), 0) AS BIGINT) AS rho_ppm
+      |FROM a
+      |ORDER BY source, n, sum_d2, rho_ppm""".stripMargin
+
   /** Per-supplier Pareto frontier of (minimize price, maximize
     * quantity) over lineitem under WEAK domination: a row is removed
     * iff some other row of the same supplier has lower-or-equal price

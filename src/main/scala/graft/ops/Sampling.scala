@@ -156,6 +156,90 @@ object Sampling {
         col("split"))
   }
 
+  /** Token-budget greedy selection (q182): per source, keep the
+    * highest-quality documents until that source's TOKEN budget is
+    * exhausted — the selection step every mix recipe ends with once
+    * shares (q148/q152) are converted to absolute token counts. The
+    * quality signal is the q35 composite rebuilt in PURE INTEGER ppm
+    * (length, punctuation and stopword terms with truncating
+    * division), so rank order and the budget cut replay exactly in
+    * DuckDB — no float threshold anywhere. The cut is prefix-greedy:
+    * documents ranked (score desc, doc_id) accumulate tokens; kept =
+    * cumulative ≤ budget, and the first overflow ends the source's
+    * intake (no best-fit backfill — deterministic and
+    * growth-monotone: adding worse docs never flips existing keeps).
+    *
+    * Scale shape: one narrow projection + one window PARTITIONED by
+    * source (never global) carrying the running sum — the q172
+    * tercile shape with a budget instead of a rank boundary; a
+    * skewed mega-source is the documented AQE-skew case. */
+  def budgetSelect(spark: SparkSession, dir: String,
+      budgetTokens: Long = 20000L): DataFrame =
+    budgetSelectDocs(Tables.documents(spark, dir), budgetTokens)
+
+  /** Frame-based core of [[budgetSelect]] (needs doc_id, source,
+    * text). */
+  def budgetSelectDocs(docs: DataFrame,
+      budgetTokens: Long = 20000L): DataFrame = {
+    val t = col("text")
+    val nTok = size(split(t, " ")).cast("long")
+    val punct = expr(
+      "size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long")
+    val stop = size(filter(split(t, " "),
+      tk => tk.isin("the", "a", "and", "of", "to"))).cast("long")
+    val scored = docs.select(col("doc_id"), col("source"),
+        nTok.as("n_tokens"), punct.as("punct"), stop.as("stop"),
+        length(t).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("least(n_tokens, 100L) * 4000L" +
+          " + (1000000L - punct * 1000000L div nullif(n_chars, 0L))" +
+          "   * 3L div 10L" +
+          " + least(stop * 5000000L div n_tokens, 1000000L)" +
+          "   * 3L div 10L").as("score_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("score_ppm"), col("cum_tokens"),
+        (col("cum_tokens") <= budgetTokens).as("kept"))
+      .orderBy(col("doc_id"), col("source"), col("n_tokens"),
+        col("score_ppm"), col("cum_tokens"), col("kept"))
+  }
+
+  /** DuckDB oracle for [[budgetSelect]] — same integer score, same
+    * per-source running sum. */
+  def budgetSelectOracleSql(budgetTokens: Long = 20000L): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |    LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+       |    LEN(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct,
+       |    LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+       |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS stop,
+       |    LENGTH(text) AS n_chars
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(LEAST(n_tokens, 100) * 4000
+       |      + (1000000 - punct * 1000000 // NULLIF(n_chars, 0))
+       |        * 3 // 10
+       |      + LEAST(stop * 5000000 // n_tokens, 1000000)
+       |        * 3 // 10 AS BIGINT) AS score_ppm
+       |  FROM s),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens, score_ppm,
+       |    SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY score_ppm DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sc)
+       |SELECT doc_id, source, n_tokens, score_ppm,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  cum <= $budgetTokens AS kept
+       |FROM r
+       |ORDER BY doc_id, source, n_tokens, score_ppm, cum_tokens,
+       |  kept""".stripMargin
+
   /** Weighted deterministic Bernoulli sample: keep probability is a
     * rational weight num/den per row (here min(n_chars, cap)/cap —
     * long documents always kept, short ones proportionally). The keep

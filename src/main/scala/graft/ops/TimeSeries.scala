@@ -596,13 +596,20 @@ object TimeSeries {
       .withColumn("t", expr("unix_micros(hour) div 3600000000"))
     val wPrev = Window.partitionBy(col("user_id")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("user_id")).orderBy(col("t"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the BACKWARD carry as a DESC-ordered RUNNING frame, not a
+    // [currentRow, unboundedFollowing] frame: Spark executes
+    // unbounded-FOLLOWING frames by re-scanning current→end for EVERY
+    // row (O(n²) per partition — measured 32.7 s at sf0.1, the whole
+    // bench's hottest entry), while a running frame streams O(n).
+    // last(nonNull) over t desc ≡ first(nonNull) over [current, end]
+    // in asc order (both include the current row).
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     j
       .withColumn("pv", last(when(col("vmu").isNotNull,
         struct(col("t").as("t0"), col("vmu").as("v0"))),
         ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first(when(col("vmu").isNotNull,
+      .withColumn("nv", last(when(col("vmu").isNotNull,
         struct(col("t").as("t1"), col("vmu").as("v1"))),
         ignoreNulls = true).over(wNext))
       .select(col("user_id"), col("hour"),

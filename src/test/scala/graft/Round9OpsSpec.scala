@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Decontaminate, Grouping, Profiling, TimeSeries}
+import graft.ops.{Decontaminate, Dedup, Grouping, Layout, Profiling, Sampling, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-9 planted fixtures for the two ops registered this round
@@ -87,6 +87,137 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(4L) == ((3L, 1L, 333333L)),
       s"doc 4 must count duplicate trigrams once: ${out(4L)}")
     assert(!out.contains(100L), "eval docs are excluded from scoring")
+  }
+
+  test("q181 containment: planted sub-document found, Jaccard would miss it") {
+    import spark.implicits._
+    // doc 1 (16 chars, 9 grams) is a strict PREFIX of doc 2 (24
+    // chars, 17 grams): C(1→2) = 9/9 = 1e6 while J(1,2) = 9/17 ≈
+    // 0.53 — under the q126 Jaccard threshold, which is the point of
+    // the operator. The reverse C(2→1) = 9/17 is under t. doc 4
+    // shares only 3 of its 9 grams with doc 1 (0.33, below t). docs
+    // 3 and 5 are identical → containment 1e6 BOTH ways.
+    val docs = Seq(
+      (1L, "0123456789abcdef"),
+      (2L, "0123456789abcdefghijklmn"),
+      (3L, "zyxwvutsrqponml"),
+      (4L, "56789abcdeUVWXYZ"),
+      (5L, "zyxwvutsrqponml"))
+      .toDF("doc_id", "text")
+    try {
+      val out = Dedup.containmentJoin(docs, "doc_id", 800000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 2L, 1000000L), (3L, 5L, 1000000L),
+        (5L, 3L, 1000000L)), s"got $out")
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q182 budget select: hand-computed scores, greedy prefix cut") {
+    import spark.implicits._
+    // doc 1 "the the the the": 4 tokens all stopwords, no punct ->
+    //   16000 + 300000 + 300000 = 616000
+    // doc 3 "a b!": 2 tokens, 1 stopword, 1 punct of 4 chars ->
+    //   8000 + (1e6 - 250000)*3 div 10 + 300000 = 533000
+    // doc 2 "x y z": 3 tokens, no stopword -> 12000 + 300000 = 312000
+    // budget 6: rank 616000(4 toks, cum 4 keep), 533000(cum 6 keep),
+    // 312000(cum 9 DROP) — the first overflow ends the intake.
+    val docs = Seq(
+      (1L, "s1", "the the the the"),
+      (2L, "s1", "x y z"),
+      (3L, "s1", "a b!"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.budgetSelectDocs(docs, budgetTokens = 6L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((616000L, 4L, true)), s"doc 1: ${out(1L)}")
+    assert(out(3L) == ((533000L, 6L, true)), s"doc 3: ${out(3L)}")
+    assert(out(2L) == ((312000L, 9L, false)), s"doc 2: ${out(2L)}")
+  }
+
+  test("q183 CDC chunks realign after a prefix insertion; fixed chunking would not") {
+    import spark.implicits._
+    // T is a fixed pseudo-text (~600 chars, seeded); doc 2 is T with a
+    // 7-char prefix INSERTED. Fixed-grid chunking (q75) shares zero
+    // chunks between the two (every boundary shifts by 7); content-
+    // defined cuts realign at the first hash boundary, so the tail
+    // chunks are IDENTICAL -> duplicated-chunk mass appears. The
+    // control source "t" holds two unrelated texts -> zero dup mass.
+    val r = new scala.util.Random(42)
+    def txt(n: Int) = (1 to n).map { _ =>
+      val c = r.nextInt(27); if (c == 26) ' ' else ('a' + c).toChar
+    }.mkString
+    val base = txt(600)
+    val docs = Seq(
+      (1L, "s", base),
+      (2L, "s", "zq!pfx " + base),
+      (3L, "t", txt(300)),
+      (4L, "t", txt(300)))
+      .toDF("doc_id", "source", "text")
+    val out = Layout.cdcChunksDocs(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nS, dS, ppmS) = out("s")
+    assert(nS >= 6, s"fixture produced too few chunks ($nS) — no boundaries?")
+    assert(dS < nS && ppmS > 0,
+      s"prefix-shifted copy shares no CDC chunk: n=$nS distinct=$dS")
+    val (nT, dT, ppmT) = out("t")
+    assert(nT == dT && ppmT == 0L,
+      s"unrelated texts must share no chunk: n=$nT distinct=$dT")
+  }
+
+  test("q184 length-tail: planted bins and decay ratios") {
+    import spark.implicits._
+    // lengths 1 | 2,3 | 4,5,6,7 -> bins 0:1, 1:2, 2:4; decay ratios
+    // null, 2e6, 2e6 — the doubling-rate view, exact integers
+    val docs = Seq("a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg")
+      .zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
+      .toDF("doc_id", "source", "text")
+    val out = Profiling.lengthTailProfileDocs(docs).collect()
+      .map(r => r.getLong(1) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(0L) == ((1L, -1L)), s"bin 0: ${out(0L)}")
+    assert(out(1L) == ((2L, 2000000L)), s"bin 1: ${out(1L)}")
+    assert(out(2L) == ((4L, 2000000L)), s"bin 2: ${out(2L)}")
+  }
+
+  test("q185 Spearman: planted perfect agreement and perfect inversion") {
+    import spark.implicits._
+    // source p: length rank == stopword rank -> rho exactly 1e6.
+    // source q: length ascending while stopwords descend -> Σd² =
+    // n(n²−1)/3 = 8 -> rho exactly −1e6. All integer arithmetic.
+    val docs = Seq(
+      (1L, "p", "b"), (2L, "p", "a b"), (3L, "p", "the a b"),
+      (7L, "q", "the of"), (8L, "q", "xxxxxxx a"), (9L, "q", "xxxxxxxxxxxx"))
+      .toDF("doc_id", "source", "text")
+    val out = Profiling.spearmanDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("p") == ((3L, 0L, 1000000L)), s"source p: ${out("p")}")
+    assert(out("q") == ((3L, 8L, -1000000L)), s"source q: ${out("q")}")
+  }
+
+  test("q186 cell medoids: planted clusters, exact centroid math, d2 tie-break") {
+    import spark.implicits._
+    // 1-D geometry embedded in 64-D: seeds are vecs 0 (0.1) and 1
+    // (−0.5). Cluster A = {0.1, 0.12, 0.2} -> integer-mean centroid
+    // 140000 µu; medoid is vec 2 at d2 = 20000² = 4e8 (vec 0 is
+    // 1.6e9, vec 3 is 3.6e9). Cluster B = {−0.5, −0.48} -> centroid
+    // −490000; BOTH members sit at d2 = 1e8 -> min-vec_id tie-break
+    // picks vec 1.
+    def v(x: Float) = (x +: Seq.fill(63)(0.0f))
+    val emb = Seq(
+      (0L, v(0.1f)), (1L, v(-0.5f)), (2L, v(0.12f)),
+      (3L, v(0.2f)), (4L, v(-0.48f)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.ops.Ivf.deterministicIndexOn(emb, k = 2)
+    try {
+      val out = graft.ops.Ivf.cellMedoidsOn(idx, emb).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(out(0L) == ((3L, 2L, 400000000L)), s"cell 0: ${out(0L)}")
+      assert(out(1L) == ((2L, 1L, 100000000L)),
+        s"cell 1 (tie must break to min vec_id): ${out(1L)}")
+    } finally idx.assigned.unpersist()
   }
 
   test("q180 interp: planted gap values, negative slope truncates toward zero") {
