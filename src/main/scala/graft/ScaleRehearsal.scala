@@ -105,6 +105,21 @@ object ScaleRehearsal {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Full materialization through the noop sink, returning the row
+    * count from an observe() metric — for PROJECTION-shaped ops,
+    * where `count()` lets Catalyst prune unreferenced window/compute
+    * columns and under-measures (the q180 lesson: its O(n²) window
+    * read 0.88 s under count() and 32.7 s under the bench's noop).
+    * Aggregate-shaped ops keep count() — their compute is not
+    * prunable. */
+  private def matCount(df: org.apache.spark.sql.DataFrame): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    obs.get("n").asInstanceOf[Long]
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = sys.props("java.io.tmpdir") + "/graft_scale10"
@@ -489,8 +504,58 @@ object ScaleRehearsal {
       if (wanted("q180")) {
         val ev = evAt(scale)
         val (nLi, tLi) = timed(
-          graft.ops.TimeSeries.linearInterpEv(ev).count())
+          matCount(graft.ops.TimeSeries.linearInterpEv(ev)))
         report("q180_linear_interp", tLi, nLi)
+      }
+      // q181: containment candidates + full join — the candidate
+      // count is the governing quantity (the q126 convention); the
+      // container side is the FULL gram table, so candidate growth
+      // is the thing to watch at 10x
+      if (wanted("q181")) {
+        val (nCc9, tCc9) = timed(
+          Dedup.containmentCandidates(d, "doc_id", 900000L).count())
+        Dedup.unpersistCaches()
+        report("q181_containment_candidates", tCc9, nCc9)
+        val (nCj, tCj) = timed(
+          Dedup.containmentJoin(d, "doc_id", 900000L).count())
+        Dedup.unpersistCaches()
+        report("q181_containment_join", tCj, nCj)
+      }
+      // q182: per-source budget windows — the q172 shape
+      if (wanted("q182")) {
+        val (nBs, tBs) = timed(
+          matCount(graft.ops.Sampling.budgetSelectDocs(d)))
+        report("q182_budget_select", tBs, nBs)
+      }
+      // q183: CDC chunking — linear in corpus bytes (one HOF pass)
+      // + a (source, digest) aggregate
+      if (wanted("q183")) {
+        val (nCd, tCd) = timed(graft.ops.Layout.cdcChunksDocs(d).count())
+        report("q183_cdc_chunks", tCd, nCd)
+      }
+      // q184/q185: |sources|-row profile rollups / per-source rank
+      // windows
+      if (wanted("q184")) {
+        val (nLt, tLt) = timed(
+          graft.ops.Profiling.lengthTailProfileDocs(d).count())
+        report("q184_length_tail", tLt, nLt)
+      }
+      if (wanted("q185")) {
+        val (nSp, tSp) = timed(graft.ops.Profiling.spearmanDocs(d).count())
+        report("q185_spearman", tSp, nSp)
+      }
+      // q186: medoids on a frame-built det index at the autoK k —
+      // broadcast k-row centroids + one cell-keyed min(struct)
+      if (wanted("q186")) {
+        val e = embAt(scale)
+        val (nMd, tMd) = timed {
+          val idx = graft.ops.Ivf.deterministicIndexOn(
+            e, graft.ops.Ivf.autoK(e.count()))
+          val n = graft.ops.Ivf.cellMedoidsOn(idx, e).count()
+          idx.assigned.unpersist()
+          n
+        }
+        report("q186_cell_medoids", tMd, nMd)
       }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
