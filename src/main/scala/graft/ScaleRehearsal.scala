@@ -557,6 +557,34 @@ object ScaleRehearsal {
         }
         report("q186_cell_medoids", tMd, nMd)
       }
+      // q187: (day, bin) count from 10x events, then grid-sized work
+      if (wanted("q187")) {
+        val ev = evAt(scale)
+        val binned = ev.select(
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("day_idx"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 2500").as("bin"))
+        val (nPd, tPd) = timed(
+          graft.ops.Profiling.psiDriftDailyOf(binned).count())
+        report("q187_psi_daily", tPd, nPd)
+      }
+      // q188/q189/q190: rollup-shaped doc audits
+      if (wanted("q188")) {
+        val (nHh, tHh) = timed(
+          graft.ops.Profiling.sourceHhiDocs(d).count())
+        report("q188_source_hhi", tHh, nHh)
+      }
+      if (wanted("q189")) {
+        val (nOv, tOv) = timed(
+          graft.ops.TextAnalysis.oovRateDocs(d).count())
+        report("q189_oov_rate", tOv, nOv)
+      }
+      if (wanted("q190")) {
+        val (nPc, tPc) = timed(
+          graft.etl.Sanitize.piiCooccurrenceDocs(d).count())
+        report("q190_pii_cooccurrence", tPc, nPc)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

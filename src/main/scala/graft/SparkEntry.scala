@@ -263,6 +263,12 @@ object SparkEntry {
     "q184_length_tail"      -> (Profiling.lengthTailProfile _),
     "q185_spearman"         -> (Profiling.spearman _),
     "q186_cell_medoids"     -> (Ivf.cellMedoids _),
+    "q187_psi_daily"        -> ((s: SparkSession, d: String) =>
+      Profiling.psiDriftDaily(s, d)),
+    "q188_source_hhi"       -> (Profiling.sourceHhi _),
+    "q189_oov_rate"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.oovRate(s, d)),
+    "q190_pii_cooccurrence" -> (graft.etl.Sanitize.piiCooccurrence _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2525,6 +2531,10 @@ object SparkEntry {
       "q184_length_tail" -> Profiling.lengthTailProfileOracleSql,
       "q185_spearman" -> Profiling.spearmanOracleSql,
       "q186_cell_medoids" -> Ivf.cellMedoidsOracleSql(),
+      "q187_psi_daily" -> Profiling.psiDriftDailyOracleSql(),
+      "q188_source_hhi" -> Profiling.sourceHhiOracleSql,
+      "q189_oov_rate" -> TextAnalysis.oovRateOracleSql(),
+      "q190_pii_cooccurrence" -> graft.etl.Sanitize.piiCooccurrenceOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

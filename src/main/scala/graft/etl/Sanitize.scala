@@ -105,6 +105,80 @@ object Sanitize {
         col("docs_hit"), col("docs_hit_ppm"))
   }
 
+  /** PII co-occurrence matrix (q190): corpus-wide document counts for
+    * every unordered PAIR of PII types (plus the diagonal) — the risk
+    * lens q138's per-type rates miss: an email alone is an address,
+    * an email CO-OCCURRING with a phone in one document is a
+    * contactable identity (linkage risk compounds; k-anonymity q133's
+    * text-column cousin). Same RE2-safe pattern list as the redactor,
+    * so the matrix can never disagree with the scrub. One codegen'd
+    * projection (three boolean flags per row), one 1-row conditional
+    * aggregate, a 6-row stack — no shuffle of documents.
+    */
+  def piiCooccurrence(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    piiCooccurrenceDocs(graft.Tables.documents(spark, dir))
+
+  /** Frame-based core of [[piiCooccurrence]] (needs text). */
+  def piiCooccurrenceDocs(docs: DataFrame): DataFrame = {
+    val names = Seq("email", "ip", "phone")
+    val flagged = PiiPatterns.zip(names).foldLeft(docs.select(col("text"))) {
+      case (df, ((re, _), nm)) =>
+        df.withColumn(s"f_$nm",
+          size(regexp_extract_all(col("text"), lit(re), lit(0))) > 0)
+    }
+    val agg = flagged.agg(
+      count(lit(1)).as("n_docs"),
+      expr("count_if(f_email AND f_email)").as("c_ee"),
+      expr("count_if(f_email AND f_ip)").as("c_ei"),
+      expr("count_if(f_email AND f_phone)").as("c_ep"),
+      expr("count_if(f_ip AND f_ip)").as("c_ii"),
+      expr("count_if(f_ip AND f_phone)").as("c_ip"),
+      expr("count_if(f_phone AND f_phone)").as("c_pp"))
+    agg.select(col("n_docs"), expr(
+        "stack(6, 'email', 'email', c_ee, 'email', 'ip', c_ei," +
+          " 'email', 'phone', c_ep, 'ip', 'ip', c_ii," +
+          " 'ip', 'phone', c_ip, 'phone', 'phone', c_pp)" +
+          " AS (pii_a, pii_b, n_both)"))
+      .select(col("pii_a"), col("pii_b"), col("n_docs"), col("n_both"),
+        expr("n_both * 1000000 div n_docs").as("both_ppm"))
+      .orderBy(col("pii_a"), col("pii_b"), col("n_docs"), col("n_both"),
+        col("both_ppm"))
+  }
+
+  /** DuckDB oracle for [[piiCooccurrence]] — same patterns ('g' flag
+    * irrelevant: only presence is tested), same 6-row matrix. */
+  val piiCooccurrenceOracleSql: String = {
+    // patterns pass through verbatim (SQL single-quoted strings do no
+    // backslash processing — the q138 oracle convention)
+    val Seq(reE, reI, reP) = PiiPatterns.map(_._1.replace("'", "''"))
+    def f(re: String) = s"regexp_matches(text, '$re')"
+    s"""WITH fl AS (
+       |  SELECT ${f(reE)} AS fe, ${f(reI)} AS fi, ${f(reP)} AS fp
+       |  FROM documents),
+       |a AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    COUNT(*) FILTER (fe) AS c_ee,
+       |    COUNT(*) FILTER (fe AND fi) AS c_ei,
+       |    COUNT(*) FILTER (fe AND fp) AS c_ep,
+       |    COUNT(*) FILTER (fi) AS c_ii,
+       |    COUNT(*) FILTER (fi AND fp) AS c_ip,
+       |    COUNT(*) FILTER (fp) AS c_pp
+       |  FROM fl),
+       |m AS (
+       |  SELECT 'email' AS pii_a, 'email' AS pii_b, n_docs, c_ee AS n_both FROM a
+       |  UNION ALL SELECT 'email', 'ip', n_docs, c_ei FROM a
+       |  UNION ALL SELECT 'email', 'phone', n_docs, c_ep FROM a
+       |  UNION ALL SELECT 'ip', 'ip', n_docs, c_ii FROM a
+       |  UNION ALL SELECT 'ip', 'phone', n_docs, c_ip FROM a
+       |  UNION ALL SELECT 'phone', 'phone', n_docs, c_pp FROM a)
+       |SELECT pii_a, pii_b, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_both * 1000000 // n_docs AS BIGINT) AS both_ppm
+       |FROM m
+       |ORDER BY pii_a, pii_b, n_docs, n_both, both_ppm""".stripMargin
+  }
+
   /** Sanitized view of the events table: props parsed + canonicalized,
     * numeric k extracted, value defaulted.
     *

@@ -693,6 +693,102 @@ object Profiling {
        |FROM c CROSS JOIN t
        |ORDER BY bin, n_ref, n_cur, psi_term""".stripMargin
 
+  /** Daily windowed PSI drift monitor (q187): for each event day with
+    * a full trailing history, the per-bin PSI term of that day's
+    * VALUE distribution against the trailing-7-day baseline — q179's
+    * snapshot statistic turned into the rolling monitor a production
+    * pipeline actually pages on. The (day × bin) grid is DENSE
+    * (distinct days × distinct bins, metadata-sized), so a bin that
+    * vanishes on one day still contributes its term; Laplace +1
+    * smoothing keeps every term finite (the q179 convention), and
+    * each term is ONE IEEE sequence rounded to 6dp, emitted per
+    * (day, bin) — never float-summed.
+    *
+    * Scale shape: one map-side-combined (day, bin) count from the
+    * corpus; everything after runs on the |days|·|bins| grid — a
+    * bin-keyed range window for the trailing sum, two day-keyed
+    * totals, per-row arithmetic. */
+  def psiDriftDaily(spark: SparkSession, dir: String,
+      binCents: Long = 2500L, windowDays: Int = 7): DataFrame =
+    psiDriftDailyOf(Tables.events(spark, dir)
+      .select(
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("day_idx"),
+        expr(s"${centsSql("value")} div $binCents").as("bin")),
+      windowDays)
+
+  /** Frame-based core of [[psiDriftDaily]] over pre-binned
+    * (day_idx: long, bin: long) observation rows. */
+  def psiDriftDailyOf(ev: DataFrame, windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = ev.groupBy(col("day_idx"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = counts.select(col("day_idx")).distinct()
+    val binsD = counts.select(col("bin")).distinct()
+    val grid = days.crossJoin(binsD)
+      .join(counts, Seq("day_idx", "bin"), "left")
+      .select(col("day_idx"), col("bin"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wRef = Window.partitionBy(col("bin")).orderBy(col("day_idx"))
+      .rangeBetween(-windowDays, -1)
+    val wDay = Window.partitionBy(col("day_idx"))
+    val withRef = grid
+      .withColumn("ref", coalesce(sum(col("cnt")).over(wRef), lit(0L)))
+      .withColumn("tot_cur", sum(col("cnt")).over(wDay))
+      .withColumn("tot_ref", sum(col("ref")).over(wDay))
+      .withColumn("nb", count(lit(1)).over(wDay))
+    val minDay = days.agg(min(col("day_idx")).as("d0"))
+    val pr = (col("ref") + 1L).cast("double") /
+      (col("tot_ref") + col("nb")).cast("double")
+    val pc = (col("cnt") + 1L).cast("double") /
+      (col("tot_cur") + col("nb")).cast("double")
+    withRef.crossJoin(broadcast(minDay))
+      .filter(col("day_idx") >= col("d0") + windowDays)
+      .select(col("day_idx"), col("bin"), col("cnt"), col("ref"),
+        round((pr - pc) * log(pr / pc), 6).as("psi_term"))
+      .orderBy(col("day_idx"), col("bin"), col("cnt"), col("ref"),
+        col("psi_term"))
+  }
+
+  /** DuckDB oracle for [[psiDriftDaily]] — same dense grid, same
+    * range window, same single IEEE sequence. */
+  def psiDriftDailyOracleSql(binCents: Long = 2500L,
+      windowDays: Int = 7): String =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(DATE_TRUNC('day', ts)) // 86400000000 AS day_idx,
+       |    ${centsSql("value")} // $binCents AS bin
+       |  FROM events),
+       |c AS (
+       |  SELECT day_idx, bin, COUNT(*) AS cnt FROM ev
+       |  GROUP BY day_idx, bin),
+       |grid AS (
+       |  SELECT d.day_idx, b.bin, COALESCE(c.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT day_idx FROM c) d
+       |  CROSS JOIN (SELECT DISTINCT bin FROM c) b
+       |  LEFT JOIN c ON c.day_idx = d.day_idx AND c.bin = b.bin),
+       |w AS (
+       |  SELECT day_idx, bin, cnt,
+       |    COALESCE(SUM(cnt) OVER (PARTITION BY bin ORDER BY day_idx
+       |      RANGE BETWEEN $windowDays PRECEDING AND 1 PRECEDING), 0)
+       |      AS ref
+       |  FROM grid),
+       |t AS (
+       |  SELECT day_idx, bin, cnt, ref,
+       |    SUM(cnt) OVER (PARTITION BY day_idx) AS tot_cur,
+       |    SUM(ref) OVER (PARTITION BY day_idx) AS tot_ref,
+       |    COUNT(*) OVER (PARTITION BY day_idx) AS nb
+       |  FROM w)
+       |SELECT day_idx, bin, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(ref AS BIGINT) AS ref,
+       |  ROUND((CAST(ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE)
+       |       - CAST(cnt + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE))
+       |    * LN((CAST(ref + 1 AS DOUBLE) / CAST(tot_ref + nb AS DOUBLE))
+       |       / (CAST(cnt + 1 AS DOUBLE) / CAST(tot_cur + nb AS DOUBLE))),
+       |    6) AS psi_term
+       |FROM t
+       |WHERE day_idx >= (SELECT MIN(day_idx) FROM c) + $windowDays
+       |ORDER BY day_idx, bin, cnt, ref, psi_term""".stripMargin
+
   /** Document-length tail profile (q184): per source, the log2-binned
     * length histogram with per-bin DECAY ratios — the scale-free view
     * of the length distribution's tail (a power-law-ish corpus decays
@@ -817,6 +913,60 @@ object Profiling {
       |    // NULLIF(n * (n * n - 1), 0) AS BIGINT) AS rho_ppm
       |FROM a
       |ORDER BY source, n, sum_d2, rho_ppm""".stripMargin
+
+  /** Source-concentration HHI (q188): per language, the
+    * Herfindahl–Hirschman index of the source mix —
+    * Σ_sources share², shares in integer ppm — the one-number
+    * composition audit ("is this language's data effectively one
+    * source?"). hhi_ppm ranges 1e6/n_sources (uniform) to 1e6
+    * (monopoly); a diversity-weighted mix recipe reads it per
+    * language before setting q148's temperature. Exact integers:
+    * share_ppm = cnt·1e6 div tot (truncating both engines), squared
+    * and div 1e6 back to ppm scale.
+    *
+    * Scale shape: one (lang, source) map-side-combined count, then
+    * |langs|-row arithmetic. */
+  def sourceHhi(spark: SparkSession, dir: String): DataFrame =
+    sourceHhiDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[sourceHhi]] (needs lang, source). */
+  def sourceHhiDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("cnt"), col("tot"),
+        expr("cnt * 1000000 div tot").as("share_ppm"))
+      .groupBy(col("lang"))
+      .agg(max(col("tot")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy(col("lang"), col("n_docs"), col("n_sources"),
+        col("hhi_ppm"))
+  }
+
+  /** DuckDB oracle for [[sourceHhi]] — same truncating shares. */
+  val sourceHhiOracleSql: String =
+    """WITH c AS (
+      |  SELECT lang, source, COUNT(*) AS cnt
+      |  FROM documents GROUP BY lang, source),
+      |s AS (
+      |  SELECT lang, cnt,
+      |    SUM(cnt) OVER (PARTITION BY lang) AS tot
+      |  FROM c),
+      |p AS (
+      |  SELECT lang, cnt, tot,
+      |    cnt * 1000000 // tot AS share_ppm
+      |  FROM s)
+      |SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_sources,
+      |  CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+      |    AS hhi_ppm
+      |FROM p GROUP BY lang
+      |ORDER BY lang, n_docs, n_sources, hhi_ppm""".stripMargin
 
   /** Per-supplier Pareto frontier of (minimize price, maximize
     * quantity) over lineitem under WEAK domination: a row is removed

@@ -613,6 +613,62 @@ object TextAnalysis {
       |    FROM a)
       |ORDER BY metric, value""".stripMargin
 
+  /** OOV-rate audit (q189): per source, what fraction of its token
+    * OCCURRENCES falls outside the corpus-wide top-`vocabSize` token
+    * vocabulary (count desc, token asc tie-break — fully
+    * deterministic) — the coverage check behind any fixed-vocabulary
+    * tokenizer choice, and q155's fertility sibling: fertility says
+    * how many pieces a tokenizer makes, OOV-rate says how much text
+    * the vocabulary misses outright. A source whose oov_ppm spikes is
+    * the one that needs vocabulary (or transliteration) work before
+    * training. Integer ppm.
+    *
+    * Scale shape: one corpus-sized token explode into a map-side
+    * combined count (the q77 LM shape), a vocabulary-sized top-k cut
+    * (TakeOrdered — never a global sort), broadcast of the tiny
+    * vocab, one source-keyed rollup. */
+  def oovRate(spark: SparkSession, dir: String,
+      vocabSize: Int = 100): DataFrame =
+    oovRateDocs(Tables.documents(spark, dir), vocabSize)
+
+  /** Frame-based core of [[oovRate]] (needs source, text). */
+  def oovRateDocs(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy(col("source"), col("n_tokens"), col("n_oov"),
+        col("oov_ppm"))
+  }
+
+  /** DuckDB oracle for [[oovRate]] — QUALIFY rank replays the top-k
+    * cut with the same tie-break. */
+  def oovRateOracleSql(vocabSize: Int = 100): String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |v AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)
+       |    <= $vocabSize)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS oov_ppm
+       |FROM t LEFT JOIN v ON v.tok = t.tok
+       |GROUP BY source
+       |ORDER BY source, n_tokens, n_oov, oov_ppm""".stripMargin
+
   /** Epoch-repetition budget (q175): per source, how many EPOCHS of
     * its deduplicated token mass are needed to meet a training token
     * target, and whether that exceeds the repetition cap — the

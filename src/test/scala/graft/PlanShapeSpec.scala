@@ -462,6 +462,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-9 wave budgets: q181 keyed joins only, q182/q185 partitioned windows, q186 broadcast cells") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // q181: candidate + verify joins are all equi-joins on g64/doc_id
+    // — a cartesian would mean the gram key fell out; the verify side
+    // follows the q126 SetSizer rule (broadcast at test scale)
+    Dedup.unpersistCaches()
+    try {
+      val p181 = plan(graft.ops.Dedup.containmentJoin(
+        Tables.documents(spark, sf), "doc_id", 900000L))
+      assert(!p181.contains("CartesianProduct") &&
+        !p181.contains("BroadcastNestedLoopJoin"),
+        s"containment join degenerated:\n${p181.take(1200)}")
+    } finally Dedup.unpersistCaches()
+    // q182/q185: every rank/running window is PARTITIONED by source —
+    // never a corpus-global single-task sort
+    for ((name, df) <- Seq(
+        "q182" -> graft.ops.Sampling.budgetSelect(spark, sf),
+        "q185" -> graft.ops.Profiling.spearman(spark, sf))) {
+      val unpart = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty,
+        s"$name windows over an unpartitioned frame:\n${unpart.headOption}")
+    }
+    // q186: the centroid table joins via broadcast (k rows), and the
+    // medoid is an aggregate — no window, no pair join
+    val df186 = graft.ops.Ivf.cellMedoids(spark, sf)
+    val p186 = plan(df186)
+    assert(p186.contains("BroadcastHashJoin"),
+      s"centroid join lost its broadcast:\n${p186.take(1200)}")
+    assert(!p186.contains("CartesianProduct"),
+      s"medoids plan a cartesian:\n${p186.take(1200)}")
+    assert(df186.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty, "medoids must not use a window")
+  }
+
   test("q169 recall audit builds ONE det index shared by probe and routing") {
     // the audit's approx branch (probe) and its cell routing must read
     // the SAME session-cached DetIndex — a second Lloyd build per

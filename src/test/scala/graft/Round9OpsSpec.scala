@@ -220,6 +220,86 @@ class Round9OpsSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("q187 daily PSI: dense grid, trailing baseline, hand-replayed terms") {
+    import spark.implicits._
+    // days 0..7, one stable bin (cnt 2/day); bin 1 APPEARS on day 7
+    // only (cnt 3). Day 7 is the first with a full 7-day history ->
+    // exactly the 2 grid rows for day 7 emit. ref(bin0)=14, ref(bin1)
+    // =0 (dense grid keeps the vanishing/appearing bin). Terms
+    // replayed driver-side with the identical IEEE sequence.
+    val rows = (0 to 6).flatMap(d => Seq.fill(2)((d.toLong, 0L))) ++
+      Seq.fill(2)((7L, 0L)) ++ Seq.fill(3)((7L, 1L))
+    val ev = rows.toDF("day_idx", "bin")
+    val out = Profiling.psiDriftDailyOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 2, s"only day 7 has full history: ${out.keys}")
+    def term(cnt: Long, ref: Long, totCur: Long, totRef: Long,
+        nb: Long): Double = {
+      val pr = (ref + 1).toDouble / (totRef + nb).toDouble
+      val pc = (cnt + 1).toDouble / (totCur + nb).toDouble
+      BigDecimal((pr - pc) * math.log(pr / pc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out((7L, 0L)) == ((2L, 14L, term(2, 14, 5, 14, 2))),
+      s"stable bin: ${out((7L, 0L))}")
+    assert(out((7L, 1L)) == ((3L, 0L, term(3, 0, 5, 14, 2))),
+      s"appearing bin: ${out((7L, 1L))}")
+    assert(out((7L, 1L))._3 > out((7L, 0L))._3 * 0 &&
+      out((7L, 1L))._3 > 0, "appearing-bin term is positive and finite")
+  }
+
+  test("q188 HHI: planted mix vs monopoly") {
+    import spark.implicits._
+    // L1: shares 3/4 and 1/4 -> (750000² + 250000²) div 1e6 = 625000.
+    // L2: one source -> exactly 1e6.
+    val docs = Seq(
+      (1L, "L1", "a"), (2L, "L1", "a"), (3L, "L1", "a"), (4L, "L1", "b"),
+      (5L, "L2", "c"), (6L, "L2", "c"))
+      .toDF("doc_id", "lang", "source")
+    val out = Profiling.sourceHhiDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("L1") == ((4L, 2L, 625000L)), s"L1: ${out("L1")}")
+    assert(out("L2") == ((2L, 1L, 1000000L)), s"L2: ${out("L2")}")
+  }
+
+  test("q189 OOV: planted vocab cut with deterministic tie-break") {
+    import spark.implicits._
+    // corpus counts: x=5, y=3, z=2 -> top-2 vocab {x, y}.
+    // s1 "x x z x x x": 6 tokens, 1 OOV -> 166666 ppm.
+    // s2 "y z y y z": 5 tokens, 2 OOV -> 400000 ppm.
+    val docs = Seq(
+      (1L, "s1", "x x z x x x"),
+      (2L, "s2", "y z y y z"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.TextAnalysis.oovRateDocs(docs, vocabSize = 2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("s1") == ((6L, 1L, 166666L)), s"s1: ${out("s1")}")
+    assert(out("s2") == ((5L, 2L, 400000L)), s"s2: ${out("s2")}")
+  }
+
+  test("q190 PII co-occurrence: planted linkage pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co and 555-123-4567 now"),
+      (2L, "ip 1.2.3.4 here"),
+      (3L, "clean text"))
+      .toDF("doc_id", "text")
+    val out = graft.etl.Sanitize.piiCooccurrenceDocs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("email", "email")) == ((3L, 1L, 333333L)))
+    assert(out(("email", "phone")) == ((3L, 1L, 333333L)),
+      "the linkage pair — email AND phone in one doc")
+    assert(out(("email", "ip")) == ((3L, 0L, 0L)))
+    assert(out(("ip", "ip")) == ((3L, 1L, 333333L)))
+    assert(out(("ip", "phone")) == ((3L, 0L, 0L)))
+    assert(out(("phone", "phone")) == ((3L, 1L, 333333L)))
+  }
+
   test("q180 interp: planted gap values, negative slope truncates toward zero") {
     import spark.implicits._
     // user 1: v(0h)=1_000_000, v(3h)=4_000_000 -> silent hours get the
