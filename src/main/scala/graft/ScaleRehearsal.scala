@@ -585,6 +585,19 @@ object ScaleRehearsal {
           graft.etl.Sanitize.piiCooccurrenceDocs(d).count())
         report("q190_pii_cooccurrence", tPc, nPc)
       }
+      // q191: incremental containment — the CORPUS side is the scale
+      // variable (a fixed 1x ingest slice joins the growing corpus,
+      // the q120 convention); candidates per direction are the
+      // governing quantity
+      if (wanted("q191")) {
+        val ingest = docsAt("1x").filter(col("doc_id") >= 4500)
+        val corpus = d.filter(col("doc_id") < 4500 ||
+          col("doc_id") >= 1000000L)
+        val (nIc, tIc) = timed(Dedup.containmentIncremental(
+          corpus, "doc_id", ingest, "doc_id", 900000L).count())
+        Dedup.unpersistCaches()
+        report("q191_containment_incremental", tIc, nIc)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

@@ -269,6 +269,9 @@ object SparkEntry {
     "q189_oov_rate"         -> ((s: SparkSession, d: String) =>
       TextAnalysis.oovRate(s, d)),
     "q190_pii_cooccurrence" -> (graft.etl.Sanitize.piiCooccurrence _),
+    "q191_containment_incremental" -> (Dedup.containmentIncrementalQuery _),
+    "q192_minhash_accuracy" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashAccuracy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2535,6 +2538,8 @@ object SparkEntry {
       "q188_source_hhi" -> Profiling.sourceHhiOracleSql,
       "q189_oov_rate" -> TextAnalysis.oovRateOracleSql(),
       "q190_pii_cooccurrence" -> graft.etl.Sanitize.piiCooccurrenceOracleSql,
+      "q191_containment_incremental" -> Dedup.containmentIncrementalOracleSql(),
+      "q192_minhash_accuracy" -> Dedup.minhashAccuracyOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

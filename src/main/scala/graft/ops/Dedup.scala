@@ -427,6 +427,86 @@ object Dedup {
     exactVerify(estimated, df, idCol, "doc_a", df, idCol, "doc_b", minJaccard)
   }
 
+  /** MinHash accuracy contract (q192): over the exact near-dup pairs
+    * of an id-bounded slice, the NATIVE MinHash estimate must land
+    * within `boundPpm` of the exact shingle-set Jaccard — the
+    * q57/q176 accuracy-contract pattern applied to the LSH family's
+    * estimator. The engine computes est = matching-signature-position
+    * count (the statistic [[estimatePrune]] prunes on, kept IN-PATH);
+    * the oracle replays the exact Jaccard and TRUE for the flag, so
+    * an estimator regression (hash change, signature truncation,
+    * permutation bug) flips the boolean and fails the hash at both
+    * scales. boundPpm = 250000 ≈ 5.6σ at NumHashes = 64 and J ≈ 0.5 —
+    * loose enough that a healthy estimator never trips it over any
+    * realistic pair count, tight enough that a broken one (σ-scale
+    * errors are the benign failure; bugs are gross) cannot hide.
+    *
+    * Scale shape: the id-bounded all-pairs slice is the audit-grade
+    * yardstick (the q44/embeddingNearDups convention — one side
+    * broadcasts); the production estimator path stays q41's
+    * LSH → estimate → verify. */
+  def minhashAccuracy(spark: SparkSession, dir: String,
+      maxId: Long = 200L, minJPpm: Long = 500000L,
+      boundPpm: Long = 250000L): DataFrame =
+    minhashAccuracyOn(
+      Tables.documents(spark, dir).filter(col("doc_id") < maxId),
+      minJPpm, boundPpm)
+
+  /** Frame-based core of [[minhashAccuracy]] (needs doc_id, text;
+    * caller bounds the slice). */
+  def minhashAccuracyOn(docs: DataFrame, minJPpm: Long = 500000L,
+      boundPpm: Long = 250000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+      expr("shingle8(text)").as("sh"))
+    val sigs = minHashSignatures(docs).select(col("doc_id"), col("sig"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("ni",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("nu",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_ppm", expr("ni * 1000000 div nu"))
+      .filter(col("jaccard_ppm") >= minJPpm)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"))), Seq("doc_b"))
+      .withColumn("est_ppm", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))" +
+          s" * 1000000L div ${NumHashes}L"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
+        (abs(col("est_ppm") - col("jaccard_ppm")) <= boundPpm)
+          .as("est_within"))
+      .orderBy(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
+        col("est_within"))
+  }
+
+  /** DuckDB oracle for [[minhashAccuracy]] — exact Jaccard over the
+    * same slice, TRUE for the contract flag (the q57 convention; the
+    * native signature stays in the measured path). */
+  def minhashAccuracyOracleSql(maxId: Long = 200L,
+      minJPpm: Long = 500000L): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+       |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+       |  FROM documents WHERE doc_id < $maxId),
+       |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |i AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(ni * 1000000 // (sa.n + sb.n - ni) AS BIGINT)
+       |    AS jaccard_ppm,
+       |  TRUE AS est_within
+       |FROM i
+       |JOIN s sa ON sa.doc_id = doc_a
+       |JOIN s sb ON sb.doc_id = doc_b
+       |WHERE ni * 1000000 >= $minJPpm * (sa.n + sb.n - ni)
+       |ORDER BY doc_a, doc_b, jaccard_ppm, est_within""".stripMargin
+
   /** Query: near-duplicate pairs (J ≥ 0.8) in documents. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, dir), "doc_id", 0.8)
@@ -961,6 +1041,125 @@ object Dedup {
         expr("CAST((ni * 1000000) DIV na AS BIGINT)")
           .as("containment_ppm"))
   }
+
+  /** Incremental exact containment (q191): for an ingest batch
+    * against an existing corpus, BOTH containment directions —
+    * `new_in_corpus` (the new doc is already inside something we
+    * have: drop it) and `corpus_in_new` (the new doc is an EXTENDED
+    * version of an existing one: supersede it) — the two decisions a
+    * continuously-ingesting dedup pipeline actually takes, which the
+    * symmetric q126 Jaccard join can't separate. Gram document
+    * frequency — the shared total order — comes from the CORPUS side
+    * only (the precomputed index-side statistic, the
+    * setSimJoinIncremental asymmetry); increment-only grams take
+    * df = 0 and sort first (completeness holds under ANY shared
+    * order).
+    *
+    * Per direction the [[containmentJoin]] ladder applies with the
+    * CONTAINED side prefixed and the container side full; each
+    * direction verifies against its own na. One ranked-gram table per
+    * side feeds both directions (prefix = filter, container = full —
+    * two consumers of one persisted frame each).
+    *
+    * Scale shape: identical bones to [[setSimJoinIncremental]] —
+    * id-only candidates, bounds inside the join, size-conditional
+    * verify per side. */
+  def containmentIncremental(corpus: DataFrame, corpusId: String,
+      newDocs: DataFrame, newId: String, tPpm: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    latin1Guard(corpus); latin1Guard(newDocs)
+    val gramsC = packedGrams(corpus, corpusId)
+    val gramsN = packedGrams(newDocs, newId)
+    val setsC = gramSetsOf(gramsC)
+    val setsN = gramSetsOf(gramsN)
+    val szC = sizer(corpus.sparkSession, setsC)
+    val szN = sizer(corpus.sparkSession, setsN)
+    val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    val rankedC = register(
+      rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val rankedN = register(
+      rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    def prefixCut(r: DataFrame) = r.filter(col("pos") <=
+      col("n") - expr(s"($tPpm * n + 999999) DIV 1000000") + 1)
+    def candidates(contained: DataFrame, container: DataFrame) =
+      prefixCut(contained)
+        .select(col("doc_id").as("doc_a"), col("g64"),
+          col("pos").as("pa"), col("n").as("na"))
+        .join(container.select(col("doc_id").as("doc_b"), col("g64"),
+          col("pos").as("pb"), col("n").as("nb")), Seq("g64"))
+        .filter(col("nb") * lit(1000000L) >= lit(tPpm) * col("na") &&
+          (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) *
+            lit(1000000L) >= lit(tPpm) * col("na"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    def verify(cand: DataFrame, setsA: DataFrame, szA: SetSizer,
+        setsB: DataFrame, szB: SetSizer) = cand
+      .join(szA(setsA.select(col("doc_id").as("doc_a"),
+        col("gs").as("gs_a"), col("n").as("na")), szA.gramBytes),
+        Seq("doc_a"))
+      .join(szB(setsB.select(col("doc_id").as("doc_b"),
+        col("gs").as("gs_b")), szB.gramBytes), Seq("doc_b"))
+      .withColumn("ni", call_function("sorted_intersect_count",
+        col("gs_a"), col("gs_b")))
+      .filter(col("ni") * lit(1000000L) >= lit(tPpm) * col("na"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((ni * 1000000) DIV na AS BIGINT)")
+          .as("containment_ppm"))
+    val newInCorpus = verify(candidates(rankedN, rankedC),
+        setsN, szN, setsC, szC)
+      .select(col("doc_a").as("new_doc_id"),
+        col("doc_b").as("corpus_doc_id"),
+        lit("new_in_corpus").as("direction"), col("containment_ppm"))
+    val corpusInNew = verify(candidates(rankedC, rankedN),
+        setsC, szC, setsN, szN)
+      .select(col("doc_b").as("new_doc_id"),
+        col("doc_a").as("corpus_doc_id"),
+        lit("corpus_in_new").as("direction"), col("containment_ppm"))
+    newInCorpus.unionByName(corpusInNew)
+  }
+
+  /** Query (q191): both containment directions of the id ≥ 400 ingest
+    * against the id < 400 corpus (the q63/q120 split), C ≥ 0.9. */
+  def containmentIncrementalQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    containmentIncremental(docs.filter(col("doc_id") < 400), "doc_id",
+        docs.filter(col("doc_id") >= 400), "doc_id", 900000L)
+      .repartition(1)
+      .sortWithinPartitions(col("new_doc_id"), col("corpus_doc_id"),
+        col("direction"), col("containment_ppm"))
+  }
+
+  /** DuckDB oracle for [[containmentIncrementalQuery]] — brute force
+    * both directions over the same split. */
+  def containmentIncrementalOracleSql(tPpm: Long = 900000L): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+       |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+       |  FROM documents),
+       |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |i AS (
+       |  SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       |    count(*) AS ni
+       |  FROM g n JOIN g c ON n.gram = c.gram
+       |  WHERE n.doc_id >= 400 AND c.doc_id < 400
+       |  GROUP BY 1, 2),
+       |bo AS (
+       |  SELECT new_doc_id, corpus_doc_id, 'new_in_corpus' AS direction,
+       |    CAST((ni * 1000000) // sn.n AS BIGINT) AS containment_ppm
+       |  FROM i JOIN s sn ON sn.doc_id = new_doc_id
+       |  WHERE ni * 1000000 >= $tPpm * sn.n
+       |  UNION ALL
+       |  SELECT new_doc_id, corpus_doc_id, 'corpus_in_new',
+       |    CAST((ni * 1000000) // sc.n AS BIGINT)
+       |  FROM i JOIN s sc ON sc.doc_id = corpus_doc_id
+       |  WHERE ni * 1000000 >= $tPpm * sc.n)
+       |SELECT new_doc_id, corpus_doc_id, direction, containment_ppm
+       |FROM bo
+       |ORDER BY new_doc_id, corpus_doc_id, direction,
+       |  containment_ppm""".stripMargin
 
   /** Pre-flight diagnostic: containment candidate pairs after the
     * prefix/size/positional ladder, before verify (the q126

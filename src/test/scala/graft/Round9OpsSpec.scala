@@ -300,6 +300,48 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(("phone", "phone")) == ((3L, 1L, 333333L)))
   }
 
+  test("q191 incremental containment: both directions on a planted split") {
+    import spark.implicits._
+    // corpus doc 1 is CONTAINED in new doc 401 (extended version ->
+    // corpus_in_new); new doc 402 is a substring of doc 1 (already
+    // have it -> new_in_corpus); 2/403 unrelated.
+    val corpus = Seq(
+      (1L, "0123456789abcdef"),
+      (2L, "zyxwvutsrqponmlk"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (401L, "0123456789abcdefghijklmn"),
+      (402L, "23456789abcdef"),
+      (403L, "THEQUICKBROWNFOX"))
+      .toDF("doc_id", "text")
+    try {
+      val out = Dedup.containmentIncremental(corpus, "doc_id",
+          nw, "doc_id", 900000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(out == Set(
+        (401L, 1L, "corpus_in_new", 1000000L),
+        (402L, 1L, "new_in_corpus", 1000000L)), s"got $out")
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q192 minhash accuracy: identical pair estimates exactly 1e6") {
+    import spark.implicits._
+    // an identical pair's signatures are equal position-for-position
+    // -> est exactly 1e6, |est - exact| = 0; a disjoint pair never
+    // reaches the output (exact J = 0 under the minJ cut)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely unrelated content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    try {
+      val out = Dedup.minhashAccuracyOn(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(out.toSeq == Seq((1L, 2L, 1000000L, true)), s"got ${out.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
   test("q180 interp: planted gap values, negative slope truncates toward zero") {
     import spark.implicits._
     // user 1: v(0h)=1_000_000, v(3h)=4_000_000 -> silent hours get the
