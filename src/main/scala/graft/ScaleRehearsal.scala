@@ -598,6 +598,19 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q191_containment_incremental", tIc, nIc)
       }
+      // q193/q194: per-source running sum / the q173 shape with the
+      // ~80%-of-corpus train gram side (the size-conditional rule's
+      // expected shuffle branch at scale)
+      if (wanted("q193")) {
+        val (nBi, tBi) = timed(
+          matCount(graft.ops.Sampling.budgetIntakeDocs(d)))
+        report("q193_budget_intake", tBi, nBi)
+      }
+      if (wanted("q194")) {
+        val (nSl, tSl) = timed(
+          graft.ops.Decontaminate.splitLeakageOn(d).count())
+        report("q194_split_leakage", tSl, nSl)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

@@ -272,6 +272,9 @@ object SparkEntry {
     "q191_containment_incremental" -> (Dedup.containmentIncrementalQuery _),
     "q192_minhash_accuracy" -> ((s: SparkSession, d: String) =>
       Dedup.minhashAccuracy(s, d)),
+    "q193_budget_intake"    -> ((s: SparkSession, d: String) =>
+      Sampling.budgetIntake(s, d)),
+    "q194_split_leakage"    -> (Decontaminate.splitLeakage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2540,6 +2543,8 @@ object SparkEntry {
       "q190_pii_cooccurrence" -> graft.etl.Sanitize.piiCooccurrenceOracleSql,
       "q191_containment_incremental" -> Dedup.containmentIncrementalOracleSql(),
       "q192_minhash_accuracy" -> Dedup.minhashAccuracyOracleSql(),
+      "q193_budget_intake" -> Sampling.budgetIntakeOracleSql(),
+      "q194_split_leakage" -> Decontaminate.splitLeakageOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

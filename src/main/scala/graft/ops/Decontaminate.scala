@@ -124,6 +124,88 @@ object Decontaminate {
       |GROUP BY raw.doc_id
       |ORDER BY doc_id, n_tri, n_shared, overlap_ppm""".stripMargin
 
+  /** Split-leakage audit (q194): for every VAL/TEST document of the
+    * q89 content-hash split, what share of its distinct trigrams also
+    * occurs on the TRAIN side — the audit that certifies a split
+    * BEFORE eval numbers are trusted. q171 prevents near-dup
+    * straddle by construction (cluster-consistent split); this
+    * MEASURES the residual n-gram leakage any split still has
+    * (shared boilerplate, common phrases, genuine near-copies a
+    * cluster threshold missed) and localizes it per held-out
+    * document. High leak_ppm on a val doc means its eval loss is
+    * partly memorization. The split is replayed in the oracle
+    * (FNV+splitmix content bucket, HashSql.groupSplitCtes), so the
+    * verdict covers the split rule itself, not just the overlap
+    * arithmetic.
+    *
+    * Scale shape: the q173 shape with the split as the partition —
+    * corpus reduces to distinct (doc, gram) pairs once; the train
+    * gram set is ~80% of the corpus, so the join is SIZE-CONDITIONAL
+    * from the start (shuffle_hash is the expected branch at scale —
+    * unlike q173's naturally-small eval side). */
+  def splitLeakage(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    splitLeakageOn(graft.Tables.documents(spark, dir))
+
+  /** Frame-based core of [[splitLeakage]] (needs doc_id, text). */
+  def splitLeakageOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val (_, split) = Sampling.groupSplit(col("text"))
+    val withSplit = docs.select(col("doc_id"), col("text"),
+      split.as("split"))
+    val tri = Ranking.trigramFrame(withSplit).distinct()
+    val lab = tri.join(withSplit.select(col("doc_id"), col("split")),
+      Seq("doc_id"))
+    val trainGrams = lab.filter(col("split") === "train")
+      .select(col("ngram")).distinct().withColumn("hit", lit(1L))
+    val limit = docs.sparkSession.conf
+      .getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val estBytes = PlanStats.leafBytes(docs) * 3
+    val trainSized =
+      if (estBytes <= limit) broadcast(trainGrams)
+      else trainGrams.hint("shuffle_hash")
+    lab.filter(col("split") =!= "train")
+      .join(trainSized, Seq("ngram"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("split"), col("n_tri"), col("n_shared"),
+        expr("n_shared * 1000000 div n_tri").as("leak_ppm"))
+      .orderBy(col("doc_id"), col("split"), col("n_tri"),
+        col("n_shared"), col("leak_ppm"))
+  }
+
+  /** DuckDB oracle for [[splitLeakage]] — the groupSplit replay +
+    * the q173 trigram CTEs, split-partitioned. */
+  val splitLeakageOracleSql: String =
+    s"""WITH ${HashSql.groupSplitCtes},
+       |sp AS (
+       |  SELECT doc_id, ${HashSql.splitCase()} AS split FROM spb),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+       |), tg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(s) - 1),
+       |    i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])) AS ngram
+       |  FROM toks
+       |), dtg AS (
+       |  SELECT DISTINCT doc_id, ngram FROM tg
+       |), lab AS (
+       |  SELECT dtg.doc_id, dtg.ngram, sp.split
+       |  FROM dtg JOIN sp ON sp.doc_id = dtg.doc_id
+       |), tr AS (
+       |  SELECT DISTINCT ngram FROM lab WHERE split = 'train'
+       |)
+       |SELECT l.doc_id, l.split, COUNT(*) AS n_tri,
+       |  CAST(SUM(CASE WHEN tr.ngram IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_shared,
+       |  CAST(SUM(CASE WHEN tr.ngram IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS leak_ppm
+       |FROM lab l LEFT JOIN tr ON tr.ngram = l.ngram
+       |WHERE l.split <> 'train'
+       |GROUP BY l.doc_id, l.split
+       |ORDER BY doc_id, split, n_tri, n_shared, leak_ppm""".stripMargin
+
   /** Incremental near-dedup: which NEW docs near-duplicate the
     * EXISTING corpus. The corpus side is its (band, hash) index —
     * computed once and persisted in practice; the increment's bands

@@ -234,10 +234,13 @@ object HashSql {
   /** q89: group-split replay — FNV-1a of the full text, splitmix64
     * finalizer, sign bit dropped (mod 2^63, matching Spark's
     * `& Long.MaxValue`), bucket mod 100 mapped to split names. */
-  def groupSplitOracle(trainPct: Int = 80, valPct: Int = 10): String = {
+  /** CTE chain replaying [[Sampling.groupSplit]]: yields `spb` with
+    * (doc_id, gb) — the FNV+splitmix content bucket — shared by the
+    * q89 oracle and the q194 leakage audit. */
+  def groupSplitCtes: String = {
     val c1 = BigInt("bf58476d1ce4e5b9", 16)
     val c2 = BigInt("94d049bb133111eb", 16)
-    s"""WITH f0 AS (SELECT doc_id,
+    s"""f0 AS (SELECT doc_id,
        |  ${fnvReduce("[ascii(substr(text, i, 1))::HUGEINT FOR i IN range(1, length(text)+1)]")} AS h
        |  FROM documents),
        |f1 AS (SELECT doc_id, xor(h, h // 1073741824) AS h FROM f0),
@@ -245,13 +248,20 @@ object HashSql {
        |f3 AS (SELECT doc_id, xor(h, h // 134217728) AS h FROM f2),
        |f4 AS (SELECT doc_id, ${mulmod64("h", c2)} AS h FROM f3),
        |f5 AS (SELECT doc_id, xor(h, h // 2147483648) % $Signed63 AS h FROM f4),
-       |b AS (SELECT doc_id, h % 100 AS gb FROM f5)
-       |SELECT doc_id, CAST(gb AS BIGINT) AS grp_bucket,
-       |  CASE WHEN gb < $trainPct THEN 'train'
-       |       WHEN gb < ${trainPct + valPct} THEN 'val'
-       |       ELSE 'test' END AS split
-       |FROM b ORDER BY doc_id, grp_bucket, split""".stripMargin
+       |spb AS (SELECT doc_id, h % 100 AS gb FROM f5)""".stripMargin
   }
+
+  /** The split-name CASE over `gb` (shared by both consumers). */
+  def splitCase(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""CASE WHEN gb < $trainPct THEN 'train'
+       |     WHEN gb < ${trainPct + valPct} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  def groupSplitOracle(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH $groupSplitCtes
+       |SELECT doc_id, CAST(gb AS BIGINT) AS grp_bucket,
+       |  ${splitCase(trainPct, valPct)} AS split
+       |FROM spb ORDER BY doc_id, grp_bucket, split""".stripMargin
 
   /** q41: brute-force ground truth for MinHash+LSH near-dup pairs —
     * ALL-pairs exact Jaccard over distinct 8-char shingles (feasible

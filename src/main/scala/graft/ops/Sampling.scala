@@ -240,6 +240,55 @@ object Sampling {
        |ORDER BY doc_id, source, n_tokens, score_ppm, cum_tokens,
        |  kept""".stripMargin
 
+  /** Arrival-order budget intake (q193): per source, admit documents
+    * in ARRIVAL order (doc_id — the monotonic-ingest convention)
+    * until the source's token budget fills, then stop — the online
+    * counterpart of [[budgetSelect]]'s quality-ranked cut: an
+    * ingesting pipeline cannot rank against future documents, so its
+    * real admission rule is greedy-by-arrival, and THIS op is what
+    * the streaming twin (DocStream.budgetIntakeStateful, stream ==
+    * batch parity spec) maintains incrementally with one O(1)
+    * counter per source.
+    *
+    * Scale shape: one per-source running-sum window — q182's plan
+    * with arrival order instead of the score rank. */
+  def budgetIntake(spark: SparkSession, dir: String,
+      budgetTokens: Long = 20000L): DataFrame =
+    budgetIntakeDocs(Tables.documents(spark, dir), budgetTokens)
+
+  /** Frame-based core of [[budgetIntake]] (needs doc_id, source,
+    * text). */
+  def budgetIntakeDocs(docs: DataFrame,
+      budgetTokens: Long = 20000L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"),
+        (col("cum_tokens") <= budgetTokens).as("kept"))
+      .orderBy(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("kept"))
+  }
+
+  /** DuckDB oracle for [[budgetIntake]]. */
+  def budgetIntakeOracleSql(budgetTokens: Long = 20000L): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM s)
+       |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       |  cum <= $budgetTokens AS kept
+       |FROM r
+       |ORDER BY doc_id, source, n_tokens, cum_tokens, kept""".stripMargin
+
   /** Weighted deterministic Bernoulli sample: keep probability is a
     * rational weight num/den per row (here min(n_chars, cap)/cap —
     * long documents always kept, short ones proportionally). The keep

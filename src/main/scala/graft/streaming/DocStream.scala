@@ -90,6 +90,40 @@ object DocStream {
           .write.mode("append").parquet(outDir)
     }
 
+  case class BDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class BudgetState(cum: Long)
+  case class BVerdict(doc_id: Long, source: String, cum_tokens: Long,
+      kept: Boolean)
+
+  /** Streaming twin of the arrival-order budget intake
+    * (Sampling.budgetIntakeDocs, q193): one O(1) cumulative-token
+    * counter per source via flatMapGroupsWithState — the admission
+    * gate a live ingest actually runs ("stop taking source X once its
+    * budget fills"). Within a micro-batch rows sort by doc_id (the
+    * arrival convention across the streaming twins); across batches
+    * the id-ordered feed is the upstream contract, as in the
+    * incremental-dedup twin. StreamingSpec asserts stream verdicts ==
+    * batch verdicts on any chunking of the corpus — the counter
+    * composes because addition is associative and the gate reads only
+    * the prefix sum. */
+  def budgetIntakeStateful(docs: org.apache.spark.sql.Dataset[BDoc],
+      budgetTokens: Long): org.apache.spark.sql.Dataset[BVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[BDoc], state: GroupState[BudgetState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            cum += d.n_tokens
+            BVerdict(d.doc_id, src, cum, cum <= budgetTokens)
+          }
+          state.update(BudgetState(cum))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the quality-filter cascade funnel
     * (TextAnalysis.filterCascade, q151): every micro-batch scores its
     * documents with the SAME gate expressions (per-row decisions are

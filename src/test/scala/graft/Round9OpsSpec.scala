@@ -342,6 +342,63 @@ class Round9OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  test("q193 budget intake: greedy arrival order, first overflow ends intake") {
+    import spark.implicits._
+    // tokens 4, 3, 2 in arrival order, budget 6: cum 4 (keep),
+    // 7 (DROP — overflow), 9 (drop; no backfill even though doc 3's
+    // 2 tokens would fit)
+    val docs = Seq(
+      (1L, "s1", "a b c d"),
+      (2L, "s1", "e f g"),
+      (3L, "s1", "h i"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.budgetIntakeDocs(docs, budgetTokens = 6L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((4L, true)))
+    assert(out(2L) == ((7L, false)), "overflow doc is dropped")
+    assert(out(3L) == ((9L, false)), "no best-fit backfill after overflow")
+  }
+
+  test("q194 split leakage: driver-replicated trigram overlap vs train side") {
+    import spark.implicits._
+    // variants of one base text scatter across splits by content
+    // hash; every non-train doc's leak_ppm must equal the
+    // driver-side recomputation of |trigrams ∩ train-gram-union| /
+    // |trigrams| — pinning the distinct-before-join and the
+    // split-partitioned overlap independently of the corpus
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val texts = (0 until 40).map(i => s"$base variant $i tail$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def trigrams(t: String): Set[String] = {
+      val s = t.split(" ")
+      (0 to s.length - 3).map(i => s.slice(i, i + 3).mkString(" ")).toSet
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val (_, splitCol) = Sampling.groupSplit(col("text"))
+    val splits = docs.select(col("doc_id"), splitCol.as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assume(splits.values.exists(_ == "train") &&
+      splits.values.exists(_ != "train"),
+      "fixture must scatter across train and held-out splits")
+    val trainGrams = splits.collect { case (id, "train") => id }
+      .flatMap(id => trigrams(texts(id.toInt))).toSet
+    val out = Decontaminate.splitLeakageOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    splits.foreach { case (id, sp) =>
+      if (sp == "train") assert(!out.contains(id), "train docs emit no row")
+      else {
+        val tg = trigrams(texts(id.toInt))
+        val shared = tg.count(trainGrams.contains).toLong
+        assert(out(id) == ((tg.size.toLong, shared,
+          shared * 1000000L / tg.size)),
+          s"doc $id ($sp): ${out(id)} vs replica ($shared of ${tg.size})")
+      }
+    }
+    assert(out.values.exists(_._3 > 0), "fixture must show real leakage")
+  }
+
   test("q180 interp: planted gap values, negative slope truncates toward zero") {
     import spark.implicits._
     // user 1: v(0h)=1_000_000, v(3h)=4_000_000 -> silent hours get the

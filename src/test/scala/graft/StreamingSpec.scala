@@ -465,6 +465,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming budget intake equals the batch arrival-order cut") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // two id-ordered arrivals split at the median doc_id — the
+    // monotonic-ingest contract the twin documents
+    val cut = toks.selectExpr("percentile(doc_id, 0.5)")
+      .first().getDouble(0).toLong
+    val staged = Files.createTempDirectory("graft_budget").toString
+    toks.filter(col("doc_id") <= cut).coalesce(1)
+      .sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(staged)
+    Thread.sleep(1100)
+    toks.filter(col("doc_id") > cut).coalesce(1)
+      .sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(staged)
+
+    import spark.implicits._
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[DocStream.BDoc]
+    val q = DocStream.budgetIntakeStateful(stream, budgetTokens = 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("budget_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Boolean]("kept"))).toSeq.sorted
+      val batch = graft.ops.Sampling.budgetIntakeDocs(docs, 1000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+        .toSeq.sorted
+      assert(streamed.nonEmpty, "budget intake emitted nothing")
+      assert(streamed.exists(!_._3) && streamed.exists(_._3),
+        "fixture must exercise both verdicts")
+      assert(streamed == batch,
+        s"verdicts differ: stream=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming chained throttle equals the batch throttle") {
     import org.apache.spark.sql.functions._
     import graft.streaming.EventStream
