@@ -496,6 +496,29 @@ class PlanShapeSpec extends SparkSpec {
       s"medoids plan a cartesian:\n${p186.take(1200)}")
     assert(df186.queryExecution.optimizedPlan.collect {
       case w: LWindow => w }.isEmpty, "medoids must not use a window")
+    // q191: the incremental ladder stays keyed in both directions
+    Dedup.unpersistCaches()
+    try {
+      val docs = Tables.documents(spark, sf)
+      val p191 = plan(graft.ops.Dedup.containmentIncremental(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 400),
+        "doc_id",
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 400),
+        "doc_id", 900000L))
+      assert(!p191.contains("CartesianProduct") &&
+        !p191.contains("BroadcastNestedLoopJoin"),
+        s"incremental containment degenerated:\n${p191.take(1200)}")
+    } finally Dedup.unpersistCaches()
+    // q193/q194: per-source windows only; no unpartitioned rank
+    for ((name, df) <- Seq(
+        "q193" -> graft.ops.Sampling.budgetIntake(spark, sf),
+        "q194" -> graft.ops.Decontaminate.splitLeakage(spark, sf))) {
+      val unpart = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty,
+        s"$name windows over an unpartitioned frame:\n${unpart.headOption}")
+    }
   }
 
   test("q169 recall audit builds ONE det index shared by probe and routing") {
