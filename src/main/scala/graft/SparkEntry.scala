@@ -275,6 +275,9 @@ object SparkEntry {
     "q193_budget_intake"    -> ((s: SparkSession, d: String) =>
       Sampling.budgetIntake(s, d)),
     "q194_split_leakage"    -> (Decontaminate.splitLeakage _),
+    "q195_redaction_complete" -> (graft.etl.Sanitize.redactionComplete _),
+    "q196_cluster_purity"   -> ((s: SparkSession, d: String) =>
+      Similarity.clusterPurity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2545,6 +2548,8 @@ object SparkEntry {
       "q192_minhash_accuracy" -> Dedup.minhashAccuracyOracleSql(),
       "q193_budget_intake" -> Sampling.budgetIntakeOracleSql(),
       "q194_split_leakage" -> Decontaminate.splitLeakageOracleSql,
+      "q195_redaction_complete" -> graft.etl.Sanitize.redactionCompleteOracleSql,
+      "q196_cluster_purity" -> Similarity.clusterPurityOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

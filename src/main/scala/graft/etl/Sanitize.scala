@@ -105,6 +105,85 @@ object Sanitize {
         col("docs_hit"), col("docs_hit_ppm"))
   }
 
+  /** Redaction-completeness audit (q195): per (source, PII type),
+    * pattern hits BEFORE and AFTER the q64 redaction pass — the
+    * invariant check that the scrub actually scrubbed (hits_after
+    * must be zero corpus-wide). Non-vacuous because chained
+    * regexp_replace CAN leak: a replacement rewrites the string the
+    * NEXT pattern scans, so a poorly-ordered chain could splice
+    * digits across a removed span into a fresh phone/IP match — the
+    * planted spec constructs exactly that adjacency and asserts the
+    * shipped order survives it. Both sides replay fully in DuckDB
+    * (regexp_replace 'g' + count), so the zeros are hash-checked,
+    * not asserted.
+    *
+    * One projection (3 redactions + 6 regex counts per row), one
+    * keyed aggregate, a stack to long form — the q138 shape twice. */
+  def redactionComplete(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    redactionCompleteDocs(graft.Tables.documents(spark, dir))
+
+  /** Frame-based core of [[redactionComplete]] (needs source, text). */
+  def redactionCompleteDocs(docs: DataFrame): DataFrame = {
+    val names = Seq("email", "ip", "phone")
+    val base = docs.select(col("source"), col("text"),
+      redactPii(col("text")).as("red"))
+    val counted = PiiPatterns.zip(names).foldLeft(base) {
+      case (df, ((re, _), nm)) =>
+        df.withColumn(s"b_$nm",
+            size(regexp_extract_all(col("text"), lit(re), lit(0)))
+              .cast("long"))
+          .withColumn(s"a_$nm",
+            size(regexp_extract_all(col("red"), lit(re), lit(0)))
+              .cast("long"))
+    }
+    counted.groupBy(col("source"))
+      .agg(expr("sum(b_email)").as("be"), expr("sum(a_email)").as("ae"),
+        expr("sum(b_ip)").as("bi"), expr("sum(a_ip)").as("ai"),
+        expr("sum(b_phone)").as("bp"), expr("sum(a_phone)").as("ap"))
+      .select(col("source"), expr(
+        "stack(3, 'email', be, ae, 'ip', bi, ai, 'phone', bp, ap)" +
+          " AS (pii_type, hits_before, hits_after)"))
+      .select(col("source"), col("pii_type"), col("hits_before"),
+        col("hits_after"))
+      .orderBy(col("source"), col("pii_type"), col("hits_before"),
+        col("hits_after"))
+  }
+
+  /** DuckDB oracle for [[redactionComplete]] — the same chained
+    * replace (the 'g' flag = Spark's replace-all) and counts. */
+  val redactionCompleteOracleSql: String = {
+    val reps = PiiPatterns.map { case (re, tag) =>
+      (re.replace("'", "''"), tag)
+    }
+    val redExpr = reps.foldLeft("text") { case (acc, (re, tag)) =>
+      s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    def cnt(colE: String, re: String) =
+      s"LEN(regexp_extract_all($colE, '$re'))"
+    s"""WITH r AS (
+       |  SELECT source, text, $redExpr AS red FROM documents),
+       |a AS (
+       |  SELECT source,
+       |    SUM(${cnt("text", reps(0)._1)}) AS be,
+       |    SUM(${cnt("red", reps(0)._1)}) AS ae,
+       |    SUM(${cnt("text", reps(1)._1)}) AS bi,
+       |    SUM(${cnt("red", reps(1)._1)}) AS ai,
+       |    SUM(${cnt("text", reps(2)._1)}) AS bp,
+       |    SUM(${cnt("red", reps(2)._1)}) AS ap
+       |  FROM r GROUP BY source),
+       |u AS (
+       |  SELECT source, 'email' AS pii_type, be AS hits_before,
+       |    ae AS hits_after FROM a
+       |  UNION ALL SELECT source, 'ip', bi, ai FROM a
+       |  UNION ALL SELECT source, 'phone', bp, ap FROM a)
+       |SELECT source, pii_type,
+       |  CAST(hits_before AS BIGINT) AS hits_before,
+       |  CAST(hits_after AS BIGINT) AS hits_after
+       |FROM u
+       |ORDER BY source, pii_type, hits_before, hits_after""".stripMargin
+  }
+
   /** PII co-occurrence matrix (q190): corpus-wide document counts for
     * every unordered PAIR of PII types (plus the diagonal) — the risk
     * lens q138's per-type rates miss: an email alone is an address,

@@ -416,6 +416,56 @@ object Similarity {
        |FROM sz GROUP BY cluster_size
        |ORDER BY cluster_size, n_clusters, n_members""".stripMargin
 
+  /** Near-dup cluster source-purity profile (q196): for every
+    * multi-member near-dup cluster (the q166 τ=0.35 graph), how many
+    * DISTINCT sources its members span — the attribution behind
+    * dedup savings: a single-source cluster is re-posts (that
+    * source's own redundancy), a cross-source cluster is syndication
+    * (content that survives dedup elsewhere; the q156 "savings vs
+    * contribution" distinction made per-family). Embeddings pair
+    * with documents by id (the q164 convention), so source labels
+    * join by key. Output is the (cluster_size, n_sources) profile —
+    * cross-source mass jumps out as rows with n_sources > 1.
+    *
+    * Scale shape: the q65/q166 cluster cost (amortized — labels
+    * already exist in a dedup pipeline) + one key join + two tiny
+    * rollups. */
+  def clusterPurity(spark: SparkSession, dir: String,
+      minCos: Double = 0.35): DataFrame =
+    clusterPurityOf(embeddingNearDups(spark, dir, minCos = minCos),
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")))
+
+  /** Frame-based core of [[clusterPurity]]: `edges` (vec_a, vec_b)
+    * from any generator, `sources` (vec_id, source). */
+  def clusterPurityOf(edges: DataFrame, sources: DataFrame): DataFrame =
+    Dedup.dedupClusters(edges, "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("cluster_id"))
+      .join(sources, Seq("vec_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        count_distinct(col("source")).as("n_sources"))
+      .groupBy(col("cluster_size"), col("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"), col("n_sources"), col("n_clusters"))
+
+  /** DuckDB oracle for [[clusterPurity]] — the q65 recursive CTEs +
+    * the source join and the same rollups. */
+  def clusterPurityOracleSql(minCos: Double = 0.35): String =
+    s"""WITH RECURSIVE ${clusterOracleCtes(minCos)},
+       |lab AS (
+       |  SELECT cl.cluster_id, d.source
+       |  FROM cl JOIN documents d ON d.doc_id = cl.vec_id),
+       |sz AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size,
+       |    COUNT(DISTINCT source) AS n_sources
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(n_sources AS BIGINT) AS n_sources,
+       |  COUNT(*) AS n_clusters
+       |FROM sz GROUP BY cluster_size, n_sources
+       |ORDER BY cluster_size, n_sources, n_clusters""".stripMargin
+
   /** Deterministic integer PageRank over the near-dup graph: a fixed
     * number of power iterations in exact ppm arithmetic — pr0 =
     * 1000000 div N, contrib(u) = pr(u) div deg(u), pr'(v) =

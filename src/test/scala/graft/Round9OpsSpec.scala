@@ -399,6 +399,44 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.values.exists(_._3 > 0), "fixture must show real leakage")
   }
 
+  test("q195 redaction completeness: adversarial fixture leaves zero residual hits") {
+    import spark.implicits._
+    // fixture stresses the chain-order hazards: a phone-shaped email
+    // local part (the email pass must consume it whole), digits
+    // abutting an email (the tag must break the digit run), and a
+    // plain phone + IP; after redaction every pattern must count 0
+    val docs = Seq(
+      (1L, "s1", "reach 555-123-4567@spam.co or 10.0.0.1 now"),
+      (2L, "s1", "x111 a@b.co 222.3333 and 555.123.4567"),
+      (3L, "s2", "clean text only"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.etl.Sanitize.redactionCompleteDocs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    out.foreach { case (k, (_, after)) =>
+      assert(after == 0L, s"$k leaves $after residual hits after redaction")
+    }
+    assert(out(("s1", "email"))._1 == 2L, s"emails: ${out(("s1", "email"))}")
+    assert(out(("s1", "ip"))._1 == 1L)
+    // the phone-shaped email local part counts BEFORE (both patterns
+    // match the raw text) but the email pass consumes it whole, so it
+    // must NOT survive as a residual phone hit
+    assert(out(("s1", "phone"))._1 == 2L, s"phones: ${out(("s1", "phone"))}")
+    assert(out(("s2", "email")) == ((0L, 0L)))
+  }
+
+  test("q196 cluster purity: planted within-source vs cross-source families") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("vec_a", "vec_b")
+    val sources = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("vec_id", "source")
+    val out = graft.ops.Similarity.clusterPurityOf(edges, sources)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 1L, 1L), (2L, 2L, 1L)),
+      s"one re-post family + one syndication family: $out")
+  }
+
   test("q180 interp: planted gap values, negative slope truncates toward zero") {
     import spark.implicits._
     // user 1: v(0h)=1_000_000, v(3h)=4_000_000 -> silent hours get the
