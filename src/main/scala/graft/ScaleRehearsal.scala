@@ -611,6 +611,60 @@ object ScaleRehearsal {
           graft.ops.Decontaminate.splitLeakageOn(d).count())
         report("q194_split_leakage", tSl, nSl)
       }
+      // q195: two corpus-linear regex passes + |sources|x3 rollup
+      if (wanted("q195")) {
+        val (nRc, tRc) = timed(
+          graft.etl.Sanitize.redactionCompleteDocs(d).count())
+        report("q195_redaction_complete", tRc, nRc)
+      }
+      // q196: cluster purity at the LSH scale path (the q166 harness
+      // with the source join on top)
+      if (wanted("q196")) {
+        val e = embAt(scale)
+        val edges = Similarity.lshEmbeddingNearDups(e, 0.35)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val (nCp, tCp) = timed(Similarity.clusterPurityOf(edges,
+          d.select(col("doc_id").as("vec_id"), col("source"))).count())
+        edges.unpersist()
+        Dedup.unpersistCaches()
+        report("q196_cluster_purity", tCp, nCp)
+      }
+      // q197/q198: narrow projections + |sources|-row rollups
+      if (wanted("q197")) {
+        val (nTw, tTw) = timed(
+          graft.ops.Layout.truncationWasteDocs(d).count())
+        report("q197_truncation_waste", tTw, nTw)
+      }
+      if (wanted("q198")) {
+        val (nLm, tLm) = timed(
+          graft.ops.TextAnalysis.langMismatchDocs(d).count())
+        report("q198_lang_mismatch", tLm, nLm)
+      }
+      // q199 shape on the scaled table we HAVE (events.user_id): one
+      // map-side-combined count + small-table stats + top-K
+      if (wanted("q199")) {
+        val ev = evAt(scale)
+        val (nSk, tSk) = timed {
+          val n = graft.ops.Skew.profileKey(ev, "user_id", 10).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q199_key_skew", tSk, nSk)
+      }
+      // q200: far-tail screen on the same frame-built det index as
+      // q186 — broadcast centroids + cell-partitioned window
+      if (wanted("q200")) {
+        val e = embAt(scale)
+        val (nOl, tOl) = timed {
+          val idx = graft.ops.Ivf.deterministicIndexOn(
+            e, graft.ops.Ivf.autoK(e.count()))
+          val n = graft.ops.Ivf.cellOutliersOn(idx, e).count()
+          idx.assigned.unpersist()
+          n
+        }
+        report("q200_emb_outliers", tOl, nOl)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

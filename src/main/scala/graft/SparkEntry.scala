@@ -278,6 +278,12 @@ object SparkEntry {
     "q195_redaction_complete" -> (graft.etl.Sanitize.redactionComplete _),
     "q196_cluster_purity"   -> ((s: SparkSession, d: String) =>
       Similarity.clusterPurity(s, d)),
+    "q197_truncation_waste" -> ((s: SparkSession, d: String) =>
+      Layout.truncationWaste(s, d)),
+    "q198_lang_mismatch"    -> (TextAnalysis.langMismatch _),
+    "q199_key_skew_profile" -> ((s: SparkSession, d: String) =>
+      Skew.keySkewProfile(s, d)),
+    "q200_emb_outliers"     -> (Ivf.cellOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2550,6 +2556,10 @@ object SparkEntry {
       "q194_split_leakage" -> Decontaminate.splitLeakageOracleSql,
       "q195_redaction_complete" -> graft.etl.Sanitize.redactionCompleteOracleSql,
       "q196_cluster_purity" -> Similarity.clusterPurityOracleSql(),
+      "q197_truncation_waste" -> Layout.truncationWasteOracleSql(),
+      "q198_lang_mismatch" -> TextAnalysis.langMismatchOracleSql,
+      "q199_key_skew_profile" -> Skew.keySkewProfileOracleSql(),
+      "q200_emb_outliers" -> Ivf.cellOutliersOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -475,6 +475,75 @@ object Ivf {
        |FROM md JOIN nn ON nn.cell = md.cell
        |ORDER BY cell, n_vecs, medoid_id, d2_mu""".stripMargin
 
+  /** Embedding-space outlier screen (q200): per deterministic-IVF
+    * cell, the FAR tail — members whose exact integer µu L2² distance
+    * to their own centroid ranks in the top ⌈10%⌉ of the cell
+    * (`row_number` by (d2 desc, vec_id) ≤ `greatest(1, n div 10)`).
+    * The mirror of [[cellMedoids]]: medoids pick the representative
+    * per region, this flags the vectors no region represents —
+    * mislabeled/garbled documents whose embeddings sit far from every
+    * cluster mass, the standard embedding-space curation screen
+    * (prune-or-review list). Rank-based (order statistics), so the
+    * contract is float-free end to end and a fixed-τ radius knob is
+    * deliberately NOT part of it — the 10% tail adapts per cell.
+    *
+    * Scale shape: one broadcast join (k centroid rows) + native
+    * codegen `l2mu` + a cell-PARTITIONED window (cells are ~constant
+    * size under [[autoK]], so the per-partition sort never grows with
+    * the corpus) + the tail filter. */
+  def cellOutliers(spark: SparkSession, dir: String): DataFrame =
+    cellOutliersOn(deterministicIndex(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[cellOutliers]] (caller supplies index +
+    * embeddings) — the planted-fixture / rehearsal entry point. */
+  def cellOutliersOn(idx: DetIndex, emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val centDf = idx.centroids.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "cent")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+    idx.assigned
+      .join(emb, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), muCol.as("xmu"))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("d2_mu", call_function("l2mu", col("xmu"), col("cent")))
+      .withColumn("n_vecs", count(lit(1)).over(w))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("d2_mu").desc, col("vec_id"))))
+      .filter(col("rnk") <= greatest(lit(1L), expr("n_vecs div 10")))
+      .select(col("cell"), col("vec_id"), col("d2_mu"),
+        col("n_vecs"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("cell"), col("vec_id"), col("d2_mu"),
+        col("n_vecs"), col("rnk"))
+  }
+
+  /** DuckDB oracle for [[cellOutliers]] — replay the build, rank the
+    * same integer distances per cell, keep the far tail. */
+  def cellOutliersOracleSql(iters: Int = 2): String =
+    s"""WITH ${buildCtes(iters)},
+       |dd AS (
+       |  SELECT a.vec_id, a.cell, ${oracleD2("x.x", "c.c")} AS d2
+       |  FROM afin a
+       |  JOIN xi x ON x.vec_id = a.vec_id
+       |  JOIN cent$iters c ON c.cell = a.cell),
+       |rk AS (
+       |  SELECT cell, vec_id, d2,
+       |    COUNT(*) OVER (PARTITION BY cell) AS n_vecs,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY d2 DESC, vec_id) AS rnk
+       |  FROM dd)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(vec_id AS BIGINT) AS vec_id,
+       |  CAST(d2 AS BIGINT) AS d2_mu,
+       |  CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM rk
+       |WHERE rnk <= GREATEST(1, n_vecs // 10)
+       |ORDER BY cell, vec_id, d2_mu, n_vecs, rnk""".stripMargin
+
   /** SemDeDup-style semantic dedup (q145): cluster embeddings, then
     * prune within each cluster — a document whose embedding has a
     * LOWER-id cluster-mate at cosine ≥ τ is dropped; the lowest id in

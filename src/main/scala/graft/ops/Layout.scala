@@ -218,6 +218,54 @@ object Layout {
         col("n_tok"))
   }
 
+  /** Truncation-waste audit (q197): per source, the token mass LOST
+    * when documents are cut at `maxTokens` — q157's padding audit is
+    * the short-document cost of a fixed sequence length, this is the
+    * long-document cost (the other blade of the same scissors; the
+    * two together pick max_seq_len). The q154 sliding-chunk op is
+    * the remedy for sources where truncation waste is high — this
+    * audit says WHERE. All exact integers.
+    *
+    * Scale shape: one narrow projection + one map-side-combined
+    * source rollup — nothing but the scan grows. */
+  def truncationWaste(spark: SparkSession, dir: String,
+      maxTokens: Long = 128L): DataFrame =
+    truncationWasteDocs(Tables.documents(spark, dir), maxTokens)
+
+  /** Frame-based core of [[truncationWaste]] (needs source, text). */
+  def truncationWasteDocs(docs: DataFrame,
+      maxTokens: Long = 128L): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), lit(maxTokens))).as("kept_tokens"),
+        expr(s"count_if(n > ${maxTokens}L)").as("docs_truncated"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("docs_truncated"),
+        expr("(total_tokens - kept_tokens) * 1000000 div total_tokens")
+          .as("waste_ppm"))
+      .orderBy(col("source"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("docs_truncated"), col("waste_ppm"))
+
+  /** DuckDB oracle for [[truncationWaste]]. */
+  def truncationWasteOracleSql(maxTokens: Long = 128L): String =
+    s"""WITH s AS (
+       |  SELECT source, LEN(STRING_SPLIT(text, ' ')) AS n
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(LEAST(n, $maxTokens)) AS BIGINT) AS kept_tokens,
+       |  CAST(COUNT(*) FILTER (n > $maxTokens) AS BIGINT)
+       |    AS docs_truncated,
+       |  CAST((SUM(n) - SUM(LEAST(n, $maxTokens))) * 1000000
+       |    // SUM(n) AS BIGINT) AS waste_ppm
+       |FROM s GROUP BY source
+       |ORDER BY source, n_docs, total_tokens, kept_tokens,
+       |  docs_truncated, waste_ppm""".stripMargin
+
   /** Content-defined chunking audit (q183): split each document at
     * ROLLING-HASH boundaries (a window position whose FNV+splitmix
     * hash has its low 6 bits zero — expected chunk ≈ 64 chars) and

@@ -166,6 +166,73 @@ object TextAnalysis {
   def langidConfusionQuery(spark: SparkSession, dir: String): DataFrame =
     langidConfusion(Tables.documents(spark, dir))
 
+  /** Per-source language-label noise (q198): the share of a source's
+    * documents whose n-gram prediction DISAGREES with the declared
+    * `lang` label — q121's confusion matrix sliced the way curation
+    * acts on it (which ingest SOURCE ships noisy labels and needs
+    * re-identification before per-language mixing trusts its
+    * counts). "und" (no bigram signal) is reported separately, not
+    * as a mismatch. Reuses [[langIdNgramDocs]] verbatim so the
+    * prediction rule cannot drift from q55/q121.
+    *
+    * Scale shape: the codegen'd scoring projection + one narrow
+    * doc_id join for the source label + one source rollup. */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame =
+    langMismatchDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[langMismatch]] (needs doc_id, source,
+    * lang, text). */
+  def langMismatchDocs(docs: DataFrame): DataFrame =
+    langIdNgramDocs(docs)
+      .select(col("doc_id"), col("lang_label"), col("lang_pred_ngram"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("count_if(lang_pred_ngram <> 'und'" +
+          " AND lang_pred_ngram <> lang_label)").as("n_mismatch"),
+        expr("count_if(lang_pred_ngram = 'und')").as("n_und"))
+      .select(col("source"), col("n_docs"), col("n_mismatch"),
+        col("n_und"),
+        expr("n_mismatch * 1000000 div n_docs").as("mismatch_ppm"))
+      .orderBy(col("source"), col("n_docs"), col("n_mismatch"),
+        col("n_und"), col("mismatch_ppm"))
+
+  /** DuckDB oracle for [[langMismatch]] — the q55/q121 scoring CTE
+    * generated from [[bigramProfiles]] (single source of truth) with
+    * the same fixed-precedence argmax. */
+  def langMismatchOracleSql: String = {
+    val scoredCols = bigramProfiles.map { case (l, ps) =>
+      val items = ps.map(p => s"'$p'").mkString(", ")
+      s"""CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
+         |      FOR i IN RANGE(1, GREATEST(LENGTH(text) - 1, 1) + 1)]),
+         |      [$items])) AS BIGINT) AS g_$l""".stripMargin
+    }.mkString(",\n    ")
+    val gCols = bigramProfiles.map { case (l, _) => s"g_$l" }
+      .mkString(", ")
+    val whens = bigramProfiles.map { case (l, _) =>
+      s"WHEN g_$l = GREATEST($gCols) THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, lang AS lang_label,
+       |    $scoredCols
+       |  FROM documents),
+       |pred AS (
+       |  SELECT source, lang_label,
+       |    CASE WHEN GREATEST($gCols) = 0 THEN 'und'
+       |         $whens
+       |         ELSE 'und' END AS lang_pred
+       |  FROM scored)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(*) FILTER (lang_pred <> 'und'
+       |    AND lang_pred <> lang_label) AS BIGINT) AS n_mismatch,
+       |  CAST(COUNT(*) FILTER (lang_pred = 'und') AS BIGINT) AS n_und,
+       |  CAST(COUNT(*) FILTER (lang_pred <> 'und'
+       |    AND lang_pred <> lang_label) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS mismatch_ppm
+       |FROM pred GROUP BY source
+       |ORDER BY source, n_docs, n_mismatch, n_und, mismatch_ppm""".stripMargin
+  }
+
   /** Token counting: whitespace tokens vs a BPE-ish regex token split
     * (letter runs, digit runs, single punctuation marks). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -437,6 +437,78 @@ class Round9OpsSpec extends SparkSpec {
       s"one re-post family + one syndication family: $out")
   }
 
+  test("q197 truncation waste: planted long doc, exact kept/waste arithmetic") {
+    import spark.implicits._
+    // 5-token + 200-token docs at L=128: total 205, kept 5+128=133,
+    // waste 72e6 div 205 = 351219, one truncated doc
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),
+      (2L, "s1", Seq.fill(200)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Layout.truncationWasteDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("s1") == ((2L, 205L, 133L, 1L, 351219L)),
+      s"s1: ${out("s1")}")
+  }
+
+  test("q198 language mismatch: planted noisy label and und separation") {
+    import spark.implicits._
+    // doc 1: English bigrams, labeled en -> agree; doc 2: English
+    // bigrams labeled de -> MISMATCH; doc 3: no profile bigram ->
+    // und (NOT a mismatch)
+    val docs = Seq(
+      (1L, "sA", "en", "the her in"),
+      (2L, "sA", "de", "the her in an"),
+      (3L, "sA", "en", "zzz"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = graft.ops.TextAnalysis.langMismatchDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out("sA") == ((3L, 1L, 1L, 333333L)), s"sA: ${out("sA")}")
+  }
+
+  test("q199 skew profile: planted hot key, truncating avg, salt clamps") {
+    import spark.implicits._
+    // counts 6/2/1/1 over 4 keys: total 10, avg = 10 div 4 = 2.
+    // key 1 -> share 600000 ppm, salt 6 div 2 = 3; keys 3/4 have
+    // cnt < avg -> salt clamps up to 1.
+    val fact = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L))
+      .toDF("k")
+    val out = graft.ops.Skew.profileKey(fact, "k", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("k", 1L, 6L, 600000L, 3L),
+      ("k", 2L, 2L, 200000L, 1L),
+      ("k", 3L, 1L, 100000L, 1L),
+      ("k", 4L, 1L, 100000L, 1L)), s"profile: ${out.toSeq}")
+    graft.ops.Dedup.unpersistCaches()
+  }
+
+  test("q200 emb outliers: far tail per cell, ceil-10% size, d2-desc tie to min id") {
+    import spark.implicits._
+    // q186's geometry: cell 0 = {0.1, 0.12, 0.2} centroid 140000 µu
+    // -> tail size max(1, 3 div 10) = 1, farthest is vec 3 at
+    // 60000² = 3.6e9. Cell 1 = {−0.5, −0.48} centroid −490000 ->
+    // both at d2 = 1e8; the (d2 desc, vec_id) tie-break ranks vec 1
+    // first and the 1-row tail keeps exactly it.
+    def v(x: Float) = (x +: Seq.fill(63)(0.0f))
+    val emb = Seq(
+      (0L, v(0.1f)), (1L, v(-0.5f)), (2L, v(0.12f)),
+      (3L, v(0.2f)), (4L, v(-0.48f)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.ops.Ivf.deterministicIndexOn(emb, k = 2)
+    try {
+      val out = graft.ops.Ivf.cellOutliersOn(idx, emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(out.toSeq == Seq(
+        (0L, 3L, 3600000000L, 3L, 1L),
+        (1L, 1L, 100000000L, 2L, 1L)), s"outliers: ${out.toSeq}")
+    } finally idx.assigned.unpersist()
+  }
+
   test("q180 interp: planted gap values, negative slope truncates toward zero") {
     import spark.implicits._
     // user 1: v(0h)=1_000_000, v(3h)=4_000_000 -> silent hours get the
