@@ -284,6 +284,10 @@ object SparkEntry {
     "q199_key_skew_profile" -> ((s: SparkSession, d: String) =>
       Skew.keySkewProfile(s, d)),
     "q200_emb_outliers"     -> (Ivf.cellOutliers _),
+    "q201_keep_best_dedup"  -> ((s: SparkSession, d: String) =>
+      Similarity.keepBestDedup(s, d)),
+    "q202_collocations"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.collocations(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -570,7 +574,7 @@ object SparkEntry {
           |FROM embeddings e, q WHERE e.vec_id <> 0
           |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
       "q35_text_quality" ->
-        """SELECT doc_id, lang,
+        s"""SELECT doc_id, lang,
           |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
           |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
           |  ROUND(CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
@@ -581,12 +585,7 @@ object SparkEntry {
           |  ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
           |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) /
           |    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
-          |  ROUND(0.4 * LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0) +
-          |    0.3 * (1.0 - CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 ]')) AS DOUBLE) /
-          |      CAST(LENGTH(text) AS DOUBLE)) +
-          |    0.3 * LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-          |        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) /
-          |      CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 5.0, 1.0), 6) AS quality_score
+          |  ${TextAnalysis.qualityScoreSqlExpr} AS quality_score
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q36_text_langid" ->
         """SELECT doc_id, lang_label, s_en, s_de, s_fr, s_es, s_zh,
@@ -2560,6 +2559,8 @@ object SparkEntry {
       "q198_lang_mismatch" -> TextAnalysis.langMismatchOracleSql,
       "q199_key_skew_profile" -> Skew.keySkewProfileOracleSql(),
       "q200_emb_outliers" -> Ivf.cellOutliersOracleSql(),
+      "q201_keep_best_dedup" -> Similarity.keepBestDedupOracleSql(),
+      "q202_collocations" -> TextAnalysis.collocationsOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -466,6 +466,73 @@ object Similarity {
        |FROM sz GROUP BY cluster_size, n_sources
        |ORDER BY cluster_size, n_sources, n_clusters""".stripMargin
 
+  /** Keep-best canonicalization (q201): per near-dup cluster (the
+    * q65/q166 connected components at τ), keep the member with the
+    * HIGHEST q35 quality score (min doc_id on ties) instead of the
+    * min-id default — quality-aware dedup, the curation policy most
+    * recipes actually want (SemDeDup keeps min-id for determinism;
+    * this op shows determinism and quality-keep compose: the score is
+    * rounded to 6 decimals THEN scaled to integer ppm before the
+    * argmax, so no float comparison decides a keep). Reports the
+    * token mass dropped per cluster — the realized dedup saving under
+    * the keep-best policy.
+    *
+    * Scale shape: the amortized CC labels + one key join + one
+    * cluster-keyed max(struct) aggregate (map-side combined; no
+    * window). The scoring projection is corpus-linear codegen. */
+  def keepBestDedup(spark: SparkSession, dir: String,
+      minCos: Double = 0.35): DataFrame = {
+    val qdocs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"),
+        round(round(TextAnalysis.qualityScore(col("text")), 6)
+          * 1000000d, 0).cast("long").as("q_ppm"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    Dedup.dedupClusters(embeddingNearDups(spark, dir, minCos = minCos),
+        "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("cluster_id"))
+      .join(qdocs, Seq("vec_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q_ppm"), (-col("vec_id")).as("nid"),
+          col("n_tok"))).as("m"),
+        sum(col("n_tok")).as("tot_tok"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("m.nid")).as("keep_id"), col("m.q_ppm").as("keep_q_ppm"),
+        (col("tot_tok") - col("m.n_tok")).as("dropped_tokens"))
+      .orderBy(col("cluster_id"), col("n_members"), col("keep_id"),
+        col("keep_q_ppm"), col("dropped_tokens"))
+  }
+
+  /** DuckDB oracle for [[keepBestDedup]] — the q65 recursive CTEs +
+    * the SAME scoring expression ([[TextAnalysis.qualityScoreSqlExpr]],
+    * the q35 term) + the (q_ppm desc, vec_id) argmax. */
+  def keepBestDedupOracleSql(minCos: Double = 0.35): String =
+    s"""WITH RECURSIVE ${clusterOracleCtes(minCos)},
+       |qd AS (
+       |  SELECT doc_id AS vec_id,
+       |    CAST(ROUND(${TextAnalysis.qualityScoreSqlExpr} * 1000000)
+       |      AS BIGINT) AS q_ppm,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |lab AS (
+       |  SELECT cl.cluster_id, qd.vec_id, qd.q_ppm, qd.n_tok
+       |  FROM cl JOIN qd ON qd.vec_id = cl.vec_id),
+       |best AS (
+       |  SELECT cluster_id, vec_id, q_ppm, n_tok FROM lab
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY q_ppm DESC, vec_id) = 1),
+       |ag AS (
+       |  SELECT cluster_id, COUNT(*) AS n_members,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tot_tok
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT a.cluster_id, a.n_members,
+       |  CAST(b.vec_id AS BIGINT) AS keep_id,
+       |  b.q_ppm AS keep_q_ppm,
+       |  CAST(a.tot_tok - b.n_tok AS BIGINT) AS dropped_tokens
+       |FROM ag a JOIN best b ON b.cluster_id = a.cluster_id
+       |ORDER BY cluster_id, n_members, keep_id, keep_q_ppm,
+       |  dropped_tokens""".stripMargin
+
   /** Deterministic integer PageRank over the near-dup graph: a fixed
     * number of power iterations in exact ppm arithmetic — pr0 =
     * 1000000 div N, contrib(u) = pr(u) div deg(u), pr'(v) =

@@ -50,6 +50,18 @@ object TextAnalysis {
       lit(0.3) * least(stop / nTokens * 5.0, lit(1.0))
   }
 
+  /** DuckDB expression mirroring [[qualityScore]] rounded to 6
+    * decimals — the q35 oracle's scoring term, extracted so q201's
+    * keep-best selection scores with the SAME expression (single
+    * source of truth; the q198 bigramProfiles move). */
+  val qualityScoreSqlExpr: String =
+    """ROUND(0.4 * LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0) +
+      |    0.3 * (1.0 - CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 ]')) AS DOUBLE) /
+      |      CAST(LENGTH(text) AS DOUBLE)) +
+      |    0.3 * LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+      |        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) /
+      |      CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 5.0, 1.0), 6)""".stripMargin
+
   /** Quality scoring: length, token stats, punctuation + stopword
     * ratios, composite score in [0,1]. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame = {
@@ -232,6 +244,84 @@ object TextAnalysis {
        |FROM pred GROUP BY source
        |ORDER BY source, n_docs, n_mismatch, n_und, mismatch_ppm""".stripMargin
   }
+
+  /** Collocation mining (q202): the top-`topK` adjacent token pairs
+    * by integer LIFT — `n_xy · N · 1e6 div (n_x · n_y)` over bigram
+    * positions (N = total bigrams, n_x/n_y = occurrences as
+    * left/right element) — the PMI ranking with the log stripped
+    * (log is monotone, so lift order IS PMI order) and the division
+    * done once in DECIMAL(38,0), truncating identically in both
+    * engines. `minCount` suppresses the rare-pair lift explosion the
+    * PMI literature warns about. Surfaces the corpus's fixed phrases
+    * (template fragments, code idioms) — the n>1 generalization of
+    * q134's heavy-hitter tokens and a direct boilerplate signal.
+    *
+    * Scale shape: ONE corpus scan explodes bigrams into a
+    * map-side-combined (w1, w2) count; the pair-count table (vocab²
+    * bounded, frequency-filtered) is persisted for its three
+    * consumers (marginals + N are derived from it, never from a
+    * second scan); top-K rides TakeOrderedAndProject. */
+  def collocations(spark: SparkSession, dir: String,
+      minCount: Long = 5, topK: Int = 20): DataFrame =
+    collocationsDocs(Tables.documents(spark, dir), minCount, topK)
+
+  /** Frame-based core of [[collocations]] (needs text). */
+  def collocationsDocs(docs: DataFrame, minCount: Long = 5,
+      topK: Int = 20): DataFrame = {
+    val pairCounts = Dedup.register(docs
+      .select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1)," +
+          " (t, i) -> struct(t AS w1, element_at(ts, i + 2) AS w2))"))
+        .as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val left = pairCounts.groupBy(col("w1"))
+      .agg(sum(col("n_xy")).as("n_x"))
+    val right = pairCounts.groupBy(col("w2"))
+      .agg(sum(col("n_xy")).as("n_y"))
+    val total = pairCounts.agg(sum(col("n_xy")).as("n_total"))
+    pairCounts.filter(col("n_xy") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"),
+        col("n_y"),
+        expr("(CAST(n_xy AS DECIMAL(38,0)) * n_total * 1000000)" +
+          " div (CAST(n_x AS DECIMAL(38,0)) * n_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"),
+        col("n_xy"), col("n_x"), col("n_y"))
+  }
+
+  /** DuckDB oracle for [[collocations]]. */
+  def collocationsOracleSql(minCount: Long = 5, topK: Int = 20): String =
+    s"""WITH t AS (
+       |  SELECT STRING_SPLIT(text, ' ') AS ts FROM documents
+       |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+       |pos AS (
+       |  SELECT ts, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS i
+       |  FROM t),
+       |pc AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2,
+       |    CAST(COUNT(*) AS BIGINT) AS n_xy
+       |  FROM pos GROUP BY 1, 2),
+       |mx AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       |       FROM pc GROUP BY w1),
+       |my AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y
+       |       FROM pc GROUP BY w2),
+       |tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_total FROM pc)
+       |SELECT w1, w2, n_xy, n_x, n_y,
+       |  CAST(CAST(n_xy AS HUGEINT) * n_total * 1000000
+       |    // (CAST(n_x AS HUGEINT) * n_y) AS BIGINT) AS lift_ppm
+       |FROM pc JOIN mx USING (w1) JOIN my USING (w2) CROSS JOIN tot
+       |WHERE n_xy >= $minCount
+       |QUALIFY ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, w1, w2)
+       |  <= $topK
+       |ORDER BY lift_ppm DESC, w1, w2, n_xy, n_x, n_y""".stripMargin
 
   /** Token counting: whitespace tokens vs a BPE-ish regex token split
     * (letter runs, digit runs, single punctuation marks). */
