@@ -665,6 +665,45 @@ object ScaleRehearsal {
         }
         report("q200_emb_outliers", tOl, nOl)
       }
+      // q201: keep-best canonicalization on the LSH scale path (the
+      // q196 harness with the quality join + cluster argmax on top);
+      // the aggregate expressions are prunable under count(), so
+      // materialize via matCount
+      if (wanted("q201")) {
+        val e = embAt(scale)
+        val edges = Similarity.lshEmbeddingNearDups(e, 0.35)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val (nKb, tKb) = timed(matCount(Similarity.keepBestDedupOn(
+          edges, d.select(col("doc_id"), col("text")))))
+        edges.unpersist()
+        Dedup.unpersistCaches()
+        report("q201_keep_best", tKb, nKb)
+      }
+      // q202: one corpus bigram explode into a vocab²-bounded pair
+      // table persisted for its 3 consumers; topK via TakeOrdered
+      if (wanted("q202")) {
+        val (nCo, tCo) = timed {
+          val n = matCount(
+            graft.ops.TextAnalysis.collocationsDocs(d))
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q202_collocations", tCo, nCo)
+      }
+      // q203: perceptual-hash image dedup — band-bucketed candidates
+      // + exact hamming verify over the image third of the corpus
+      if (wanted("q203")) {
+        val mm = graft.multimodal.Multimodal
+        val img = d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+        val (nPh, tPh) = timed {
+          val n = matCount(mm.phashDedupBands(mm.phashBandsCols(img)))
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q203_phash_dedup", tPh, nPh)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

@@ -288,6 +288,8 @@ object SparkEntry {
       Similarity.keepBestDedup(s, d)),
     "q202_collocations"     -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(s, d)),
+    "q203_phash_dedup"      -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.phashDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2561,6 +2563,8 @@ object SparkEntry {
       "q200_emb_outliers" -> Ivf.cellOutliersOracleSql(),
       "q201_keep_best_dedup" -> Similarity.keepBestDedupOracleSql(),
       "q202_collocations" -> TextAnalysis.collocationsOracleSql(),
+      "q203_phash_dedup" ->
+        graft.multimodal.Multimodal.phashDedupOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

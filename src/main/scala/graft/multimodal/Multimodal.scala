@@ -175,6 +175,153 @@ object Multimodal {
         col("first_idx"), col("last_idx"))
   }
 
+  /** dHash perceptual bands (q203) over the deterministic fake-decode
+    * "luminance plane": pixel i (i = 0..71, a 9-wide × 8-tall plane)
+    * is the codepoint of payload character (i mod n) — the
+    * [[resizePayload]] cycling applied on the codepoint plane, so the
+    * JVM path stays bit-identical to the `ascii(substr(text, …))`
+    * column form on any text (the [[fakeDecode]] codepoint-vs-byte
+    * rule). dHash bit k (k = 0..63, row r = k div 8, col c = k mod 8)
+    * compares horizontal neighbours px[r·9+c] < px[r·9+c+1] — i.e.
+    * px[k + k div 8] < px[k + k div 8 + 1] — and the 64 bits pack
+    * into FOUR 16-bit bands (bit t of band j = bit 16j+t): any two
+    * hashes within hamming distance 3 share at least one band by
+    * pigeonhole, which makes band equality a complete candidate
+    * generator for the ≤3 cut. A production build swaps the plane for
+    * real decoded/resized grayscale; every downstream step is
+    * unchanged. */
+  def dhashBands(payload: Array[Byte]): Array[Int] = {
+    val s = if (payload == null) ""
+      else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val n = s.codePointCount(0, s.length)
+    val px = new Array[Int](72)
+    if (n > 0) {
+      var i = 0
+      while (i < 72) {
+        px(i) = s.codePointAt(s.offsetByCodePoints(0, i % n))
+        i += 1
+      }
+    }
+    val bands = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      val idx = k + k / 8
+      if (px(idx) < px(idx + 1)) bands(k / 16) |= (1 << (k % 16))
+      k += 1
+    }
+    bands
+  }
+
+  /** Partition-local perceptual-hash extraction over payloads (the
+    * q39 mapPartitions discipline: codec + hash state init once per
+    * partition, payload bytes dropped before any shuffle). Empty /
+    * NULL payloads are skipped — they have no pixel plane, matching
+    * the column form's `length(text) >= 1` guard. */
+  def phashFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("bands", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "payload").mapPartitions { rows =>
+      // per-partition decoder/hasher init would happen HERE
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        if (payload == null || payload.length == 0) Iterator.empty
+        else Iterator(Row(r.getAs[Long]("doc_id"), dhashBands(payload).toSeq))
+      }
+    }(enc)
+  }
+
+  /** Column-expression sibling of [[dhashBands]] over a text column —
+    * the oracle-checkable face (DuckDB replays the same plane and
+    * packing; MultimodalSpec pins payload path == column path). */
+  def phashBandsCols(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 71)," +
+          " i -> ascii(substr(text, cast(i % length(text) as int) + 1, 1)))")
+        .as("px"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 3), j ->
+          |  aggregate(sequence(0, 15), 0, (acc, t) ->
+          |    acc + if(element_at(px, cast(j*16 + t + (j*16 + t) div 8 + 1 as int))
+          |           < element_at(px, cast(j*16 + t + (j*16 + t) div 8 + 2 as int)),
+          |      shiftleft(1, cast(t as int)), 0)))""".stripMargin)
+        .as("bands"))
+
+  /** Perceptual-hash near-dup pairs over any (doc_id, bands) frame:
+    * band equality generates candidates (complete for the ≤3 cut by
+    * pigeonhole over the 4 bands), exact hamming over the band xors
+    * verifies. The bands table is register-persisted for its THREE
+    * consumers (both sides of the candidate self-join + the verify
+    * join) — the q65/q146 single-generator rule. */
+  def phashDedupBands(bandsIn: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = graft.ops.Dedup.register(bandsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ex = bands.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val cands = ex.as("a").join(ex.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(bands.select(col("doc_id").as("doc_a"), col("bands").as("ba")),
+        Seq("doc_a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bands").as("bb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y))," +
+          " 0, (acc, v) -> acc + v) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Query entry (q203): perceptual-hash image dedup — dHash bands
+    * over the image-modality payload plane, band-bucketed candidates,
+    * exact hamming ≤ 3 verify. The brute-force DuckDB oracle doubles
+    * as the candidate-COMPLETENESS gate (the q126 rule): a banding
+    * bug that drops any qualifying pair hash-mismatches at both
+    * scales. */
+  def phashDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    phashDedupBands(phashBandsCols(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0) // the mediaTable image rows
+        .select(col("doc_id"), col("text"))), maxHamming)
+
+  /** DuckDB oracle for [[phashDedup]] — same plane/packing CTEs,
+    * brute-force all-pairs hamming (no banding), so candidate
+    * completeness is part of the hash compare. */
+  def phashDedupOracleSql(maxHamming: Int = 3): String =
+    s"""WITH img AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND LENGTH(text) >= 1),
+       |px AS (
+       |  SELECT doc_id,
+       |    LIST_TRANSFORM(RANGE(0, 72),
+       |      i -> ASCII(SUBSTR(text, (i % LENGTH(text)) + 1, 1))) AS p
+       |  FROM img),
+       |bnd AS (
+       |  SELECT doc_id,
+       |    LIST_TRANSFORM(RANGE(0, 4), j -> CAST(LIST_SUM(
+       |      LIST_TRANSFORM(RANGE(0, 16), t -> CASE
+       |        WHEN p[(j*16+t) + (j*16+t) // 8 + 1]
+       |           < p[(j*16+t) + (j*16+t) // 8 + 2]
+       |        THEN (1 << t) ELSE 0 END)) AS BIGINT)) AS bands
+       |  FROM px),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 4),
+       |      j -> bit_count(xor(a.bands[j+1], b.bands[j+1]))))
+       |      AS BIGINT) AS hamming
+       |  FROM bnd a JOIN bnd b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b, hamming""".stripMargin
+
   /** Oracle-checkable query: the fake-decode arithmetic restated as
     * pure column expressions (bit-identical to the mapPartitions path,
     * asserted in MultimodalSpec), so the DuckDB oracle can verify the

@@ -231,9 +231,6 @@ object HashSql {
        |ORDER BY event_type, n_days, kmv_est, exact_distinct""".stripMargin
   }
 
-  /** q89: group-split replay — FNV-1a of the full text, splitmix64
-    * finalizer, sign bit dropped (mod 2^63, matching Spark's
-    * `& Long.MaxValue`), bucket mod 100 mapped to split names. */
   /** CTE chain replaying [[Sampling.groupSplit]]: yields `spb` with
     * (doc_id, gb) — the FNV+splitmix content bucket — shared by the
     * q89 oracle and the q194 leakage audit. */
@@ -257,6 +254,9 @@ object HashSql {
        |     WHEN gb < ${trainPct + valPct} THEN 'val'
        |     ELSE 'test' END""".stripMargin
 
+  /** q89: group-split replay — FNV-1a of the full text, splitmix64
+    * finalizer, sign bit dropped (mod 2^63, matching Spark's
+    * `& Long.MaxValue`), bucket mod 100 mapped to split names. */
   def groupSplitOracle(trainPct: Int = 80, valPct: Int = 10): String =
     s"""WITH $groupSplitCtes
        |SELECT doc_id, CAST(gb AS BIGINT) AS grp_bucket,

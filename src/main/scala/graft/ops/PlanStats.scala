@@ -19,26 +19,24 @@ object PlanStats {
   def estRows(df: DataFrame, bytesPerRow: Long = 64L): BigInt = {
     val p = df.queryExecution.optimizedPlan
     p.stats.rowCount.getOrElse {
-      val leafBytes = p.collect {
-        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          l.stats.sizeInBytes
-        case c: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          c.stats.sizeInBytes
-      }
-      if (leafBytes.nonEmpty) leafBytes.sum / bytesPerRow
-      else BigInt(Long.MaxValue)
+      val lb = leafBytes(df)
+      if (lb == BigInt(Long.MaxValue)) lb else lb / bytesPerRow
     }
   }
 
-  /** Summed leaf bytes (file + cache relations) of `df`'s optimized
-    * plan; Long.MaxValue when no leaf is measurable. */
+  /** Summed leaf bytes of `df`'s optimized plan — EVERY LeafNode's
+    * own stats (file relations report file size, InMemoryRelation its
+    * cached size, LocalRelation its row data, DSv2 relations their
+    * source estimate); a leaf with no real estimate reports the
+    * session's defaultSizeInBytes (Long.MaxValue unless CBO tuned),
+    * which saturates the sum and keeps the unknown-size =
+    * scale-safe-branch contract. */
   def leafBytes(df: DataFrame): BigInt = {
     val bs = df.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
         l.stats.sizeInBytes
-      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        c.stats.sizeInBytes
     }
-    if (bs.nonEmpty) bs.sum else BigInt(Long.MaxValue)
+    if (bs.isEmpty) BigInt(Long.MaxValue)
+    else bs.sum.min(BigInt(Long.MaxValue))
   }
 }

@@ -481,14 +481,21 @@ object Similarity {
     * cluster-keyed max(struct) aggregate (map-side combined; no
     * window). The scoring projection is corpus-linear codegen. */
   def keepBestDedup(spark: SparkSession, dir: String,
-      minCos: Double = 0.35): DataFrame = {
-    val qdocs = Tables.documents(spark, dir)
+      minCos: Double = 0.35): DataFrame =
+    keepBestDedupOn(embeddingNearDups(spark, dir, minCos = minCos),
+      Tables.documents(spark, dir))
+
+  /** Frame-based core of [[keepBestDedup]]: `pairs` is any
+    * (vec_a, vec_b) near-dup pair frame, `docs` needs
+    * (doc_id, text). Singleton docs (no pair) are absent by design —
+    * the report is about realized cluster savings. */
+  def keepBestDedupOn(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val qdocs = docs
       .select(col("doc_id").as("vec_id"),
         round(round(TextAnalysis.qualityScore(col("text")), 6)
           * 1000000d, 0).cast("long").as("q_ppm"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    Dedup.dedupClusters(embeddingNearDups(spark, dir, minCos = minCos),
-        "vec_a", "vec_b")
+    Dedup.dedupClusters(pairs, "vec_a", "vec_b")
       .select(col("node").as("vec_id"), col("cluster_id"))
       .join(qdocs, Seq("vec_id"))
       .groupBy(col("cluster_id"))
@@ -530,7 +537,7 @@ object Similarity {
        |  b.q_ppm AS keep_q_ppm,
        |  CAST(a.tot_tok - b.n_tok AS BIGINT) AS dropped_tokens
        |FROM ag a JOIN best b ON b.cluster_id = a.cluster_id
-       |ORDER BY cluster_id, n_members, keep_id, keep_q_ppm,
+       |ORDER BY a.cluster_id, n_members, keep_id, keep_q_ppm,
        |  dropped_tokens""".stripMargin
 
   /** Deterministic integer PageRank over the near-dup graph: a fixed

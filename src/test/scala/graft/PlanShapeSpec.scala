@@ -554,4 +554,29 @@ class PlanShapeSpec extends SparkSpec {
       p.expressions.map(_.collect { case j: JsonToStructs => j }.size).sum).sum
     assert(n == 1, s"expected 1 JsonToStructs in the optimized plan, got $n")
   }
+
+  test("q202 pair-count cache feeds all consumers: zero direct corpus scans (plan pin)") {
+    // the q146/q65 lesson as a pin: collocations' persisted pair table
+    // must serve the marginals, the total, AND the filtered stream —
+    // every documents access in the final plan goes through the ONE
+    // cached bigram aggregate, never a second corpus scan
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    try {
+      val df = graft.ops.TextAnalysis.collocations(spark, sf)
+      val p = df.queryExecution.optimizedPlan
+      val corpusScans = p.collect {
+        case l: LogicalRelation if l.toString.contains("documents") => l
+      }.size
+      assert(corpusScans == 0,
+        s"expected 0 direct documents scans above the cache, got $corpusScans")
+      val caches = p.collect {
+        case r: InMemoryRelation => r.cacheBuilder.cachedPlan
+      }
+      assert(caches.size >= 4,
+        s"pair table not cache-shared across the 4 consumers (${caches.size} refs)")
+      assert(caches.distinct.size == 1,
+        s"consumers reference ${caches.distinct.size} distinct caches")
+    } finally Dedup.unpersistCaches()
+  }
 }
