@@ -704,6 +704,90 @@ object ScaleRehearsal {
         }
         report("q203_phash_dedup", tPh, nPh)
       }
+      // q204: incremental perceptual dedup — fixed corpus (the 1x
+      // image third below id 300), batch = the scaled image third
+      // above it (the corpus-vs-growing-ingest shape)
+      if (wanted("q204")) {
+        val mm = graft.multimodal.Multimodal
+        val corpus = mm.phashBandsCols(
+          Tables.documents(spark, dir)
+            .filter(col("doc_id") % 3 === 0 && col("doc_id") < 300)
+            .select(col("doc_id"), col("text")))
+        val batch = mm.phashBandsCols(
+          d.filter(col("doc_id") % 3 === 0 && col("doc_id") >= 300)
+            .select(col("doc_id"), col("text")))
+        val (nPi, tPi) = timed {
+          val n = matCount(mm.phashIncrementalBands(corpus, batch))
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q204_phash_incremental", tPi, nPi)
+      }
+      // q205: kappa — codegen scoring projection + cell aggregate
+      if (wanted("q205")) {
+        val (nKp, tKp) = timed {
+          val n = graft.ops.TextAnalysis.kappaAgreementDocs(
+            d.select(col("doc_id"), col("source"), col("lang"),
+              col("text"))).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q205_kappa", tKp, nKp)
+      }
+      // q206: jackknife — one scan into a 32-row bucket aggregate
+      if (wanted("q206")) {
+        graft.functions.GraftFunctions.register(spark)
+        val bucket = pmod(call_function("splitmix64",
+            call_function("rolling_hash", col("text")))
+          .bitwiseAND(lit(Long.MaxValue)), lit(32L))
+        val (nJk, tJk) = timed {
+          val n = graft.ops.Profiling.jackknifeOf(d.select(
+            bucket.as("bucket"),
+            length(col("text")).cast("long").as("x"))).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q206_jackknife", tJk, nJk)
+      }
+      // q207: BPE pair kernel — vocab-bounded pair explode
+      if (wanted("q207")) {
+        val (nBp, tBp) = timed(
+          graft.ops.TextAnalysis.bpePairStatsDocs(d).count())
+        report("q207_bpe_pairs", tBp, nBp)
+      }
+      // q208: water-filling — corpus aggregate + |sources|-sized tail
+      if (wanted("q208")) {
+        val (nWf, tWf) = timed {
+          val supplies = d.groupBy(col("source"))
+            .agg(sum(size(split(col("text"), " ")).cast("long"))
+              .as("supply"))
+            .withColumn("weight", expr(
+              // the q148 isqrt inline (private[ops]): seed + ±1 adjust
+              "CAST(FLOOR(SQRT(CAST(supply AS DOUBLE))) AS BIGINT)"))
+          val n = graft.ops.Sampling.waterfillAllocOn(supplies).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q208_waterfill", tWf, nWf)
+      }
+      // q209: Theil-Sen on the 10x events stream (the scaled table
+      // with a time axis): per event_type daily value sums -> pair
+      // slopes; days are calendar-bounded so pairs stay k²-tiny
+      if (wanted("q209")) {
+        val ev = evAt(scale)
+        val (nTs, tTs) = timed {
+          val daily = ev.select(col("event_type").as("flag"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).cast("long").as("m"),
+            coalesce(col("value").cast("long"), lit(0L)).as("y"))
+            .groupBy(col("flag"), col("m"))
+            .agg(sum(col("y")).as("rev"))
+          val n = graft.ops.Profiling.theilSenOf(daily).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q209_theil_sen", tTs, nTs)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

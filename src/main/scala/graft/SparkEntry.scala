@@ -290,6 +290,15 @@ object SparkEntry {
       TextAnalysis.collocations(s, d)),
     "q203_phash_dedup"      -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.phashDedup(s, d)),
+    "q204_phash_incremental" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.phashIncremental(s, d)),
+    "q205_kappa_agreement"  -> (TextAnalysis.kappaAgreement _),
+    "q206_jackknife"        -> ((s: SparkSession, d: String) =>
+      Profiling.jackknifeLength(s, d)),
+    "q207_bpe_pairs"        -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpePairStats(s, d)),
+    "q208_waterfill"        -> (Sampling.waterfillAlloc _),
+    "q209_theil_sen"        -> (Profiling.theilSenTrend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2565,6 +2574,13 @@ object SparkEntry {
       "q202_collocations" -> TextAnalysis.collocationsOracleSql(),
       "q203_phash_dedup" ->
         graft.multimodal.Multimodal.phashDedupOracleSql(),
+      "q204_phash_incremental" ->
+        graft.multimodal.Multimodal.phashIncrementalOracleSql(),
+      "q205_kappa_agreement" -> TextAnalysis.kappaAgreementOracleSql,
+      "q206_jackknife" -> Profiling.jackknifeLengthOracleSql(),
+      "q207_bpe_pairs" -> TextAnalysis.bpePairStatsOracleSql(),
+      "q208_waterfill" -> Sampling.waterfillAllocOracleSql,
+      "q209_theil_sen" -> Profiling.theilSenTrendOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -322,6 +322,138 @@ object Multimodal {
        |WHERE hamming <= $maxHamming
        |ORDER BY doc_a, doc_b, hamming""".stripMargin
 
+  /** Incremental perceptual dedup (q204): an ingest batch of image
+    * payloads against an existing deduped corpus — the q150/q191
+    * decision pair applied to the q203 hash: a batch doc is dropped
+    * when it matches (hamming ≤ maxHamming) ANY corpus image
+    * (corpus-wins) or ANY lower-id batch-mate (the non-transitive
+    * first-win rule that replays in SQL; the round-6 lesson — state
+    * is ALL seen docs, kept or dropped, so suppression can't
+    * diverge). Reports the minimum matching id per direction with a
+    * −1 sentinel (no NULL sort-order cross-engine trap).
+    *
+    * Scale shape: both candidate joins are (band_idx, band_val) equi
+    * joins against the persisted band tables (corpus side is the
+    * precomputed index — the setSimJoinIncremental asymmetry); verify
+    * is 4 integer xors per candidate; the verdict set is batch-sized,
+    * so the tail is a repartition(1) sort, never a global orderBy
+    * (the q126 rule). */
+  def phashIncrementalBands(corpusBands: DataFrame,
+      batchBands: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val cb = graft.ops.Dedup.register(corpusBands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bb = graft.ops.Dedup.register(batchBands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    phashVerdicts(cb, bb, maxHamming)
+  }
+
+  /** Unmanaged core of [[phashIncrementalBands]]: callers persist (and
+    * unpersist) the two band frames themselves — the streaming twin
+    * scopes them per micro-batch instead of parking them in the
+    * query-lifetime registry. */
+  private[graft] def phashVerdicts(cb: DataFrame, bb: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def exploded(bands: DataFrame) = bands.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val exC = exploded(cb)
+    val exB = exploded(bb)
+    val ham = expr("cast(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y))," +
+      " 0, (acc, v) -> acc + v) as bigint)")
+    def verified(cand: DataFrame, left: DataFrame, right: DataFrame) =
+      cand
+        .join(left.select(col("doc_id").as("doc_id"), col("bands").as("ba")),
+          Seq("doc_id"))
+        .join(right.select(col("doc_id").as("mate"), col("bands").as("bb")),
+          Seq("mate"))
+        .filter(ham <= maxHamming)
+    val vsCorpus = verified(
+      exB.as("b").join(exC.as("c"),
+          col("b.band_idx") === col("c.band_idx") &&
+            col("b.band_val") === col("c.band_val"))
+        .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("mate"))
+        .distinct(), bb, cb)
+      .groupBy(col("doc_id"))
+      .agg(min(col("mate")).as("dup_of_corpus"))
+    val vsBatch = verified(
+      exB.as("a").join(exB.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("mate"))
+        .distinct(), bb, bb)
+      .groupBy(col("doc_id"))
+      .agg(min(col("mate")).as("dup_of_batch"))
+    bb.select(col("doc_id"))
+      .join(vsCorpus, Seq("doc_id"), "left")
+      .join(vsBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("dup_of_corpus").isNull && col("dup_of_batch").isNull)
+          .as("kept"),
+        coalesce(col("dup_of_corpus"), lit(-1L)).as("dup_of_corpus"),
+        coalesce(col("dup_of_batch"), lit(-1L)).as("dup_of_batch"))
+      .repartition(1)
+      .sortWithinPartitions(col("doc_id"), col("kept"),
+        col("dup_of_corpus"), col("dup_of_batch"))
+  }
+
+  /** Query entry (q204): the image third of the corpus split at
+    * doc_id 300 (the q191 convention) — existing corpus below, ingest
+    * batch above. */
+  def phashIncremental(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val img = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    phashIncrementalBands(
+      phashBandsCols(img.filter(col("doc_id") < 300)),
+      phashBandsCols(img.filter(col("doc_id") >= 300)), maxHamming)
+  }
+
+  /** DuckDB oracle for [[phashIncremental]] — the q203 plane/band
+    * CTEs split at 300, both prune joins brute-force (candidate
+    * completeness inside the hash compare). */
+  def phashIncrementalOracleSql(maxHamming: Int = 3): String = {
+    def hamming(a: String, b: String) =
+      s"""CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 4),
+         |      j -> bit_count(xor($a.bands[j+1], $b.bands[j+1]))))
+         |      AS BIGINT)""".stripMargin
+    s"""WITH img AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND LENGTH(text) >= 1),
+       |px AS (
+       |  SELECT doc_id,
+       |    LIST_TRANSFORM(RANGE(0, 72),
+       |      i -> ASCII(SUBSTR(text, (i % LENGTH(text)) + 1, 1))) AS p
+       |  FROM img),
+       |bnd AS (
+       |  SELECT doc_id,
+       |    LIST_TRANSFORM(RANGE(0, 4), j -> CAST(LIST_SUM(
+       |      LIST_TRANSFORM(RANGE(0, 16), t -> CASE
+       |        WHEN p[(j*16+t) + (j*16+t) // 8 + 1]
+       |           < p[(j*16+t) + (j*16+t) // 8 + 2]
+       |        THEN (1 << t) ELSE 0 END)) AS BIGINT)) AS bands
+       |  FROM px),
+       |corp AS (SELECT * FROM bnd WHERE doc_id < 300),
+       |bat AS (SELECT * FROM bnd WHERE doc_id >= 300),
+       |dc AS (
+       |  SELECT b.doc_id, MIN(c.doc_id) AS dup_of_corpus
+       |  FROM bat b JOIN corp c ON ${hamming("b", "c")} <= $maxHamming
+       |  GROUP BY b.doc_id),
+       |db AS (
+       |  SELECT a.doc_id, MIN(b.doc_id) AS dup_of_batch
+       |  FROM bat a JOIN bat b ON b.doc_id < a.doc_id
+       |    AND ${hamming("a", "b")} <= $maxHamming
+       |  GROUP BY a.doc_id)
+       |SELECT t.doc_id,
+       |  (dc.dup_of_corpus IS NULL AND db.dup_of_batch IS NULL) AS kept,
+       |  COALESCE(dc.dup_of_corpus, -1) AS dup_of_corpus,
+       |  COALESCE(db.dup_of_batch, -1) AS dup_of_batch
+       |FROM bat t
+       |LEFT JOIN dc ON dc.doc_id = t.doc_id
+       |LEFT JOIN db ON db.doc_id = t.doc_id
+       |ORDER BY t.doc_id, kept, dup_of_corpus, dup_of_batch""".stripMargin
+  }
+
   /** Oracle-checkable query: the fake-decode arithmetic restated as
     * pure column expressions (bit-identical to the mapPartitions path,
     * asserted in MultimodalSpec), so the DuckDB oracle can verify the

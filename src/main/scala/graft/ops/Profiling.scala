@@ -992,4 +992,167 @@ object Profiling {
       .select(col("l_suppkey"), col("p_cents"), col("q_cents"))
       .orderBy(col("l_suppkey"), col("p_cents"), col("q_cents"))
   }
+
+  /** Hash-bucket jackknife (q206): error bars for a corpus statistic
+    * computed at scale — the corpus splits into `buckets` disjoint
+    * content-hash groups (the q89 FNV+splitmix bucket, so assignment
+    * is content-deterministic and uncorrelated with ingest order),
+    * and each row reports the LEAVE-ONE-BUCKET-OUT mean of the
+    * statistic in integer ppm plus its deviation from the full-corpus
+    * mean. The spread of `dev_ppm` IS the jackknife dispersion — the
+    * number that says whether "mean doc length = X" would survive
+    * resampling, without a second pass or any randomness. All
+    * integer: one truncating division per row (DECIMAL(38,0) /
+    * HUGEINT products), −1 sentinel for the degenerate
+    * single-nonempty-bucket case (lengths are non-negative, so −1 is
+    * unambiguous).
+    *
+    * Scale shape: ONE corpus scan into a `buckets`-row
+    * map-side-combined aggregate, register-persisted for its two
+    * consumers (the rows + the 1-row totals broadcast); everything
+    * after is |buckets|-sized. */
+  def jackknifeLength(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bucket = pmod(
+      call_function("splitmix64", call_function("rolling_hash", col("text")))
+        .bitwiseAND(lit(Long.MaxValue)), lit(buckets.toLong))
+    jackknifeOf(Tables.documents(spark, dir)
+      .select(bucket.as("bucket"), length(col("text")).cast("long").as("x")))
+  }
+
+  /** Frame-based core of [[jackknifeLength]] over any (bucket, x). */
+  def jackknifeOf(bx: DataFrame): DataFrame = {
+    val per = Dedup.register(bx.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sum_x"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val tot = per.agg(sum(col("n_docs")).as("n"), sum(col("sum_x")).as("s"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("sum_x"),
+        when(col("n") === col("n_docs"), lit(-1L))
+          .otherwise(expr(
+            """CAST((CAST(s AS DECIMAL(38,0)) - sum_x) * 1000000
+              |  DIV (n - n_docs) AS BIGINT)""".stripMargin))
+          .as("loo_mean_ppm"),
+        col("n"), col("s"))
+      .select(col("bucket"), col("n_docs"), col("sum_x"),
+        col("loo_mean_ppm"),
+        when(col("loo_mean_ppm") === -1L, lit(0L))
+          .otherwise(col("loo_mean_ppm") - expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+          .as("dev_ppm"))
+      .orderBy(col("bucket"), col("n_docs"), col("sum_x"),
+        col("loo_mean_ppm"), col("dev_ppm"))
+  }
+
+  /** Theil–Sen robust trend (q209): the median of all pairwise
+    * monthly-revenue slopes per return flag — the robust sibling of
+    * q108's least-squares line (one outlier month can drag the LS
+    * slope arbitrarily; the pairwise-slope median has a 29%
+    * breakdown point, the standard robust-regression screen for
+    * revenue drift). Float discipline: each slope is exact integer
+    * cents divided by an exact month gap in ONE IEEE division,
+    * rounded to 6 decimals BEFORE ranking (the per-row float rule);
+    * the median is the lower nearest-rank VALUE, which is invariant
+    * to tie order.
+    *
+    * Scale shape: the corpus aggregates to (flag, month) rows first —
+    * months are calendar-bounded, so the within-flag pair self-join
+    * is k² over a tiny frame (84 months → 3.5k pairs), never over
+    * rows. The monthly table is register-persisted for its two join
+    * sides. */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        ((year(col("l_shipdate").cast("date")) - 1970) * 12 +
+          month(col("l_shipdate").cast("date")) - 1).cast("long").as("m"),
+        cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("flag"), col("m"))
+      .agg(sum(col("y")).as("rev")))
+
+  /** Frame-based core of [[theilSenTrend]] over (flag, m, rev). */
+  def theilSenOf(monthlyIn: DataFrame): DataFrame = {
+    val monthly = Dedup.register(monthlyIn
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val pairs = monthly.select(col("flag"), col("m").as("ma"),
+        col("rev").as("ya"))
+      .join(monthly.select(col("flag"), col("m").as("mb"),
+        col("rev").as("yb")), Seq("flag"))
+      .filter(col("ma") < col("mb"))
+      .select(col("flag"), col("ma"), col("mb"),
+        round((col("yb") - col("ya")).cast("double") /
+          (col("mb") - col("ma")).cast("double"), 6).as("slope"))
+    val w = Window.partitionBy(col("flag"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("slope"), col("ma"), col("mb"))))
+      .withColumn("np", count(lit(1)).over(w))
+    val nm = monthly.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_months"))
+    ranked.filter(col("rk") === expr("(np + 1) div 2"))
+      .join(nm, Seq("flag"))
+      .select(col("flag"), col("n_months"), col("np").as("n_pairs"),
+        col("slope").as("ts_slope_cents_per_month"))
+      .orderBy(col("flag"), col("n_months"), col("n_pairs"),
+        col("ts_slope_cents_per_month"))
+  }
+
+  /** DuckDB oracle for [[theilSenTrend]] — same monthly lattice, same
+    * single-division rounded slopes, same nearest-rank median. */
+  def theilSenTrendOracleSql: String =
+    s"""WITH monthly AS (
+       |  SELECT l_returnflag AS flag,
+       |    (CAST(YEAR(CAST(l_shipdate AS DATE)) AS BIGINT) - 1970) * 12
+       |      + MONTH(CAST(l_shipdate AS DATE)) - 1 AS m,
+       |    CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.flag, a.m AS ma, b.m AS mb,
+       |    ROUND(CAST(b.rev - a.rev AS DOUBLE)
+       |      / CAST(b.m - a.m AS DOUBLE), 6) AS slope
+       |  FROM monthly a JOIN monthly b
+       |    ON b.flag = a.flag AND a.m < b.m),
+       |ranked AS (
+       |  SELECT flag, slope,
+       |    ROW_NUMBER() OVER (PARTITION BY flag
+       |      ORDER BY slope, ma, mb) AS rk,
+       |    COUNT(*) OVER (PARTITION BY flag) AS np
+       |  FROM pairs),
+       |nm AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_months
+       |       FROM monthly GROUP BY flag)
+       |SELECT r.flag, n.n_months, CAST(r.np AS BIGINT) AS n_pairs,
+       |  r.slope AS ts_slope_cents_per_month
+       |FROM ranked r JOIN nm n ON n.flag = r.flag
+       |WHERE r.rk = (r.np + 1) // 2
+       |ORDER BY r.flag, n_months, n_pairs, ts_slope_cents_per_month""".stripMargin
+
+  /** DuckDB oracle for [[jackknifeLength]] — the q89 content-bucket
+    * CTEs re-modded to the jackknife bucket count, then the same
+    * integer leave-one-out arithmetic. */
+  def jackknifeLengthOracleSql(buckets: Int = 32): String =
+    s"""WITH ${HashSql.groupSplitCtes},
+       |jkb AS (SELECT doc_id, CAST(h % $buckets AS BIGINT) AS bucket
+       |        FROM f5),
+       |x AS (
+       |  SELECT b.bucket, CAST(LENGTH(d.text) AS BIGINT) AS x
+       |  FROM documents d JOIN jkb b USING (doc_id)),
+       |per AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(x) AS BIGINT) AS sum_x
+       |  FROM x GROUP BY bucket),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+       |               CAST(SUM(sum_x) AS BIGINT) AS s FROM per),
+       |loo AS (
+       |  SELECT bucket, n_docs, sum_x,
+       |    CASE WHEN t.n = p.n_docs THEN -1
+       |      ELSE CAST((CAST(t.s AS HUGEINT) - p.sum_x) * 1000000
+       |        // (t.n - p.n_docs) AS BIGINT) END AS loo_mean_ppm,
+       |    CAST(CAST(t.s AS HUGEINT) * 1000000 // t.n AS BIGINT)
+       |      AS full_ppm
+       |  FROM per p CROSS JOIN tot t)
+       |SELECT bucket, n_docs, sum_x, loo_mean_ppm,
+       |  CASE WHEN loo_mean_ppm = -1 THEN 0
+       |    ELSE loo_mean_ppm - full_ppm END AS dev_ppm
+       |FROM loo
+       |ORDER BY bucket, n_docs, sum_x, loo_mean_ppm, dev_ppm""".stripMargin
 }

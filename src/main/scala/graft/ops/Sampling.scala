@@ -402,8 +402,173 @@ object Sampling {
         col("n_kept"))
   }
 
-  /** DuckDB oracle for [[temperatureMix]]: identical isqrt adjustment,
-    * identical ppm rate, identical mixer compare. */
+  /** Water-filling budget allocation (q208): realize a weighted
+    * mixing target under per-source supply caps — given each source's
+    * token supply s and weight w (here the q148 temperature weight
+    * ⌊√s⌋) and a total budget T, allocate a_i = min(s_i, λ·w_i) with
+    * Σ a_i = T: sources whose cap sits below the water level λ
+    * saturate (take all their supply), the rest share the remainder
+    * in proportion to weight. The planner between q148 (which gives
+    * target SHARES) and q182 (which selects the actual documents).
+    *
+    * Deterministic contract: sources order by the 1e12-scaled
+    * truncated ratio (s·1e12 div w, source) — both engines replay the
+    * same total order, so the result is bit-stable even where true
+    * ratios tie at that granularity; the saturated set is the prefix
+    * up to the FIRST failing cross-multiplied level test (prefix-
+    * closed by construction). Unsaturated sources get the truncating
+    * proportional floor, and the ≤ |unsat| leftover units distribute
+    * +1 each in source order (a_i < s_i always holds for unsaturated
+    * floors, so caps survive the bonus). If T ≥ Σ s, everything
+    * saturates and T − Σ s stays unallocated (there is nothing left
+    * to buy). Budget T = Σ s div 2 — a data-dependent parameter the
+    * oracle derives the same way (the autoK rule).
+    *
+    * Scale shape: everything after the per-source supply aggregate is
+    * |sources|-sized — the windows are over the persisted tiny frame,
+    * never the corpus. */
+  def waterfillAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val supplies = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply"))
+      .withColumn("weight", isqrt(col("supply")))
+    waterfillAllocOn(supplies)
+  }
+
+  /** Frame-based core of [[waterfillAlloc]] over (source, supply,
+    * weight) rows; budget defaults to Σ supply div 2 when not given. */
+  def waterfillAllocOn(srcFrame: DataFrame,
+      budget: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = srcFrame.select(col("source"),
+      col("supply").cast("long").as("supply"),
+      col("weight").cast("long").as("weight"))
+    val totals = base0.agg(
+      sum(col("supply")).as("tot_s"), sum(col("weight")).as("tot_w"))
+    val w1 = Window.orderBy(col("ratio_key"), col("source"))
+    val base = Dedup.register(base0
+      .withColumn("ratio_key", expr(
+        "CAST(CAST(supply AS DECIMAL(38,0)) * 1000000000000 DIV weight AS BIGINT)"))
+      .crossJoin(broadcast(totals))
+      .withColumn("t_budget",
+        budget.map(lit(_)).getOrElse(expr("tot_s div 2")))
+      .withColumn("ord", row_number().over(w1))
+      .withColumn("cum_s_before", coalesce(sum(col("supply")).over(
+        w1.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_w_before", coalesce(sum(col("weight")).over(
+        w1.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("level_ok", expr(
+        """CAST(supply AS DECIMAL(38,0)) * (tot_w - cum_w_before)
+          |  <= CAST(weight AS DECIMAL(38,0)) * (t_budget - cum_s_before)"""
+          .stripMargin))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val firstFail = base.agg(
+      min(when(!col("level_ok"), col("ord"))).as("first_fail"))
+    val flagged = base.crossJoin(broadcast(firstFail))
+      .withColumn("saturated",
+        col("first_fail").isNull || col("ord") < col("first_fail"))
+    val unsatTot = flagged.filter(!col("saturated"))
+      .agg(coalesce(sum(col("weight")), lit(0L)).as("w_unsat"),
+        coalesce(sum(col("supply")), lit(0L)).as("s_unsat"))
+    val satTot = flagged.filter(col("saturated"))
+      .agg(coalesce(sum(col("supply")), lit(0L)).as("s_sat"))
+    val floors = flagged
+      .crossJoin(broadcast(unsatTot)).crossJoin(broadcast(satTot))
+      .withColumn("t_fin", col("t_budget") - col("s_sat"))
+      .withColumn("a0", when(col("saturated"), col("supply"))
+        .otherwise(expr(
+          """CAST(CAST(t_fin AS DECIMAL(38,0)) * weight
+            |  DIV w_unsat AS BIGINT)""".stripMargin)))
+    val leftover = floors.filter(!col("saturated"))
+      .agg(coalesce(first(col("t_fin")) - sum(col("a0")), lit(0L))
+        .as("leftover"))
+    val bonusW = Window.partitionBy(col("saturated")).orderBy(col("source"))
+    floors.crossJoin(broadcast(leftover))
+      .withColumn("bonus_rank",
+        when(!col("saturated"), row_number().over(bonusW)))
+      .select(col("source"), col("supply"), col("weight"),
+        (col("a0") + when(!col("saturated") &&
+          col("bonus_rank") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"),
+        col("saturated"))
+      .orderBy(col("source"), col("supply"), col("weight"),
+        col("alloc"), col("saturated"))
+  }
+
+  /** DuckDB oracle for [[waterfillAlloc]] — the same supply/isqrt
+    * CTEs, the same scaled-ratio order, prefix-closed level test,
+    * truncating floors and source-ordered bonus. */
+  def waterfillAllocOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS supply
+       |  FROM documents GROUP BY source),
+       |w0 AS (
+       |  SELECT source, supply,
+       |    CAST(FLOOR(SQRT(CAST(supply AS DOUBLE))) AS BIGINT) AS s
+       |  FROM c),
+       |sw AS (
+       |  SELECT source, supply,
+       |    ${isqrtSql("supply", "s")} AS weight
+       |  FROM w0),
+       |tot AS (
+       |  SELECT CAST(SUM(supply) AS BIGINT) AS tot_s,
+       |    CAST(SUM(weight) AS BIGINT) AS tot_w,
+       |    CAST(SUM(supply) // 2 AS BIGINT) AS t_budget
+       |  FROM sw),
+       |ordd AS (
+       |  SELECT source, supply, weight,
+       |    CAST(CAST(supply AS HUGEINT) * 1000000000000 // weight
+       |      AS BIGINT) AS ratio_key
+       |  FROM sw),
+       |cum AS (
+       |  SELECT source, supply, weight,
+       |    ROW_NUMBER() OVER (ORDER BY ratio_key, source) AS ord,
+       |    COALESCE(SUM(supply) OVER (ORDER BY ratio_key, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_s_before,
+       |    COALESCE(SUM(weight) OVER (ORDER BY ratio_key, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_w_before
+       |  FROM ordd),
+       |tested AS (
+       |  SELECT cum.*,
+       |    (CAST(supply AS HUGEINT) * (t.tot_w - cum_w_before)
+       |      <= CAST(weight AS HUGEINT) * (t.t_budget - cum_s_before))
+       |      AS level_ok
+       |  FROM cum CROSS JOIN tot t),
+       |ff AS (
+       |  SELECT MIN(CASE WHEN NOT level_ok THEN ord END) AS first_fail
+       |  FROM tested),
+       |flagged AS (
+       |  SELECT tested.*,
+       |    (f.first_fail IS NULL OR ord < f.first_fail) AS saturated
+       |  FROM tested CROSS JOIN ff f),
+       |agg AS (
+       |  SELECT
+       |    COALESCE(SUM(weight) FILTER (NOT saturated), 0) AS w_unsat,
+       |    COALESCE(SUM(supply) FILTER (saturated), 0) AS s_sat
+       |  FROM flagged),
+       |floors AS (
+       |  SELECT flagged.*, t.t_budget - a.s_sat AS t_fin,
+       |    CASE WHEN saturated THEN supply
+       |      ELSE CAST(CAST(t.t_budget - a.s_sat AS HUGEINT) * weight
+       |        // a.w_unsat AS BIGINT) END AS a0
+       |  FROM flagged CROSS JOIN agg a CROSS JOIN tot t),
+       |lo AS (
+       |  SELECT COALESCE(ANY_VALUE(t_fin) - SUM(a0), 0) AS leftover
+       |  FROM floors WHERE NOT saturated),
+       |bonus AS (
+       |  SELECT floors.*,
+       |    CASE WHEN NOT saturated THEN ROW_NUMBER()
+       |      OVER (PARTITION BY saturated ORDER BY source) END AS brk
+       |  FROM floors)
+       |SELECT source, supply, weight,
+       |  CAST(a0 + (CASE WHEN NOT saturated AND brk <= l.leftover
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS alloc,
+       |  saturated
+       |FROM bonus CROSS JOIN lo l
+       |ORDER BY source, supply, weight, alloc, saturated""".stripMargin
   def temperatureMixOracleSql: String =
     s"""WITH c AS (
        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),

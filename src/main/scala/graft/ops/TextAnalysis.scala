@@ -212,7 +212,23 @@ object TextAnalysis {
   /** DuckDB oracle for [[langMismatch]] — the q55/q121 scoring CTE
     * generated from [[bigramProfiles]] (single source of truth) with
     * the same fixed-precedence argmax. */
-  def langMismatchOracleSql: String = {
+  def langMismatchOracleSql: String =
+    s"""WITH $predScoringCtes
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(*) FILTER (lang_pred <> 'und'
+       |    AND lang_pred <> lang_label) AS BIGINT) AS n_mismatch,
+       |  CAST(COUNT(*) FILTER (lang_pred = 'und') AS BIGINT) AS n_und,
+       |  CAST(COUNT(*) FILTER (lang_pred <> 'und'
+       |    AND lang_pred <> lang_label) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS mismatch_ppm
+       |FROM pred GROUP BY source
+       |ORDER BY source, n_docs, n_mismatch, n_und, mismatch_ppm""".stripMargin
+
+  /** Scoring + fixed-precedence-argmax CTEs (`scored`, `pred` with
+    * (source, lang_label, lang_pred)) generated from
+    * [[bigramProfiles]] — the single source of truth shared by the
+    * q198 and q205 oracles. */
+  def predScoringCtes: String = {
     val scoredCols = bigramProfiles.map { case (l, ps) =>
       val items = ps.map(p => s"'$p'").mkString(", ")
       s"""CAST(LEN(LIST_INTERSECT(LIST_DISTINCT([SUBSTR(text, i, 2)
@@ -224,7 +240,7 @@ object TextAnalysis {
     val whens = bigramProfiles.map { case (l, _) =>
       s"WHEN g_$l = GREATEST($gCols) THEN '$l'"
     }.mkString("\n         ")
-    s"""WITH scored AS (
+    s"""scored AS (
        |  SELECT doc_id, source, lang AS lang_label,
        |    $scoredCols
        |  FROM documents),
@@ -233,17 +249,97 @@ object TextAnalysis {
        |    CASE WHEN GREATEST($gCols) = 0 THEN 'und'
        |         $whens
        |         ELSE 'und' END AS lang_pred
-       |  FROM scored)
-       |SELECT source, COUNT(*) AS n_docs,
-       |  CAST(COUNT(*) FILTER (lang_pred <> 'und'
-       |    AND lang_pred <> lang_label) AS BIGINT) AS n_mismatch,
-       |  CAST(COUNT(*) FILTER (lang_pred = 'und') AS BIGINT) AS n_und,
-       |  CAST(COUNT(*) FILTER (lang_pred <> 'und'
-       |    AND lang_pred <> lang_label) * 1000000 // COUNT(*)
-       |    AS BIGINT) AS mismatch_ppm
-       |FROM pred GROUP BY source
-       |ORDER BY source, n_docs, n_mismatch, n_und, mismatch_ppm""".stripMargin
+       |  FROM scored)""".stripMargin
   }
+
+  /** Cohen's kappa per source (q205): chance-corrected agreement
+    * between the declared `lang` label and the q55 n-gram prediction
+    * — the calibration number behind q198's raw mismatch rate (a
+    * source whose labels merely FOLLOW the majority class can show a
+    * low mismatch ppm yet κ ≈ 0; kappa separates real labeling from
+    * class-prior luck). 'und' is a class of its own here (it inflates
+    * disagreement AND the chance term, the standard treatment).
+    *
+    * All-integer: with per-source n docs, agreement count a and
+    * per-class marginals na(c)/nb(c), κ = (a·n − Σ na·nb)·1e6 div
+    * (n² − Σ na·nb), every product in DECIMAL(38,0) and ONE
+    * truncating division (both engines truncate integer/decimal
+    * operands toward zero, the round-5 rule — κ can be negative).
+    * The degenerate n² = Σ na·nb case (all mass in one agreeing
+    * class) is pinned to 1000000 by CASE in both engines.
+    *
+    * Scale shape: the prediction is a codegen'd scan projection; the
+    * (source, label, pred) cell table is corpus-aggregated once and
+    * register-persisted for its three consumers (totals + both
+    * marginals); everything after is |sources|·|classes|-sized. */
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame =
+    kappaAgreementDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[kappaAgreement]] (needs doc_id, source,
+    * lang, text). */
+  def kappaAgreementDocs(docs: DataFrame): DataFrame = {
+    val cells = Dedup.register(langIdNgramDocs(docs)
+      .select(col("doc_id"), col("lang_label"),
+        col("lang_pred_ngram").as("lang_pred"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = cells.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(col("lang_label") === col("lang_pred"), col("cnt"))
+          .otherwise(0L)).as("n_agree"))
+    val na = cells.groupBy(col("source"), col("lang_label").as("cls"))
+      .agg(sum(col("cnt")).as("na"))
+    val nb = cells.groupBy(col("source"), col("lang_pred").as("cls"))
+      .agg(sum(col("cnt")).as("nb"))
+    val pe = na.join(nb, Seq("source", "cls"))
+      .groupBy(col("source"))
+      .agg(sum(col("na").cast("decimal(38,0)") * col("nb")).as("pe_n2"))
+    tot.join(pe, Seq("source"))
+      .select(col("source"), col("n").as("n_docs"),
+        col("n_agree"),
+        col("pe_n2").cast("long").as("pe_n2"),
+        when(col("n").cast("decimal(38,0)") * col("n") === col("pe_n2"),
+          lit(1000000L))
+          .otherwise(expr(
+            """CAST((CAST(n_agree AS DECIMAL(38,0)) * n - pe_n2) * 1000000
+              |  DIV (CAST(n AS DECIMAL(38,0)) * n - pe_n2) AS BIGINT)"""
+              .stripMargin))
+          .as("kappa_ppm"))
+      .orderBy(col("source"), col("n_docs"), col("n_agree"),
+        col("pe_n2"), col("kappa_ppm"))
+  }
+
+  /** DuckDB oracle for [[kappaAgreement]] — the shared
+    * [[predScoringCtes]] + the same integer kappa. */
+  def kappaAgreementOracleSql: String =
+    s"""WITH $predScoringCtes,
+       |cells AS (
+       |  SELECT source, lang_label, lang_pred,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM pred GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(cnt) FILTER (lang_label = lang_pred), 0)
+       |      AS BIGINT) AS n_agree
+       |  FROM cells GROUP BY source),
+       |na AS (SELECT source, lang_label AS cls,
+       |         CAST(SUM(cnt) AS BIGINT) AS na FROM cells GROUP BY 1, 2),
+       |nb AS (SELECT source, lang_pred AS cls,
+       |         CAST(SUM(cnt) AS BIGINT) AS nb FROM cells GROUP BY 1, 2),
+       |pe AS (
+       |  SELECT source,
+       |    SUM(CAST(na AS HUGEINT) * nb) AS pe_n2
+       |  FROM na JOIN nb USING (source, cls) GROUP BY source)
+       |SELECT t.source, t.n AS n_docs, t.n_agree,
+       |  CAST(p.pe_n2 AS BIGINT) AS pe_n2,
+       |  CASE WHEN CAST(t.n AS HUGEINT) * t.n = p.pe_n2 THEN 1000000
+       |    ELSE CAST((CAST(t.n_agree AS HUGEINT) * t.n - p.pe_n2)
+       |      * 1000000 // (CAST(t.n AS HUGEINT) * t.n - p.pe_n2)
+       |      AS BIGINT) END AS kappa_ppm
+       |FROM tot t JOIN pe p ON p.source = t.source
+       |ORDER BY t.source, n_docs, n_agree, pe_n2, kappa_ppm""".stripMargin
 
   /** Collocation mining (q202): the top-`topK` adjacent token pairs
     * by integer LIFT — `n_xy · N · 1e6 div (n_x · n_y)` over bigram
@@ -267,16 +363,27 @@ object TextAnalysis {
 
   /** Frame-based core of [[collocations]] (needs text). */
   def collocationsDocs(docs: DataFrame, minCount: Long = 5,
+      topK: Int = 20): DataFrame =
+    collocationsFromPairs(pairCountsOf(docs), minCount, topK)
+
+  /** The bigram pair-count table of a docs frame — additive (pure
+    * counts), so micro-batch partials merge by sum: the streaming
+    * twin's state is exactly this table. */
+  def pairCountsOf(docs: DataFrame): DataFrame = docs
+    .select(split(col("text"), " ").as("ts"))
+    .filter(size(col("ts")) >= 2)
+    .select(explode(expr(
+      "transform(slice(ts, 1, size(ts) - 1)," +
+        " (t, i) -> struct(t AS w1, element_at(ts, i + 2) AS w2))"))
+      .as("b"))
+    .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    .agg(count(lit(1)).as("n_xy"))
+
+  /** Lift ranking over any (w1, w2, n_xy) pair-count table (corpus
+    * build or streaming state). */
+  def collocationsFromPairs(pairsRaw: DataFrame, minCount: Long = 5,
       topK: Int = 20): DataFrame = {
-    val pairCounts = Dedup.register(docs
-      .select(split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(explode(expr(
-        "transform(slice(ts, 1, size(ts) - 1)," +
-          " (t, i) -> struct(t AS w1, element_at(ts, i + 2) AS w2))"))
-        .as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("n_xy"))
+    val pairCounts = Dedup.register(pairsRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val left = pairCounts.groupBy(col("w1"))
       .agg(sum(col("n_xy")).as("n_x"))
@@ -322,6 +429,62 @@ object TextAnalysis {
        |QUALIFY ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, w1, w2)
        |  <= $topK
        |ORDER BY lift_ppm DESC, w1, w2, n_xy, n_x, n_y""".stripMargin
+
+  /** BPE merge-candidate statistics (q207): the first iteration of
+    * byte-pair-encoding tokenizer induction — adjacent-symbol pair
+    * counts over the corpus, computed the way every BPE trainer
+    * actually does it: aggregate the corpus to its VOCABULARY first
+    * (word, freq), then count in-word adjacent pairs weighted by word
+    * frequency. The iteration loop (merge argmax → re-pair → repeat)
+    * walks that vocab-bounded table, never the corpus again — which
+    * is why BPE training is feasible at 100 TB at all; this op is the
+    * per-iteration kernel plus the deterministic merge ranking
+    * ((count desc, pair asc) — the tie rule trainers must fix or two
+    * runs produce different tokenizers). Top-K via
+    * TakeOrderedAndProject, re-sorted over all columns for the oracle
+    * hash.
+    *
+    * Scale shape: one corpus scan → map-side-combined word counts
+    * (vocab-bounded) → in-word pair explode over the VOCAB (avg word
+    * length × |vocab| rows, not corpus tokens) → pair aggregate. */
+  def bpePairStats(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame =
+    bpePairStatsDocs(Tables.documents(spark, dir), topK)
+
+  /** Frame-based core of [[bpePairStats]] (needs text). */
+  def bpePairStatsDocs(docs: DataFrame, topK: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1)," +
+          " i -> struct(substr(w, cast(i as int), 1) AS a," +
+          " substr(w, cast(i as int) + 1, 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum(col("freq")).as("n_weighted"))
+      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
+      .limit(topK)
+      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
+
+  /** DuckDB oracle for [[bpePairStats]]. */
+  def bpePairStatsOracleSql(topK: Int = 20): String =
+    s"""WITH w AS (
+       |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+       |v AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM w WHERE LENGTH(w) >= 2 GROUP BY w),
+       |pos AS (
+       |  SELECT w, freq,
+       |    UNNEST(GENERATE_SERIES(1, LENGTH(w) - 1)) AS i
+       |  FROM v),
+       |pc AS (
+       |  SELECT SUBSTR(w, i, 1) AS sym_a, SUBSTR(w, i + 1, 1) AS sym_b,
+       |    CAST(SUM(freq) AS BIGINT) AS n_weighted
+       |  FROM pos GROUP BY 1, 2)
+       |SELECT sym_a, sym_b, n_weighted FROM pc
+       |QUALIFY ROW_NUMBER() OVER
+       |  (ORDER BY n_weighted DESC, sym_a, sym_b) <= $topK
+       |ORDER BY n_weighted DESC, sym_a, sym_b""".stripMargin
 
   /** Token counting: whitespace tokens vs a BPE-ish regex token split
     * (letter runs, digit runs, single punctuation marks). */

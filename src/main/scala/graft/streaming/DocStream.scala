@@ -152,4 +152,90 @@ object DocStream {
           else partial
         CdcStream.promoteState(stateDir, merged)
     }
+
+  /** Streaming twin of the collocation miner (TextAnalysis
+    * .collocations, q202): every micro-batch reduces to its bigram
+    * pair-count partial — pure additive counts, so the parquet state
+    * merges by sum and any chunking of the corpus yields the SAME
+    * state as one batch pass (associative+commutative, the
+    * cascadeFunnelStream shape). Lift ranking is a READ over the
+    * state (TextAnalysis.collocationsFromPairs), so the expensive
+    * corpus explode is paid once per micro-batch over that batch
+    * only; state is vocab²-bounded, never corpus-sized. */
+  def collocationsStream(docs: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.ops.TextAnalysis.pairCountsOf(
+          batch.select(col("text")))
+        val merged =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir).unionByName(partial)
+              .groupBy(col("w1"), col("w2"))
+              .agg(sum(col("n_xy")).as("n_xy"))
+          else partial
+        CdcStream.promoteState(stateDir, merged)
+    }
+
+  /** Streaming twin of the incremental perceptual dedup
+    * (graft.multimodal.Multimodal.phashIncremental, q204): new image
+    * docs arrive as a stream; each is kept iff no STATIC-corpus
+    * image, no earlier stream image, and no lower-id same-micro-batch
+    * image sits within hamming `maxHamming` of its dHash. State holds
+    * the bands of EVERY stream doc seen so far, kept AND dropped (the
+    * EmbStream rule: hamming balls do not compose transitively, an
+    * admitted-only state would diverge from the batch op). Under
+    * id-ordered arrival the verdicts equal one q204 run over all rows
+    * at once, with cross-micro-batch suppression landing in
+    * dup_of_corpus instead of dup_of_batch (ids share one space —
+    * least() of the two is the parity invariant, StreamingSpec).
+    *
+    * Scale shape: state is (doc_id, 4 ints) per seen doc — 64 bits
+    * of perceptual hash, never payload bytes; each micro-batch pays
+    * two band-keyed joins; state promotes crash-safe
+    * (CdcStream.promoteState) and replay is value-idempotent (the
+    * seen-state anti-joins the batch's own ids — a crash after
+    * promote would otherwise drop every replayed doc against its own
+    * state row at hamming 0). */
+  def phashDedupStream(docs: DataFrame, dir: String, outDir: String,
+      stateDir: String, maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$stateDir.ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        phashProcessBatch(batch, batchId, dir, outDir, stateDir,
+          maxHamming)
+      }
+
+  /** One micro-batch of [[phashDedupStream]], extracted so the
+    * replay-idempotence spec can run the exact production body twice
+    * against the same state. */
+  private[graft] def phashProcessBatch(batch: DataFrame, batchId: Long,
+      dir: String, outDir: String, stateDir: String,
+      maxHamming: Int): Unit = {
+    val s = batch.sparkSession
+    val mm = graft.multimodal.Multimodal
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bb = mm.phashBandsCols(batch.select(col("doc_id"), col("text")))
+      .persist(lvl)
+    val corpusBands = mm.phashBandsCols(
+      graft.Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 300)
+        .select(col("doc_id"), col("text")))
+    val seen: Option[DataFrame] =
+      if (new java.io.File(stateDir).exists())
+        Some(s.read.parquet(stateDir)
+          .join(bb.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      else None
+    val cb = seen.fold(corpusBands)(corpusBands.unionByName(_))
+      .persist(lvl)
+    try {
+      mm.phashVerdicts(cb, bb, maxHamming)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      val newSeen = seen.fold(bb)(_.unionByName(bb))
+        .dropDuplicates("doc_id")
+      CdcStream.promoteState(stateDir, newSeen)
+    } finally { cb.unpersist(); bb.unpersist(): Unit }
+  }
 }

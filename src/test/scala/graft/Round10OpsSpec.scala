@@ -97,6 +97,147 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("q204 phash incremental: corpus-wins, lower-id batch-mate, min-id + sentinel semantics") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // corpus: doc 3 = ascending plane (bands all-65535), doc 9 =
+    // constant (all-0). batch: 33 = 1-bit neighbour of asc (dup of
+    // CORPUS 3, no lower batch mate); 63 = "ba" plane (matches
+    // nothing -> kept); 93 = "baba" (identical cycled plane to 63 ->
+    // dup of BATCH 63, not of corpus); 123 = asc exactly (dup of
+    // corpus 3 AND of batch 33 at hamming 1 -> BOTH sides reported,
+    // min ids).
+    val asc = (0 until 72).map(i => ('0' + i).toChar).mkString
+    val nearAsc = asc.take(71) + "0"
+    val corpus = Seq((3L, asc), (9L, "a" * 72)).toDF("doc_id", "text")
+    val batch = Seq((33L, nearAsc), (63L, "ba"), (93L, "baba"),
+      (123L, asc)).toDF("doc_id", "text")
+    try {
+      val out = mm.phashIncrementalBands(
+        mm.phashBandsCols(corpus), mm.phashBandsCols(batch)).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+          r.getLong(3)))
+      assert(out.toSeq == Seq(
+        (33L, false, 3L, -1L),
+        (63L, true, -1L, -1L),
+        (93L, false, -1L, 63L),
+        (123L, false, 3L, 33L)), s"verdicts: ${out.toSeq}")
+    } finally graft.ops.Dedup.unpersistCaches()
+  }
+
+  test("q205 kappa: chance-level 0, degenerate-perfect 1e6, negative truncation") {
+    import spark.implicits._
+    // s1: labels en/en/de/de, preds en/de/de/en -> n=4, agree=2,
+    // marginals na(en)=na(de)=nb(en)=nb(de)=2, pe_n2 = 8, n2 = 16 ->
+    // kappa = (8-8)e6/(16-8) = 0 — agreement exactly at chance.
+    // s2: two en docs both predicted en -> n2 = pe_n2 = 4, the 0/0
+    // case pinned to 1000000.
+    // s3: en->de, de->en -> agree 0, pe_n2 = 2 ->
+    // kappa = (0-2)e6/(4-2) = -1000000 (negative path, truncating
+    // div on both engines).
+    // texts: "the" -> g_en=2 -> en; "chei" -> g_de=2 -> de.
+    val docs = Seq(
+      (1L, "s1", "en", "the"), (2L, "s1", "en", "chei"),
+      (3L, "s1", "de", "chei"), (4L, "s1", "de", "the"),
+      (5L, "s2", "en", "the"), (6L, "s2", "en", "the"),
+      (7L, "s3", "en", "chei"), (8L, "s3", "de", "the"))
+      .toDF("doc_id", "source", "lang", "text")
+    try {
+      val out = graft.ops.TextAnalysis.kappaAgreementDocs(docs).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+      assert(out("s1") == ((4L, 2L, 8L, 0L)), s"s1: ${out("s1")}")
+      assert(out("s2") == ((2L, 2L, 4L, 1000000L)), s"s2: ${out("s2")}")
+      assert(out("s3") == ((2L, 0L, 2L, -1000000L)), s"s3: ${out("s3")}")
+    } finally graft.ops.Dedup.unpersistCaches()
+  }
+
+  test("q206 jackknife: hand-computed leave-one-out means and deviations") {
+    import spark.implicits._
+    // buckets 0:{10,20}, 1:{30}: N=3, S=60, full mean = 20e6 ppm.
+    // loo(0) = (60-30)e6/(3-2) = 30e6, dev +10e6;
+    // loo(1) = (60-30)e6/(3-1) = 15e6, dev -5e6.
+    val bx = Seq((0L, 10L), (0L, 20L), (1L, 30L)).toDF("bucket", "x")
+    try {
+      val out = graft.ops.Profiling.jackknifeOf(bx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(out.toSeq == Seq(
+        (0L, 2L, 30L, 30000000L, 10000000L),
+        (1L, 1L, 30L, 15000000L, -5000000L)), s"jk: ${out.toSeq}")
+      // degenerate: everything in one bucket -> sentinel, dev 0
+      val solo = graft.ops.Profiling.jackknifeOf(
+        Seq((7L, 5L)).toDF("bucket", "x")).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      assert(solo.toSeq == Seq((7L, -1L, 0L)), s"solo: ${solo.toSeq}")
+    } finally graft.ops.Dedup.unpersistCaches()
+  }
+
+  test("q207 BPE pairs: vocab-weighted counts, deterministic tie order, 1-char words skipped") {
+    import spark.implicits._
+    // corpus "ab ab abc aaa z": vocab ab:2, abc:1, aaa:1 (z is a
+    // 1-char word — no pair). pairs: (a,b) = 2(from ab)+1(abc) = 3,
+    // (a,a) = 2 (two adjacent positions in aaa), (b,c) = 1.
+    val docs = Seq((1L, "ab ab abc"), (2L, "aaa z")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bpePairStatsDocs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", "b", 3L), ("a", "a", 2L),
+      ("b", "c", 1L)), s"pairs: ${out.toSeq}")
+  }
+
+  test("q208 waterfill: saturation prefix, proportional floors, bonus order, all-saturated") {
+    import spark.implicits._
+    val S = graft.ops.Sampling
+    // A (default budget Σs div 2 = 55): a(10,10) ratio 1 saturates
+    // (10·20 ≤ 10·55); b(100,10) ratio 10 fails (100·10 > 10·45) ->
+    // floor 45·10 div 10 = 45, leftover 0. Σ alloc = 55 = T.
+    val a = S.waterfillAllocOn(
+      Seq(("a", 10L, 10L), ("b", 100L, 10L))
+        .toDF("source", "supply", "weight")).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(a.toSeq == Seq(("a", 10L, true), ("b", 45L, false)), s"A: ${a.toSeq}")
+    graft.ops.Dedup.unpersistCaches()
+    // B (budget 8): z(1,100) lowest ratio saturates; x(7,3)/y(7,3)
+    // tie at the scaled ratio, name order x<y; t_fin=7, floors
+    // 7·3 div 6 = 3 each, leftover 1 -> +1 to x (first unsaturated
+    // by source). Caps survive (4 < 7). Σ = 8 = T.
+    val b = S.waterfillAllocOn(
+      Seq(("x", 7L, 3L), ("y", 7L, 3L), ("z", 1L, 100L))
+        .toDF("source", "supply", "weight"), Some(8L)).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(b.toSeq == Seq(("x", 4L, false), ("y", 3L, false),
+      ("z", 1L, true)), s"B: ${b.toSeq}")
+    graft.ops.Dedup.unpersistCaches()
+    // C (budget ≥ Σ supply): everything saturates at its cap; the
+    // 970 surplus stays unallocated (nothing left to buy)
+    val c = S.waterfillAllocOn(
+      Seq(("a", 10L, 2L), ("b", 20L, 2L))
+        .toDF("source", "supply", "weight"), Some(1000L)).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(c.toSeq == Seq(("a", 10L, true), ("b", 20L, true)), s"C: ${c.toSeq}")
+    graft.ops.Dedup.unpersistCaches()
+  }
+
+  test("q209 Theil-Sen: pairwise-slope median shrugs off the outlier month") {
+    import spark.implicits._
+    // X: revs (0, 1e7, 2) at months 0,1,2 — slopes 1e7, 1, -9999998;
+    // lower nearest-rank (rank 2 of 3) = 1.0. The outlier month drags
+    // a least-squares slope to ~±millions; Theil-Sen reports 1.
+    // Y: revs 0,1,2,300 at months 0..3 — six slopes
+    // (1, 1, 100, 1, 149.5, 298), rank (6+1) div 2 = 3 -> 1.0.
+    val monthly = Seq(
+      ("X", 0L, 0L), ("X", 1L, 10000000L), ("X", 2L, 2L),
+      ("Y", 0L, 0L), ("Y", 1L, 1L), ("Y", 2L, 2L), ("Y", 3L, 300L))
+      .toDF("flag", "m", "rev")
+    try {
+      val out = graft.ops.Profiling.theilSenOf(monthly).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(out.toSeq == Seq(("X", 3L, 3L, 1.0), ("Y", 4L, 6L, 1.0)),
+        s"ts: ${out.toSeq}")
+    } finally graft.ops.Dedup.unpersistCaches()
+  }
+
   test("PlanStats measures LocalRelation leaves (broadcast path no longer forced off for tiny test frames)") {
     import spark.implicits._
     // a Seq-backed frame optimizes to a LocalRelation leaf; before the

@@ -668,6 +668,124 @@ class StreamingSpec extends SparkSpec {
     assert(stateSnap() == st1, "replay grew the seen-state")
   }
 
+  test("phash stream verdicts equal the q204 batch run (cross-micro-batch suppression)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import graft.multimodal.{Multimodal => MM}
+    val img = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+    val ingest = img.filter(col("doc_id") >= 300)
+    // planted: A (9000) = ascending plane in micro-batch 1, B (9500) =
+    // its 1-bit neighbour in micro-batch 2 — B must be suppressed BY
+    // the cross-micro-batch seen-state (no corpus/ingest doc is near
+    // either plane; all 64 dHash comparisons true needs adversarial
+    // text the random corpus cannot produce)
+    val asc = (0 until 72).map(i => ('0' + i).toChar).mkString
+    val nearAsc = asc.take(71) + "0"
+    def plant(id: Long, t: String) = {
+      import spark.implicits._
+      Seq((id, t)).toDF("doc_id", "text")
+    }
+    def withTs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("text"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_ts"))
+    val staged = Files.createTempDirectory("graft_ph_in").toString
+    withTs(ingest.filter(col("doc_id") < 400).unionByName(plant(9000L, asc)))
+      .coalesce(1).write.mode("append").parquet(staged)
+    withTs(ingest.filter(col("doc_id") >= 400).unionByName(plant(9500L, nearAsc)))
+      .coalesce(1).write.mode("append").parquet(staged)
+    val outDir = Files.createTempDirectory("graft_ph_out").toString + "/o"
+    val stateDir = Files.createTempDirectory("graft_ph_st").toString + "/s"
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.phashDedupStream(stream, sf, outDir, stateDir).start()
+    try q.processAllAvailable() finally q.stop()
+    // cross-micro-batch suppression lands in dup_of_corpus for the
+    // stream but dup_of_batch for the one-shot batch run — the overall
+    // min suppressor (sentinels lifted to NULL for least()) is the
+    // invariant, ids share one space
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), col("kept"),
+        coalesce(least(nullif(col("dup_of_corpus"), lit(-1L)),
+          nullif(col("dup_of_batch"), lit(-1L))), lit(-1L)).as("dup_of"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    val streamed = verdicts(spark.read.parquet(outDir))
+    val full = ingest.unionByName(plant(9000L, asc))
+      .unionByName(plant(9500L, nearAsc))
+    val batch = verdicts(MM.phashIncrementalBands(
+      MM.phashBandsCols(img.filter(col("doc_id") < 300)),
+      MM.phashBandsCols(full)))
+    graft.ops.Dedup.unpersistCaches()
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+    assert(streamed == batch, s"diverging: ${
+      (streamed.keySet ++ batch.keySet)
+        .filter(k => streamed.get(k) != batch.get(k)).take(5)}")
+    assert(streamed(9000L) == ((true, -1L)), "planted A must survive")
+    assert(streamed(9500L) == ((false, 9000L)),
+      "planted B must be dropped by cross-micro-batch state")
+  }
+
+  test("collocations stream state equals the one-shot lift table (chunking-invariant)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def withTs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("text"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_ts"))
+    val staged = Files.createTempDirectory("graft_col_in").toString
+    withTs(docs.filter(col("doc_id") < 250)).coalesce(1)
+      .write.mode("append").parquet(staged)
+    withTs(docs.filter(col("doc_id") >= 250)).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val stateDir = Files.createTempDirectory("graft_col_st").toString + "/s"
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.collocationsStream(stream, stateDir)
+      .option("checkpointLocation", s"$stateDir.ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val streamed = rows(TextAnalysis.collocationsFromPairs(
+      spark.read.parquet(stateDir)))
+    val batch = rows(TextAnalysis.collocationsDocs(docs))
+    graft.ops.Dedup.unpersistCaches()
+    assert(streamed.nonEmpty && streamed == batch,
+      s"chunked-state lift diverged: streamed ${streamed.take(2)} vs batch ${batch.take(2)}")
+  }
+
+  test("phash micro-batch replay is value-idempotent (crash after promote)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import spark.implicits._
+    // batch: one doc near a CORPUS image's plane cannot be relied on,
+    // so plant the discriminating rows directly: a novel plane (KEPT —
+    // a self-match on replay would flip it to dropped) and an in-batch
+    // duplicate pair (exercises a drop in the same run)
+    val asc = (0 until 72).map(i => ('0' + i).toChar).mkString
+    val b0 = Seq((9000L, asc), (9100L, asc), (9200L, "ba"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_ph_replay").toString
+    val outDir = root + "/o"; val stateDir = root + "/s"
+    def run() = DocStream.phashProcessBatch(b0, 0L, sf, outDir, stateDir, 3)
+    def outSnap() = spark.read.parquet(s"$outDir/batch_id=0").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def stateSnap() = spark.read.parquet(stateDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    run()
+    val out1 = outSnap(); val st1 = stateSnap()
+    assert(out1.exists(_._2), "fixture: no kept row in the first run")
+    assert(out1.exists(!_._2), "fixture: no dropped row in the first run")
+    run() // the replay — state already holds this batch's bands
+    assert(outSnap() == out1,
+      s"replay changed verdicts: ${(outSnap() -- out1).take(3)}")
+    assert(stateSnap() == st1, "replay grew the seen-state")
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)
