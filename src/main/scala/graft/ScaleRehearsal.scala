@@ -788,6 +788,122 @@ object ScaleRehearsal {
         }
         report("q209_theil_sen", tTs, nTs)
       }
+      // q210: forget audit — one corpus projection, 3 keyed rollups
+      if (wanted("q210")) {
+        graft.functions.GraftFunctions.register(spark)
+        val (nFg, tFg) = timed {
+          val assigned = d.select(col("doc_id"),
+            pmod(graft.ops.Sampling.idBucket(col("doc_id")), lit(16L))
+              .as("shard"),
+            expr(s"pmod(rolling_hash(text), ${graft.ops.Sampling.Prime}L)")
+              .as("h"),
+            (pmod(col("doc_id"), lit(97L)) === 0L).as("forget"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = graft.ops.Layout.forgetAuditOn(assigned).count()
+          assigned.unpersist()
+          n
+        }
+        report("q210_forget_audit", tFg, nFg)
+      }
+      // q211: per-source centroid affinity — the corpus collapses to
+      // |sources|·64 dim-sums FIRST (map-side combined); the pair join
+      // runs over that tiny frame (aggregate-shaped: count() is fine)
+      if (wanted("q211")) {
+        val (nSa, tSa) = timed {
+          val e = embAt(scale).join(
+            d.select(col("doc_id").as("vec_id"), col("source")),
+            Seq("vec_id"))
+          val n = Similarity.sourceCentroidAffinityOn(e).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q211_source_affinity", tSa, nSa)
+      }
+      // q212: shuffle-mix audit — one persisted projection, a lag
+      // walk + share counts, |shards| rows out
+      if (wanted("q212")) {
+        val (nMx, tMx) = timed {
+          val assigned = d.select(col("doc_id"), col("source"),
+            pmod(graft.ops.Sampling.idBucket(col("doc_id")), lit(16L))
+              .as("shard"),
+            graft.ops.Sampling.idShuffleKey(col("doc_id"))
+              .as("shuffle_key"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = graft.ops.Layout.shuffleMixAuditOn(assigned).count()
+          assigned.unpersist()
+          n
+        }
+        report("q212_shuffle_mix", tMx, nMx)
+      }
+      // q213: k-core over the SCALE edge source (LSH near-dup
+      // pairs, the q65 swap) — peel rounds grow with degeneracy,
+      // not size; the bound is raised for the denser 10x graph
+      if (wanted("q213")) {
+        val (nKc, tKc) = timed {
+          val pairs = Similarity.lshEmbeddingNearDups(embAt(scale), 0.25)
+            .select(col("vec_a"), col("vec_b"))
+          Similarity.kCoreOn(pairs, k = 3, rounds = 16).count()
+        }
+        report("q213_kcore", tKc, nKc)
+      }
+      // q214: calibration audit — scan projection + tiny-bin groupBy
+      if (wanted("q214")) {
+        val (nCb, tCb) = timed(
+          graft.ops.TextAnalysis.calibrationDocs(d).count())
+        report("q214_calibration", tCb, nCb)
+      }
+      // q215: weekday seasonality on the 10x events stream
+      if (wanted("q215")) {
+        val (nWd, tWd) = timed(
+          graft.ops.TimeSeries.weekdaySeasonalityOn(evAt(scale)).count())
+        report("q215_weekday_seasonality", tWd, nWd)
+      }
+      // q216: PQ codebook audit — iters+1 scans of one exploded
+      // projection; codebook state is O(1) driver-side
+      if (wanted("q216")) {
+        val (nPq, tPq) = timed(
+          graft.ops.Ivf.pqAuditOn(embAt(scale)).count())
+        report("q216_pq_audit", tPq, nPq)
+      }
+      // q217: Zipf profile — explode + token aggregate + tiny bins
+      if (wanted("q217")) {
+        val (nZf, tZf) = timed(
+          graft.ops.TextAnalysis.zipfProfileDocs(d).count())
+        report("q217_zipf_profile", tZf, nZf)
+      }
+      // q220: PQ ADC recall — the build passes + the ADC lookup join
+      // + one exact-ranking scan
+      if (wanted("q220")) {
+        val e = embAt(scale)
+        val qid = e.agg(min(col("vec_id"))).head().getLong(0) + 7
+        val (nAd, tAd) = timed(
+          graft.ops.Ivf.pqAdcRecallOn(e, qid).count())
+        report("q220_pq_adc_recall", tAd, nAd)
+      }
+      // q221: release-diff card — one persisted two-source
+      // projection, four keyed rollups to 4 rows
+      if (wanted("q221")) {
+        val (nRd, tRd) = timed {
+          // the rehearsal projection carries no n_chars — derive it
+          // (same shape/cost, only the bin values differ)
+          val n = graft.ops.TextAnalysis.releaseDiffDocs(
+            d.withColumn("n_chars", length(col("text")).cast("long")),
+            "src0", "src1").count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q221_release_diff", tRd, nRd)
+      }
+      // q222: heavy-hitter union contract — stage 2 re-aggregates
+      // stage 1's persisted (shard, tok, f) output
+      if (wanted("q222")) {
+        val (nHh, tHh) = timed {
+          val n = graft.ops.TextAnalysis.hhUnionContractDocs(d).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q222_hh_union", tHh, nHh)
+      }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the
       // deliberately id-bounded oracle tool, not the scale path)

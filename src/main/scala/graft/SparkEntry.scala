@@ -299,6 +299,28 @@ object SparkEntry {
       TextAnalysis.bpePairStats(s, d)),
     "q208_waterfill"        -> (Sampling.waterfillAlloc _),
     "q209_theil_sen"        -> (Profiling.theilSenTrend _),
+    "q210_forget_audit"     -> ((s: SparkSession, d: String) =>
+      Layout.forgetAudit(s, d)),
+    "q211_source_affinity"  -> (Similarity.sourceCentroidAffinity _),
+    "q212_shuffle_mix"      -> ((s: SparkSession, d: String) =>
+      Layout.shuffleMixAudit(s, d)),
+    "q213_kcore"            -> ((s: SparkSession, d: String) =>
+      Similarity.kCore(s, d)),
+    "q214_calibration"      -> (TextAnalysis.calibrationAudit _),
+    "q215_weekday_seasonality" -> (TimeSeries.weekdaySeasonality _),
+    "q216_pq_audit"         -> ((s: SparkSession, d: String) =>
+      Ivf.pqAudit(s, d)),
+    "q217_zipf_profile"     -> (TextAnalysis.zipfProfile _),
+    "q218_market_share"     -> ((s: SparkSession, d: String) =>
+      Flagship.marketShare(s, d)),
+    "q219_kanon_ladder"     -> ((s: SparkSession, d: String) =>
+      Audit.kAnonLadder(s, d)),
+    "q220_pq_adc_recall"    -> ((s: SparkSession, d: String) =>
+      Ivf.pqAdcRecall(s, d)),
+    "q221_release_diff"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.releaseDiff(s, d)),
+    "q222_hh_union"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.hhUnionContract(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2581,6 +2603,21 @@ object SparkEntry {
       "q207_bpe_pairs" -> TextAnalysis.bpePairStatsOracleSql(),
       "q208_waterfill" -> Sampling.waterfillAllocOracleSql,
       "q209_theil_sen" -> Profiling.theilSenTrendOracleSql,
+      "q210_forget_audit" -> Layout.forgetAuditOracleSql(),
+      "q211_source_affinity" ->
+        Similarity.sourceCentroidAffinityOracleSql,
+      "q212_shuffle_mix" -> Layout.shuffleMixAuditOracleSql(),
+      "q213_kcore" -> Similarity.kCoreOracleSql(),
+      "q214_calibration" -> TextAnalysis.calibrationOracleSql,
+      "q215_weekday_seasonality" ->
+        TimeSeries.weekdaySeasonalityOracleSql,
+      "q216_pq_audit" -> Ivf.pqOracleSql(),
+      "q217_zipf_profile" -> TextAnalysis.zipfProfileOracleSql,
+      "q218_market_share" -> Flagship.marketShareOracleSql(),
+      "q219_kanon_ladder" -> Audit.kAnonLadderOracleSql(),
+      "q220_pq_adc_recall" -> Ivf.pqAdcRecallOracleSql(),
+      "q221_release_diff" -> TextAnalysis.releaseDiffOracleSql(),
+      "q222_hh_union" -> TextAnalysis.hhUnionContractOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -277,4 +277,103 @@ object Audit {
        |FROM c CROSS JOIN r
        |ORDER BY c_nationkey, class_size, l_div, at_risk,
        |  risk_share_ppm""".stripMargin
+
+  /** k-anonymity generalization ladder (q219): the ENFORCEMENT step
+    * the q133 audit stops short of — four fixed coarsening levels of
+    * the (nationkey, mktsegment, acctbal) quasi-identifier (exact
+    * cents → $100 buckets → $1000 buckets → acctbal dropped), each
+    * measured (class count, min class size, risky rows, risk ppm),
+    * with `chosen` marking the MINIMAL level whose every class
+    * reaches k — the release answer "how much resolution must we
+    * give up". Bucketing uses the explicit negative-safe floor
+    * division (acctbal can be negative; the q137 rule, written
+    * symbol-for-symbol in both engines).
+    *
+    * Scale shape: a 4× explode of one projection, one keyed
+    * aggregate, then everything is |levels|-sized (persisted for its
+    * two consumers — the chosen-level scan and the 1-row
+    * min-satisfying aggregate it broadcasts). */
+  def kAnonLadder(spark: SparkSession, dir: String,
+      k: Long = 5L): DataFrame =
+    kAnonLadderOn(Tables.customer(spark, dir), k)
+
+  /** Frame-based core of [[kAnonLadder]] (needs c_nationkey,
+    * c_mktsegment, c_acctbal). */
+  def kAnonLadderOn(customers: DataFrame, k: Long = 5L): DataFrame = {
+    def fdiv(g: Long) = expr(
+      s"cents div $g - (case when cents % $g < 0 then 1 else 0 end)")
+    val base = customers
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+    val lv = base.select(col("c_nationkey"), col("c_mktsegment"),
+        explode(array(
+          struct(lit(0L).as("level"), col("cents").as("bucket")),
+          struct(lit(1L).as("level"), fdiv(10000L).as("bucket")),
+          struct(lit(2L).as("level"), fdiv(100000L).as("bucket")),
+          struct(lit(3L).as("level"), lit(0L).as("bucket")))).as("e"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("e.level").as("level"), col("e.bucket").as("bucket"))
+    val perLevel = graft.ops.Dedup.register(lv
+      .groupBy(col("level"), col("c_nationkey"), col("c_mktsegment"),
+        col("bucket"))
+      .agg(count(lit(1)).as("cs"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"), min(col("cs")).as("min_class"),
+        sum(when(col("cs") < k, col("cs")).otherwise(0L))
+          .as("risky_rows"),
+        sum(col("cs")).as("total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sat = perLevel.agg(
+      min(when(col("risky_rows") === 0L, col("level"))).as("sat_min"))
+    perLevel.crossJoin(broadcast(sat))
+      .select(col("level"), col("n_classes"), col("min_class"),
+        col("risky_rows"),
+        expr("risky_rows * 1000000 div total").as("risk_ppm"),
+        (col("level") <=> col("sat_min")).as("chosen"))
+      .orderBy(col("level"), col("n_classes"), col("min_class"),
+        col("risky_rows"), col("risk_ppm"), col("chosen"))
+  }
+
+  /** DuckDB oracle for [[kAnonLadder]] — same floor-division
+    * buckets, same minimal-satisfying-level rule ((x = NULL) IS TRUE
+    * mirrors Spark's null-safe `<=>` when no level satisfies). */
+  def kAnonLadderOracleSql(k: Long = 5L): String = {
+    def fdiv(g: Long) =
+      s"cents // $g - (CASE WHEN cents % $g < 0 THEN 1 ELSE 0 END)"
+    s"""WITH base AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM customer),
+       |lv AS (
+       |  SELECT c_nationkey, c_mktsegment, 0 AS level,
+       |    cents AS bucket FROM base
+       |  UNION ALL SELECT c_nationkey, c_mktsegment, 1,
+       |    ${fdiv(10000L)} FROM base
+       |  UNION ALL SELECT c_nationkey, c_mktsegment, 2,
+       |    ${fdiv(100000L)} FROM base
+       |  UNION ALL SELECT c_nationkey, c_mktsegment, 3, 0 FROM base),
+       |cl AS (
+       |  SELECT level, c_nationkey, c_mktsegment, bucket,
+       |    COUNT(*) AS cs
+       |  FROM lv GROUP BY level, c_nationkey, c_mktsegment, bucket),
+       |pl AS (
+       |  SELECT CAST(level AS BIGINT) AS level,
+       |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |    CAST(MIN(cs) AS BIGINT) AS min_class,
+       |    CAST(SUM(CASE WHEN cs < $k THEN cs ELSE 0 END) AS BIGINT)
+       |      AS risky_rows,
+       |    CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM cl GROUP BY level),
+       |sm AS (
+       |  SELECT MIN(CASE WHEN risky_rows = 0 THEN level END) AS sat_min
+       |  FROM pl)
+       |SELECT level, n_classes, min_class, risky_rows,
+       |  CAST(risky_rows * 1000000 // total AS BIGINT) AS risk_ppm,
+       |  (level = sat_min) IS TRUE AS chosen
+       |FROM pl CROSS JOIN sm
+       |ORDER BY level, n_classes, min_class, risky_rows, risk_ppm,
+       |  chosen""".stripMargin
+  }
 }

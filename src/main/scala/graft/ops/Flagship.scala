@@ -81,4 +81,79 @@ object Flagship {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  /** TPC-H Q8 shape (q218): a supplier nation's market share inside
+    * one region's market, per order year — the two-level aggregate
+    * the Q5 shape (q82) lacks: a conditional revenue sum DIVIDED by
+    * the market total, with the division kept exact (both revenue
+    * sums are DECIMAL-exact; the share is integer ppm over their
+    * scale-4 integer images, so no float enters the decision).
+    *
+    * Scale shape: the fact join rides the orderkey-bucketed layout
+    * (merge-pinned, zero fact exchanges); all five dimension sides
+    * broadcast; one map-side-combined aggregate to |years| rows. */
+  def marketShare(spark: SparkSession, dir: String,
+      regionName: String = "ASIA",
+      nationName: String = "NATION_2"): DataFrame = {
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val cn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_region"))
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === regionName)
+    val s = Tables.supplier(spark, dir)
+    val sn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("cn_region") === r("r_regionkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(sn), s("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(rev).as("total"),
+        sum(when(col("supp_nation") === nationName, rev)).as("natn"))
+      .select(col("yr"),
+        col("total").cast("double").as("total_revenue"),
+        coalesce(col("natn"), lit(0)).cast("double")
+          .as("nation_revenue"),
+        expr("CAST((CAST(coalesce(natn, 0) * 10000 AS DECIMAL(38,0))" +
+          " * 1000000) div CAST(total * 10000 AS DECIMAL(38,0))" +
+          " AS BIGINT)").as("share_ppm"))
+      .orderBy(col("yr"), col("total_revenue"), col("nation_revenue"),
+        col("share_ppm"))
+  }
+
+  /** DuckDB oracle for [[marketShare]] — same joins, same DECIMAL
+    * revenue term, same scale-4 integer ppm. */
+  def marketShareOracleSql(regionName: String = "ASIA",
+      nationName: String = "NATION_2"): String = {
+    val rev = graft.ops.Det.Sql
+      .revenueTerm("l_extendedprice", "l_discount")
+    s"""WITH f AS (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       |    $rev AS rev, sn.n_name AS supp_nation
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+       |    AND r.r_name = '$regionName'
+       |  JOIN supplier s ON l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+       |a AS (
+       |  SELECT yr, SUM(rev) AS total,
+       |    COALESCE(SUM(CASE WHEN supp_nation = '$nationName'
+       |      THEN rev END), 0) AS natn
+       |  FROM f GROUP BY yr)
+       |SELECT yr, CAST(total AS DOUBLE) AS total_revenue,
+       |  CAST(natn AS DOUBLE) AS nation_revenue,
+       |  CAST(CAST(natn * 10000 AS HUGEINT) * 1000000
+       |    // CAST(total * 10000 AS HUGEINT) AS BIGINT) AS share_ppm
+       |FROM a
+       |ORDER BY yr, total_revenue, nation_revenue, share_ppm""".stripMargin
+  }
 }

@@ -404,4 +404,89 @@ object Grouping {
       .orderBy(col("l_returnflag"), col("n"), col("sum_cents"),
         col("mean_centimils"), col("var_cents2"))
   }
+
+  /** Hierarchical share-of-parent rollup (q224): revenue by region →
+    * supplier nation with every row carrying its share OF ITS PARENT
+    * in exact integer ppm — nations within their region, regions
+    * within the grand total, the total at 1e6. The drill-down tree
+    * every OLAP frontend renders; q16's rollup gives the levels,
+    * this wires the parent edges. Revenue stays DECIMAL-exact and
+    * the share divides scale-4 integer images (the q218 rule).
+    *
+    * Scale shape: one broadcast-dim star join + ONE rollup aggregate
+    * (grouping sets share the scan), persisted at ≤ |nations| +
+    * |regions| + 1 rows for its three level extracts; the parent
+    * joins run over that tiny frame. */
+  def rollupShares(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    val rolled = graft.ops.Dedup.register(li
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(rev).as("rev"), grouping_id().as("gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def share = "CAST((CAST(rev * 10000 AS DECIMAL(38,0)) * 1000000)" +
+      " div CAST(prev * 10000 AS DECIMAL(38,0)) AS BIGINT)"
+    val nations = rolled.filter(col("gid") === 0)
+      .join(rolled.filter(col("gid") === 1)
+        .select(col("r_name").as("pr"), col("rev").as("prev")),
+        col("r_name") === col("pr"))
+      .select(col("r_name"), col("n_name"), lit("nation").as("level"),
+        col("rev").cast("double").as("revenue"),
+        expr(share).as("parent_share_ppm"))
+    val total = rolled.filter(col("gid") === 3)
+      .select(col("rev").as("prev"))
+    val regions = rolled.filter(col("gid") === 1)
+      .crossJoin(broadcast(total))
+      .select(col("r_name"), lit("ALL").as("n_name"),
+        lit("region").as("level"),
+        col("rev").cast("double").as("revenue"),
+        expr(share).as("parent_share_ppm"))
+    val grand = total.select(lit("ALL").as("r_name"),
+      lit("ALL").as("n_name"), lit("total").as("level"),
+      col("prev").cast("double").as("revenue"),
+      lit(1000000L).as("parent_share_ppm"))
+    nations.union(regions).union(grand)
+      .orderBy(col("r_name"), col("n_name"), col("level"),
+        col("revenue"), col("parent_share_ppm"))
+  }
+
+  /** DuckDB oracle for [[rollupShares]] — the three levels as
+    * explicit aggregates (rollup semantics spelled out), same
+    * scale-4 ppm. */
+  def rollupSharesOracleSql: String = {
+    val rev = Det.Sql.revenueTerm("l_extendedprice", "l_discount")
+    s"""WITH j AS (
+       |  SELECT r_name, n_name, $rev AS rv
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey),
+       |ln AS (SELECT r_name, n_name, SUM(rv) AS rev FROM j GROUP BY 1, 2),
+       |lr AS (SELECT r_name, SUM(rv) AS rev FROM j GROUP BY 1),
+       |lt AS (SELECT SUM(rv) AS rev FROM j)
+       |SELECT * FROM (
+       |  SELECT ln.r_name, ln.n_name, 'nation' AS level,
+       |    CAST(ln.rev AS DOUBLE) AS revenue,
+       |    CAST(CAST(ln.rev * 10000 AS HUGEINT) * 1000000
+       |      // CAST(lr.rev * 10000 AS HUGEINT) AS BIGINT)
+       |      AS parent_share_ppm
+       |  FROM ln JOIN lr ON lr.r_name = ln.r_name
+       |  UNION ALL
+       |  SELECT lr.r_name, 'ALL', 'region', CAST(lr.rev AS DOUBLE),
+       |    CAST(CAST(lr.rev * 10000 AS HUGEINT) * 1000000
+       |      // CAST(lt.rev * 10000 AS HUGEINT) AS BIGINT)
+       |  FROM lr CROSS JOIN lt
+       |  UNION ALL
+       |  SELECT 'ALL', 'ALL', 'total', CAST(rev AS DOUBLE),
+       |    CAST(1000000 AS BIGINT)
+       |  FROM lt)
+       |ORDER BY r_name, n_name, level, revenue,
+       |  parent_share_ppm""".stripMargin
+  }
 }

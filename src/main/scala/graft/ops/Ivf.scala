@@ -993,4 +993,328 @@ object Ivf {
        |CROSS JOIN qe
        |ORDER BY cos_sim DESC, a.vec_id, a.cell LIMIT $topK""".stripMargin
   }
+
+  /** Product-quantization codebook audit (q216): the third
+    * quantization scheme next to IVF routing (q46/q71) and int8 SQ
+    * (q76/q174). Each vector splits into `nSub` subvectors; each
+    * subspace trains its own k-code codebook by the deterministic
+    * integer-µu Lloyd rule (seeds = the first k vectors' subvectors,
+    * `iters` rounds, the exact q71 discipline per subspace — so the
+    * oracle replays the ENTIRE build bit-for-bit). Output is the
+    * audit a PQ deployment reads before trusting ADC distances: per
+    * (subspace, code) the population, max and mean squared
+    * reconstruction error in µu² — dead codes, lopsided cells and
+    * high-error subspaces all jump out of 64 rows.
+    *
+    * Scale shape: the corpus is touched `iters`+1 times through ONE
+    * exploded (vec_id, subspace, subvector) projection (all
+    * subspaces per pass, map-side-combined aggregates); codebook
+    * state is nSub·k·dsub longs on the driver — O(1) in the corpus.
+    * Mean error divides an exact DECIMAL(38,0) sum (ANSI-safe at any
+    * corpus size). */
+  def pqAudit(spark: SparkSession, dir: String, nSub: Int = 4,
+      k: Int = 16, iters: Int = 2): DataFrame =
+    pqAuditOn(Tables.embeddings(spark, dir), nSub, k, iters)
+
+  /** Frame-based core of [[pqAudit]] (needs vec_id + `dim`-float
+    * embedding; vec_ids 0..k−1 must exist — they seed every
+    * codebook). Assignment runs as a BROADCAST codebook join +
+    * native `l2mu` distance + min-struct aggregate — the
+    * [[LiteralArgminMaxK]] lesson: nSub·k code literals × dsub terms
+    * is far past the literal-argmin crossover (measured 16 → 1.5 s
+    * at sf0.1). */
+  def pqAuditOn(emb: DataFrame, nSub: Int = 4, k: Int = 16,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val (_, assigned, _) = pqState(emb, nSub, k, iters, dim)
+    assigned
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n"), max(col("d2")).as("max_err_mu2"),
+        sum(col("d2").cast("decimal(38,0)")).as("serr"))
+      .select(col("m").as("subspace"), col("code"), col("n"),
+        col("max_err_mu2"),
+        expr("CAST(serr div n AS BIGINT)").as("mean_err_mu2"))
+      .orderBy(col("subspace"), col("code"), col("n"),
+        col("max_err_mu2"), col("mean_err_mu2"))
+  }
+
+  /** Deterministic PQ build shared by q216/q220: runs the
+    * per-subspace integer-µu Lloyd and returns (final codebooks, the
+    * final (m, code, d2, sub, vec_id) assignment frame, the µu
+    * vector frame `xi`). */
+  private def pqState(emb: DataFrame, nSub: Int, k: Int, iters: Int,
+      dim: Int): (Map[Int, Seq[(Long, Array[Long])]], DataFrame,
+        DataFrame) = {
+    require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+    val dsub = dim / nSub
+    val xi = emb.select(col("vec_id"), muCol.as("x"))
+    val subs = pqSubs(xi, nSub, dsub)
+    // seeds = the k smallest vec_ids (rank-based, so a subset corpus
+    // — q223's frozen-codebook side — seeds the same way)
+    val seeds = xi.orderBy("vec_id").limit(k).collect()
+    require(seeds.length == k, s"need at least $k vectors as PQ seeds")
+    var cents: Map[Int, Seq[(Long, Array[Long])]] = (0 until nSub).map {
+      m => m -> seeds.map(r => (r.getLong(0),
+        r.getSeq[Long](1).slice(m * dsub, (m + 1) * dsub).toArray)).toSeq
+    }.toMap
+    def assigned: DataFrame = pqAssign(subs, cents)
+    for (_ <- 1 to iters) {
+      val sumCols = (0 until dsub).map(i =>
+        sum(element_at(col("sub"), i + 1)).as(s"s$i"))
+      val rows = assigned
+        .groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      cents = rows.groupBy(_.getLong(0).toInt).map { case (m, rs) =>
+        m -> rs.map { r =>
+          val n = r.getLong(2)
+          (r.getLong(1), (0 until dsub).map(i =>
+            Det.halfUpLong(r.getLong(3 + i).toDouble / n)).toArray)
+        }.sortBy(_._1).toSeq
+      }
+    }
+    (cents, assigned, xi)
+  }
+
+  /** Exploded (vec_id, m, sub) view over a µu-vector frame — all
+    * subspaces of a vector travel in one scan. */
+  private def pqSubs(xi: DataFrame, nSub: Int, dsub: Int): DataFrame =
+    xi.select(col("vec_id"),
+        explode(array((0 until nSub).map(m =>
+          struct(lit(m.toLong).as("m"),
+            slice(col("x"), m * dsub + 1, dsub).as("sub"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+
+  /** Per-(vec_id, subspace) argmin over a broadcast codebook (native
+    * l2mu + min-struct; sub is constant across a group's k joined
+    * rows, so first() carries it through). */
+  private def pqAssign(subs: DataFrame,
+      cents: Map[Int, Seq[(Long, Array[Long])]]): DataFrame = {
+    val spark = subs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val codebook = cents.toSeq.flatMap { case (m, cs) =>
+      cs.map { case (id, c) => (m.toLong, id, c.toSeq) }
+    }.toDF("m", "code", "cent")
+    subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("d", call_function("l2mu", col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("code"))).as("best"),
+        first(col("sub")).as("sub"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"),
+        col("best.d").as("d2"), col("sub"))
+  }
+
+  /** PQ retrain-gain audit (q223): the index-maintenance decision —
+    * when the corpus doubles, how much reconstruction error does the
+    * FROZEN codebook (trained on the even-id half, standing in for
+    * "the corpus before the ingest") cost versus RETRAINING on
+    * everything? Per subspace: mean squared µu error of the full
+    * corpus under both codebooks and the excess in ppm of the fresh
+    * error. Low excess = keep serving the frozen codebook (no
+    * re-encode); high = drift, rebuild. (Raw code-label churn is NOT
+    * the metric — labels of independently trained codebooks carry no
+    * identity; reconstruction error is what ADC actually pays.)
+    *
+    * Scale shape: two O(k·dsub)-driver-state Lloyd builds + two
+    * broadcast-join assignments over one exploded projection; the
+    * verdict join is keyed on (vec_id, m) and folds to nSub rows.
+    * Means divide exact DECIMAL(38,0) sums; the excess guards a
+    * zero fresh error with GREATEST(fresh, 1). */
+  def pqRetrainGain(spark: SparkSession, dir: String, nSub: Int = 4,
+      k: Int = 16, iters: Int = 2): DataFrame =
+    pqRetrainGainOn(Tables.embeddings(spark, dir), nSub, k, iters)
+
+  /** Frame-based core of [[pqRetrainGain]]. */
+  def pqRetrainGainOn(emb: DataFrame, nSub: Int = 4, k: Int = 16,
+      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val dsub = dim / nSub
+    val centsOld = pqState(emb.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+      nSub, k, iters, dim)._1
+    val centsNew = pqState(emb, nSub, k, iters, dim)._1
+    val subs = pqSubs(emb.select(col("vec_id"), muCol.as("x")), nSub, dsub)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val oldA = pqAssign(subs, centsOld)
+      .select(col("vec_id"), col("m"), col("d2").as("d2_frozen"))
+    val newA = pqAssign(subs, centsNew)
+      .select(col("vec_id"), col("m"), col("d2").as("d2_fresh"))
+    oldA.join(newA, Seq("vec_id", "m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("d2_frozen"))).as("sf"),
+        sum(d(col("d2_fresh"))).as("sn"))
+      .select(col("m").as("subspace"), col("n"),
+        expr("CAST(sf div n AS BIGINT)").as("mean_frozen_mu2"),
+        expr("CAST(sn div n AS BIGINT)").as("mean_fresh_mu2"))
+      .withColumn("excess_ppm",
+        expr("CAST(((mean_frozen_mu2 - mean_fresh_mu2)" +
+          " * CAST(1000000 AS DECIMAL(38,0)))" +
+          " div GREATEST(mean_fresh_mu2, 1L) AS BIGINT)"))
+      .orderBy(col("subspace"), col("n"), col("mean_frozen_mu2"),
+        col("mean_fresh_mu2"), col("excess_ppm"))
+  }
+
+  /** DuckDB oracle for [[pqRetrainGain]] — two prefixed build chains
+    * (frozen trains on vec_id % 2 = 0, fresh on everything; both
+    * assign the full corpus), joined on (vec_id, m). */
+  def pqRetrainGainOracleSql(nSub: Int = 4, k: Int = 16,
+      iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${pqBuildCtes(nSub, k, iters, dim, "vec_id % 2 = 0", "o_")},
+       |${pqBuildCtes(nSub, k, iters, dim, "TRUE", "n_")},
+       |j AS (
+       |  SELECT o.m,
+       |    CAST(SUM(CAST(o.d2 AS HUGEINT)) // COUNT(*) AS BIGINT)
+       |      AS mean_frozen_mu2,
+       |    CAST(SUM(CAST(n2.d2 AS HUGEINT)) // COUNT(*) AS BIGINT)
+       |      AS mean_fresh_mu2,
+       |    COUNT(*) AS n
+       |  FROM o_afin o JOIN n_afin n2
+       |    ON n2.vec_id = o.vec_id AND n2.m = o.m
+       |  GROUP BY o.m)
+       |SELECT m AS subspace, n, mean_frozen_mu2, mean_fresh_mu2,
+       |  CAST((mean_frozen_mu2 - mean_fresh_mu2)
+       |    * CAST(1000000 AS HUGEINT)
+       |    // GREATEST(mean_fresh_mu2, 1) AS BIGINT) AS excess_ppm
+       |FROM j
+       |ORDER BY subspace, n, mean_frozen_mu2, mean_fresh_mu2,
+       |  excess_ppm""".stripMargin
+
+  /** PQ ADC recall audit (q220): the q169 companion for the q216
+    * codebooks — rank the corpus by ASYMMETRIC distance (query
+    * subvector → assigned code centroid, the constant-time lookup a
+    * PQ index actually serves) and report the ADC top-k with a flag
+    * for membership in the EXACT µu-L2 top-k. The audit that decides
+    * whether nSub/k give usable recall before a PQ index ships.
+    *
+    * Scale shape: the ADC distance is a broadcast join of the
+    * nSub·k-row lookup table against the (vec_id, m, code) frame +
+    * one keyed sum — never a vector-by-vector distance; the exact
+    * ranking is the one full scan any recall audit needs. */
+  def pqAdcRecall(spark: SparkSession, dir: String, queryId: Long = 7,
+      nSub: Int = 4, k: Int = 16, iters: Int = 2,
+      topK: Int = 10): DataFrame =
+    pqAdcRecallOn(Tables.embeddings(spark, dir), queryId, nSub, k,
+      iters, topK)
+
+  /** Frame-based core of [[pqAdcRecall]]. */
+  def pqAdcRecallOn(emb: DataFrame, queryId: Long, nSub: Int = 4,
+      k: Int = 16, iters: Int = 2, topK: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val dsub = dim / nSub
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cents, assigned, xi) = pqState(emb, nSub, k, iters, dim)
+    val q = xi.filter(col("vec_id") === queryId)
+      .head().getSeq[Long](1).toArray
+    val adcTable = cents.toSeq.flatMap { case (m, cs) =>
+      val qm = q.slice(m * dsub, (m + 1) * dsub)
+      cs.map { case (code, c) =>
+        (m.toLong, code,
+          qm.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }.toDF("m", "code", "qd2")
+    val adcTop = assigned.select(col("vec_id"), col("m"), col("code"))
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(adcTable), Seq("m", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id")).limit(topK)
+    val qCol = array(q.map(lit): _*)
+    val exact = xi.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        call_function("l2mu", col("x"), qCol).as("ed2"))
+      .orderBy(col("ed2"), col("vec_id")).limit(topK)
+      .select(col("vec_id"), lit(true).as("hit"))
+    adcTop.join(exact, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("adc_d2"),
+        coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("adc_d2"), col("vec_id"), col("in_exact_topk"))
+  }
+
+  /** Shared oracle CTE chain replaying the PQ build — per-subspace
+    * unrolled Lloyd (the [[buildCtes]] pattern sliced), same
+    * rank-based seeds, same single IEEE mean-rounding op, same
+    * (d2, code) tie-break. Ends with `${p}afin` = (vec_id, m, code,
+    * d2) and `${p}cent$iters`. `buildPred` restricts the TRAINING
+    * subset (seeds + Lloyd assignments) while the final assignment
+    * covers the whole corpus — q223's frozen-codebook side; `p`
+    * prefixes every CTE name so two chains can coexist in one
+    * statement. */
+  private def pqBuildCtes(nSub: Int, k: Int, iters: Int, dim: Int,
+      buildPred: String = "TRUE", p: String = ""): String = {
+    val dsub = dim / nSub
+    val mu = s"list_transform(range(1, ${dim + 1}), i -> " +
+      "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
+    def d2(s: String, c: String) =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), " +
+        s"i -> ($s[i] - $c[i]) * ($s[i] - $c[i])))"
+    val rounds = (0 until iters).map { r =>
+      s"""${p}d$r AS (SELECT s.vec_id, s.m, c.code, ${d2("s.sub", "c.c")} AS d2
+         |        FROM ${p}sub s JOIN ${p}cent$r c ON c.m = s.m
+         |        WHERE $buildPred),
+         |${p}a$r AS (SELECT vec_id, m, code FROM ${p}d$r
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1),
+         |${p}s$r AS (SELECT a.m, a.code, g.i AS pos,
+         |          CAST(ROUND(CAST(SUM(s.sub[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+         |        FROM ${p}a$r a JOIN ${p}sub s ON s.vec_id = a.vec_id AND s.m = a.m
+         |        CROSS JOIN generate_series(1, $dsub) g(i)
+         |        GROUP BY a.m, a.code, g.i),
+         |${p}cent${r + 1} AS (SELECT m, code, list(v ORDER BY pos) AS c FROM ${p}s$r GROUP BY m, code)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}xi AS (SELECT vec_id, $mu AS x FROM embeddings),
+       |${p}ms AS (SELECT UNNEST(range(0, $nSub)) AS m),
+       |${p}sub AS (SELECT vec_id, CAST(ms.m AS BIGINT) AS m,
+       |          x[ms.m * $dsub + 1 : (ms.m + 1) * $dsub] AS sub
+       |        FROM ${p}xi xi CROSS JOIN ${p}ms ms),
+       |${p}cent0 AS (SELECT m, vec_id AS code, sub AS c FROM ${p}sub s
+       |         WHERE $buildPred
+       |         QUALIFY ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) <= $k),
+       |$rounds,
+       |${p}fin AS (SELECT s.vec_id, s.m, c.code, ${d2("s.sub", "c.c")} AS d2
+       |        FROM ${p}sub s JOIN ${p}cent$iters c ON c.m = s.m),
+       |${p}afin AS (SELECT vec_id, m, code, d2 FROM ${p}fin
+       |         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pqAudit]]. */
+  def pqOracleSql(nSub: Int = 4, k: Int = 16, iters: Int = 2,
+      dim: Int = 64): String =
+    s"""WITH ${pqBuildCtes(nSub, k, iters, dim)}
+       |SELECT m AS subspace, CAST(code AS BIGINT) AS code,
+       |  COUNT(*) AS n, CAST(MAX(d2) AS BIGINT) AS max_err_mu2,
+       |  CAST(SUM(CAST(d2 AS HUGEINT)) // COUNT(*) AS BIGINT)
+       |    AS mean_err_mu2
+       |FROM afin GROUP BY m, code
+       |ORDER BY subspace, code, n, max_err_mu2, mean_err_mu2""".stripMargin
+
+  /** DuckDB oracle for [[pqAdcRecall]] — the shared build chain plus
+    * the ADC lookup table, the keyed ADC sum, and the exact µu-L2
+    * top-k flag. */
+  def pqAdcRecallOracleSql(queryId: Long = 7, nSub: Int = 4,
+      k: Int = 16, iters: Int = 2, topK: Int = 10,
+      dim: Int = 64): String = {
+    val dsub = dim / nSub
+    s"""WITH ${pqBuildCtes(nSub, k, iters, dim)},
+       |q AS (SELECT x AS qx FROM xi WHERE vec_id = $queryId),
+       |adct AS (
+       |  SELECT c.m, c.code,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> (q.qx[c.m * $dsub + i] - c.c[i])
+       |         * (q.qx[c.m * $dsub + i] - c.c[i]))) AS qd2
+       |  FROM cent$iters c CROSS JOIN q),
+       |adc AS (
+       |  SELECT a.vec_id, CAST(SUM(t.qd2) AS BIGINT) AS adc_d2
+       |  FROM afin a JOIN adct t ON t.m = a.m AND t.code = a.code
+       |  WHERE a.vec_id != $queryId
+       |  GROUP BY a.vec_id
+       |  ORDER BY adc_d2, vec_id LIMIT $topK),
+       |exact AS (
+       |  SELECT vec_id FROM xi CROSS JOIN q
+       |  WHERE vec_id != $queryId
+       |  ORDER BY list_sum(list_transform(range(1, ${dim + 1}),
+       |    i -> (x[i] - q.qx[i]) * (x[i] - q.qx[i]))), vec_id
+       |  LIMIT $topK)
+       |SELECT adc.vec_id, adc.adc_d2,
+       |  (e.vec_id IS NOT NULL) AS in_exact_topk
+       |FROM adc LEFT JOIN exact e ON e.vec_id = adc.vec_id
+       |ORDER BY adc_d2, adc.vec_id, in_exact_topk""".stripMargin
+  }
 }

@@ -116,6 +116,199 @@ object Layout {
       nShards: Int = 16): DataFrame =
     shardManifest(Tables.documents(spark, dir), nShards)
 
+  /** Right-to-be-forgotten propagation audit (q210): given a forget
+    * set (here the deterministic ~1% slice doc_id ≡ 0 mod 97,
+    * standing in for a DSR deletion list), prove the q147 shard
+    * artifact forgets EXACTLY that set and nothing else. Three
+    * INDEPENDENT computations per shard — the full manifest, the
+    * forget-only manifest, and the post-forget manifest rebuilt from
+    * the filtered corpus — then two hash-checked invariants:
+    * `residual_forgotten` (forget docs still assigned after the
+    * rebuild — must be 0; the q195 zero-residual pattern) and
+    * `digest_ok` (digest_before − digest_forgotten = digest_after —
+    * holds iff the rebuild moved or mutated NO survivor, which is
+    * what per-doc deterministic assignment guarantees and what any
+    * renumber-after-delete implementation violates).
+    *
+    * Scale shape: one projection over the corpus persisted for its
+    * three shard-keyed aggregate consumers; output is
+    * |shards|-sized. */
+  def forgetAudit(spark: SparkSession, dir: String,
+      nShards: Int = 16, forgetMod: Int = 97): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val assigned = Dedup.register(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(Sampling.idBucket(col("doc_id")), lit(nShards.toLong))
+          .as("shard"),
+        expr(s"pmod(rolling_hash(text), ${Sampling.Prime}L)").as("h"),
+        (pmod(col("doc_id"), lit(forgetMod.toLong)) === 0L)
+          .as("forget"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    forgetAuditOn(assigned)
+  }
+
+  /** Frame-based core of [[forgetAudit]] over an already-persisted
+    * (doc_id, shard, h, forget) assignment. */
+  def forgetAuditOn(assigned: DataFrame): DataFrame = {
+    val before = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("h")).as("digest_before"))
+    val forgotten = assigned.filter(col("forget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_forgotten"),
+        sum(col("h")).as("digest_forgotten"))
+    val after = assigned.filter(!col("forget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("h")).as("digest_after"),
+        sum(when(col("forget"), 1L).otherwise(0L))
+          .as("residual_forgotten"))
+    before
+      .join(forgotten, Seq("shard"), "left")
+      .join(after, Seq("shard"), "left")
+      .select(col("shard"), col("n_before"),
+        coalesce(col("n_forgotten"), lit(0L)).as("n_forgotten"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("residual_forgotten"), lit(0L))
+          .as("residual_forgotten"),
+        (col("digest_before") - coalesce(col("digest_forgotten"), lit(0L))
+          === coalesce(col("digest_after"), lit(0L))).as("digest_ok"))
+      .orderBy(col("shard"), col("n_before"), col("n_forgotten"),
+        col("n_after"), col("residual_forgotten"), col("digest_ok"))
+  }
+
+  /** DuckDB oracle for [[forgetAudit]] — the q147 assignment CTE with
+    * the same forget predicate, three independent rollups. */
+  def forgetAuditOracleSql(nShards: Int = 16,
+      forgetMod: Int = 97): String = {
+    val p = Sampling.Prime
+    val fnv = graft.ops.HashSql.fnvSignedSql(
+      "[ascii(substr(text, i, 1))::HUGEINT FOR i IN range(1, length(text)+1)]")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ${Sampling.idBucketSql("doc_id")} % $nShards AS shard,
+       |    (($fnv % $p) + $p) % $p AS h,
+       |    (doc_id % $forgetMod = 0) AS forget
+       |  FROM documents),
+       |bf AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_before,
+       |    CAST(SUM(h) AS BIGINT) AS digest_before
+       |  FROM d GROUP BY shard),
+       |fo AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_forgotten,
+       |    CAST(SUM(h) AS BIGINT) AS digest_forgotten
+       |  FROM d WHERE forget GROUP BY shard),
+       |af AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_after,
+       |    CAST(SUM(h) AS BIGINT) AS digest_after,
+       |    CAST(COALESCE(SUM(CASE WHEN forget THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS residual_forgotten
+       |  FROM d WHERE NOT forget GROUP BY shard)
+       |SELECT CAST(bf.shard AS BIGINT) AS shard, bf.n_before,
+       |  COALESCE(fo.n_forgotten, 0) AS n_forgotten,
+       |  COALESCE(af.n_after, 0) AS n_after,
+       |  COALESCE(af.residual_forgotten, 0) AS residual_forgotten,
+       |  (bf.digest_before - COALESCE(fo.digest_forgotten, 0)
+       |    = COALESCE(af.digest_after, 0)) AS digest_ok
+       |FROM bf
+       |LEFT JOIN fo ON fo.shard = bf.shard
+       |LEFT JOIN af ON af.shard = bf.shard
+       |ORDER BY shard, n_before, n_forgotten, n_after,
+       |  residual_forgotten, digest_ok""".stripMargin
+  }
+
+  /** Shuffle-mixing audit (q212): does the q153 deterministic
+    * training order actually INTERLEAVE sources within each shard?
+    * Per shard, the adjacent-pair same-source rate in the shuffled
+    * order (ppm) next to the rate a uniform random permutation of
+    * the same multiset would give in expectation —
+    * Σ nₛ(nₛ−1) / (n(n−1)), exact integers, truncating div. A
+    * same_adj_ppm far above expected_ppm means the shuffle key
+    * correlates with source (batch-composition bias: consecutive
+    * training batches over-sample one domain); at or below it, the
+    * order is as mixed as random. The audit every pre-training run
+    * should read before trusting a deterministic shuffle.
+    *
+    * Scale shape: one corpus projection persisted for its two
+    * consumers (the per-shard ordered adjacency walk — a RUNNING lag
+    * frame, the q180 rule — and the (shard, source) share counts);
+    * output is |shards|-sized. */
+  def shuffleMixAudit(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    val assigned = Dedup.register(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(Sampling.idBucket(col("doc_id")), lit(nShards.toLong))
+          .as("shard"),
+        Sampling.idShuffleKey(col("doc_id")).as("shuffle_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    shuffleMixAuditOn(assigned)
+  }
+
+  /** Frame-based core of [[shuffleMixAudit]] over an
+    * already-persisted (doc_id, source, shard, shuffle_key)
+    * assignment. */
+  def shuffleMixAuditOn(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    val adj = assigned
+      .withColumn("prev_source", lag(col("source"), 1).over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("prev_source") === col("source"), 1L)
+          .otherwise(0L)).as("same_adj"))
+    val shares = assigned.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("ns"))
+      .groupBy(col("shard"))
+      .agg(sum(col("ns") * (col("ns") - 1L)).as("same_mass"))
+    adj.join(shares, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("same_adj"),
+        when(col("n_docs") > 1L,
+          expr("same_adj * 1000000 div (n_docs - 1)"))
+          .otherwise(0L).as("same_adj_ppm"),
+        when(col("n_docs") > 1L,
+          expr("same_mass * 1000000 div (n_docs * (n_docs - 1))"))
+          .otherwise(0L).as("expected_ppm"))
+      .orderBy(col("shard"), col("n_docs"), col("same_adj"),
+        col("same_adj_ppm"), col("expected_ppm"))
+  }
+
+  /** DuckDB oracle for [[shuffleMixAudit]] — the q153 order CTE
+    * (same two mixers), LAG adjacency, exact share mass. Positive
+    * operands throughout, so `//` = Spark's `div`. */
+  def shuffleMixAuditOracleSql(nShards: Int = 16): String =
+    s"""WITH a AS (
+       |  SELECT doc_id, source,
+       |    CAST(${Sampling.idBucketSql("doc_id")} % $nShards AS BIGINT)
+       |      AS shard,
+       |    CAST(${Sampling.idShuffleKeySql("doc_id")} AS BIGINT)
+       |      AS shuffle_key
+       |  FROM documents),
+       |adj AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(SUM(CASE WHEN prev_source = source
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS same_adj
+       |  FROM (SELECT shard, source,
+       |          LAG(source) OVER (PARTITION BY shard
+       |            ORDER BY shuffle_key, doc_id) AS prev_source
+       |        FROM a)
+       |  GROUP BY shard),
+       |sh AS (
+       |  SELECT shard, CAST(SUM(ns * (ns - 1)) AS BIGINT) AS same_mass
+       |  FROM (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS ns
+       |        FROM a GROUP BY shard, source)
+       |  GROUP BY shard)
+       |SELECT adj.shard, adj.n_docs, adj.same_adj,
+       |  CAST(CASE WHEN adj.n_docs > 1
+       |    THEN same_adj * 1000000 // (adj.n_docs - 1)
+       |    ELSE 0 END AS BIGINT) AS same_adj_ppm,
+       |  CAST(CASE WHEN adj.n_docs > 1
+       |    THEN same_mass * 1000000 // (adj.n_docs * (adj.n_docs - 1))
+       |    ELSE 0 END AS BIGINT) AS expected_ppm
+       |FROM adj JOIN sh ON sh.shard = adj.shard
+       |ORDER BY adj.shard, n_docs, same_adj, same_adj_ppm,
+       |  expected_ppm""".stripMargin
+
   /** DuckDB oracle for [[shardManifestQuery]]: same id mixer
     * (Sampling.idBucketSql), same FNV hash (HashSql replay, converted
     * to the SIGNED value first — Spark's pmod acts on the signed

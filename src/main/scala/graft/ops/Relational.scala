@@ -154,6 +154,96 @@ object Relational {
         col("min_days"), col("max_days"))
   }
 
+  /** Monthly ship-latency percentile trend (q225): per order month,
+    * exact nearest-rank P50 and P90 of shipdate − orderdate in days
+    * — the SLA trend line an ops dashboard plots, kept exact: the
+    * rank test is cross-multiplied (cum·100 ≥ n·p ⇔ cum ≥ ⌈n·p/100⌉
+    * for integer cum), so no float percentile enters. q137's
+    * histogram shows the SHAPE; this shows the trend.
+    *
+    * Scale shape: the fact join rides the bucketed layout; the cum
+    * walk windows the per-(month, latency) COUNT table (distinct
+    * values per month, not rows), partitioned by month, running
+    * frame only. */
+  def latencyTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    val counts = li.hint("merge")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(expr("year(o_orderdate) * 100 + month(o_orderdate)")
+        .cast("long").as("ym"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("lat"))
+      .groupBy(col("ym"), col("lat")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("ym")).orderBy(col("lat"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("ym"))
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("ym"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("lat")))
+          .as("p50_days"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("lat")))
+          .as("p90_days"))
+      .orderBy(col("ym"), col("n"), col("p50_days"), col("p90_days"))
+  }
+
+  /** DuckDB oracle for [[latencyTrend]] — same cross-multiplied
+    * nearest-rank cut. */
+  val latencyTrendOracleSql: String =
+    """WITH l AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+      |    + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+      |    CAST(DATEDIFF('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |c AS (SELECT ym, lat, COUNT(*) AS c FROM l GROUP BY 1, 2),
+      |w AS (
+      |  SELECT ym, lat,
+      |    SUM(c) OVER (PARTITION BY ym ORDER BY lat
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY ym) AS n
+      |  FROM c)
+      |SELECT ym, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN lat END)
+      |    AS BIGINT) AS p50_days,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN lat END)
+      |    AS BIGINT) AS p90_days
+      |FROM w GROUP BY ym
+      |ORDER BY ym, n, p50_days, p90_days""".stripMargin
+
+  /** TPC-H Q13 shape (q226): the orders-per-customer distribution
+    * INCLUDING the zero bucket (the left join no inner-join shape
+    * can produce) — how many customers placed 0, 1, 2, … orders.
+    * Rides the custkey-bucketed layout (q124's second co-located
+    * seam): the outer join co-locates exactly like the inner one,
+    * zero exchange on either side.
+    *
+    * Scale shape: merge-pinned bucketed outer join → per-customer
+    * count (reuses the bucket distribution) → a histogram over
+    * ≤ max-orders rows. */
+  def customerOrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val (c, o) = Tables.bucketedCustomerOrders(spark, dir)
+    c.hint("merge").join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"), col("n_customers"))
+  }
+
+  /** DuckDB oracle for [[customerOrderDist]]. */
+  val customerOrderDistOracleSql: String =
+    """WITH pc AS (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey)
+      |SELECT n_orders, COUNT(*) AS n_customers
+      |FROM pc GROUP BY n_orders
+      |ORDER BY n_orders, n_customers""".stripMargin
+
   /** Star join with explicitly broadcast dims: revenue per region.
     * lineitem⋈orders rides the bucketed layout (zero exchange below
     * the sort-merge join); customer/nation/region ride along

@@ -360,7 +360,10 @@ object Similarity {
     * size profile (tighter τ — at 0.2 the 200-node graph is one giant
     * component, a single-row profile) so the cluster definition
     * cannot drift. */
-  def clusterOracleCtes(minCos: Double = 0.2): String =
+  /** The id-bounded exact near-dup edge CTEs alone (`pairs` +
+    * symmetric closure `e`) — shared by [[clusterOracleCtes]] and the
+    * q213 k-core peel so the edge definition cannot drift. */
+  def edgeOracleCtes(minCos: Double = 0.2): String =
     s"""pairs AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb
       |  FROM embeddings a JOIN embeddings b
@@ -369,7 +372,10 @@ object Similarity {
       |      (SQRT(LIST_INNER_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
       |       SQRT(LIST_INNER_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= $minCos
       |),
-      |e AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+      |e AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs)""".stripMargin
+
+  def clusterOracleCtes(minCos: Double = 0.2): String =
+    s"""${edgeOracleCtes(minCos)},
       |reach AS (
       |  SELECT a, b FROM e
       |  UNION
@@ -415,6 +421,74 @@ object Similarity {
        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_members
        |FROM sz GROUP BY cluster_size
        |ORDER BY cluster_size, n_clusters, n_members""".stripMargin
+
+  /** k-core decomposition (q213): iteratively peel nodes of degree
+    * < k from the near-dup graph until the fixpoint; survivors with
+    * their final in-core degree. The dense-core complement of q166's
+    * size profile — a component can be huge but tree-like (chained
+    * borderline pairs, safe to canonicalize greedily) or contain a
+    * dense k-core (a template family where EVERY member duplicates
+    * every other; the mass the star guard and keep-best policy exist
+    * for). Runs `rounds` peel passes unconditionally and then
+    * REQUIRES the fixpoint (one more peel changes nothing) — loud if
+    * the bound is ever too small, and the oracle replays exactly the
+    * same `rounds` unrolled passes.
+    *
+    * Scale shape: each pass is one keyed degree aggregate + two semi
+    * joins on the (shrinking) edge table, localCheckpoint-truncated
+    * per round (the dedupClusters lesson); peel rounds needed grow
+    * with graph degeneracy, not size. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 3,
+      minCos: Double = 0.25, rounds: Int = 6): DataFrame =
+    kCoreOn(embeddingNearDups(spark, dir, minCos = minCos)
+      .select(col("vec_a"), col("vec_b")), k, rounds)
+
+  /** Frame-based core of [[kCore]] over undirected (vec_a, vec_b)
+    * pairs (each pair once; symmetric closure happens here). */
+  def kCoreOn(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pairs.select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .union(pairs.select(col("vec_b").as("a"), col("vec_a").as("b")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a"))
+      e = e.join(alive, Seq("a"), "left_semi")
+        .join(alive.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+    val unconverged = deg.filter(col("degree") < lit(k.toLong)).count()
+    require(unconverged == 0,
+      s"k-core peel not at fixpoint after $rounds rounds " +
+        s"($unconverged nodes still below k=$k) — raise `rounds` " +
+        s"(the oracle unrolls the same bound)")
+    deg.select(col("a").as("vec_id"), col("degree"))
+      .orderBy(col("vec_id"), col("degree"))
+  }
+
+  /** DuckDB oracle for [[kCore]] — the shared q65 edge CTEs plus
+    * `rounds` unrolled peel passes. Every chain CTE is MATERIALIZED:
+    * each round references its predecessor twice, so DuckDB's
+    * default inlining re-evaluates the pair generator 2^rounds times
+    * (measured: minutes instead of 0.1 s at rounds = 6). */
+  def kCoreOracleSql(k: Int = 3, minCos: Double = 0.25,
+      rounds: Int = 6): String = {
+    val peels = (0 until rounds).map { r =>
+      s"""alive$r AS MATERIALIZED (
+         |  SELECT a AS id FROM e$r GROUP BY a HAVING COUNT(*) >= $k),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$r e
+         |  JOIN alive$r x ON x.id = e.a
+         |  JOIN alive$r y ON y.id = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgeOracleCtes(minCos)},
+       |e0 AS MATERIALIZED (SELECT a, b FROM e),
+       |$peels
+       |SELECT CAST(a AS BIGINT) AS vec_id, COUNT(*) AS degree
+       |FROM e$rounds GROUP BY a
+       |ORDER BY vec_id, degree""".stripMargin
+  }
 
   /** Near-dup cluster source-purity profile (q196): for every
     * multi-member near-dup cluster (the q166 τ=0.35 graph), how many
@@ -727,6 +801,96 @@ object Similarity {
       .orderBy(abs(col("corr")).desc, col("pos_i"), col("pos_j"))
       .limit(topK)
   }
+
+  /** Per-source centroid affinity (q211): cosine similarity between
+    * the mean embedding of every source PAIR — the domain-separation
+    * audit behind mixture design (two sources whose centroids sit at
+    * cosine ≈ 1 are redundant domains; near 0/negative, complements).
+    * Works on exact integer micro-unit SUMS (cosine is
+    * scale-invariant, so the mean's 1/n cancels and no division
+    * happens before the one fold): per-(source, dim) long sums, pair
+    * dots and norms in DECIMAL(38,0), then the single IEEE sequence
+    * dot/√(na2·nb2) rounded to 6dp — the q159 discipline on the
+    * aggregate level.
+    *
+    * Scale shape: the corpus collapses to |sources|·64 rows FIRST
+    * (map-side combined); the pair join is over that tiny frame
+    * (persisted for its three consumers), never over vectors. */
+  def sourceCentroidAffinity(spark: SparkSession, dir: String): DataFrame =
+    sourceCentroidAffinityOn(Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id")))
+
+  /** Frame-based core of [[sourceCentroidAffinity]] (needs source +
+    * embedding). */
+  def sourceCentroidAffinityOn(emb: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val dims = Dedup.register(emb
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("source"), col("pos").cast("long").as("pos"),
+        (col("v").cast("double").cast("decimal(18,6)") * 1000000)
+          .cast("long").as("m"))
+      .groupBy(col("source"), col("pos"))
+      .agg(sum(col("m")).as("sv"), count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val norms = dims.groupBy(col("source"))
+      .agg(sum(d(col("sv")) * d(col("sv"))).as("n2"),
+        max(col("cnt")).as("n"))
+    val pairs = dims.select(col("source").as("source_a"), col("pos"),
+        col("sv").as("va"))
+      .join(dims.select(col("source").as("source_b"), col("pos"),
+        col("sv").as("vb")), Seq("pos"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(d(col("va")) * d(col("vb"))).as("dot"))
+    pairs
+      .join(norms.select(col("source").as("source_a"),
+        col("n2").as("na2"), col("n").as("n_a")), Seq("source_a"))
+      .join(norms.select(col("source").as("source_b"),
+        col("n2").as("nb2"), col("n").as("n_b")), Seq("source_b"))
+      .filter(col("na2") > 0 && col("nb2") > 0)
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6)
+          .as("cos_centroid"))
+      .orderBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("cos_centroid"))
+  }
+
+  /** DuckDB oracle for [[sourceCentroidAffinity]] — same µu lattice,
+    * HUGEINT moments, identical single IEEE sequence. */
+  def sourceCentroidAffinityOracleSql: String =
+    s"""WITH j AS (
+       |  SELECT d.source, e.embedding
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |flat AS (
+       |  SELECT source, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+       |      * 1000000 AS BIGINT) AS m
+       |  FROM j, GENERATE_SERIES(1, 64) s(i)),
+       |dims AS (
+       |  SELECT source, pos, CAST(SUM(m) AS BIGINT) AS sv,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM flat GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT source, SUM(CAST(sv AS HUGEINT) * sv) AS n2,
+       |    CAST(MAX(cnt) AS BIGINT) AS n
+       |  FROM dims GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    SUM(CAST(a.sv AS HUGEINT) * b.sv) AS dot
+       |  FROM dims a JOIN dims b
+       |    ON b.pos = a.pos AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, na.n AS n_a, nb.n AS n_b,
+       |  ROUND(CAST(p.dot AS DOUBLE)
+       |    / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+       |    AS cos_centroid
+       |FROM pairs p
+       |JOIN norms na ON na.source = p.source_a
+       |JOIN norms nb ON nb.source = p.source_b
+       |WHERE na.n2 > 0 AND nb.n2 > 0
+       |ORDER BY source_a, source_b, n_a, n_b, cos_centroid""".stripMargin
 
   /** DuckDB oracle for [[dimensionCorrelation]] — HUGEINT folds, the
     * identical single IEEE sequence. */

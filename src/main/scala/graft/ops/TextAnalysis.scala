@@ -240,6 +240,7 @@ object TextAnalysis {
     val whens = bigramProfiles.map { case (l, _) =>
       s"WHEN g_$l = GREATEST($gCols) THEN '$l'"
     }.mkString("\n         ")
+    val n = bigramProfiles.size
     s"""scored AS (
        |  SELECT doc_id, source, lang AS lang_label,
        |    $scoredCols
@@ -248,9 +249,342 @@ object TextAnalysis {
        |  SELECT source, lang_label,
        |    CASE WHEN GREATEST($gCols) = 0 THEN 'und'
        |         $whens
-       |         ELSE 'und' END AS lang_pred
+       |         ELSE 'und' END AS lang_pred,
+       |    CASE WHEN GREATEST($gCols) = 0 THEN -1
+       |         ELSE LIST_SORT([$gCols])[$n]
+       |            - LIST_SORT([$gCols])[${n - 1}]
+       |         END AS margin
        |  FROM scored)""".stripMargin
   }
+
+  /** Confidence-calibration audit (q214): the reliability diagram of
+    * the q55 n-gram language identifier, in exact integers. The
+    * classifier's "confidence" is its argmax MARGIN (best score −
+    * runner-up; a tie = margin 0, no bigram signal at all = the
+    * separate −1 row); per margin bin the audit reports document
+    * count, correct count and accuracy ppm. A well-calibrated
+    * heuristic shows accuracy rising monotonically with margin —
+    * that monotone curve is what justifies q151-style threshold
+    * gates on the score; an inversion means the score is NOT
+    * evidence and gating on it filters noise. Next to q121
+    * (confusion: WHERE the errors go) and q205 (kappa: how much
+    * beats chance), this is the third leg: whether the score
+    * magnitude carries information.
+    *
+    * Scale shape: the codegen'd scoring projection plus one
+    * map-side-combined groupBy over ≤ |score range| + 1 bins. */
+  def calibrationAudit(spark: SparkSession, dir: String): DataFrame =
+    calibrationDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[calibrationAudit]] (needs lang, text). */
+  def calibrationDocs(docs: DataFrame): DataFrame =
+    calibrationFromCounts(calibrationCounts(docs))
+
+  /** Additive (margin, n_docs, n_correct) counts — the mergeable
+    * state shared by the batch audit and the streaming twin
+    * (per-doc rows are independent, so per-margin counts merge by
+    * sum and are chunking-invariant). */
+  def calibrationCounts(docs: DataFrame): DataFrame = {
+    val n = bigramProfiles.size
+    val gCols = bigramProfiles.map { case (l, _) => col(s"g_$l") }
+    val sorted = sort_array(array(gCols: _*))
+    val maxS = element_at(sorted, n)
+    langIdNgramDocs(docs)
+      .select(col("lang_label"), col("lang_pred_ngram"),
+        when(maxS === 0L, lit(-1L))
+          .otherwise((maxS - element_at(sorted, n - 1)).cast("long"))
+          .as("margin"))
+      .groupBy(col("margin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("count_if(lang_pred_ngram = lang_label)").as("n_correct"))
+  }
+
+  /** The read over [[calibrationCounts]]-shaped state: derive the
+    * accuracy ppm and the total order. */
+  def calibrationFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .select(col("margin"), col("n_docs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_docs").as("acc_ppm"))
+      .orderBy(col("margin"), col("n_docs"), col("n_correct"),
+        col("acc_ppm"))
+
+  /** DuckDB oracle for [[calibrationAudit]] — the shared scoring CTEs
+    * (margin included there so the bin rule has one source of
+    * truth). */
+  def calibrationOracleSql: String =
+    s"""WITH $predScoringCtes
+       |SELECT CAST(margin AS BIGINT) AS margin,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(*) FILTER (lang_pred = lang_label) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(COUNT(*) FILTER (lang_pred = lang_label) * 1000000
+       |    // COUNT(*) AS BIGINT) AS acc_ppm
+       |FROM pred GROUP BY margin
+       |ORDER BY margin, n_docs, n_correct, acc_ppm""".stripMargin
+
+  /** Zipf tail profile (q217): the corpus token-frequency spectrum
+    * in log₂ frequency-doubling bins — per bin the type count, token
+    * mass, and the DECAY ratio vs the previous bin (ppm). For a
+    * Zipf-law corpus with exponent s ≈ 1 the type count roughly
+    * halves per frequency doubling (decay ≈ 500000 ppm); a decay
+    * ratio drifting toward 1e6 in the tail means the vocabulary is
+    * heavier-tailed than natural text (boilerplate/template mass —
+    * the signal q74's repetition rules act on, here as one corpus
+    * fingerprint). Log₂ via LENGTH(BIN(f)) − 1 — the q184 idiom, no
+    * floats anywhere.
+    *
+    * Scale shape: explode + one (token) aggregate + one tiny-bin
+    * aggregate; the lag window runs over ≤ 64 bin rows. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame =
+    zipfProfileDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[zipfProfile]] (needs text; q37's
+    * whitespace tokens, empties dropped). */
+  def zipfProfileDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy((length(bin(col("f"))) - 1).cast("long").as("log2_freq"))
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"))
+    bins
+      .withColumn("prev_types",
+        lag(col("n_types"), 1).over(Window.orderBy(col("log2_freq"))))
+      .select(col("log2_freq"), col("n_types"), col("n_tokens"),
+        coalesce(expr("n_types * 1000000 div prev_types"), lit(0L))
+          .as("decay_ppm"))
+      .orderBy(col("log2_freq"), col("n_types"), col("n_tokens"),
+        col("decay_ppm"))
+  }
+
+  /** DuckDB oracle for [[zipfProfile]] — same tokens, same
+    * LENGTH(BIN())−1 binning, same lag ratio. */
+  val zipfProfileOracleSql: String =
+    """WITH tok AS (
+      |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+      |f AS (
+      |  SELECT tok, COUNT(*) AS f FROM tok
+      |  WHERE LENGTH(tok) > 0 GROUP BY tok),
+      |b AS (
+      |  SELECT CAST(LENGTH(BIN(f)) - 1 AS BIGINT) AS log2_freq,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(f) AS BIGINT) AS n_tokens
+      |  FROM f GROUP BY 1),
+      |w AS (
+      |  SELECT log2_freq, n_types, n_tokens,
+      |    LAG(n_types) OVER (ORDER BY log2_freq) AS prev_types
+      |  FROM b)
+      |SELECT log2_freq, n_types, n_tokens,
+      |  CAST(COALESCE(n_types * 1000000 // prev_types, 0) AS BIGINT)
+      |    AS decay_ppm
+      |FROM w
+      |ORDER BY log2_freq, n_types, n_tokens, decay_ppm""".stripMargin
+
+  /** Release-diff card (q221): the q165 corpus card's two-sided
+    * sibling — compare two sources (standing in for two corpus
+    * releases) as (metric, value) rows: document-count ratio,
+    * language-mix TVD, length-distribution TVD (log₂ char bins) and
+    * vocabulary Jaccard, all exact integer ppm (TVD cross-multiplied
+    * in DECIMAL(38,0), never a float share). The one-look answer to
+    * "did the new crawl change the corpus?" before any mixing
+    * weights are re-derived.
+    *
+    * Scale shape: one two-source projection persisted for its four
+    * consumers; everything downstream is |langs|/|bins|/|vocab|-keyed
+    * aggregates folding to 4 rows. */
+  def releaseDiff(spark: SparkSession, dir: String,
+      srcA: String = "src0", srcB: String = "src1"): DataFrame =
+    releaseDiffDocs(Tables.documents(spark, dir), srcA, srcB)
+
+  /** Frame-based core of [[releaseDiff]] (needs source, lang,
+    * n_chars, text). */
+  def releaseDiffDocs(docs0: DataFrame, srcA: String,
+      srcB: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val docs = Dedup.register(docs0
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), col("lang"), col("n_chars"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = docs.agg(
+      sum(when(col("source") === srcA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("source") === srcB, 1L).otherwise(0L)).as("nb"))
+    val ratio = totals.select(lit("doc_ratio_ppm").as("metric"),
+      expr("nb * 1000000 div na").as("value"))
+    def tvd(cells: DataFrame, name: String): DataFrame =
+      cells.crossJoin(broadcast(totals))
+        .agg(sum(abs(d(col("ca")) * d(col("nb")) -
+          d(col("cb")) * d(col("na")))).as("num"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .select(lit(name).as("metric"),
+          expr("CAST((num * 1000000) div (2 * CAST(na AS DECIMAL(38,0))" +
+            " * CAST(nb AS DECIMAL(38,0))) AS BIGINT)").as("value"))
+    def sideCounts(g: Column, n: String) = docs.groupBy(g.as(n))
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    val langTvd = tvd(sideCounts(col("lang"), "lang"), "lang_tvd_ppm")
+    val lenTvd = tvd(sideCounts(
+      (length(bin(col("n_chars"))) - 1).cast("long"), "b"),
+      "len_tvd_ppm")
+    val vocab = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+      .groupBy(col("tok"))
+      .agg(max(when(col("source") === srcA, 1L).otherwise(0L)).as("ia"),
+        max(when(col("source") === srcB, 1L).otherwise(0L)).as("ib"))
+      .agg(sum(when(col("ia") === 1L && col("ib") === 1L, 1L)
+        .otherwise(0L)).as("inter"), count(lit(1)).as("uni"))
+      .select(lit("vocab_jaccard_ppm").as("metric"),
+        expr("inter * 1000000 div uni").as("value"))
+    ratio.union(langTvd).union(lenTvd).union(vocab)
+      .orderBy(col("metric"), col("value"))
+  }
+
+  /** DuckDB oracle for [[releaseDiff]] — same four metrics, HUGEINT
+    * TVD folds. */
+  def releaseDiffOracleSql(srcA: String = "src0",
+      srcB: String = "src1"): String =
+    s"""WITH d AS (
+       |  SELECT source, lang, n_chars, text FROM documents
+       |  WHERE source IN ('$srcA', '$srcB')),
+       |t AS (
+       |  SELECT CAST(COUNT(*) FILTER (source = '$srcA') AS BIGINT) AS na,
+       |    CAST(COUNT(*) FILTER (source = '$srcB') AS BIGINT) AS nb
+       |  FROM d),
+       |lc AS (
+       |  SELECT lang, COUNT(*) FILTER (source = '$srcA') AS ca,
+       |    COUNT(*) FILTER (source = '$srcB') AS cb
+       |  FROM d GROUP BY lang),
+       |ltvd AS (
+       |  SELECT SUM(ABS(CAST(ca AS HUGEINT) * t.nb
+       |    - CAST(cb AS HUGEINT) * t.na)) AS num
+       |  FROM lc CROSS JOIN t),
+       |bc AS (
+       |  SELECT CAST(LENGTH(BIN(n_chars)) - 1 AS BIGINT) AS b,
+       |    COUNT(*) FILTER (source = '$srcA') AS ca,
+       |    COUNT(*) FILTER (source = '$srcB') AS cb
+       |  FROM d GROUP BY 1),
+       |btvd AS (
+       |  SELECT SUM(ABS(CAST(ca AS HUGEINT) * t.nb
+       |    - CAST(cb AS HUGEINT) * t.na)) AS num
+       |  FROM bc CROSS JOIN t),
+       |tk AS (
+       |  SELECT DISTINCT source, tok FROM (
+       |    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+       |    FROM d) WHERE LENGTH(tok) > 0),
+       |v AS (
+       |  SELECT tok,
+       |    MAX(CASE WHEN source = '$srcA' THEN 1 ELSE 0 END) AS ia,
+       |    MAX(CASE WHEN source = '$srcB' THEN 1 ELSE 0 END) AS ib
+       |  FROM tk GROUP BY tok),
+       |vj AS (
+       |  SELECT CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS inter, COUNT(*) AS uni
+       |  FROM v)
+       |SELECT * FROM (
+       |  SELECT 'doc_ratio_ppm' AS metric,
+       |    CAST(nb * 1000000 // na AS BIGINT) AS value FROM t
+       |  UNION ALL
+       |  SELECT 'lang_tvd_ppm', CAST(num * 1000000
+       |    // (2 * CAST(t.na AS HUGEINT) * t.nb) AS BIGINT)
+       |  FROM ltvd CROSS JOIN t
+       |  UNION ALL
+       |  SELECT 'len_tvd_ppm', CAST(num * 1000000
+       |    // (2 * CAST(t.na AS HUGEINT) * t.nb) AS BIGINT)
+       |  FROM btvd CROSS JOIN t
+       |  UNION ALL
+       |  SELECT 'vocab_jaccard_ppm',
+       |    CAST(inter * 1000000 // uni AS BIGINT) FROM vj)
+       |ORDER BY metric, value""".stripMargin
+
+  /** Distributed heavy-hitter union contract (q222): the mergeable
+    * heavy-hitter pattern with its completeness theorem hash-checked.
+    * Each shard (deterministic id-mixer buckets) emits every token
+    * whose LOCAL frequency clears local_total/C; the union of shard
+    * candidates then provably contains EVERY global token with
+    * frequency ≥ total/C (pigeonhole: f < tᵢ/C on every shard sums
+    * to f < total/C). Output: each global heavy hitter with its
+    * exact count, share ppm, the candidate-set size (the sketch
+    * overhead a coordinator would ship), and `in_candidates` — TRUE
+    * by the theorem, so a broken shard threshold fails the hash
+    * compare (the q57/q195 contract pattern).
+    *
+    * Scale shape: one (shard, token) aggregate + one (token)
+    * aggregate off it — the second stage re-aggregates the first's
+    * output, never rescans the corpus; candidates are ≤ S·C rows. */
+  def hhUnionContract(spark: SparkSession, dir: String,
+      nShards: Int = 8, c: Int = 100): DataFrame =
+    hhUnionContractDocs(Tables.documents(spark, dir), nShards, c)
+
+  /** Frame-based core of [[hhUnionContract]] (needs doc_id, text). */
+  def hhUnionContractDocs(docs: DataFrame, nShards: Int = 8,
+      c: Int = 100): DataFrame =
+    hhUnionFromLocal(Dedup.register(docs
+      .select(pmod(Sampling.idBucket(col("doc_id")),
+        lit(nShards.toLong)).as("shard"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("shard"), col("tok"))
+      .agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)), c)
+
+  /** The contract over already-sharded (shard, tok, f) local counts
+    * — the planted spec feeds these directly. */
+  def hhUnionFromLocal(local: DataFrame, c: Int): DataFrame = {
+    val shardTot = local.groupBy(col("shard"))
+      .agg(sum(col("f")).as("st"))
+    val cands = local.join(shardTot, Seq("shard"))
+      .filter(col("f") * c >= col("st"))
+      .select(col("tok")).distinct()
+    val candCount = cands.agg(count(lit(1)).as("n_candidates"))
+    val global = local.groupBy(col("tok")).agg(sum(col("f")).as("freq"))
+    val total = global.agg(sum(col("freq")).as("total"))
+    global.crossJoin(broadcast(total))
+      .filter(col("freq") * c >= col("total"))
+      .join(cands.select(col("tok"), lit(true).as("hit")),
+        Seq("tok"), "left")
+      .crossJoin(broadcast(candCount))
+      .select(col("tok"), col("freq"),
+        expr("freq * 1000000 div total").as("share_ppm"),
+        col("n_candidates"),
+        coalesce(col("hit"), lit(false)).as("in_candidates"))
+      .orderBy(col("tok"), col("freq"), col("share_ppm"),
+        col("n_candidates"), col("in_candidates"))
+  }
+
+  /** DuckDB oracle for [[hhUnionContract]] — same shard mixer, same
+    * cross-multiplied thresholds. */
+  def hhUnionContractOracleSql(nShards: Int = 8,
+      c: Int = 100): String =
+    s"""WITH lt AS (
+       |  SELECT CAST(${Sampling.idBucketSql("doc_id")} % $nShards
+       |      AS BIGINT) AS shard,
+       |    UNNEST(STRING_SPLIT(text, ' ')) AS tok
+       |  FROM documents),
+       |local AS (
+       |  SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM lt WHERE LENGTH(tok) > 0 GROUP BY shard, tok),
+       |st AS (
+       |  SELECT shard, CAST(SUM(f) AS BIGINT) AS st
+       |  FROM local GROUP BY shard),
+       |cands AS (
+       |  SELECT DISTINCT tok FROM local JOIN st USING (shard)
+       |  WHERE f * $c >= st),
+       |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |       FROM cands),
+       |g AS (
+       |  SELECT tok, CAST(SUM(f) AS BIGINT) AS freq
+       |  FROM local GROUP BY tok),
+       |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM g)
+       |SELECT g.tok, g.freq,
+       |  CAST(g.freq * 1000000 // t.total AS BIGINT) AS share_ppm,
+       |  cc.n_candidates,
+       |  (c2.tok IS NOT NULL) AS in_candidates
+       |FROM g CROSS JOIN t CROSS JOIN cc
+       |LEFT JOIN cands c2 ON c2.tok = g.tok
+       |WHERE g.freq * $c >= t.total
+       |ORDER BY g.tok, freq, share_ppm, n_candidates,
+       |  in_candidates""".stripMargin
 
   /** Cohen's kappa per source (q205): chance-corrected agreement
     * between the declared `lang` label and the q55 n-gram prediction

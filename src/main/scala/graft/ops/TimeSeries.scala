@@ -747,4 +747,63 @@ object TimeSeries {
       |FROM rolled GROUP BY user_id
       |ORDER BY user_id, n_spans, covered_us, n_events,
       |  max_span_events""".stripMargin
+
+  /** Weekday seasonality profile (q215): per (event_type, weekday)
+    * the event count, its share of the type's volume, and the
+    * seasonality INDEX vs a flat week (share × 7 in ppm — 1,000,000
+    * = no weekday effect). The calendar structure every
+    * freshness/throughput monitor needs before it can alarm on a
+    * "drop" that is just Saturday — and the q187 drift monitor's
+    * natural baseline refinement. The weekday is derived purely
+    * arithmetically from epoch microseconds ((days-since-epoch + 4)
+    * mod 7, 0 = Sunday — 1970-01-01 was a Thursday), so no
+    * cross-engine calendar/locale semantics are in play at all.
+    *
+    * Scale shape: a codegen'd scan projection + one
+    * map-side-combined groupBy into ≤ |types|·7 cells; the share
+    * window runs over that tiny frame. */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame =
+    weekdaySeasonalityOn(Tables.events(spark, dir))
+
+  /** Frame-based core of [[weekdaySeasonality]] (needs event_type +
+    * µs-precision ts). */
+  def weekdaySeasonalityOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = events
+      .select(col("event_type"),
+        expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)")
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"))
+    cells
+      .withColumn("type_total", sum(col("n_events"))
+        .over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        col("type_total"),
+        expr("n_events * 1000000 div type_total").as("share_ppm"),
+        expr("n_events * 7000000 div type_total").as("idx_ppm"))
+      .orderBy(col("event_type"), col("dow"), col("n_events"),
+        col("type_total"), col("share_ppm"), col("idx_ppm"))
+  }
+
+  /** DuckDB oracle for [[weekdaySeasonality]] — same integer weekday
+    * formula; positive operands so `//`/`%` match div/pmod. */
+  val weekdaySeasonalityOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT)
+      |      AS dow,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, dow, CAST(n_events AS BIGINT) AS n_events,
+      |    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS type_total
+      |  FROM c)
+      |SELECT event_type, dow, n_events, type_total,
+      |  CAST(n_events * 1000000 // type_total AS BIGINT) AS share_ppm,
+      |  CAST(n_events * 7000000 // type_total AS BIGINT) AS idx_ppm
+      |FROM t
+      |ORDER BY event_type, dow, n_events, type_total, share_ppm,
+      |  idx_ppm""".stripMargin
 }

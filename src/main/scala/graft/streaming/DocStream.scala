@@ -26,6 +26,11 @@ object DocStream {
   val docSchema: StructType = StructType.fromDDL(
     "doc_id LONG, text STRING, ingest_ts TIMESTAMP")
 
+  /** [[docSchema]] plus the declared language label — the q214
+    * calibration twin scores predictions against it. */
+  val labeledDocSchema: StructType = StructType.fromDDL(
+    "doc_id LONG, text STRING, lang STRING, ingest_ts TIMESTAMP")
+
   /** Admit stream docs whose content digest is unseen in `corpus` and
     * first-arriving within the stream (watermark-bounded). Arrival
     * order decides within-stream ties — the batch op's min-doc_id rule
@@ -174,6 +179,29 @@ object DocStream {
             spark.read.parquet(stateDir).unionByName(partial)
               .groupBy(col("w1"), col("w2"))
               .agg(sum(col("n_xy")).as("n_xy"))
+          else partial
+        CdcStream.promoteState(stateDir, merged)
+    }
+
+  /** Streaming twin of the q214 calibration audit: per-doc margins
+    * are independent, so the per-margin (n_docs, n_correct) counts
+    * merge by sum and the state is chunking-invariant (≤ 7 rows
+    * total — bins −1..5). The reliability diagram is a READ over the
+    * state (TextAnalysis.calibrationFromCounts), never recomputed
+    * from documents. */
+  def calibrationStream(docs: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.ops.TextAnalysis.calibrationCounts(
+          batch.select(col("doc_id"), col("text"), col("lang")))
+        val merged =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir).unionByName(partial)
+              .groupBy(col("margin"))
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("n_correct")).as("n_correct"))
           else partial
         CdcStream.promoteState(stateDir, merged)
     }

@@ -238,6 +238,47 @@ class Round10OpsSpec extends SparkSpec {
     } finally graft.ops.Dedup.unpersistCaches()
   }
 
+  test("q210 forget audit: per-shard before/forgotten/after, whole-shard forget, digest identity") {
+    import spark.implicits._
+    // shard 0: one keep (h=5) + one forget (h=7); shard 1: keep only
+    // (h=11); shard 2: forget only (h=13 — the whole shard vanishes:
+    // n_after 0 and digest 13-13 = 0 = COALESCE(after)). Residuals 0
+    // and digest_ok everywhere.
+    val assigned = Seq(
+      (1L, 0L, 5L, false), (2L, 0L, 7L, true),
+      (3L, 1L, 11L, false), (4L, 2L, 13L, true))
+      .toDF("doc_id", "shard", "h", "forget")
+    val out = graft.ops.Layout.forgetAuditOn(assigned).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 1L, 0L, true),
+      (1L, 1L, 0L, 1L, 0L, true),
+      (2L, 1L, 1L, 0L, 0L, true)), s"audit: ${out.toSeq}")
+  }
+
+  test("q211 source centroid affinity: orthogonal/aligned planted sources, scale-invariant means") {
+    import spark.implicits._
+    // a: two vectors summing to (2,0) — the mean's 1/n cancels, cosine
+    // works on raw sums; b: (0,3) orthogonal to a; c: (1,1) at 45°.
+    // cos(a,b)=0, cos(a,c)=cos(b,c)=round(1/sqrt(2),6)=0.707107; the
+    // magnitude-3 b vector must not move its cosine (scale invariance).
+    val emb = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),
+      ("b", Seq(0.0f, 3.0f)), ("c", Seq(1.0f, 1.0f)))
+      .toDF("source", "embedding")
+    try {
+      val out = graft.ops.Similarity.sourceCentroidAffinityOn(emb)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      assert(out.toSeq == Seq(
+        ("a", "b", 2L, 1L, 0.0),
+        ("a", "c", 2L, 1L, 0.707107),
+        ("b", "c", 1L, 1L, 0.707107)), s"affinity: ${out.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
   test("PlanStats measures LocalRelation leaves (broadcast path no longer forced off for tiny test frames)") {
     import spark.implicits._
     // a Seq-backed frame optimizes to a LocalRelation leaf; before the
@@ -272,5 +313,244 @@ class Round10OpsSpec extends SparkSpec {
         ("a", "b", 2L, 2L, 2L, 2500000L),
         ("c", "d", 2L, 2L, 2L, 2500000L)), s"collocations: ${out.toSeq}")
     } finally Dedup.unpersistCaches()
+  }
+
+  test("q212 shuffle mix: adjacent same-source rate vs multiset expectation, singleton shard") {
+    import spark.implicits._
+    // shard 0 orders by shuffle_key as A, A, B: same_adj = 1 of 2
+    // adjacent pairs -> 500000 ppm; counts A:2 B:1 give same_mass
+    // Σ nₛ(nₛ−1) = 2 -> expected 2e6 div 6 = 333333 ppm. shard 1 is
+    // a single doc: both ppms are the guarded 0.
+    val assigned = Seq(
+      (1L, "A", 0L, 10L), (2L, "A", 0L, 20L), (3L, "B", 0L, 30L),
+      (4L, "C", 1L, 5L))
+      .toDF("doc_id", "source", "shard", "shuffle_key")
+    val out = graft.ops.Layout.shuffleMixAuditOn(assigned).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 1L, 500000L, 333333L),
+      (1L, 1L, 0L, 0L, 0L)), s"mix: ${out.toSeq}")
+  }
+
+  test("q213 k-core: triangle survives k=2 peel, tail and isolated edge dissolve; k=3 empties it") {
+    import spark.implicits._
+    // Triangle 1-2-3 plus tail 3-4 plus isolated edge 5-6. k=2:
+    // round 1 peels 4, 5, 6 (degree 1); the triangle is the 2-core,
+    // every member at degree 2. k=3: the triangle's degrees are all
+    // 2 < 3, so the whole graph dissolves — empty core, and the
+    // fixpoint guard must accept an empty result.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("vec_a", "vec_b")
+    val core2 = Similarity.kCoreOn(pairs, k = 2, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core2.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"2-core: ${core2.toSeq}")
+    val core3 = Similarity.kCoreOn(pairs, k = 3, rounds = 3).count()
+    assert(core3 == 0L, s"3-core should be empty, got $core3 rows")
+  }
+
+  test("q214 calibration: margin 5 correct, tie margin 0 wrong, und bin -1") {
+    import spark.implicits._
+    // doc 1 hits all five en bigrams and nothing else: margin 5,
+    // pred en = label -> the only correct row. doc 2 "th ch" ties
+    // en/de at 1 (margin 0), precedence picks en, label de -> wrong.
+    // doc 3 has no profile bigram at all -> und, the -1 bin.
+    val docs = Seq(
+      (1L, "th he in er an", "en"),
+      (2L, "th ch", "de"),
+      (3L, "zzz", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.calibrationDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (-1L, 1L, 0L, 0L),
+      (0L, 1L, 0L, 0L),
+      (5L, 1L, 1L, 1000000L)), s"calibration: ${out.toSeq}")
+  }
+
+  test("q215 weekday seasonality: planted Monday/Sunday split, arithmetic dow") {
+    import spark.implicits._
+    // 1970-01-04 (day 3, dow (3+4)%7 = 0 = Sunday) one event;
+    // 1970-01-05 (day 4, dow 1 = Monday) two events. Shares 1/3 and
+    // 2/3; indexes 7/3 and 14/3 in truncated ppm.
+    val us = 86400000000L
+    val events = Seq(
+      (1L, 3L * us), (2L, 4L * us), (3L, 4L * us + 3600000000L))
+      .toDF("event_id", "us")
+      .select(col("event_id"), lit("click").as("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = graft.ops.TimeSeries.weekdaySeasonalityOn(events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("click", 0L, 1L, 3L, 333333L, 2333333L),
+      ("click", 1L, 2L, 3L, 666666L, 4666666L)), s"dow: ${out.toSeq}")
+  }
+
+  test("q216 PQ: planted 2-subspace codebooks, Lloyd update, per-code error stats") {
+    import spark.implicits._
+    // dim 4, 2 subspaces of 2 dims, k=2 (seeds = vectors 0 and 1),
+    // 1 Lloyd round. Subspace 0: v0=(0,0), v2=(.1,.3), v4=(.2,.6)
+    // land on code 0, whose updated centroid is the exact mean
+    // (100000, 300000) µu; v1=v3=(1,1) keep code 1 at (1e6, 1e6).
+    // Final errors on code (0,0): 1e11, 0, 1e11 -> max 1e11, mean
+    // 2e11/3 truncated = 66666666666. Subspace 1 splits (0,0) vs
+    // (4,4) exactly -> all-zero errors.
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(1f, 1f, 4f, 4f)),
+      (2L, Seq(0.1f, 0.3f, 4f, 4f)), (3L, Seq(1f, 1f, 0f, 0f)),
+      (4L, Seq(0.2f, 0.6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Ivf.pqAuditOn(emb, nSub = 2, k = 2,
+      iters = 1, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 3L, 100000000000L, 66666666666L),
+      (0L, 1L, 2L, 0L, 0L),
+      (1L, 0L, 3L, 0L, 0L),
+      (1L, 1L, 2L, 0L, 0L)), s"pq: ${out.toSeq}")
+  }
+
+  test("q217 zipf: planted frequency spectrum, doubling-bin decay ratios") {
+    import spark.implicits._
+    // freqs a:1 b:1 (bin 0), c:2 d:3 (bin 1), e:4 (bin 2). decay =
+    // types ratio vs previous bin: bin0 -> 0 (no previous), bin1 ->
+    // 2/2 = 1e6, bin2 -> 1/2 = 500000.
+    val docs = Seq((1L, "a b c c d d d e e e e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.zipfProfileDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 0L),
+      (1L, 2L, 5L, 1000000L),
+      (2L, 1L, 4L, 500000L)), s"zipf: ${out.toSeq}")
+  }
+
+  test("q218 market share: bucketed path equals a plain recomputation; shares bounded") {
+    // the q70 discipline: the bucketed layout must change the PLAN,
+    // never the answer — compare against a straightforward unbucketed
+    // recomputation of the same aggregate at sf0.001
+    import graft.ops.Det
+    val out = graft.ops.Flagship.marketShare(spark, sf).collect()
+    assert(out.nonEmpty, "market share produced no year rows")
+    out.foreach { r =>
+      val (total, nat, ppm) =
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      assert(nat >= 0 && nat <= total && ppm >= 0 && ppm <= 1000000,
+        s"share invariants violated: $r")
+    }
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val n = Tables.nation(spark, sf)
+    val r = Tables.region(spark, sf)
+    val s2 = Tables.supplier(spark, sf)
+    val rev = Det.revenueTerm(col("l_extendedprice"), col("l_discount"))
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n.select(col("n_nationkey").as("cnk"),
+        col("n_regionkey").as("cnr")), col("c_nationkey") === col("cnk"))
+      .join(r.filter(col("r_name") === "ASIA"),
+        col("cnr") === col("r_regionkey"))
+      .join(s2, col("l_suppkey") === col("s_suppkey"))
+      .join(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("sn")), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(rev).cast("double").as("t"),
+        coalesce(sum(when(col("sn") === "NATION_2", rev)), lit(0))
+          .cast("double").as("nv"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val got = out.map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == plain, s"bucketed vs plain: $got vs $plain")
+  }
+
+  test("q219 k-anon ladder: negative-safe buckets, minimal satisfying level chosen") {
+    import spark.implicits._
+    // k=2. (1,A) holds acctbal 1.00, 1.00, -0.50: the -0.50 row is a
+    // singleton class at levels 0-2 (its floor bucket is -1, proving
+    // the negative-safe division) and only merges when acctbal drops
+    // at level 3. (2,B) 5.00 ×2 is safe everywhere. So risky_rows =
+    // 1,1,1,0 and chosen = level 3 only.
+    val cust = Seq(
+      (1L, "A", 1.00), (1L, "A", 1.00), (1L, "A", -0.50),
+      (2L, "B", 5.00), (2L, "B", 5.00))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    try {
+      val out = graft.ops.Audit.kAnonLadderOn(cust, k = 2L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      assert(out.toSeq == Seq(
+        (0L, 3L, 1L, 1L, 200000L, false),
+        (1L, 3L, 1L, 1L, 200000L, false),
+        (2L, 3L, 1L, 1L, 200000L, false),
+        (3L, 2L, 2L, 0L, 0L, true)), s"ladder: ${out.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q220 ADC recall: planted codebooks, tie-broken ADC top-k, exact-set flags") {
+    import spark.implicits._
+    // the q216 fixture with v3 as the query. Codebooks after 1 round:
+    // sub0 c0=(1e5,3e5) c1=(1e6,1e6); sub1 c0=(0,0) c1=(4e6,4e6).
+    // ADC to q=(1e6,1e6,0,0): v0/v4 = 1.3e12 (code pair 0,0 — the
+    // quantization error: exact d2 differs, 2e12 vs 8e11), v1 =
+    // 3.2e13, v2 = 3.33e13. topK=2 -> the v0/v4 ADC tie breaks by
+    // vec_id; exact top-2 = {v4, v0}, so both flags are true.
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(1f, 1f, 4f, 4f)),
+      (2L, Seq(0.1f, 0.3f, 4f, 4f)), (3L, Seq(1f, 1f, 0f, 0f)),
+      (4L, Seq(0.2f, 0.6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Ivf.pqAdcRecallOn(emb, queryId = 3L, nSub = 2,
+      k = 2, iters = 1, topK = 2, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (0L, 1300000000000L, true),
+      (4L, 1300000000000L, true)), s"adc: ${out.toSeq}")
+  }
+
+  test("q221 release diff: planted two-source card — ratio, two TVDs, vocab Jaccard") {
+    import spark.implicits._
+    // A: 2 en docs, chars 1, vocab {a,b,c}; B: 1 en + 1 fr, chars
+    // {1,3}, vocab {a,b,d}. ratio 2/2 = 1e6; lang TVD = (|2·2−1·2| +
+    // |0−2|)·1e6 / (2·2·2) = 500000; len bins 0 vs 1 give the same
+    // 500000; Jaccard = |{a,b}| / |{a,b,c,d}| = 500000.
+    val docs = Seq(
+      (1L, "A", "en", 1L, "a b"), (2L, "A", "en", 1L, "a c"),
+      (3L, "B", "en", 1L, "a b"), (4L, "B", "fr", 3L, "d"),
+      (5L, "C", "en", 9L, "ignored other source"))
+      .toDF("doc_id", "source", "lang", "n_chars", "text")
+    try {
+      val out = TextAnalysis.releaseDiffDocs(docs, "A", "B").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(out.toSeq == Seq(
+        ("doc_ratio_ppm", 1000000L),
+        ("lang_tvd_ppm", 500000L),
+        ("len_tvd_ppm", 500000L),
+        ("vocab_jaccard_ppm", 500000L)), s"diff: ${out.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q222 heavy-hitter union: local thresholds cover every global hitter (pigeonhole)") {
+    import spark.implicits._
+    // C=2. shard 0: x:3 y:1 (st 4, local cut f·2 ≥ 4 admits x);
+    // shard 1: x:1 y:3 (admits y). Neither shard admits BOTH, yet the
+    // union {x, y} covers the global hitters x:4 y:4 (total 8, cut
+    // f·2 ≥ 8) — exactly the pigeonhole the contract hash-checks.
+    val local = Seq(
+      (0L, "x", 3L), (0L, "y", 1L), (1L, "x", 1L), (1L, "y", 3L))
+      .toDF("shard", "tok", "f")
+    val out = TextAnalysis.hhUnionFromLocal(local, c = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("x", 4L, 500000L, 2L, true),
+      ("y", 4L, 500000L, 2L, true)), s"hh: ${out.toSeq}")
   }
 }

@@ -757,6 +757,36 @@ class StreamingSpec extends SparkSpec {
       s"chunked-state lift diverged: streamed ${streamed.take(2)} vs batch ${batch.take(2)}")
   }
 
+  test("calibration stream state equals the one-shot reliability bins (chunking-invariant)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+    def withTs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("text"), col("lang"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_ts"))
+    val staged = Files.createTempDirectory("graft_cal_in").toString
+    withTs(docs.filter(col("doc_id") < 250)).coalesce(1)
+      .write.mode("append").parquet(staged)
+    withTs(docs.filter(col("doc_id") >= 250)).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val stateDir = Files.createTempDirectory("graft_cal_st").toString + "/s"
+    val stream = spark.readStream.schema(DocStream.labeledDocSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.calibrationStream(stream, stateDir)
+      .option("checkpointLocation", s"$stateDir.ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val streamed = rows(TextAnalysis.calibrationFromCounts(
+      spark.read.parquet(stateDir)))
+    val batch = rows(TextAnalysis.calibrationDocs(docs))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"chunked-state calibration diverged: $streamed vs $batch")
+  }
+
   test("phash micro-batch replay is value-idempotent (crash after promote)") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
