@@ -880,6 +880,46 @@ object ScaleRehearsal {
           graft.ops.Ivf.pqAdcRecallOn(e, qid).count())
         report("q220_pq_adc_recall", tAd, nAd)
       }
+      // q227: vocab growth — one persisted exploded frame, two
+      // keyed aggregates, 10-row cum window
+      if (wanted("q227")) {
+        val (nVg, tVg) = timed {
+          val n = graft.ops.TextAnalysis.vocabGrowthDocs(d).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q227_vocab_growth", tVg, nVg)
+      }
+      // q228: source dispersion — one posexplode aggregate + fold
+      if (wanted("q228")) {
+        val (nSd, tSd) = timed {
+          val e = embAt(scale).join(
+            d.select(col("doc_id").as("vec_id"), col("source")),
+            Seq("vec_id"))
+          graft.ops.Similarity.sourceDispersionOn(e).count()
+        }
+        report("q228_source_dispersion", tSd, nSd)
+      }
+      // q229: join-size forecast — one keyed count + 1-row fold
+      if (wanted("q229")) {
+        val (nJf, tJf) = timed {
+          def dec(c: org.apache.spark.sql.Column) =
+            c.cast("decimal(38,0)")
+          evAt(scale).groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("n_keys"),
+              sum(dec(col("n")) * dec(col("n"))).as("sq"))
+            .count()
+        }
+        report("q229_join_forecast", tJf, nJf)
+      }
+      // q223: PQ retrain gain — two builds + two assignments over
+      // one exploded projection
+      if (wanted("q223")) {
+        val (nRg, tRg) = timed(
+          graft.ops.Ivf.pqRetrainGainOn(embAt(scale)).count())
+        report("q223_pq_retrain_gain", tRg, nRg)
+      }
       // q221: release-diff card — one persisted two-source
       // projection, four keyed rollups to 4 rows
       if (wanted("q221")) {

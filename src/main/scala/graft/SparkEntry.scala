@@ -321,6 +321,21 @@ object SparkEntry {
       TextAnalysis.releaseDiff(s, d)),
     "q222_hh_union"         -> ((s: SparkSession, d: String) =>
       TextAnalysis.hhUnionContract(s, d)),
+    "q223_pq_retrain_gain"  -> ((s: SparkSession, d: String) =>
+      Ivf.pqRetrainGain(s, d)),
+    "q224_rollup_shares"    -> (Grouping.rollupShares _),
+    "q225_latency_trend"    -> (Relational.latencyTrend _),
+    "q226_custdist"         -> (Relational.customerOrderDist _),
+    "q227_vocab_growth"     -> (TextAnalysis.vocabGrowth _),
+    "q228_source_dispersion" -> (Similarity.sourceDispersion _),
+    "q229_join_forecast"    -> (Audit.joinSizeForecast _),
+    "q230_nation_volume"    -> ((s: SparkSession, d: String) =>
+      Flagship.nationVolume(s, d)),
+    "q231_returned_revenue" -> ((s: SparkSession, d: String) =>
+      Relational.returnedRevenueTop(s, d)),
+    "q232_promo_share"      -> (Relational.promoRevenueShare _),
+    "q233_idle_rich"        -> ((s: SparkSession, d: String) =>
+      Relational.idleRichCustomers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2618,6 +2633,19 @@ object SparkEntry {
       "q220_pq_adc_recall" -> Ivf.pqAdcRecallOracleSql(),
       "q221_release_diff" -> TextAnalysis.releaseDiffOracleSql(),
       "q222_hh_union" -> TextAnalysis.hhUnionContractOracleSql(),
+      "q223_pq_retrain_gain" -> Ivf.pqRetrainGainOracleSql(),
+      "q224_rollup_shares" -> Grouping.rollupSharesOracleSql,
+      "q225_latency_trend" -> Relational.latencyTrendOracleSql,
+      "q226_custdist" -> Relational.customerOrderDistOracleSql,
+      "q227_vocab_growth" -> TextAnalysis.vocabGrowthOracleSql,
+      "q228_source_dispersion" ->
+        Similarity.sourceDispersionOracleSql,
+      "q229_join_forecast" -> Audit.joinSizeForecastOracleSql,
+      "q230_nation_volume" -> Flagship.nationVolumeOracleSql(),
+      "q231_returned_revenue" ->
+        Relational.returnedRevenueTopOracleSql(),
+      "q232_promo_share" -> Relational.promoRevenueShareOracleSql,
+      "q233_idle_rich" -> Relational.idleRichCustomersOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

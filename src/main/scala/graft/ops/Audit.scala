@@ -278,6 +278,58 @@ object Audit {
        |ORDER BY c_nationkey, class_size, l_div, at_risk,
        |  risk_share_ppm""".stripMargin
 
+  /** Self-join size forecast (q229): the planner pre-flight for any
+    * user-keyed pair operator (q141's session-overlap join, q98's
+    * wedges) — from ONE keyed count, the exact output cardinality a
+    * self-join on user_id would produce (Σ nᵤ², and its
+    * pairs-without-self variant Σ nᵤ(nᵤ−1)/2), the single heaviest
+    * key's contribution, and that key's share in ppm. The number
+    * that says "this join is safe" / "salt this key first" BEFORE
+    * paying the shuffle — q139 profiles fan-out between two tables,
+    * this prices the self-join.
+    *
+    * Scale shape: one map-side-combined keyed count, then a 1-row
+    * fold in DECIMAL(38,0) — the join itself is never executed. */
+  def joinSizeForecast(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(d(col("n")) * d(col("n"))).as("sq"),
+        max(d(col("n")) * d(col("n"))).as("mx"),
+        sum(d(col("n"))).as("tot"))
+      .select(col("n_keys"),
+        expr("CAST(sq AS BIGINT)").as("forecast_rows"),
+        expr("CAST((sq - tot) div 2 AS BIGINT)")
+          .as("forecast_pairs"),
+        expr("CAST(mx AS BIGINT)").as("max_key_rows"),
+        expr("CAST((mx * 1000000) div sq AS BIGINT)")
+          .as("top_share_ppm"))
+      .orderBy(col("n_keys"), col("forecast_rows"),
+        col("forecast_pairs"), col("max_key_rows"),
+        col("top_share_ppm"))
+  }
+
+  /** DuckDB oracle for [[joinSizeForecast]] — forecast_pairs =
+    * Σnᵤ(nᵤ−1)/2 = (Σn² − N)/2 with N the total row count. */
+  val joinSizeForecastOracleSql: String =
+    """WITH k AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    SUM(CAST(n AS HUGEINT) * n) AS sq,
+      |    MAX(CAST(n AS HUGEINT) * n) AS mx,
+      |    SUM(CAST(n AS HUGEINT)) AS tot
+      |  FROM k)
+      |SELECT n_keys, CAST(sq AS BIGINT) AS forecast_rows,
+      |  CAST((sq - tot) // 2 AS BIGINT) AS forecast_pairs,
+      |  CAST(mx AS BIGINT) AS max_key_rows,
+      |  CAST(mx * 1000000 // sq AS BIGINT) AS top_share_ppm
+      |FROM f
+      |ORDER BY n_keys, forecast_rows, forecast_pairs, max_key_rows,
+      |  top_share_ppm""".stripMargin
+
   /** k-anonymity generalization ladder (q219): the ENFORCEMENT step
     * the q133 audit stops short of — four fixed coarsening levels of
     * the (nationkey, mktsegment, acctbal) quasi-identifier (exact

@@ -127,6 +127,61 @@ object Flagship {
         col("share_ppm"))
   }
 
+  /** TPC-H Q7 shape (q230): shipping volume between two nations —
+    * revenue flowing supplier-nation → customer-nation per order
+    * year, both directions of the pair. The classic "trade lane"
+    * two-dimension drill the Q5/Q8 shapes don't cover (both ends of
+    * the fact row carry a nation).
+    *
+    * Scale shape: fact join on the orderkey-bucketed seam
+    * (merge-pinned, exchange-free); supplier/customer + both nation
+    * aliases broadcast; one aggregate to |pairs|·|years| rows. */
+  def nationVolume(spark: SparkSession, dir: String,
+      n1: String = "NATION_13", n2: String = "NATION_19"): DataFrame = {
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val sn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))
+    val cn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sn), s("s_nationkey") === col("snk"))
+      .join(broadcast(cn), c("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"),
+        col("revenue"))
+  }
+
+  /** DuckDB oracle for [[nationVolume]]. */
+  def nationVolumeOracleSql(n1: String = "NATION_13",
+      n2: String = "NATION_19"): String = {
+    val rev = graft.ops.Det.Sql
+      .revenueTerm("l_extendedprice", "l_discount")
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       |  CAST(SUM($rev) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier s ON l_suppkey = s.s_suppkey
+       |JOIN customer c ON o_custkey = c.c_custkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |WHERE (sn.n_name = '$n1' AND cn.n_name = '$n2')
+       |   OR (sn.n_name = '$n2' AND cn.n_name = '$n1')
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, yr, revenue""".stripMargin
+  }
+
   /** DuckDB oracle for [[marketShare]] — same joins, same DECIMAL
     * revenue term, same scale-4 integer ppm. */
   def marketShareOracleSql(regionName: String = "ASIA",

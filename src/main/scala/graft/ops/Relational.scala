@@ -244,6 +244,163 @@ object Relational {
       |FROM pc GROUP BY n_orders
       |ORDER BY n_orders, n_customers""".stripMargin
 
+  /** TPC-H Q10 shape (q231): returned-item revenue per customer, top
+    * N — the "who is returning the most money" churn report. The
+    * deterministic-cut rule applies: revenue ties break on custkey
+    * before the LIMIT.
+    *
+    * Scale shape: bucketed fact join, returnflag filter pushed to
+    * the lineitem scan, broadcast customer/nation, TakeOrdered
+    * top-N — never a global sort of the aggregate. */
+  def returnedRevenueTop(spark: SparkSession, dir: String,
+      topN: Int = 20): DataFrame = {
+    import graft.ops.Det._
+    val (li, o) = Tables.bucketedFacts(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    li.filter(col("l_returnflag") === "R")
+      .hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"), col("c_name"),
+        col("n_name"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[returnedRevenueTop]]. */
+  def returnedRevenueTopOracleSql(topN: Int = 20): String = {
+    val rev = graft.ops.Det.Sql
+      .revenueTerm("l_extendedprice", "l_discount")
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(SUM($rev) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, c_custkey, c_name, n_name
+       |LIMIT $topN""".stripMargin
+  }
+
+  /** TPC-H Q14 shape (q232): promo revenue share per order month —
+    * the conditional-aggregate ratio kept exact (scale-4 integer
+    * images, the q218 rule).
+    *
+    * Scale shape: lineitem joins the broadcast part dim; one
+    * map-side-combined aggregate to |months| rows. (Months come from
+    * l_shipdate — the lineitem's own time axis; no orders join
+    * needed at all.) */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame =
+    promoRevenueShareOn(Tables.lineitem(spark, dir),
+      Tables.part(spark, dir))
+
+  /** Frame-based core of [[promoRevenueShare]]. */
+  def promoRevenueShareOn(li: DataFrame, part: DataFrame): DataFrame = {
+    import graft.ops.Det._
+    val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(expr("year(l_shipdate) * 100 + month(l_shipdate)")
+        .cast("long").as("ym"))
+      .agg(sum(rev).as("total"),
+        sum(when(col("p_type") === "PROMO", rev)).as("promo"))
+      .select(col("ym"),
+        col("total").cast("double").as("total_revenue"),
+        coalesce(col("promo"), lit(0)).cast("double")
+          .as("promo_revenue"),
+        expr("CAST((CAST(coalesce(promo, 0) * 10000 AS DECIMAL(38,0))" +
+          " * 1000000) div CAST(total * 10000 AS DECIMAL(38,0))" +
+          " AS BIGINT)").as("promo_share_ppm"))
+      .orderBy(col("ym"), col("total_revenue"), col("promo_revenue"),
+        col("promo_share_ppm"))
+  }
+
+  /** DuckDB oracle for [[promoRevenueShare]]. */
+  val promoRevenueShareOracleSql: String = {
+    val rev = graft.ops.Det.Sql
+      .revenueTerm("l_extendedprice", "l_discount")
+    s"""WITH a AS (
+       |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 100
+       |      + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ym,
+       |    SUM($rev) AS total,
+       |    COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN $rev END), 0)
+       |      AS promo
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1)
+       |SELECT ym, CAST(total AS DOUBLE) AS total_revenue,
+       |  CAST(promo AS DOUBLE) AS promo_revenue,
+       |  CAST(CAST(promo * 10000 AS HUGEINT) * 1000000
+       |    // CAST(total * 10000 AS HUGEINT) AS BIGINT)
+       |    AS promo_share_ppm
+       |FROM a
+       |ORDER BY ym, total_revenue, promo_revenue,
+       |  promo_share_ppm""".stripMargin
+  }
+
+  /** TPC-H Q22 shape (q233): dormant high-balance customers — above
+    * the positive-balance average (cross-multiplied integer cents,
+    * no float average) with NO orders in the trailing 90 days of the
+    * data (the anti join against a recency-filtered orders; the
+    * cutoff derives from max(o_orderdate), a data-dependent
+    * parameter the oracle re-derives — the autoK trick). The
+    * "dormant capital" report; Q22's phone-prefix grouping becomes
+    * the nation key (this schema carries no phone).
+    *
+    * Scale shape: the anti join rides the custkey-bucketed seam
+    * (anti joins co-locate like inner ones, and the recency filter
+    * preserves the bucket distribution — zero exchange on either
+    * side); the average and the cutoff are 1-row broadcasts. */
+  def idleRichCustomers(spark: SparkSession, dir: String,
+      trailingDays: Int = 90): DataFrame = {
+    val (c0, o) = Tables.bucketedCustomerOrders(spark, dir)
+    val c = c0.withColumn("cents",
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"))
+    val avgA = c.filter(col("cents") > 0L)
+      .agg(sum(col("cents")).as("tc"), count(lit(1)).as("nc"))
+    // get(0), not getTimestamp: orderdate may surface as NTZ
+    // (LocalDateTime) depending on the parquet encoding; lit()
+    // accepts both
+    val cutoff = o.agg(max(col("o_orderdate")).as("mx")).head().get(0)
+    val recent = o.filter(col("o_orderdate") >=
+      lit(cutoff) - expr(s"INTERVAL $trailingDays DAYS"))
+    c.crossJoin(broadcast(avgA))
+      .filter(col("cents") * col("nc") > col("tc"))
+      .hint("merge")
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("c_nationkey"), col("n_cust"), col("total_cents"))
+  }
+
+  /** DuckDB oracle for [[idleRichCustomers]] — same cross-multiplied
+    * average, same data-derived recency cutoff. */
+  def idleRichCustomersOracleSql(trailingDays: Int = 90): String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM customer),
+       |a AS (
+       |  SELECT CAST(SUM(cents) AS BIGINT) AS tc,
+       |    CAST(COUNT(*) AS BIGINT) AS nc
+       |  FROM c WHERE cents > 0),
+       |cut AS (
+       |  SELECT MAX(o_orderdate) - INTERVAL $trailingDays DAY AS cu
+       |  FROM orders)
+       |SELECT c_nationkey, COUNT(*) AS n_cust,
+       |  CAST(SUM(cents) AS BIGINT) AS total_cents
+       |FROM c CROSS JOIN a CROSS JOIN cut
+       |WHERE cents * nc > tc
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= cut.cu)
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey, n_cust, total_cents""".stripMargin
+
   /** Star join with explicitly broadcast dims: revenue per region.
     * lineitem⋈orders rides the bucketed layout (zero exchange below
     * the sort-merge join); customer/nation/region ride along

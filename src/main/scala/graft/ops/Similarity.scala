@@ -857,6 +857,72 @@ object Similarity {
         col("cos_centroid"))
   }
 
+  /** Within-source embedding dispersion (q228): the mean squared µu
+    * distance of a source's vectors to their own centroid — exactly
+    * (n·Σ|x|² − |Σx|²) / n² from ONE pass of sums (the parallel-axis
+    * identity), all integers until the final truncating division.
+    * q211's complement: q211 says how far apart source centroids
+    * sit; this says how TIGHT each source is around its own — the
+    * two numbers together are the clusterability read behind routing
+    * mixtures by source.
+    *
+    * Scale shape: one posexplode aggregate to |sources|·64 rows
+    * (map-side combined), then a |sources|-keyed fold — the corpus
+    * is touched once. */
+  def sourceDispersion(spark: SparkSession, dir: String): DataFrame =
+    sourceDispersionOn(Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id")))
+
+  /** Frame-based core of [[sourceDispersion]] (needs source +
+    * embedding). */
+  def sourceDispersionOn(emb: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    emb
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("source"), col("pos"),
+        (col("v").cast("double").cast("decimal(18,6)") * 1000000)
+          .cast("long").as("m"))
+      .groupBy(col("source"), col("pos"))
+      .agg(sum(col("m")).as("sv"),
+        sum(d(col("m")) * d(col("m"))).as("ss"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(max(col("cnt")).as("n"), sum(col("ss")).as("s2"),
+        sum(d(col("sv")) * d(col("sv"))).as("p2"))
+      .select(col("source"), col("n"),
+        expr("CAST((n * s2 - p2) div (n * n) AS BIGINT)")
+          .as("disp_mu2"))
+      .orderBy(col("source"), col("n"), col("disp_mu2"))
+  }
+
+  /** DuckDB oracle for [[sourceDispersion]] — same µu lattice, same
+    * parallel-axis identity in HUGEINT. */
+  def sourceDispersionOracleSql: String =
+    s"""WITH j AS (
+       |  SELECT d.source, e.embedding
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |flat AS (
+       |  SELECT source, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))
+       |      * 1000000 AS BIGINT) AS m
+       |  FROM j, GENERATE_SERIES(1, 64) s(i)),
+       |dims AS (
+       |  SELECT source, pos, CAST(SUM(m) AS BIGINT) AS sv,
+       |    SUM(CAST(m AS HUGEINT) * m) AS ss,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM flat GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source, CAST(MAX(cnt) AS BIGINT) AS n,
+       |    SUM(ss) AS s2,
+       |    SUM(CAST(sv AS HUGEINT) * sv) AS p2
+       |  FROM dims GROUP BY source)
+       |SELECT source, n,
+       |  CAST((n * s2 - p2) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+       |    AS disp_mu2
+       |FROM agg
+       |ORDER BY source, n, disp_mu2""".stripMargin
+
   /** DuckDB oracle for [[sourceCentroidAffinity]] — same µu lattice,
     * HUGEINT moments, identical single IEEE sequence. */
   def sourceCentroidAffinityOracleSql: String =

@@ -497,6 +497,88 @@ object TextAnalysis {
        |    CAST(inter * 1000000 // uni AS BIGINT) FROM vj)
        |ORDER BY metric, value""".stripMargin
 
+  /** Vocabulary growth curve (q227): Heaps'-law profile — bucket the
+    * corpus into ten id-ordered ingest deciles and report, per
+    * decile, the token mass, the NEW types first seen there, the
+    * cumulative types/tokens, and the cumulative type-token ratio
+    * (ppm). The capacity-planning read before a vocabulary-dependent
+    * artifact (BPE merges, OOV tables, hash-vocab sizing) freezes:
+    * natural text grows types ∝ tokens^β with β ≈ 0.5 (TTR keeps
+    * falling); a flattening curve says the vocabulary has saturated.
+    * Deciles come from doc_id against the corpus count (one 1-row
+    * broadcast — the autoK trick, NOT a global sort; ids stand in
+    * for arrival order exactly as in q193).
+    *
+    * Scale shape: explode → one (token) min-decile aggregate + one
+    * (decile, token-mass) aggregate; the cumulative window runs over
+    * 10 rows. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[vocabGrowth]] (needs doc_id, text). */
+  def vocabGrowthDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = docs.agg(count(lit(1)).as("nd"))
+    val toks = Dedup.register(docs.crossJoin(broadcast(total))
+      .select(least(expr("doc_id * 10 div nd"), lit(9L)).as("decile"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val mass = toks.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(newTypes, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("decile"), col("n_tokens"), col("new_types"),
+        col("cum_types"), col("cum_tokens"),
+        expr("cum_types * 1000000 div cum_tokens").as("ttr_ppm"))
+      .orderBy(col("decile"), col("n_tokens"), col("new_types"),
+        col("cum_types"), col("cum_tokens"), col("ttr_ppm"))
+  }
+
+  /** DuckDB oracle for [[vocabGrowth]] — the decile rule derived
+    * from the corpus's own count (scalar subquery), same prefix
+    * accumulation. */
+  val vocabGrowthOracleSql: String =
+    """WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |tk AS (
+      |  SELECT LEAST(doc_id * 10 // nd.nd, 9) AS decile,
+      |    UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |  FROM documents CROSS JOIN nd),
+      |t2 AS (SELECT decile, tok FROM tk WHERE LENGTH(tok) > 0),
+      |nt AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types
+      |  FROM (SELECT tok, MIN(decile) AS decile FROM t2 GROUP BY tok)
+      |  GROUP BY decile),
+      |ms AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |  FROM t2 GROUP BY decile),
+      |c AS (
+      |  SELECT ms.decile, ms.n_tokens,
+      |    CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types
+      |  FROM ms LEFT JOIN nt ON nt.decile = ms.decile),
+      |w AS (
+      |  SELECT decile, n_tokens, new_types,
+      |    CAST(SUM(new_types) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_types,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_tokens
+      |  FROM c)
+      |SELECT decile, n_tokens, new_types, cum_types, cum_tokens,
+      |  CAST(cum_types * 1000000 // cum_tokens AS BIGINT) AS ttr_ppm
+      |FROM w
+      |ORDER BY decile, n_tokens, new_types, cum_types, cum_tokens,
+      |  ttr_ppm""".stripMargin
+
   /** Distributed heavy-hitter union contract (q222): the mergeable
     * heavy-hitter pattern with its completeness theorem hash-checked.
     * Each shard (deterministic id-mixer buckets) emits every token

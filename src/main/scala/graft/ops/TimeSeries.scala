@@ -767,14 +767,23 @@ object TimeSeries {
 
   /** Frame-based core of [[weekdaySeasonality]] (needs event_type +
     * µs-precision ts). */
-  def weekdaySeasonalityOn(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = events
+  def weekdaySeasonalityOn(events: DataFrame): DataFrame =
+    weekdaySeasonalityFromCounts(weekdayCounts(events))
+
+  /** Additive (event_type, dow, n_events) counts — the mergeable
+    * state shared with the streaming twin. */
+  def weekdayCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)")
           .cast("long").as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** The read over [[weekdayCounts]]-shaped state: shares + flat-week
+    * index over the tiny cells frame. */
+  def weekdaySeasonalityFromCounts(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     cells
       .withColumn("type_total", sum(col("n_events"))
         .over(Window.partitionBy(col("event_type"))))

@@ -23,6 +23,26 @@ object EventStream {
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
       "value DOUBLE, props STRING")
 
+  /** Streaming twin of the q215 weekday seasonality: per-row
+    * weekdays are independent, so the (event_type, dow) counts merge
+    * by sum and the state is chunking-invariant (≤ |types|·7 rows).
+    * The seasonality profile is a READ over the state
+    * (TimeSeries.weekdaySeasonalityFromCounts). */
+  def weekdayCountsStream(events: DataFrame, stateDir: String)
+      : DataStreamWriter[Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.ops.TimeSeries.weekdayCounts(batch)
+        val merged =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir).unionByName(partial)
+              .groupBy(col("event_type"), col("dow"))
+              .agg(sum(col("n_events")).as("n_events"))
+          else partial
+        CdcStream.promoteState(stateDir, merged)
+    }
+
   /** Streaming tumbling-window aggregation with watermark — the
     * streaming twin of ops.Events.tumbling. */
   def tumblingCounts(events: DataFrame): DataFrame =

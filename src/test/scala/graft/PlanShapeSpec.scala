@@ -257,7 +257,21 @@ class PlanShapeSpec extends SparkSpec {
       "q161_sole_late_supplier" -> (2, 2),
       // Q4 shape (round 8): lateness semi-join on the bucketed scans,
       // then a 5-row priority rollup + sort
-      "q168_priority_audit"     -> (2, 2))
+      "q168_priority_audit"     -> (2, 2),
+      // round-10 relational wave on the bucketed seams: Q8 market
+      // share (fact merge join exchange-free, 5 broadcast dim scans),
+      // the monthly latency percentile walk, and the Q13 custkey
+      // outer join — budgets measured at review time
+      "q218_market_share"       -> (2, 7),
+      "q225_latency_trend"      -> (3, 2),
+      "q226_custdist"           -> (2, 2),
+      // the TPC-H classics sweep: Q7/Q10 on the orderkey seam, Q22's
+      // anti join on the custkey seam — q233's three exchanges are
+      // the 1-row balance-average aggregate, the nationkey rollup and
+      // the final sort; the anti join itself is exchange-free
+      "q230_nation_volume"      -> (2, 6),
+      "q231_returned_revenue"   -> (1, 4),
+      "q233_idle_rich"          -> (3, 3))
     budgets.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, maxScans)) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()

@@ -553,4 +553,228 @@ class Round10OpsSpec extends SparkSpec {
       ("x", 4L, 500000L, 2L, true),
       ("y", 4L, 500000L, 2L, true)), s"hh: ${out.toSeq}")
   }
+
+  test("q223 retrain gain: frozen codebook degenerates on the unseen cluster, fresh splits it") {
+    import spark.implicits._
+    // Evens are all (0,0): the frozen build's two identical seeds
+    // collapse to one code at the origin, so the odd cluster at
+    // (1,1) pays 2e12 µu² each — mean_frozen 1e12. The fresh build
+    // seeds (0,0)/(1,1) and reconstructs exactly — mean_fresh 0,
+    // excess = 1e12·1e6 div GREATEST(0,1) = 1e18 (the zero guard).
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)),
+      (2L, Seq(0f, 0f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Ivf.pqRetrainGainOn(emb, nSub = 1, k = 2,
+      iters = 1, dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 1000000000000L, 0L, 1000000000000000000L)),
+      s"retrain: ${out.toSeq}")
+  }
+
+  test("q224 rollup shares: level structure, truncated child shares sum back to the parent") {
+    val out = graft.ops.Grouping.rollupShares(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    try {
+      val nations = out.filter(_._3 == "nation")
+      val regions = out.filter(_._3 == "region")
+      val total = out.filter(_._3 == "total")
+      // sf0.001 has ~10 suppliers, so only their nations appear —
+      // assert structure, not the full 25-nation TPC-H roster
+      assert(nations.nonEmpty && regions.nonEmpty &&
+        total.length == 1, s"levels: ${out.map(_._3).toSeq}")
+      assert(regions.map(_._1).toSet == nations.map(_._1).toSet,
+        "every nation's region has a region row and vice versa")
+      assert(total.head._5 == 1000000L)
+      // truncating div: children sum to within #children of 1e6
+      regions.foreach { case (rn, _, _, _, _) =>
+        val s = nations.filter(_._1 == rn).map(_._5).sum
+        assert(s <= 1000000L && s >= 1000000L - 5,
+          s"region $rn nation shares sum $s")
+      }
+      val rs = regions.map(_._5).sum
+      assert(rs <= 1000000L && rs >= 1000000L - 5,
+        s"region shares sum $rs")
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q225 latency trend: exact nearest-rank P50/P90 reproduced independently for one month") {
+    val out = graft.ops.Relational.latencyTrend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty && out.forall(r => r._3 <= r._4),
+      s"p50 > p90 somewhere: ${out.toSeq}")
+    val (ym, n, p50, p90) = out.head
+    val lats = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(expr("year(o_orderdate) * 100 + month(o_orderdate)")
+        .cast("long") === ym)
+      .select(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(lats.length == n.toInt)
+    def nearestRank(p: Int): Long =
+      lats((lats.length * p + 99) / 100 - 1)
+    assert(p50 == nearestRank(50) && p90 == nearestRank(90),
+      s"month $ym: got ($p50, $p90), want " +
+        s"(${nearestRank(50)}, ${nearestRank(90)})")
+  }
+
+  test("q227 vocab growth: planted two-decile curve, new-type attribution, TTR decay") {
+    import spark.implicits._
+    // 10 docs (nd = 10, decile = doc_id); only docs 0 and 5 carry
+    // text. Decile 0 introduces {a, b}; decile 5 repeats a and
+    // introduces c — new_types 1, cum 3 types over 4 tokens
+    // (ttr 750000). Empty texts contribute no token rows.
+    val docs = (0L to 9L).map(i =>
+      (i, if (i == 0L) "a b" else if (i == 5L) "a c" else ""))
+      .toDF("doc_id", "text")
+    try {
+      val out = TextAnalysis.vocabGrowthDocs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(out.toSeq == Seq(
+        (0L, 2L, 2L, 2L, 2L, 1000000L),
+        (5L, 2L, 1L, 3L, 4L, 750000L)), s"growth: ${out.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q228 dispersion: parallel-axis identity on a planted pair, singleton at zero") {
+    import spark.implicits._
+    // source a: (1,0) and (3,0) -> centroid (2,0), mean squared
+    // distance 1 unit² = 1e12 µu²; source b: one vector -> 0.
+    val emb = Seq(
+      ("a", Seq(1f, 0f)), ("a", Seq(3f, 0f)), ("b", Seq(5f, 5f)))
+      .toDF("source", "embedding")
+    val out = Similarity.sourceDispersionOn(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1000000000000L),
+      ("b", 1L, 0L)), s"dispersion: ${out.toSeq}")
+  }
+
+  test("q229 join forecast: every field reproduced from an independent per-key recompute") {
+    val out = graft.ops.Audit.joinSizeForecast(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val ns = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    val sq = ns.map(n => BigInt(n) * n).sum
+    val tot = ns.map(BigInt(_)).sum
+    val mx = ns.map(n => BigInt(n) * n).max
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) ==
+      (ns.length.toLong, sq.toLong, ((sq - tot) / 2).toLong,
+        mx.toLong, ((mx * 1000000) / sq).toLong),
+      s"forecast: $r vs recompute")
+  }
+
+  test("q230 nation volume: bucketed path equals a plain recomputation, both directions present") {
+    import graft.ops.Det
+    val out = graft.ops.Flagship.nationVolume(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val rev = Det.revenueTerm(col("l_extendedprice"), col("l_discount"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf).select(
+        col("n_nationkey").as("sk"), col("n_name").as("sn")),
+        col("s_nationkey") === col("sk"))
+      .join(Tables.nation(spark, sf).select(
+        col("n_nationkey").as("ck"), col("n_name").as("cn")),
+        col("c_nationkey") === col("ck"))
+      .filter((col("sn") === "NATION_13" && col("cn") === "NATION_19") ||
+        (col("sn") === "NATION_19" && col("cn") === "NATION_13"))
+      .groupBy(col("sn"), col("cn"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(rev).cast("double").as("rv"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2, x._3))
+      .toSeq
+    assert(out.nonEmpty && out.map(_._1).toSet.size == 2,
+      s"expected both directions: ${out.map(x => (x._1, x._2)).toSet}")
+    assert(out.sortBy(x => (x._1, x._2, x._3)) == plain,
+      s"bucketed vs plain: $out vs $plain")
+  }
+
+  test("q231 returned revenue: deterministic top-N cut, descending, tie-broken") {
+    val out = graft.ops.Relational.returnedRevenueTop(spark, sf, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(out.nonEmpty && out.length <= 20)
+    out.sliding(2).foreach { case Seq((k1, r1), (k2, r2)) =>
+      assert(r1 > r2 || (r1 == r2 && k1 < k2),
+        s"order violated at ($k1,$r1) -> ($k2,$r2)")
+    case _ => ()
+    }
+  }
+
+  test("q232 promo share: planted two-month card, exact scale-4 ppm") {
+    import spark.implicits._
+    // month 199601: total 150.00 (promo 100.00) -> 666666 ppm;
+    // month 199602: one promo line at 200.00 with 10% discount
+    // (rev 180.00) -> the whole month, 1000000 ppm.
+    val li = Seq(
+      (1L, 100.00, 0.00, "1996-01-15"),
+      (2L, 50.00, 0.00, "1996-01-20"),
+      (1L, 200.00, 0.10, "1996-02-01"))
+      .toDF("l_partkey", "l_extendedprice", "l_discount", "sd")
+      .select(col("l_partkey"), col("l_extendedprice"),
+        col("l_discount"), col("sd").cast("timestamp").as("l_shipdate"))
+    val part = Seq((1L, "PROMO"), (2L, "ECONOMY"))
+      .toDF("p_partkey", "p_type")
+    val out = graft.ops.Relational.promoRevenueShareOn(li, part)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (199601L, 150.0, 100.0, 666666L),
+      (199602L, 180.0, 180.0, 1000000L)), s"promo: ${out.toSeq}")
+  }
+
+  test("q233 idle rich: every reported nation mass reproduced from independent filters") {
+    val out = graft.ops.Relational.idleRichCustomers(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val c = Tables.customer(spark, sf).select(col("c_custkey"),
+      col("c_nationkey"),
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    val pos = c.filter(col("cents") > 0L)
+      .agg(sum(col("cents")), count(lit(1))).head()
+    val (tc, nc) = (pos.getLong(0), pos.getLong(1))
+    val cutoff = Tables.orders(spark, sf)
+      .agg(max(col("o_orderdate"))).head().get(0)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >=
+        lit(cutoff) - expr("INTERVAL 90 DAYS"))
+    val expected = c.filter(col("cents") * nc > tc)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nk"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out.nonEmpty && out == expected,
+      s"idle rich: $out vs $expected")
+  }
+
+  test("q226 custdist: masses reconcile with the customer and joined-order counts") {
+    val out = graft.ops.Relational.customerOrderDist(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.customer(spark, sf).count()
+    val nJoinedOrders = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(out.map(_._2).sum == nCust,
+      s"customer mass: ${out.map(_._2).sum} vs $nCust")
+    assert(out.map(x => x._1 * x._2).sum == nJoinedOrders,
+      s"order mass: ${out.map(x => x._1 * x._2).sum} vs $nJoinedOrders")
+  }
 }

@@ -787,6 +787,35 @@ class StreamingSpec extends SparkSpec {
       s"chunked-state calibration diverged: $streamed vs $batch")
   }
 
+  test("weekday-count stream state equals the one-shot seasonality profile (chunking-invariant)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    import graft.ops.TimeSeries
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val staged = Files.createTempDirectory("graft_dow_in").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val stateDir = Files.createTempDirectory("graft_dow_st").toString + "/s"
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = EventStream.weekdayCountsStream(stream, stateDir)
+      .option("checkpointLocation", s"$stateDir.ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val streamed = rows(TimeSeries.weekdaySeasonalityFromCounts(
+      spark.read.parquet(stateDir)))
+    val batch = rows(TimeSeries.weekdaySeasonalityOn(events))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"chunked-state seasonality diverged: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
   test("phash micro-batch replay is value-idempotent (crash after promote)") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
