@@ -900,6 +900,25 @@ object ScaleRehearsal {
         }
         report("q228_source_dispersion", tSd, nSd)
       }
+      // q234: quality-length bias — scoring projection + tiny bins
+      if (wanted("q234")) {
+        val (nQl, tQl) = timed(
+          graft.ops.TextAnalysis.qualityLengthBiasDocs(
+            d.withColumn("n_chars", length(col("text")).cast("long")))
+            .count())
+        report("q234_quality_length", tQl, nQl)
+      }
+      // q235/q236: experimentation pair on the 10x events stream
+      if (wanted("q235")) {
+        val (nAb, tAb) = timed(
+          graft.ops.Behavior.abConversionOn(evAt(scale)).count())
+        report("q235_ab_significance", tAb, nAb)
+      }
+      if (wanted("q236")) {
+        val (nCl, tCl) = timed(
+          graft.ops.Behavior.conversionLatencyOn(evAt(scale)).count())
+        report("q236_conversion_latency", tCl, nCl)
+      }
       // q229: join-size forecast — one keyed count + 1-row fold
       if (wanted("q229")) {
         val (nJf, tJf) = timed {

@@ -336,6 +336,9 @@ object SparkEntry {
     "q232_promo_share"      -> (Relational.promoRevenueShare _),
     "q233_idle_rich"        -> ((s: SparkSession, d: String) =>
       Relational.idleRichCustomers(s, d)),
+    "q234_quality_length"   -> (TextAnalysis.qualityLengthBias _),
+    "q235_ab_significance"  -> (Behavior.abConversion _),
+    "q236_conversion_latency" -> (Behavior.conversionLatency _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2646,6 +2649,11 @@ object SparkEntry {
         Relational.returnedRevenueTopOracleSql(),
       "q232_promo_share" -> Relational.promoRevenueShareOracleSql,
       "q233_idle_rich" -> Relational.idleRichCustomersOracleSql(),
+      "q234_quality_length" ->
+        TextAnalysis.qualityLengthBiasOracleSql,
+      "q235_ab_significance" -> Behavior.abConversionOracleSql,
+      "q236_conversion_latency" ->
+        Behavior.conversionLatencyOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -136,4 +136,151 @@ object Behavior {
         lead(col("event_type"), 1).over(seq).as("to_type"))
       .filter(col("to_type").isNotNull)
   }
+
+  /** A/B conversion significance (q235): split users into two arms
+    * by id parity (the deterministic stand-in for an experiment
+    * assignment), conversion = at least one purchase event; report
+    * per-arm users/conversions/ppm and a two-proportion z-test
+    * verdict at 95% — ENTIRELY cross-multiplied integers:
+    * z² = (x₁n₂−x₂n₁)²·N / (n₁n₂X(N−X)) ≥ 1.96² becomes
+    * (x₁n₂−x₂n₁)²·N·10000 ≥ 38416·n₁n₂·X·(N−X) in DECIMAL(38,0)
+    * (exact for arm sizes up to ~10⁶ users; beyond that scale the
+    * test on sampled arms). The experimentation read-out every
+    * product pipeline runs; no float p-value anywhere.
+    *
+    * Scale shape: one per-user aggregate (map-side combined) + one
+    * 2-row arm rollup + a 1-row verdict fold. */
+  def abConversion(spark: SparkSession, dir: String): DataFrame =
+    abConversionOn(Tables.events(spark, dir))
+
+  /** Frame-based core of [[abConversion]] (needs user_id,
+    * event_type). */
+  def abConversionOn(ev: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val arms = ev
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
+      .groupBy(pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    arms.agg(
+        max(when(col("arm") === 0L, col("n"))).as("n1"),
+        max(when(col("arm") === 0L, col("x"))).as("x1"),
+        max(when(col("arm") === 1L, col("n"))).as("n2"),
+        max(when(col("arm") === 1L, col("x"))).as("x2"))
+      .select(col("n1"), col("x1"),
+        expr("x1 * 1000000 div n1").as("conv1_ppm"),
+        col("n2"), col("x2"),
+        expr("x2 * 1000000 div n2").as("conv2_ppm"),
+        ((d(col("x1")) * d(col("n2")) - d(col("x2")) * d(col("n1"))) *
+          (d(col("x1")) * d(col("n2")) - d(col("x2")) * d(col("n1"))) *
+          d(col("n1") + col("n2")) * 10000 >=
+          d(lit(38416)) * d(col("n1")) * d(col("n2")) *
+          d(col("x1") + col("x2")) *
+          d(col("n1") + col("n2") - col("x1") - col("x2")))
+          .as("significant_95"))
+      .orderBy(col("n1"), col("x1"), col("conv1_ppm"), col("n2"),
+        col("x2"), col("conv2_ppm"), col("significant_95"))
+  }
+
+  /** DuckDB oracle for [[abConversion]] — same HUGEINT
+    * cross-multiplication. */
+  val abConversionOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(conv) AS BIGINT) AS x
+      |  FROM u GROUP BY 1),
+      |f AS (
+      |  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+      |    MAX(CASE WHEN arm = 0 THEN x END) AS x1,
+      |    MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+      |    MAX(CASE WHEN arm = 1 THEN x END) AS x2
+      |  FROM a)
+      |SELECT n1, x1, CAST(x1 * 1000000 // n1 AS BIGINT) AS conv1_ppm,
+      |  n2, x2, CAST(x2 * 1000000 // n2 AS BIGINT) AS conv2_ppm,
+      |  ((CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+      |    * (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+      |    * (n1 + n2) * 10000
+      |    >= CAST(38416 AS HUGEINT) * n1 * n2 * (x1 + x2)
+      |       * (n1 + n2 - x1 - x2)) AS significant_95
+      |FROM f
+      |ORDER BY n1, x1, conv1_ppm, n2, x2, conv2_ppm,
+      |  significant_95""".stripMargin
+
+  /** Conversion-latency percentiles (q236): per converting user the
+    * time from FIRST click to the FIRST purchase after it, then the
+    * exact nearest-rank P50/P90 over users in minute bins (the q225
+    * cross-multiplied walk; minute binning bounds the distinct-value
+    * window's cardinality by the time range, not the user count).
+    * The funnel-speed number next to q92's conversion RATE.
+    *
+    * Scale shape: one per-user aggregate → minute-bin counts →
+    * a running cum walk over the bounded bin table. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame =
+    conversionLatencyOn(Tables.events(spark, dir))
+
+  /** Frame-based core of [[conversionLatency]]. */
+  def conversionLatencyOn(ev: DataFrame): DataFrame = {
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click",
+        expr("unix_micros(ts)"))).as("c0"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("pt"))
+      .join(perUser, Seq("user_id"))
+      .filter(col("c0").isNotNull && col("pt") >= col("c0"))
+      .groupBy(col("user_id"))
+      .agg(min(col("pt") - col("c0")).as("lat_us"))
+      .select(expr("lat_us div 60000000").as("lat_min"))
+    val counts = lat.groupBy(col("lat_min"))
+      .agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy(col("lat_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("lat_min")))
+          .as("p50_min"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("lat_min")))
+          .as("p90_min"))
+      .orderBy(col("n_converted"), col("p50_min"), col("p90_min"))
+  }
+
+  /** DuckDB oracle for [[conversionLatency]]. */
+  val conversionLatencyOracleSql: String =
+    """WITH c0 AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      AS c0
+      |  FROM events GROUP BY user_id),
+      |lat AS (
+      |  SELECT e.user_id,
+      |    CAST(MIN(epoch_us(e.ts) - c0.c0) // 60000000 AS BIGINT)
+      |      AS lat_min
+      |  FROM events e JOIN c0 ON c0.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND c0.c0 IS NOT NULL
+      |    AND epoch_us(e.ts) >= c0.c0
+      |  GROUP BY e.user_id),
+      |b AS (SELECT lat_min, COUNT(*) AS c FROM lat GROUP BY lat_min),
+      |w AS (
+      |  SELECT lat_min,
+      |    SUM(c) OVER (ORDER BY lat_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER () AS n
+      |  FROM b)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN lat_min END)
+      |    AS BIGINT) AS p50_min,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN lat_min END)
+      |    AS BIGINT) AS p90_min
+      |FROM w
+      |ORDER BY n_converted, p50_min, p90_min""".stripMargin
 }

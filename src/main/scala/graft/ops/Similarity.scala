@@ -439,7 +439,7 @@ object Similarity {
     * per round (the dedupClusters lesson); peel rounds needed grow
     * with graph degeneracy, not size. */
   def kCore(spark: SparkSession, dir: String, k: Int = 3,
-      minCos: Double = 0.25, rounds: Int = 6): DataFrame =
+      minCos: Double = 0.25, rounds: Int = 10): DataFrame =
     kCoreOn(embeddingNearDups(spark, dir, minCos = minCos)
       .select(col("vec_a"), col("vec_b")), k, rounds)
 
@@ -473,7 +473,7 @@ object Similarity {
     * default inlining re-evaluates the pair generator 2^rounds times
     * (measured: minutes instead of 0.1 s at rounds = 6). */
   def kCoreOracleSql(k: Int = 3, minCos: Double = 0.25,
-      rounds: Int = 6): String = {
+      rounds: Int = 10): String = {
     val peels = (0 until rounds).map { r =>
       s"""alive$r AS MATERIALIZED (
          |  SELECT a AS id FROM e$r GROUP BY a HAVING COUNT(*) >= $k),

@@ -579,6 +579,47 @@ object TextAnalysis {
       |ORDER BY decile, n_tokens, new_types, cum_types, cum_tokens,
       |  ttr_ppm""".stripMargin
 
+  /** Quality–length confounder audit (q234): mean q35 quality score
+    * per log₂ document-length bin — the trap check before any
+    * score-thresholded filter ships: if quality correlates with
+    * LENGTH, a flat quality cut silently becomes a length cut and
+    * skews the surviving mix (the known failure mode of
+    * stopword/punct-ratio heuristics on short docs). Shares the
+    * scorer with q201 ([[qualityScore]], round-6dp → ppm) and the
+    * binning idiom with q184/q217.
+    *
+    * Scale shape: one codegen'd scoring projection + one
+    * map-side-combined groupBy into ≤ 64 bins. */
+  def qualityLengthBias(spark: SparkSession, dir: String): DataFrame =
+    qualityLengthBiasDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[qualityLengthBias]] (needs text,
+    * n_chars). */
+  def qualityLengthBiasDocs(docs: DataFrame): DataFrame =
+    docs
+      .select((length(bin(col("n_chars"))) - 1).cast("long")
+        .as("len_bin"),
+        round(round(qualityScore(col("text")), 6) * 1000000d, 0)
+          .cast("long").as("q_ppm"))
+      .groupBy(col("len_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_ppm")).as("sq"))
+      .select(col("len_bin"), col("n_docs"),
+        expr("sq div n_docs").as("mean_q_ppm"))
+      .orderBy(col("len_bin"), col("n_docs"), col("mean_q_ppm"))
+
+  /** DuckDB oracle for [[qualityLengthBias]] — same scorer
+    * expression, same bins. */
+  def qualityLengthBiasOracleSql: String =
+    s"""WITH q AS (
+       |  SELECT CAST(LENGTH(BIN(n_chars)) - 1 AS BIGINT) AS len_bin,
+       |    CAST(ROUND($qualityScoreSqlExpr * 1000000) AS BIGINT)
+       |      AS q_ppm
+       |  FROM documents)
+       |SELECT len_bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_q_ppm
+       |FROM q GROUP BY len_bin
+       |ORDER BY len_bin, n_docs, mean_q_ppm""".stripMargin
+
   /** Distributed heavy-hitter union contract (q222): the mergeable
     * heavy-hitter pattern with its completeness theorem hash-checked.
     * Each shard (deterministic id-mixer buckets) emits every token

@@ -765,6 +765,61 @@ class Round10OpsSpec extends SparkSpec {
       s"idle rich: $out vs $expected")
   }
 
+  test("q234 quality-length bias: planted bins, shared q35 scorer means") {
+    import spark.implicits._
+    // "the": 0.4·0.01 + 0.3·1 + 0.3·min(5·1,1) = 0.604; "xx"/"zz":
+    // 0.4·0.01 + 0.3·1 + 0 = 0.304. n_chars 1,1,2 -> bins 0,0,1:
+    // bin 0 mean (604000+304000)/2 = 454000, bin 1 = 304000.
+    val docs = Seq(
+      (1L, "the", 1L), (2L, "xx", 1L), (3L, "zz", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.qualityLengthBiasDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 454000L), (1L, 1L, 304000L)), s"bias: ${out.toSeq}")
+  }
+
+  test("q235 A/B significance: planted insignificant and significant splits") {
+    import spark.implicits._
+    // 2-vs-2 users, 1 vs 2 conversions: (x1n2-x2n1)²·N·1e4 = 160000
+    // < 38416·n1n2·X(N-X) = 460992 -> not significant. 10-vs-10 with
+    // 0 vs 10: 2e9 >= 3.84e8 -> significant.
+    def ev(rows: Seq[(Long, String)]) = rows
+      .toDF("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.lit(0L).as("pad"))
+    val small = ev(Seq((0L, "purchase"), (2L, "view"),
+      (1L, "purchase"), (3L, "purchase")))
+    val s1 = graft.ops.Behavior.abConversionOn(small).collect().head
+    assert((s1.getLong(0), s1.getLong(1), s1.getLong(2), s1.getLong(3),
+      s1.getLong(4), s1.getLong(5), s1.getBoolean(6)) ==
+      ((2L, 1L, 500000L, 2L, 2L, 1000000L, false)), s"small: $s1")
+    val big = ev((0L until 20L).map(u =>
+      (u, if (u % 2 == 1) "purchase" else "view")))
+    val s2 = graft.ops.Behavior.abConversionOn(big).collect().head
+    assert((s2.getLong(1), s2.getLong(4), s2.getBoolean(6)) ==
+      ((0L, 10L, true)), s"big: $s2")
+  }
+
+  test("q236 conversion latency: planted click->purchase gaps, exclusions, nearest ranks") {
+    import spark.implicits._
+    // u1 converts in 5 min, u2 in 100; u3 has no click, u4's only
+    // purchase precedes its click — both excluded. n=2: p50 lands on
+    // the 5-minute bin (cum 1·100 ≥ 100), p90 on 100 (2·100 ≥ 180).
+    val m = 60000000L
+    val events = Seq(
+      (1L, "click", 0L), (1L, "purchase", 5L * m),
+      (2L, "click", 0L), (2L, "purchase", 100L * m),
+      (3L, "purchase", 7L * m),
+      (4L, "purchase", 0L), (4L, "click", 10L * m))
+      .toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = graft.ops.Behavior.conversionLatencyOn(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 5L, 100L)), s"latency: ${out.toSeq}")
+  }
+
   test("q226 custdist: masses reconcile with the customer and joined-order counts") {
     val out = graft.ops.Relational.customerOrderDist(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
