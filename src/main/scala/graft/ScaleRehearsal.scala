@@ -900,6 +900,26 @@ object ScaleRehearsal {
         }
         report("q228_source_dispersion", tSd, nSd)
       }
+      // q237: boundary stitches — capped packed-key join
+      if (wanted("q237")) {
+        val (nBs, tBs) = timed {
+          val n = graft.ops.Dedup.boundaryStitchesDocs(d).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q237_boundary_stitch", tBs, nBs)
+      }
+      // q238: closure audit over the SCALE edge source (LSH pairs)
+      if (wanted("q238")) {
+        val (nCa, tCa) = timed {
+          val pairs = Similarity.lshEmbeddingNearDups(embAt(scale), 0.25)
+            .select(col("vec_a"), col("vec_b"))
+          val n = Similarity.closureAuditOn(pairs).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q238_closure_audit", tCa, nCa)
+      }
       // q234: quality-length bias — scoring projection + tiny bins
       if (wanted("q234")) {
         val (nQl, tQl) = timed(

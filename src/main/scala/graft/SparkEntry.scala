@@ -339,6 +339,10 @@ object SparkEntry {
     "q234_quality_length"   -> (TextAnalysis.qualityLengthBias _),
     "q235_ab_significance"  -> (Behavior.abConversion _),
     "q236_conversion_latency" -> (Behavior.conversionLatency _),
+    "q237_boundary_stitch"  -> ((s: SparkSession, d: String) =>
+      Dedup.boundaryStitches(s, d)),
+    "q238_closure_audit"    -> ((s: SparkSession, d: String) =>
+      Similarity.closureAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2654,6 +2658,8 @@ object SparkEntry {
       "q235_ab_significance" -> Behavior.abConversionOracleSql,
       "q236_conversion_latency" ->
         Behavior.conversionLatencyOracleSql,
+      "q237_boundary_stitch" -> Dedup.boundaryStitchesOracleSql(),
+      "q238_closure_audit" -> Similarity.closureAuditOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -1329,4 +1329,105 @@ object Dedup {
       |FROM k GROUP BY source
       |ORDER BY source, n_docs, n_kept, sum_tokens, kept_tokens,
       |  savings_ppm""".stripMargin
+
+  /** Document boundary-stitch detection (q237): pairs (a, b) where
+    * b BEGINS with the last L characters of a (8 ≤ L ≤ 64) — the
+    * crawl-pagination artifact (the fetcher repeats the previous
+    * page's tail as context) that whole-doc dedup misses and
+    * corpus-wide window dedup (q119/q120) only catches at stride-1
+    * cost on both sides. Candidates: a's packed SUFFIX 8-gram (the
+    * q126 injective long) joined against every 8-gram position in
+    * b's first 64 chars; a match at position p claims overlap
+    * L = p+7, verified EXACTLY by comparing b's first L chars to a's
+    * last L (both carried as 64-char probes — the verify never
+    * touches full texts). Periodic boundaries can claim several L —
+    * the maximal verified overlap is reported. Suffix keys more
+    * frequent than `maxKeyFreq` are suppressed on both sides
+    * (generic endings explode quadratically — the LSH MaxBucket
+    * rule, replayed by the oracle so the cap is hash-checked).
+    *
+    * Scale shape: one ≤57-key head explode + one suffix key per doc,
+    * an equi-join on longs with per-key frequency caps, 64-char
+    * probes as the only payload. */
+  def boundaryStitches(spark: SparkSession, dir: String,
+      maxKeyFreq: Long = 64L): DataFrame =
+    boundaryStitchesDocs(Tables.documents(spark, dir), maxKeyFreq)
+
+  /** Frame-based core of [[boundaryStitches]] (needs doc_id,
+    * text). */
+  def boundaryStitchesDocs(docs: DataFrame,
+      maxKeyFreq: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pack(c: Column): Column = (1 to 8).foldLeft(lit(0L)) {
+      (acc, i) => shiftleft(acc, 8) + ascii(substring(c, i, 1)).cast("long")
+    }
+    val base = register(docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val aTail = base.select(col("doc_id").as("doc_a"),
+        pack(expr("substring(text, length(text) - 7, 8)")).as("k"),
+        expr("substring(text, greatest(length(text) - 63, 1), 64)")
+          .as("tail64"),
+        length(col("text")).cast("long").as("len_a"))
+      .withColumn("kf", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("kf") <= maxKeyFreq).drop("kf")
+    val bHead = base.select(col("doc_id").as("doc_b"),
+        expr("substring(text, 1, 64)").as("head64"),
+        length(col("text")).cast("long").as("len_b"),
+        explode(expr("sequence(1, least(greatest(length(text) - 7, 1), 57))"))
+          .as("p"))
+      .select(col("doc_b"), col("head64"), col("len_b"),
+        col("p").cast("long").as("p"),
+        pack(expr("substring(head64, cast(p as int), 8)")).as("k"))
+      .withColumn("kf", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("kf") <= maxKeyFreq).drop("kf")
+    aTail.join(bHead, Seq("k"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("ln", col("p") + 7L)
+      .filter(col("ln") <= col("len_a") && col("ln") <= col("len_b") &&
+        expr("substring(head64, 1, cast(ln as int)) = " +
+          "substring(tail64," +
+          " cast(length(tail64) - ln + 1 as int), cast(ln as int))"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("ln")).as("overlap_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("overlap_len"))
+  }
+
+  /** DuckDB oracle for [[boundaryStitches]] — string keys (the
+    * packing is injective over Latin-1, so string equality ≡ long
+    * equality), same position window, caps and exact verify. */
+  def boundaryStitchesOracleSql(maxKeyFreq: Long = 64L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 8),
+       |a AS (
+       |  SELECT doc_id AS doc_a,
+       |    SUBSTR(text, LENGTH(text) - 7, 8) AS k,
+       |    SUBSTR(text, GREATEST(LENGTH(text) - 63, 1), 64) AS tail64,
+       |    CAST(LENGTH(text) AS BIGINT) AS len_a
+       |  FROM d
+       |  QUALIFY COUNT(*) OVER (PARTITION BY
+       |    SUBSTR(text, LENGTH(text) - 7, 8)) <= $maxKeyFreq),
+       |b0 AS (
+       |  SELECT doc_id AS doc_b, SUBSTR(text, 1, 64) AS head64,
+       |    CAST(LENGTH(text) AS BIGINT) AS len_b,
+       |    CAST(UNNEST(range(1,
+       |      LEAST(GREATEST(LENGTH(text) - 7, 1), 57) + 1)) AS BIGINT)
+       |      AS p
+       |  FROM d),
+       |b AS (
+       |  SELECT doc_b, head64, len_b, p,
+       |    SUBSTR(head64, CAST(p AS INTEGER), 8) AS k
+       |  FROM b0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY k) <= $maxKeyFreq),
+       |v AS (
+       |  SELECT doc_a, doc_b, p + 7 AS ln
+       |  FROM a JOIN b USING (k)
+       |  WHERE doc_a != doc_b AND p + 7 <= len_a AND p + 7 <= len_b
+       |    AND SUBSTR(head64, 1, CAST(p + 7 AS INTEGER))
+       |      = SUBSTR(tail64,
+       |          CAST(LENGTH(tail64) - (p + 7) + 1 AS INTEGER),
+       |          CAST(p + 7 AS INTEGER)))
+       |SELECT doc_a, doc_b, CAST(MAX(ln) AS BIGINT) AS overlap_len
+       |FROM v GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b, overlap_len""".stripMargin
 }

@@ -857,6 +857,71 @@ object Similarity {
         col("cos_centroid"))
   }
 
+  /** Near-dup transitivity/closure audit (q238): over the near-dup
+    * graph, the share of wedges (a–m–c paths) whose endpoints are
+    * ALSO a pair — the number that justifies connected-component
+    * clustering: high closure means "near-dup of a near-dup is a
+    * near-dup" mostly holds and CC labels barely over-merge; low
+    * closure means components chain dissimilar docs and keep-best
+    * policies need the q145-style star guards. q98's wedge machinery
+    * pointed at the similarity graph instead of the order graph.
+    *
+    * Scale shape: one persisted pair frame, a middle-keyed self-join
+    * (wedge count is Σ deg(v)², bounded by the q229 forecast — run
+    * THAT first at scale), a left join back to pairs, and a 1-row
+    * fold. */
+  def closureAudit(spark: SparkSession, dir: String,
+      minCos: Double = 0.25): DataFrame =
+    closureAuditOn(embeddingNearDups(spark, dir, minCos = minCos)
+      .select(col("vec_a"), col("vec_b")))
+
+  /** Frame-based core of [[closureAudit]] over canonical (vec_a <
+    * vec_b) pairs. */
+  def closureAuditOn(pairs0: DataFrame): DataFrame = {
+    val pairs = Dedup.register(pairs0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e = pairs.select(col("vec_a").as("m"), col("vec_b").as("n"))
+      .union(pairs.select(col("vec_b").as("m"), col("vec_a").as("n")))
+    val wedges = e.select(col("m"), col("n").as("x"))
+      .join(e.select(col("m"), col("n").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+    val closed = wedges.join(pairs
+        .select(col("vec_a").as("x"), col("vec_b").as("y"),
+          lit(1L).as("cl")), Seq("x", "y"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("cl")), lit(0L)).as("n_closed"))
+    closed.crossJoin(broadcast(
+        pairs.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") > 0L,
+          expr("n_closed * 1000000 div n_wedges")).otherwise(0L)
+          .as("closure_ppm"))
+      .orderBy(col("n_edges"), col("n_wedges"), col("n_closed"),
+        col("closure_ppm"))
+  }
+
+  /** DuckDB oracle for [[closureAudit]] — the shared edge CTEs, the
+    * same wedge join and closure lookup. */
+  def closureAuditOracleSql(minCos: Double = 0.25): String =
+    s"""WITH ${edgeOracleCtes(minCos)},
+       |w AS (
+       |  SELECT e1.b AS x, e2.b AS y
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b),
+       |clw AS (
+       |  SELECT CASE WHEN p.va IS NOT NULL THEN 1 ELSE 0 END AS c
+       |  FROM w LEFT JOIN pairs p ON p.va = w.x AND p.vb = w.y),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+       |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_closed
+       |  FROM clw),
+       |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+       |SELECT n_edges, n_wedges, n_closed,
+       |  CAST(CASE WHEN n_wedges > 0
+       |    THEN n_closed * 1000000 // n_wedges ELSE 0 END AS BIGINT)
+       |    AS closure_ppm
+       |FROM ne CROSS JOIN s
+       |ORDER BY n_edges, n_wedges, n_closed, closure_ppm""".stripMargin
+
   /** Within-source embedding dispersion (q228): the mean squared µu
     * distance of a source's vectors to their own centroid — exactly
     * (n·Σ|x|² − |Σx|²) / n² from ONE pass of sums (the parallel-axis

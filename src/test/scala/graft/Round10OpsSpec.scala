@@ -820,6 +820,50 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 5L, 100L)), s"latency: ${out.toSeq}")
   }
 
+  test("q237 boundary stitch: aperiodic 20-char overlap, periodic bidirectional pair, key cap") {
+    import spark.implicits._
+    // A ends with the aperiodic 20-char region O and B begins with it:
+    // the ONLY verified candidate is p=13 -> overlap 20. The all-z
+    // pair stitches in BOTH directions (periodic boundary, max L
+    // reported). C matches nothing.
+    val o20 = "CONTINUED PAGE TAIL!"
+    val docs = Seq(
+      (1L, "a" * 20 + o20), (2L, o20 + "b" * 20), (3L, "c" * 40),
+      (4L, "z" * 20), (5L, "z" * 20))
+      .toDF("doc_id", "text")
+    try {
+      val out = Dedup.boundaryStitchesDocs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq(
+        (1L, 2L, 20L), (4L, 5L, 20L), (5L, 4L, 20L)),
+        s"stitches: ${out.toSeq}")
+      // a generic boundary key above the cap is suppressed entirely:
+      // G's head yields 5 positions of QQQQQQQQ > cap 4
+      val capped = Seq(
+        (6L, "m" * 12 + "QQQQQQQQ"), (7L, "Q" * 12 + "n" * 8))
+        .toDF("doc_id", "text")
+      val cap = Dedup.boundaryStitchesDocs(capped, maxKeyFreq = 4L)
+        .collect()
+      assert(cap.isEmpty, s"cap failed: ${cap.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q238 closure audit: planted 5-wedge graph with 3 closed") {
+    import spark.implicits._
+    // triangle 1-2-3 plus edge 3-4: wedges (2,3)@1, (1,3)@2,
+    // (1,2)/(1,4)/(2,4)@3 — the triangle's three close, the two
+    // through node 4 don't: 3/5 = 600000 ppm.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("vec_a", "vec_b")
+    try {
+      val out = Similarity.closureAuditOn(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(out.toSeq == Seq((4L, 5L, 3L, 600000L)),
+        s"closure: ${out.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
   test("q226 custdist: masses reconcile with the customer and joined-order counts") {
     val out = graft.ops.Relational.customerOrderDist(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
