@@ -900,6 +900,19 @@ object ScaleRehearsal {
         }
         report("q228_source_dispersion", tSd, nSd)
       }
+      // q239: error burn — per-day aggregate + range windows
+      if (wanted("q239")) {
+        val (nEb, tEb) = timed(
+          graft.ops.TimeSeries.errorBurnOn(evAt(scale)).count())
+        report("q239_error_burn", tEb, nEb)
+      }
+      // q240: quality rank — scoring projection + source-partitioned
+      // rank window (projection-shaped: matCount, the q180 lesson)
+      if (wanted("q240")) {
+        val (nQr, tQr) = timed(matCount(
+          graft.ops.TextAnalysis.sourceQualityRankDocs(d)))
+        report("q240_quality_rank", tQr, nQr)
+      }
       // q237: boundary stitches — capped packed-key join
       if (wanted("q237")) {
         val (nBs, tBs) = timed {

@@ -343,6 +343,8 @@ object SparkEntry {
       Dedup.boundaryStitches(s, d)),
     "q238_closure_audit"    -> ((s: SparkSession, d: String) =>
       Similarity.closureAudit(s, d)),
+    "q239_error_burn"       -> (TimeSeries.errorBurn _),
+    "q240_quality_rank"     -> (TextAnalysis.sourceQualityRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2660,6 +2662,8 @@ object SparkEntry {
         Behavior.conversionLatencyOracleSql,
       "q237_boundary_stitch" -> Dedup.boundaryStitchesOracleSql(),
       "q238_closure_audit" -> Similarity.closureAuditOracleSql(),
+      "q239_error_burn" -> TimeSeries.errorBurnOracleSql,
+      "q240_quality_rank" -> TextAnalysis.sourceQualityRankOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -620,6 +620,63 @@ object TextAnalysis {
        |FROM q GROUP BY len_bin
        |ORDER BY len_bin, n_docs, mean_q_ppm""".stripMargin
 
+  /** Per-source quality percentile normalization (q240): each doc's
+    * q35 quality score converted to its WITHIN-SOURCE percentile
+    * (exact integer ppm of rank over n−1) — the CCNet move: a flat
+    * score threshold cuts different fractions of different domains
+    * (q234 shows why: score correlates with length, and length mixes
+    * differ by source), so production filters cut at a PERCENTILE
+    * per source. This op materializes exactly that cut key,
+    * deterministic ((q_ppm, doc_id) rank ties) and comparable across
+    * sources by construction.
+    *
+    * Scale shape: the scoring projection + one rank window
+    * PARTITIONED by source (never corpus-global) over the scored
+    * table; output is corpus-sized by design (it's a per-doc
+    * feature, like q110). */
+  def sourceQualityRank(spark: SparkSession, dir: String): DataFrame =
+    sourceQualityRankDocs(Tables.documents(spark, dir))
+
+  /** Frame-based core of [[sourceQualityRank]] (needs doc_id,
+    * source, text). */
+  def sourceQualityRankDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(round(qualityScore(col("text")), 6) * 1000000d, 0)
+        .cast("long").as("q_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q_ppm"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("q_ppm"),
+        expr("(rn - 1) * 1000000 div greatest(n - 1, 1)")
+          .as("pct_ppm"))
+      .orderBy(col("doc_id"), col("source"), col("q_ppm"),
+        col("pct_ppm"))
+  }
+
+  /** DuckDB oracle for [[sourceQualityRank]] — same scorer, same
+    * deterministic rank. */
+  def sourceQualityRankOracleSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROUND($qualityScoreSqlExpr * 1000000) AS BIGINT)
+       |      AS q_ppm
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, q_ppm,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY q_ppm, doc_id) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM s)
+       |SELECT doc_id, source, q_ppm,
+       |  CAST((rn - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT)
+       |    AS pct_ppm
+       |FROM r
+       |ORDER BY doc_id, source, q_ppm, pct_ppm""".stripMargin
+
   /** Distributed heavy-hitter union contract (q222): the mergeable
     * heavy-hitter pattern with its completeness theorem hash-checked.
     * Each shard (deterministic id-mixer buckets) emits every token

@@ -795,6 +795,62 @@ object TimeSeries {
         col("type_total"), col("share_ppm"), col("idx_ppm"))
   }
 
+  /** Error-budget burn (q239): per day the error-event share and the
+    * trailing-7-day share (both exact cross-multiplied ppm over
+    * per-day counts) — the SLO read-out: the daily line spikes, the
+    * trailing line is what pages. The trailing window is a RANGE
+    * frame over the integer epoch-day key, so calendar gaps are
+    * handled without materializing a day spine (sparse days simply
+    * contribute nothing), and bounded sliding frames compute
+    * incrementally (the q180 rule concerns unbounded-following
+    * re-scans, not these).
+    *
+    * Scale shape: one map-side-combined per-day aggregate; every
+    * window runs over the |days|-sized count table. */
+  def errorBurn(spark: SparkSession, dir: String): DataFrame =
+    errorBurnOn(Tables.events(spark, dir))
+
+  /** Frame-based core of [[errorBurn]] (needs event_type + µs ts). */
+  def errorBurnOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("is_err")).as("n_errors"))
+    val w7 = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("t7n", sum(col("n_events")).over(w7))
+      .withColumn("t7e", sum(col("n_errors")).over(w7))
+      .select(col("day"), col("n_events"), col("n_errors"),
+        expr("n_errors * 1000000 div n_events").as("err_ppm"),
+        expr("t7e * 1000000 div t7n").as("trail7_ppm"))
+      .orderBy(col("day"), col("n_events"), col("n_errors"),
+        col("err_ppm"), col("trail7_ppm"))
+  }
+
+  /** DuckDB oracle for [[errorBurn]] — same integer day key, same
+    * RANGE frame. */
+  val errorBurnOracleSql: String =
+    """WITH d AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_errors
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, n_events, n_errors,
+      |    SUM(n_events) OVER (ORDER BY day
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS t7n,
+      |    SUM(n_errors) OVER (ORDER BY day
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS t7e
+      |  FROM d)
+      |SELECT day, n_events, n_errors,
+      |  CAST(n_errors * 1000000 // n_events AS BIGINT) AS err_ppm,
+      |  CAST(t7e * 1000000 // t7n AS BIGINT) AS trail7_ppm
+      |FROM w
+      |ORDER BY day, n_events, n_errors, err_ppm, trail7_ppm""".stripMargin
+
   /** DuckDB oracle for [[weekdaySeasonality]] — same integer weekday
     * formula; positive operands so `//`/`%` match div/pmod. */
   val weekdaySeasonalityOracleSql: String =

@@ -864,6 +864,48 @@ class Round10OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  test("q239 error burn: daily vs trailing-7 shares, calendar gap handled by the range frame") {
+    import spark.implicits._
+    // day 0 (isolated): 1/2 errors; day 10: 1/4; day 11: 0/2 but its
+    // trailing window spans days 5-11 -> (1 err)/(6 events) = 166666.
+    // The 10-day gap proves the RANGE frame ignores missing days
+    // (a ROWS frame would have pulled day 0 into day 10's window).
+    val us = 86400000000L
+    val events = Seq(
+      (0L, "error"), (0L, "view"),
+      (10L, "error"), (10L, "view"), (10L, "view"), (10L, "view"),
+      (11L, "view"), (11L, "click"))
+      .toDF("day", "event_type")
+      .select(timestamp_micros(col("day") * us + 1000000L).as("ts"),
+        col("event_type"))
+    val out = graft.ops.TimeSeries.errorBurnOn(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 500000L, 500000L),
+      (10L, 4L, 1L, 250000L, 250000L),
+      (11L, 2L, 0L, 0L, 166666L)), s"burn: ${out.toSeq}")
+  }
+
+  test("q240 quality rank: within-source percentiles, tie order, singleton source") {
+    import spark.implicits._
+    // source s: scores 304000 ("xx"), 304000 ("zz"), 604000 ("the");
+    // rank ties break on doc_id -> pct 0 / 500000 / 1000000. The
+    // singleton source t pins the greatest(n-1, 1) guard at 0.
+    val docs = Seq(
+      (1L, "s", "the"), (2L, "s", "xx"), (3L, "s", "zz"),
+      (4L, "t", "qq"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceQualityRankDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "s", 604000L, 1000000L),
+      (2L, "s", 304000L, 0L),
+      (3L, "s", 304000L, 500000L),
+      (4L, "t", 304000L, 0L)), s"rank: ${out.toSeq}")
+  }
+
   test("q226 custdist: masses reconcile with the customer and joined-order counts") {
     val out = graft.ops.Relational.customerOrderDist(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
