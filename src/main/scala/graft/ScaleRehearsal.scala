@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   *    mean component, because the sign mask decorrelates them).
   *
   * Run: `sbt "runMain graft.ScaleRehearsal /root/testdata/sf0.1"`
-  * (writes the 10x corpus under java.io.tmpdir/graft_scale10, prints
-  * one JSON line per measurement).
+  * (writes each Nx corpus under java.io.tmpdir/graft_scaleN, prints
+  * one JSON line per measurement). SPARK_GRAFT_REHEARSAL_SCALES=
+  * "1x,10x,30x" adds scale points — the 30x point pins the scaling
+  * EXPONENT for the superlinear suspects (two decades of growth
+  * instead of one ratio).
   */
 object ScaleRehearsal {
 
@@ -39,15 +42,18 @@ object ScaleRehearsal {
     r.shuffle(xs)
   }
 
-  /** 10 letter-permuted document shards; doc_id offset 1e6 per shard.
+  /** N letter-permuted document shards; doc_id offset 1e6 per shard.
     * `source` and `lang` pass through unchanged — every shard's
     * source/lang distribution equals the original's exactly (the
     * isomorph property), which the source-keyed ops (DSIR target
-    * split, temperature mixing) and the corpus card need. */
-  def docs10x(spark: SparkSession, dir: String): DataFrame = {
+    * split, temperature mixing) and the corpus card need. Seeds are
+    * per-shard, so any N up to the id-offset bound (1000) keeps the
+    * construction: N = 30 is the round-11 superlinear-suspect point
+    * (VERDICT r10 #4). */
+  def docsNx(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val base = Tables.documents(spark, dir)
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    (0 until 10).map { s =>
+    (0 until n).map { s =>
       val mapped =
         if (s == 0)
           base.select(col("doc_id"), col("source"), col("lang"), col("text"))
@@ -59,11 +65,15 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
   }
 
-  /** 10 signed-dimension-permuted embedding shards; vec_id offset 1e6
+  /** The 10x documents corpus (the standard rehearsal point). */
+  def docs10x(spark: SparkSession, dir: String): DataFrame =
+    docsNx(spark, dir, 10)
+
+  /** N signed-dimension-permuted embedding shards; vec_id offset 1e6
     * per shard. */
-  def embeddings10x(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingsNx(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val base = Tables.embeddings(spark, dir)
-    (0 until 10).map { s =>
+    (0 until n).map { s =>
       val e =
         if (s == 0) base.select(col("vec_id"), col("embedding"))
         else {
@@ -81,17 +91,25 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
   }
 
+  /** The 10x embeddings corpus (the standard rehearsal point). */
+  def embeddings10x(spark: SparkSession, dir: String): DataFrame =
+    embeddingsNx(spark, dir, 10)
+
   /** 10 user-offset event shards sharing the SAME calendar days —
     * per-user structure identical, but every shared-day aggregate
     * (concurrency sweeps, day-keyed overlap joins) sees 10x load.
     * Carries event_id (shard-offset, stays unique), event_type and
     * value so the event-time wave (q177 attribution, q178 interval
     * union, q180 interpolation) runs on the same corpus. */
-  def events10x(spark: SparkSession, dir: String): DataFrame = {
+  def events10x(spark: SparkSession, dir: String): DataFrame =
+    eventsNx(spark, dir, 10)
+
+  /** N user-offset event shards (see [[events10x]]). */
+  def eventsNx(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val base = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
-    (0 until 10).map { sh =>
+    (0 until n).map { sh =>
       base.select(
         (col("event_id") + lit(sh * 100000000L)).as("event_id"),
         (col("user_id") + lit(sh * 10000000L)).as("user_id"),
@@ -122,7 +140,6 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = sys.props("java.io.tmpdir") + "/graft_scale10"
     val spark = SparkSession.builder()
       .appName("graft-scale-rehearsal")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -143,50 +160,61 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean =
       onlyOps.forall(_.exists(name.startsWith))
-    // materialize the 10x corpora ONCE as parquet so generation cost
-    // never pollutes the operator timings (a real 10x corpus is read,
-    // not synthesized); the source fingerprint marker invalidates the
-    // cache when the testdata is regenerated in place (same guard as
-    // Tables.bucketedPair — a stale 10x corpus would silently measure
-    // last round's data)
-    val fpFile = java.nio.file.Paths.get(s"$out/.source_fingerprint")
-    // "v4|" = corpus schema version (round 7 added source, round 8
-    // added lang for the corpus-card row, round 9 added
-    // event_id/event_type/value for the event-time wave) — a
-    // code-level schema change must invalidate the cached corpus just
-    // like a testdata regen
-    val fp = "v4|" + Tables.sourceFingerprint(dir,
-      Seq("documents", "embeddings", "events"))
-    val fresh = java.nio.file.Files.exists(fpFile) &&
-      java.nio.file.Files.readString(fpFile) == fp
-    if (!fresh) {
-      docs10x(spark, dir).write.mode("overwrite")
-        .parquet(s"$out/documents.parquet")
-      embeddings10x(spark, dir).write.mode("overwrite")
-        .parquet(s"$out/embeddings.parquet")
-      events10x(spark, dir).write.mode("overwrite")
-        .parquet(s"$out/events.parquet")
-      java.nio.file.Files.createDirectories(fpFile.getParent)
-      java.nio.file.Files.writeString(fpFile, fp)
+    // Scale points: default 1x + 10x; SPARK_GRAFT_REHEARSAL_SCALES=
+    // "1x,10x,30x" adds the superlinear-suspect point (VERDICT r10 #4
+    // — a second doubling-decade pins the exponent a single 10x ratio
+    // can't). Any "Nx" materializes an N-shard isomorph corpus.
+    val scales = sys.env.get("SPARK_GRAFT_REHEARSAL_SCALES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("1x", "10x"))
+    def shardsOf(scale: String): Int = scale.stripSuffix("x").toInt
+    def outFor(scale: String): String =
+      sys.props("java.io.tmpdir") + s"/graft_scale${shardsOf(scale)}"
+    // materialize each scaled corpus ONCE as parquet so generation
+    // cost never pollutes the operator timings (a real Nx corpus is
+    // read, not synthesized); the source fingerprint marker
+    // invalidates the cache when the testdata is regenerated in place
+    // (same guard as Tables.bucketedPair — a stale corpus would
+    // silently measure last round's data). "v4|" = corpus schema
+    // version (round 7 added source, round 8 lang, round 9
+    // event_id/event_type/value); "nN|" pins the shard count.
+    scales.filterNot(_ == "1x").distinct.foreach { sc =>
+      val n = shardsOf(sc)
+      val o = outFor(sc)
+      val fpFile = java.nio.file.Paths.get(s"$o/.source_fingerprint")
+      val fp = s"v4|n$n|" + Tables.sourceFingerprint(dir,
+        Seq("documents", "embeddings", "events"))
+      val fresh = java.nio.file.Files.exists(fpFile) &&
+        java.nio.file.Files.readString(fpFile) == fp
+      if (!fresh) {
+        docsNx(spark, dir, n).write.mode("overwrite")
+          .parquet(s"$o/documents.parquet")
+        embeddingsNx(spark, dir, n).write.mode("overwrite")
+          .parquet(s"$o/embeddings.parquet")
+        eventsNx(spark, dir, n).write.mode("overwrite")
+          .parquet(s"$o/events.parquet")
+        java.nio.file.Files.createDirectories(fpFile.getParent)
+        java.nio.file.Files.writeString(fpFile, fp)
+      }
     }
 
     def docsAt(scale: String): DataFrame =
       if (scale == "1x") Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      else spark.read.parquet(s"$out/documents.parquet")
+      else spark.read.parquet(s"${outFor(scale)}/documents.parquet")
     def embAt(scale: String): DataFrame =
       if (scale == "1x") Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
-      else spark.read.parquet(s"$out/embeddings.parquet")
+      else spark.read.parquet(s"${outFor(scale)}/embeddings.parquet")
     def evAt(scale: String): DataFrame =
       if (scale == "1x") Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"), col("value"))
-      else spark.read.parquet(s"$out/events.parquet")
+      else spark.read.parquet(s"${outFor(scale)}/events.parquet")
 
     // an unreported 1x warmup pass first: JIT/codegen warmup otherwise
     // lands entirely on the 1x numbers and flatters every 10x ratio
-    for ((scale, emit) <- Seq(("1x", false), ("1x", true), ("10x", true))) {
+    for ((scale, emit) <- ("1x", false) +: scales.map(s => (s, true))) {
       def report(name: String, seconds: Double, rows: Long): Unit =
         if (emit)
           println(s"""{"op":"$name","scale":"$scale",""" +
@@ -761,9 +789,18 @@ object ScaleRehearsal {
           val supplies = d.groupBy(col("source"))
             .agg(sum(size(split(col("text"), " ")).cast("long"))
               .as("supply"))
-            .withColumn("weight", expr(
-              // the q148 isqrt inline (private[ops]): seed + ±1 adjust
+            // the q148 exact isqrt (Sampling.isqrt is private[ops]):
+            // double-sqrt seed, then the same ±1 adjustment as
+            // production so rehearsal weights match waterfillAlloc's
+            // even at near-perfect-square supplies.
+            .withColumn("w0", expr(
               "CAST(FLOOR(SQRT(CAST(supply AS DOUBLE))) AS BIGINT)"))
+            .withColumn("w1", col("w0") -
+              when(col("w0") * col("w0") > col("supply"), 1L).otherwise(0L))
+            .withColumn("weight", col("w1") +
+              when((col("w1") + 1L) * (col("w1") + 1L) <= col("supply"), 1L)
+                .otherwise(0L))
+            .drop("w0", "w1")
           val n = graft.ops.Sampling.waterfillAllocOn(supplies).count()
           Dedup.unpersistCaches()
           n
@@ -995,6 +1032,40 @@ object ScaleRehearsal {
           n
         }
         report("q222_hh_union", tHh, nHh)
+      }
+      // q241 (and q242, which is the same per-word stats aggregated
+      // at source grain): BPE encode — word explode + VOCAB-sized
+      // interpreted fold chain + join back; the watched quantity is
+      // whether the vocab-bounded discipline holds (the 10x corpus's
+      // letter permutation multiplies the VOCAB ~10x while tokens
+      // grow 10x, the worst case for the encode join's build side)
+      if (wanted("q241")) {
+        val (nBe, tBe) = timed(
+          graft.ops.TextAnalysis.bpeEncodeStatsDocs(d).count())
+        report("q241_bpe_encode", tBe, nBe)
+      }
+      // q170: sharded padding waste — chunk spans + per-shard
+      // greedy-packing windows; shard count held at the query's 4 so
+      // the 10x point stresses per-shard window size
+      if (wanted("q170")) {
+        val (nPw, tPw) = timed(
+          graft.ops.Layout.paddingWasteDocs(d, nShards = 4).count())
+        report("q170_padding_waste_sharded", tPw, nPw)
+      }
+      // q150: incremental semantic dedup against the persisted IVF
+      // corpus state — dir-based on the materialized 10x corpus (the
+      // 10x dir has embeddings.parquet; events conversion is not in
+      // play). autoK scales cells with N, so the watched ratio is the
+      // probe side staying batch-bounded.
+      if (wanted("q150")) {
+        val sdDir = if (scale == "1x") dir else outFor(scale)
+        val (nIs, tIs) = timed {
+          val n = graft.ops.Ivf.incrementalSemanticDedup(spark, sdDir)
+            .count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q150_semdedup_incremental", tIs, nIs)
       }
       // q65 shape at the SCALE path: LSH embedding near-dup edges +
       // connected components (the exact all-pairs generator is the

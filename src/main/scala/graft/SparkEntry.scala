@@ -345,6 +345,10 @@ object SparkEntry {
       Similarity.closureAudit(s, d)),
     "q239_error_burn"       -> (TimeSeries.errorBurn _),
     "q240_quality_rank"     -> (TextAnalysis.sourceQualityRank _),
+    "q241_bpe_encode"       -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeEncodeStats(s, d)),
+    "q242_bpe_fertility"    -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeFertility(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2664,6 +2668,8 @@ object SparkEntry {
       "q238_closure_audit" -> Similarity.closureAuditOracleSql(),
       "q239_error_burn" -> TimeSeries.errorBurnOracleSql,
       "q240_quality_rank" -> TextAnalysis.sourceQualityRankOracleSql,
+      "q241_bpe_encode" -> TextAnalysis.bpeEncodeStatsOracleSql(),
+      "q242_bpe_fertility" -> TextAnalysis.bpeFertilityOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

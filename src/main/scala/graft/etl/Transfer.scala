@@ -340,12 +340,24 @@ object Transfer {
     val selected = metas.filterNot(m => exclude.contains(m.qualifiedName))
     // phase 1: DDL without FKs
     selected.foreach(m => execDdl(PgDdl.createTable(m)))
-    // phase 2: data
+    // phase 2: data. The per-table row count rides an observe() node
+    // on the write's own action (the Pipeline.curateObserved pattern,
+    // zero extra action) instead of a post-write df.count() — the
+    // count() form re-executed the partitioned source read per table,
+    // doubling source I/O at migration scale (VERDICT r10 #1).
+    // CONTRACT (same as curateObserved): `write` must execute exactly
+    // one Spark action over the frame it is given — every real sink
+    // (JDBC batch insert, parquet, noop) does; Observation.get then
+    // returns the already-collected metric without blocking.
     val results = selected.map { m =>
       try {
         val df = read(m)
-        write(m, df)
-        TransferResult(m.qualifiedName, df.count(), ok = true)
+        val obs = new org.apache.spark.sql.Observation()
+        write(m, df.observe(obs, org.apache.spark.sql.functions.count(
+          lit(1)).as("rows")))
+        val metrics = obs.get
+        TransferResult(m.qualifiedName,
+          metrics("rows").asInstanceOf[Long], ok = true)
       } catch {
         case NonFatal(e) =>
           TransferResult(m.qualifiedName, 0L, ok = false, Some(e.getMessage))

@@ -1000,6 +1000,204 @@ object TextAnalysis {
        |  (ORDER BY n_weighted DESC, sym_a, sym_b) <= $topK
        |ORDER BY n_weighted DESC, sym_a, sym_b""".stripMargin
 
+  // ----------------------------------------------------- BPE encode
+
+  /** The learned merge table: the top `nMerges` adjacent-char pairs
+    * of [[bpePairStats]] in their deterministic priority order
+    * ((n_weighted desc, sym_a, sym_b) — rank 1 = highest priority).
+    * Driver-state-sized by construction (nMerges rows — the Ivf
+    * centroid-collect precedent); a production tokenizer's merge
+    * table is likewise a driver/broadcast artifact, never data-sized. */
+  private[graft] def bpeMerges(docs: DataFrame,
+      nMerges: Int): Seq[(String, String)] =
+    bpePairStatsDocs(docs, nMerges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** SQL expression encoding word column `wcol` under `merges`: start
+    * from the chr(31)-separated char sequence, then ONE sequential
+    * fold per merge rule in priority order. Each fold walks the
+    * current token list left to right; a single-char token equal to
+    * sym_a (i.e. the accumulator ends with SEP+a) followed by a
+    * single-char token equal to sym_b fuses — leftmost-non-overlapping
+    * by construction, because the fused 2-char token can never match
+    * either side of a CHAR-pair rule again. For char-pair rules this
+    * sequential per-rule application IS full BPE encoding: applying a
+    * rule only removes single-char tokens, so no higher-priority rule
+    * can become applicable later. Merge symbols are injected as
+    * chr(<code>) literals so the generated SQL is quoting-proof, and
+    * the DuckDB oracle replays the identical fold via list_reduce —
+    * the merge table itself is re-derived inside the oracle (the
+    * autoK data-dependent-parameter rule), so the hash compare proves
+    * BOTH the ranking and the encode. */
+  private[graft] def bpeEncodeSqlExpr(wcol: String,
+      merges: Seq[(String, String)]): String = {
+    val init = s"concat_ws(chr(31), transform(sequence(1, " +
+      s"length($wcol)), i -> substring($wcol, i, 1)))"
+    merges.foldLeft(init) { case (s, (a, b)) =>
+      val aL = s"chr(${a.head.toInt})"
+      val bL = s"chr(${b.head.toInt})"
+      s"substring(aggregate(split($s, chr(31)), '', (acc, x) -> " +
+        s"CASE WHEN endswith(acc, chr(31) || $aL) AND x = $bL " +
+        s"THEN acc || x ELSE acc || chr(31) || x END), 2)"
+    }
+  }
+
+  /** Per-word-occurrence BPE token stats: (doc_id, source, w) rows
+    * joined with the VOCAB-level encoding (each distinct word is
+    * encoded once — the same vocab-bounded discipline as the trainer
+    * kernel; the per-occurrence join carries two longs, never the
+    * encoded string). */
+  private[graft] def bpeWordStats(docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    val merges = bpeMerges(docs, nMerges)
+    val words = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val enc = words.select(col("w")).distinct()
+      .withColumn("enc", expr(bpeEncodeSqlExpr("w", merges)))
+      .select(col("w"),
+        length(col("w")).cast("long").as("n_chars"),
+        size(split(col("enc"), "\u001F")).cast("long").as("n_tok"))
+    words.join(enc, Seq("w"))
+  }
+
+  /** BPE encode stats (q241): per document, whitespace-word count,
+    * char count, and the token count under the LEARNED tokenizer —
+    * the top-`nMerges` merge rules of q207 applied as a real encode
+    * (the operator the fertility and packing ops presuppose).
+    * tok_per_word_ppm is the doc's fertility under the learned
+    * tokenizer; saved_ppm is the compression vs char-level tokens.
+    *
+    * Scale shape: one corpus scan → word explode (doc-keyed) → a
+    * vocab-sized distinct + interpreted fold chain (vocab-bounded —
+    * the trainer-kernel discipline) → hash join back on the word →
+    * one doc-keyed aggregate. The merge table is driver-sized. */
+  def bpeEncodeStats(spark: SparkSession, dir: String,
+      nMerges: Int = 12): DataFrame =
+    bpeEncodeStatsDocs(Tables.documents(spark, dir), nMerges)
+
+  /** Frame-based core of [[bpeEncodeStats]] (needs doc_id, source,
+    * text). */
+  def bpeEncodeStatsDocs(docs: DataFrame, nMerges: Int = 12): DataFrame =
+    bpeWordStats(docs, nMerges)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        expr("CAST(sum(n_tok) * 1000000 div count(1) AS BIGINT)")
+          .as("tok_per_word_ppm"),
+        expr("CAST((sum(n_chars) - sum(n_tok)) * 1000000 " +
+          "div sum(n_chars) AS BIGINT)").as("saved_ppm"))
+      .orderBy(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"), col("tok_per_word_ppm"), col("saved_ppm"))
+
+  private def bpeMergeRankSql: String =
+    """v AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM wx WHERE LENGTH(w) >= 2 GROUP BY w),
+      |pos AS (
+      |  SELECT w, freq, UNNEST(GENERATE_SERIES(1, LENGTH(w) - 1)) AS i
+      |  FROM v),
+      |m AS (
+      |  SELECT SUBSTR(w, i, 1) AS a, SUBSTR(w, i + 1, 1) AS b,
+      |    ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC,
+      |      SUBSTR(w, i, 1), SUBSTR(w, i + 1, 1)) AS rnk
+      |  FROM pos GROUP BY 1, 2)""".stripMargin
+
+  /** The unrolled per-rule fold CTE chain e0..e`nMerges` (the q213
+    * unrolled-iteration pattern): rule k is a 1-row LEFT JOIN ON TRUE
+    * (an absent rank — fewer distinct pairs than nMerges — degrades
+    * to identity, matching the Spark side's shorter fold chain). */
+  private def bpeEncodeCtesSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { k =>
+      s"""e$k AS (
+         |  SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE
+         |    SUBSTR(list_reduce(list_prepend('', STRING_SPLIT(e.s, chr(31))),
+         |      (acc, x) -> CASE WHEN ends_with(acc, chr(31) || m.a)
+         |        AND x = m.b THEN acc || x
+         |        ELSE acc || chr(31) || x END), 2) END AS s
+         |  FROM e${k - 1} e LEFT JOIN (SELECT a, b FROM m WHERE rnk = $k) m
+         |    ON TRUE)""".stripMargin
+    }
+    s"""e0 AS (
+       |  SELECT w, ARRAY_TO_STRING([SUBSTR(w, CAST(i AS INTEGER), 1)
+       |    FOR i IN range(1, LENGTH(w) + 1)], chr(31)) AS s
+       |  FROM (SELECT DISTINCT w FROM wx)),
+       |${rounds.mkString(",\n")},
+       |enc AS (
+       |  SELECT w, CAST(LENGTH(w) AS BIGINT) AS n_chars,
+       |    CAST(LEN(STRING_SPLIT(s, chr(31))) AS BIGINT) AS n_tok
+       |  FROM e$nMerges)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeEncodeStats]] — re-derives the merge
+    * ranking AND replays the fold chain. */
+  def bpeEncodeStatsOracleSql(nMerges: Int = 12): String =
+    s"""WITH wx AS (
+       |  SELECT doc_id, source, w
+       |  FROM (SELECT doc_id, source,
+       |    UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+       |  WHERE LENGTH(w) >= 1),
+       |$bpeMergeRankSql,
+       |${bpeEncodeCtesSql(nMerges)}
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(n_tok) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS tok_per_word_ppm,
+       |  CAST((SUM(n_chars) - SUM(n_tok)) * 1000000 // SUM(n_chars)
+       |    AS BIGINT) AS saved_ppm
+       |FROM wx JOIN enc USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id, n_words, n_chars, n_bpe_tokens,
+       |  tok_per_word_ppm, saved_ppm""".stripMargin
+
+  /** BPE fertility (q242): the q155 question — characters per token,
+    * tokens per word, per source — answered by the LEARNED tokenizer
+    * instead of the regex proxy: per source, words, chars, BPE
+    * tokens, fertility (tokens per word) and chars per BPE token in
+    * exact ppm. Same vocab-bounded encode as [[bpeEncodeStats]]; one
+    * source-keyed aggregate (map-side combined). */
+  def bpeFertility(spark: SparkSession, dir: String,
+      nMerges: Int = 12): DataFrame =
+    bpeFertilityDocs(Tables.documents(spark, dir), nMerges)
+
+  /** Frame-based core of [[bpeFertility]]. */
+  def bpeFertilityDocs(docs: DataFrame, nMerges: Int = 12): DataFrame =
+    bpeWordStats(docs, nMerges)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tok")).as("sum_bpe_tokens"),
+        expr("CAST(sum(n_tok) * 1000000 div count(1) AS BIGINT)")
+          .as("tok_per_word_ppm"),
+        expr("CAST(sum(n_chars) * 1000000 div sum(n_tok) AS BIGINT)")
+          .as("chars_per_tok_ppm"))
+      .orderBy(col("source"), col("n_words"), col("sum_chars"),
+        col("sum_bpe_tokens"), col("tok_per_word_ppm"),
+        col("chars_per_tok_ppm"))
+
+  /** DuckDB oracle for [[bpeFertility]]. */
+  def bpeFertilityOracleSql(nMerges: Int = 12): String =
+    s"""WITH wx AS (
+       |  SELECT doc_id, source, w
+       |  FROM (SELECT doc_id, source,
+       |    UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+       |  WHERE LENGTH(w) >= 1),
+       |$bpeMergeRankSql,
+       |${bpeEncodeCtesSql(nMerges)}
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_bpe_tokens,
+       |  CAST(SUM(n_tok) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS tok_per_word_ppm,
+       |  CAST(SUM(n_chars) * 1000000 // SUM(n_tok) AS BIGINT)
+       |    AS chars_per_tok_ppm
+       |FROM wx JOIN enc USING (w)
+       |GROUP BY source
+       |ORDER BY source, n_words, sum_chars, sum_bpe_tokens,
+       |  tok_per_word_ppm, chars_per_tok_ppm""".stripMargin
+
   /** Token counting: whitespace tokens vs a BPE-ish regex token split
     * (letter runs, digit runs, single punctuation marks). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -811,13 +811,23 @@ object TimeSeries {
     errorBurnOn(Tables.events(spark, dir))
 
   /** Frame-based core of [[errorBurn]] (needs event_type + µs ts). */
-  def errorBurnOn(events: DataFrame): DataFrame = {
+  def errorBurnOn(events: DataFrame): DataFrame =
+    errorBurnFromDaily(dailyErrorCounts(events))
+
+  /** The additive state of the error-burn profile: per integer day,
+    * total and error event counts. Counts merge by per-day sum, so a
+    * streaming twin's state is chunking-invariant (the
+    * weekdayCounts pattern) and bounded by the calendar. */
+  def dailyErrorCounts(events: DataFrame): DataFrame = events
+    .select(expr("unix_micros(ts) div 86400000000").as("day"),
+      (col("event_type") === "error").cast("long").as("is_err"))
+    .groupBy(col("day"))
+    .agg(count(lit(1)).as("n_events"), sum(col("is_err")).as("n_errors"))
+
+  /** The burn profile as a READ over the daily-count state (batch and
+    * streaming share it verbatim, so the twin cannot drift). */
+  def errorBurnFromDaily(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = events
-      .select(expr("unix_micros(ts) div 86400000000").as("day"),
-        (col("event_type") === "error").cast("long").as("is_err"))
-      .groupBy(col("day"))
-      .agg(count(lit(1)).as("n_events"), sum(col("is_err")).as("n_errors"))
     val w7 = Window.orderBy(col("day")).rangeBetween(-6, 0)
     daily
       .withColumn("t7n", sum(col("n_events")).over(w7))

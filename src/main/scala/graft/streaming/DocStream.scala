@@ -226,6 +226,61 @@ object DocStream {
     * seen-state anti-joins the batch's own ids — a crash after
     * promote would otherwise drop every replayed doc against its own
     * state row at hamming 0). */
+  /** Streaming twin of the q237 boundary-stitch detector (the
+    * phashDedupStream shape): corpus state is
+    * [[graft.ops.Dedup.boundaryFeatures]] — head64/tail64/len per
+    * seen doc, 128 chars of features, never the payload. Each
+    * micro-batch emits the NEW stitch pairs involving batch docs
+    * (batch heads vs all seen tails, and batch tails vs prior heads)
+    * under the frequency caps of the CURRENT seen corpus, then
+    * promotes the feature state crash-safe. The authoritative stitch
+    * table is a READ over the state —
+    * `boundaryStitchesFromFeatures(state, state)` — which equals the
+    * batch op verbatim (parity spec), while the per-batch emissions
+    * are the monitoring stream: a key that later crosses maxKeyFreq
+    * was below it when its early pairs were emitted, so emissions are
+    * a superset near the cap boundary and the state read is the
+    * reconciliation (the round-4 end-of-load-reconciliation rule). */
+  def boundaryStitchStream(docs: DataFrame, outDir: String,
+      stateDir: String, maxKeyFreq: Long = 64L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$stateDir.ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        boundaryProcessBatch(batch, batchId, outDir, stateDir, maxKeyFreq)
+      }
+
+  /** One micro-batch of [[boundaryStitchStream]], extracted so the
+    * replay-idempotence spec can run the production body twice. */
+  private[graft] def boundaryProcessBatch(batch: DataFrame,
+      batchId: Long, outDir: String, stateDir: String,
+      maxKeyFreq: Long): Unit = {
+    val s = batch.sparkSession
+    val dd = graft.ops.Dedup
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bf = dd.boundaryFeatures(batch.select(col("doc_id"), col("text")))
+      .persist(lvl)
+    val prior: Option[DataFrame] =
+      if (new java.io.File(stateDir).exists())
+        Some(s.read.parquet(stateDir)
+          .join(bf.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .persist(lvl))
+      else None
+    val union = prior.fold(bf)(_.unionByName(bf)).persist(lvl)
+    try {
+      val fresh = prior match {
+        case None => dd.boundaryStitchesFromFeatures(bf, bf, maxKeyFreq)
+        case Some(p) =>
+          dd.boundaryStitchesFromFeatures(union, bf, maxKeyFreq)
+            .unionByName(dd.boundaryStitchesFromFeatures(bf, p, maxKeyFreq))
+      }
+      fresh.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      CdcStream.promoteState(stateDir, union.dropDuplicates("doc_id"))
+    } finally {
+      union.unpersist(); prior.foreach(_.unpersist()); bf.unpersist(): Unit
+    }
+  }
+
   def phashDedupStream(docs: DataFrame, dir: String, outDir: String,
       stateDir: String, maxHamming: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -43,6 +43,29 @@ object EventStream {
         CdcStream.promoteState(stateDir, merged)
     }
 
+  /** Streaming twin of the q239 error-budget burn: per-day
+    * (n_events, n_errors) counts are additive, so the state merges by
+    * per-day sum (chunking-invariant, calendar-bounded — the
+    * weekdayCountsStream shape) and the burn profile — err_ppm plus
+    * the trailing-7-day RANGE share — is a READ over the state via
+    * the same TimeSeries.errorBurnFromDaily the batch op uses, so the
+    * twin cannot drift. */
+  def errorBurnStream(events: DataFrame, stateDir: String)
+      : DataStreamWriter[Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.ops.TimeSeries.dailyErrorCounts(batch)
+        val merged =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir).unionByName(partial)
+              .groupBy(col("day"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("n_errors")).as("n_errors"))
+          else partial
+        CdcStream.promoteState(stateDir, merged)
+    }
+
   /** Streaming tumbling-window aggregation with watermark — the
     * streaming twin of ops.Events.tumbling. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -66,6 +66,52 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
       s"queries with no PLANS.md entry: ${missing.mkString(", ")}")
   }
 
+  /** Queries from the round-4 wave on (q140+) that deliberately have
+    * no ScaleRehearsal row, each with the reason. The rehearsal's 10x
+    * corpora scale documents/embeddings/events ONLY, so relational-
+    * fact queries can't ride it; their scaling evidence is the
+    * bucketed-layout plan asserts (PlanShapeSpec/BucketingSpec) plus
+    * the sf0.001→sf0.1 (100x) bench series in BASELINE.md. */
+  private val rehearsalExempt: Map[String, String] = Map(
+    "q140" -> "orders-grain freshness audit (relational facts)",
+    "q141" -> "events-grain day-join; shape covered by q177/q178 rows",
+    "q142" -> "bucketed twin of q141 (same shape, fewer exchanges)",
+    "q143" -> "per-key linear LOCF window; shape covered by q180 row",
+    "q144" -> "id-bounded audit slice by design (maxId=200)",
+    "q158" -> "customer/orders-grain l-diversity (relational facts)",
+    "q162" -> "per-key linear EWMA window; shape covered by q180 row",
+    "q192" -> "id-bounded estimator-accuracy audit slice by design",
+    "q218" -> "TPC-H Q8 analog (relational facts)",
+    "q219" -> "customer-grain k-anon ladder (relational facts)",
+    "q224" -> "rollup over nation/region dims (relational facts)",
+    "q225" -> "TPC-H-style latency trend (relational facts)",
+    "q226" -> "TPC-H Q13 analog (relational facts)",
+    "q230" -> "TPC-H Q5 analog (relational facts)",
+    "q231" -> "TPC-H Q10 analog (relational facts)",
+    "q232" -> "TPC-H Q14 analog (relational facts)",
+    "q233" -> "TPC-H Q22 analog (relational facts)",
+    "q242" -> ("source-grain aggregate of q241's per-word stats " +
+      "(same encode, same plan below the final aggregate)"))
+
+  test("every query from q140 on has a ScaleRehearsal row or exemption") {
+    val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")
+    val missing = SparkEntry.queries.keySet.toSeq.sorted
+      .filter(k => qNum(k) >= 140)
+      .filter { k =>
+        val id = k.takeWhile(_ != '_')
+        !rehearsalExempt.contains(id) &&
+          !s"\\b$id\\b".r.findFirstIn(rehearsal).isDefined
+      }
+    assert(missing.isEmpty,
+      "queries with neither a ScaleRehearsal row nor an exemption: " +
+        missing.mkString(", "))
+    // exemptions must not mask a row that exists (stale exemption)
+    val stale = rehearsalExempt.keys.toSeq.sorted
+      .filter(id => s"""wanted\\("$id"\\)""".r.findFirstIn(rehearsal).isDefined)
+    assert(stale.isEmpty,
+      s"exempted queries that now HAVE rehearsal rows: ${stale.mkString(", ")}")
+  }
+
   test("README.md's registered-query count matches SparkEntry") {
     val readme = read("README.md")
     val m = "(\\d+) named queries".r.findFirstMatchIn(readme)

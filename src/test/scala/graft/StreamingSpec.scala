@@ -845,6 +845,98 @@ class StreamingSpec extends SparkSpec {
     assert(stateSnap() == st1, "replay grew the seen-state")
   }
 
+  test("error-burn stream state equals the one-shot burn profile (chunking-invariant)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    import graft.ops.TimeSeries
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val staged = Files.createTempDirectory("graft_burn_in").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val stateDir = Files.createTempDirectory("graft_burn_st").toString + "/s"
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = EventStream.errorBurnStream(stream, stateDir)
+      .option("checkpointLocation", s"$stateDir.ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val streamed = rows(TimeSeries.errorBurnFromDaily(
+      spark.read.parquet(stateDir)))
+    val batch = rows(TimeSeries.errorBurnOn(events))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"chunked-state burn profile diverged: ${streamed.take(3)} vs " +
+        s"${batch.take(3)}")
+  }
+
+  test("boundary-stitch stream state read equals the q237 batch run") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val staged = Files.createTempDirectory("graft_bst_in").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val root = Files.createTempDirectory("graft_bst").toString
+    val outDir = root + "/o"; val stateDir = root + "/s"
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.boundaryStitchStream(stream, outDir, stateDir).start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the authoritative table is the state READ — identical caps,
+    // identical features, so it equals the batch op exactly
+    val st = spark.read.parquet(stateDir)
+    val streamed = rows(Dedup.boundaryStitchesFromFeatures(st, st))
+    val batch = rows(Dedup.boundaryStitchesDocs(docs))
+    Dedup.unpersistCaches()
+    assert(streamed == batch,
+      s"state-read stitches diverged: ${(streamed -- batch).take(3)} / " +
+        s"${(batch -- streamed).take(3)}")
+    // every batch-op pair also surfaced in some micro-batch emission
+    // (emissions can be a superset near the cap boundary, never a
+    // subset)
+    val emitted = rows(spark.read.parquet(s"$outDir/batch_id=*"))
+    assert((batch -- emitted).isEmpty,
+      s"batch pairs never emitted: ${(batch -- emitted).take(3)}")
+  }
+
+  test("boundary-stitch micro-batch replay is value-idempotent (crash after promote)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import spark.implicits._
+    // a planted stitch inside the batch: doc 4 begins with doc 2's
+    // 8-char tail
+    val b0 = Seq((2L, "qqqqqqqqxxxxxxba"), (4L, "xxxxxxbazzzz"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_bst_replay").toString
+    val outDir = root + "/o"; val stateDir = root + "/s"
+    def run() = DocStream.boundaryProcessBatch(b0, 0L, outDir, stateDir, 64L)
+    def outSnap() = spark.read.parquet(s"$outDir/batch_id=0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def stateSnap() = spark.read.parquet(stateDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    run()
+    val out1 = outSnap(); val st1 = stateSnap()
+    assert(out1 == Set((2L, 4L, 8L)), s"fixture stitch missing: $out1")
+    assert(st1 == Set(2L, 4L))
+    run() // replay — state already holds this batch's features
+    assert(outSnap() == out1,
+      s"replay changed emissions: ${(outSnap() -- out1).take(3)}")
+    assert(stateSnap() == st1, "replay grew the feature state")
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // stage a µs-timestamp copy (the raw testdata is TIMESTAMP(NANOS),
     // which the file stream source can't bind to a TIMESTAMP schema)

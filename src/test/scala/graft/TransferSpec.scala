@@ -310,7 +310,9 @@ class TransferSpec extends SparkSpec {
     val results = Transfer.migrate(metas, exclude = Set.empty,
       execDdl = ddl += _,
       read = _ => data,
-      write = (_, _) => ())
+      // the write contract: one Spark action over the given frame
+      // (the observe() row count rides it)
+      write = (_, d) => d.write.format("noop").mode("overwrite").save())
     assert(results.head.ok && results.head.rows == 2)
     // phase order: CREATE before ALTER..FOREIGN KEY before setval
     val createIdx = ddl.indexWhere(_.startsWith("CREATE TABLE"))
@@ -319,5 +321,27 @@ class TransferSpec extends SparkSpec {
     assert(createIdx >= 0 && fkIdx > createIdx && seqIdx > fkIdx)
     assert(ddl.count(_.contains("FOREIGN KEY")) == 3)
     assert(ddl.last.contains("setval"))
+  }
+
+  test("migrate reads each table once when the writer runs an action") {
+    import graft.meta.{ColumnMeta, TableMeta}
+    import org.apache.spark.sql.types.{LongType, VarcharType}
+    // no serial column: phase 4 (sequence sync) has no second,
+    // by-design read, so the accumulator isolates phase 2 exactly
+    val meta = TableMeta(Some("public"), "plain_table",
+      columns = Seq(ColumnMeta("id", LongType, nullable = false),
+        ColumnMeta("name", VarcharType(16), nullable = true)))
+    val acc = spark.sparkContext.longAccumulator("transfer_scans")
+    val data = Seq((1L, "e1"), (2L, "e2")).toDS()
+      .map { t => acc.add(1); t }.toDF("id", "name")
+    val results = Transfer.migrate(Seq(meta), exclude = Set.empty,
+      execDdl = _ => (),
+      read = _ => data,
+      write = (_, d) => d.write.format("noop").mode("overwrite").save())
+    // the TransferResult count comes from the observe() node riding
+    // the write action — 2 rows scanned ONCE, not re-counted
+    assert(results.head.ok && results.head.rows == 2)
+    assert(acc.value == 2L,
+      s"expected one scan of 2 rows, saw ${acc.value} row-reads")
   }
 }
