@@ -1081,6 +1081,13 @@ object ScaleRehearsal {
         edges.unpersist()
         Dedup.unpersistCaches()
         report("q65_cc_clusters", tCc, nCc)
+        // density CONTROL: planes ∝ log₂N (autoPlanes) — the fix the
+        // N^2.0 fixed-plane edge fit demands; the edge stream should
+        // flatten to ~linear while true near-dups (θ≈0) survive
+        val nVecs = e.count()
+        val (nEa, tEa) = timed(Similarity.lshEmbeddingNearDups(e, 0.2,
+          Similarity.autoPlanes(nVecs)).count())
+        report("q65_lsh_edges_auto", tEa, nEa)
       }
     }
     spark.stop()

@@ -1749,7 +1749,10 @@ object SparkEntry {
             "\nORDER BY fk_edge, n_rows, n_orphans")
       },
       // TWAP: duration-weighted value per user-day, exact numerator,
-      // one double division
+      // exact truncating integer division (micro-units). The double
+      // round(num/sum_dt, 6) form diverged by 1 ulp-of-ROUND on 8
+      // sf0.1 cells whose quotient sat exactly on a x.xxxxxx5
+      // boundary — the round-11 full-sf0.1 sweep's catch.
       "q113_twap" ->
         """WITH obs AS (
           |  SELECT user_id, date_trunc('day', ts) AS day,
@@ -1767,8 +1770,7 @@ object SparkEntry {
           |  FROM obs WHERE dt_us IS NOT NULL GROUP BY 1, 2)
           |SELECT user_id, day, n_weighted,
           |  CASE WHEN sum_dt = 0 THEN NULL
-          |       ELSE ROUND(CAST(num AS DOUBLE) / CAST(sum_dt AS DOUBLE),
-          |                  6) END AS twap_micro
+          |       ELSE CAST(num // sum_dt AS BIGINT) END AS twap_micro
           |FROM g
           |ORDER BY user_id, day, n_weighted, twap_micro""".stripMargin,
       // cross-source shingle overlap: literal substrings, no hashes

@@ -321,6 +321,24 @@ object Similarity {
   /** Scale path: near-dup pairs via LSH bucket join — only vectors in
     * the same bucket are compared (recall/threshold trade measured in
     * AnalyticsSpec with planted duplicates). */
+  /** Plane count that holds expected LSH bucket occupancy constant:
+    * the smallest p ≥ 8 with nVecs / 2^p ≤ targetPerBucket (capped at
+    * 20). Fixed planes make bucket DENSITY — and so candidate-pair
+    * volume — grow N² (measured: edge count fits N^2.0 over the
+    * 1x→10x→30x rehearsal decades, BASELINE.md round 11); planes ∝
+    * log₂N holds pairs-per-bucket constant so the edge stream grows
+    * ~linearly, the same constant-cell-size move as Ivf.autoK. Safe
+    * for the near-DUP contract: a true near-duplicate pair (θ ≈ 0)
+    * keeps per-plane agreement 1 − θ/π ≈ 1, so its bucket-collision
+    * probability stays high at ANY plane count — extra planes shed
+    * the unrelated-pair mass, not the duplicates (recall spec in
+    * Round11OpsSpec). */
+  def autoPlanes(nVecs: Long, targetPerBucket: Long = 24L): Int = {
+    var p = 8
+    while ((nVecs >> p) > targetPerBucket && p < 20) p += 1
+    p
+  }
+
   def lshEmbeddingNearDups(emb: DataFrame, minCos: Double,
       numPlanes: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)

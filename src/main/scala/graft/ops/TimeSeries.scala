@@ -136,15 +136,23 @@ object TimeSeries {
         (lead(unix_micros(col("ts")), 1).over(seq) -
           unix_micros(col("ts"))).as("dt_us"))
       .filter(col("dt_us").isNotNull)
+    // twap_micro is an exact integer micro-unit rate (truncating div,
+    // positive operands — the integer-ppm rule): the prior
+    // round(num/sum_dt, 6) double form hit the cross-engine
+    // ROUND-of-double boundary at sf0.1 (8 cells exactly on a
+    // x.xxxxxx5 quotient — Spark rounds the double's exact binary
+    // expansion HALF_UP, DuckDB rounds via a 1e6 multiply that
+    // carries its own ulp), the first bug the round-11 full-sf0.1
+    // sweep caught.
     obs.groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_weighted"),
         sum(col("dt_us")).as("sum_dt"),
         sum((col("v_micro").cast("decimal(38,0)") * col("dt_us")))
           .as("num"))
       .select(col("user_id"), col("day"), col("n_weighted"),
-        when(col("sum_dt") === 0, lit(null).cast("double"))
-          .otherwise(round(col("num").cast("double") /
-            col("sum_dt").cast("double"), 6)).as("twap_micro"))
+        when(col("sum_dt") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(num div sum_dt AS BIGINT)"))
+          .as("twap_micro"))
       .orderBy(col("user_id"), col("day"), col("n_weighted"),
         col("twap_micro"))
   }

@@ -474,8 +474,8 @@ class BehaviorSpec extends SparkSpec {
     ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
     val r = graft.ops.TimeSeries.twap(spark, dir).collect()
     assert(r.length == 1)
-    assert(r(0).getAs[Double]("twap_micro") == 19000000.0,
-      s"(10*9 + 100*1)/10 = 19, got ${r(0).getAs[Double]("twap_micro")}")
+    assert(r(0).getAs[Long]("twap_micro") == 19000000L,
+      s"(10*9 + 100*1)/10 = 19, got ${r(0).getAs[Long]("twap_micro")}")
     assert(r(0).getAs[Long]("n_weighted") == 2L)
   }
 

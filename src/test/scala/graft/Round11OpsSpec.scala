@@ -126,6 +126,48 @@ class Round11OpsSpec extends SparkSpec {
     assert(idx1.nDocs === 50L)
   }
 
+  // ------------------------------------------------- autoPlanes LSH
+
+  test("autoPlanes holds expected bucket occupancy constant (capped)") {
+    val S = graft.ops.Similarity
+    assert(S.autoPlanes(6000) === 8)    // 6000 >> 8 = 23 <= 24 already
+    assert(S.autoPlanes(60000) === 12)  // 60000 >> 12 = 14
+    assert(S.autoPlanes(180000) === 13) // the 30x rehearsal point
+    assert(S.autoPlanes(1L << 40) === 20) // cap
+    // occupancy bound below the cap; monotone in N
+    for (n <- Seq(1000L, 50000L, 400000L, 3000000L)) {
+      val p = S.autoPlanes(n)
+      assert(p >= 8 && p <= 20)
+      if (p < 20) assert((n >> p) <= 24L)
+      assert(S.autoPlanes(n * 2) >= p)
+    }
+  }
+
+  test("near-identical duplicates survive the auto-scaled plane count") {
+    val s = spark
+    import s.implicits._
+    val r = new scala.util.Random(42)
+    def vec(): Seq[Float] = Seq.fill(64)(r.nextFloat() * 2f - 1f)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val d1 = vec()
+    // θ ≈ 0 twin: one coordinate nudged — cosine ≈ 0.9999
+    val d2 = d1.updated(0, d1.head + 0.01f)
+    val emb = (base :+ (9001L, d1) :+ (9002L, d1) :+ (9003L, d1) :+
+        (9004L, d2))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // 16 planes — twice the fixed default, the density-control regime
+    val pairs = graft.ops.Similarity.lshEmbeddingNearDups(emb, 0.9, 16)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    // exact copies agree on EVERY plane; the θ≈0 twin flips a plane
+    // only if the plane nearly contains the vector — all planted
+    // pairs must surface at 16 planes
+    assert(Set((9001L, 9002L), (9001L, 9003L), (9002L, 9003L),
+      (9001L, 9004L), (9002L, 9004L), (9003L, 9004L)).subsetOf(pairs),
+      s"planted near-dups lost at 16 planes: $pairs")
+  }
+
   // ------------------------------------- boundary-stitch raw-key cap
 
   test("boundaryStitches caps key frequency on the raw substring, not the packed long") {
