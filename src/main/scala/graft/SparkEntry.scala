@@ -349,6 +349,8 @@ object SparkEntry {
       TextAnalysis.bpeEncodeStats(s, d)),
     "q242_bpe_fertility"    -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeFertility(s, d)),
+    "q243_bpe_packing"      -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpePackingWaste(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2672,6 +2674,7 @@ object SparkEntry {
       "q240_quality_rank" -> TextAnalysis.sourceQualityRankOracleSql,
       "q241_bpe_encode" -> TextAnalysis.bpeEncodeStatsOracleSql(),
       "q242_bpe_fertility" -> TextAnalysis.bpeFertilityOracleSql(),
+      "q243_bpe_packing" -> TextAnalysis.bpePackingWasteOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

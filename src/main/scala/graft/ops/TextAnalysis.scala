@@ -967,6 +967,17 @@ object TextAnalysis {
 
   /** Frame-based core of [[bpePairStats]] (needs text). */
   def bpePairStatsDocs(docs: DataFrame, topK: Int = 20): DataFrame =
+    bpePairCounts(docs)
+      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
+      .limit(topK)
+      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
+
+  /** The UNTRUNCATED weighted pair table (sym_a, sym_b, n_weighted) —
+    * additive across document chunks (it is a sum over word
+    * occurrences), so it doubles as the streaming twin's state
+    * ([[graft.streaming.DocStream.bpePairStream]]); the merge RANKING
+    * is a read over it. */
+  private[graft] def bpePairCounts(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -976,9 +987,6 @@ object TextAnalysis {
           " substr(w, cast(i as int) + 1, 1) AS b))")).as("p"))
       .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
       .agg(sum(col("freq")).as("n_weighted"))
-      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
-      .limit(topK)
-      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
 
   /** DuckDB oracle for [[bpePairStats]]. */
   def bpePairStatsOracleSql(topK: Int = 20): String =
@@ -1197,6 +1205,77 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source, n_words, sum_chars, sum_bpe_tokens,
        |  tok_per_word_ppm, chars_per_tok_ppm""".stripMargin
+
+  /** BPE packing waste (q243): the q79/q170 padding question answered
+    * under the LEARNED tokenizer — per source, documents, BPE tokens,
+    * 128-token chunks, and the padding share (exact ppm), with the
+    * whitespace-token packing beside it. Tokenizer choice shifts
+    * chunk counts, so the planning number a packing pipeline budgets
+    * with must come from the tokenizer it will actually run.
+    *
+    * Scale shape: the [[bpeEncodeStats]] vocab-bounded encode + one
+    * doc-keyed aggregate + one source-keyed aggregate (both map-side
+    * combined). All arithmetic is exact integer div. */
+  def bpePackingWaste(spark: SparkSession, dir: String,
+      nMerges: Int = 12, chunk: Int = 128): DataFrame =
+    bpePackingWasteDocs(Tables.documents(spark, dir), nMerges, chunk)
+
+  /** Frame-based core of [[bpePackingWaste]]. */
+  def bpePackingWasteDocs(docs: DataFrame, nMerges: Int = 12,
+      chunk: Int = 128): DataFrame =
+    bpeWordStats(docs, nMerges)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tok"))
+      .withColumn("bpe_chunks",
+        expr(s"(n_tok + ${chunk - 1}) div $chunk"))
+      .withColumn("ws_chunks",
+        expr(s"(n_words + ${chunk - 1}) div $chunk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_bpe_tokens"),
+        sum(col("bpe_chunks")).as("sum_bpe_chunks"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("ws_chunks")).as("sum_ws_chunks"))
+      .select(col("source"), col("n_docs"),
+        col("sum_bpe_tokens"), col("sum_bpe_chunks"),
+        expr(s"CAST((sum_bpe_chunks * $chunk - sum_bpe_tokens) * 1000000" +
+          s" div (sum_bpe_chunks * $chunk) AS BIGINT)")
+          .as("bpe_waste_ppm"),
+        expr(s"CAST((sum_ws_chunks * $chunk - sum_words) * 1000000" +
+          s" div (sum_ws_chunks * $chunk) AS BIGINT)")
+          .as("ws_waste_ppm"))
+      .orderBy(col("source"), col("n_docs"), col("sum_bpe_tokens"),
+        col("sum_bpe_chunks"), col("bpe_waste_ppm"), col("ws_waste_ppm"))
+
+  /** DuckDB oracle for [[bpePackingWaste]]. */
+  def bpePackingWasteOracleSql(nMerges: Int = 12,
+      chunk: Int = 128): String =
+    s"""WITH wx AS (
+       |  SELECT doc_id, source, w
+       |  FROM (SELECT doc_id, source,
+       |    UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+       |  WHERE LENGTH(w) >= 1),
+       |$bpeMergeRankSql,
+       |${bpeEncodeCtesSql(nMerges)},
+       |pd AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_words,
+       |    SUM(n_tok) AS n_tok
+       |  FROM wx JOIN enc USING (w) GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT source, n_words, n_tok,
+       |    (n_tok + ${chunk - 1}) // $chunk AS bpe_chunks,
+       |    (n_words + ${chunk - 1}) // $chunk AS ws_chunks
+       |  FROM pd)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_bpe_tokens,
+       |  CAST(SUM(bpe_chunks) AS BIGINT) AS sum_bpe_chunks,
+       |  CAST((SUM(bpe_chunks) * $chunk - SUM(n_tok)) * 1000000
+       |    // (SUM(bpe_chunks) * $chunk) AS BIGINT) AS bpe_waste_ppm,
+       |  CAST((SUM(ws_chunks) * $chunk - SUM(n_words)) * 1000000
+       |    // (SUM(ws_chunks) * $chunk) AS BIGINT) AS ws_waste_ppm
+       |FROM pc GROUP BY source
+       |ORDER BY source, n_docs, sum_bpe_tokens, sum_bpe_chunks,
+       |  bpe_waste_ppm, ws_waste_ppm""".stripMargin
 
   /** Token counting: whitespace tokens vs a BPE-ish regex token split
     * (letter runs, digit runs, single punctuation marks). */

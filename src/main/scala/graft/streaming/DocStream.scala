@@ -226,6 +226,29 @@ object DocStream {
     * seen-state anti-joins the batch's own ids — a crash after
     * promote would otherwise drop every replayed doc against its own
     * state row at hamming 0). */
+  /** Streaming twin of the q207 BPE pair kernel: the weighted
+    * adjacent-pair table is a sum over word occurrences, so per-batch
+    * partials merge by (sym_a, sym_b) sum (chunking-invariant,
+    * symbol²-bounded state — the collocationsStream shape) and the
+    * merge RANKING — the artifact the q241 encode consumes — is a
+    * read over the state via the same ordering the batch op uses.
+    * A BPE trainer over a continuously-ingesting corpus keeps
+    * exactly this state. */
+  def bpePairStream(docs: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val partial = graft.ops.TextAnalysis.bpePairCounts(batch)
+        val merged =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir).unionByName(partial)
+              .groupBy(col("sym_a"), col("sym_b"))
+              .agg(sum(col("n_weighted")).as("n_weighted"))
+          else partial
+        CdcStream.promoteState(stateDir, merged)
+    }
+
   /** Streaming twin of the q237 boundary-stitch detector (the
     * phashDedupStream shape): corpus state is
     * [[graft.ops.Dedup.boundaryFeatures]] — head64/tail64/len per

@@ -91,7 +91,9 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
     "q232" -> "TPC-H Q14 analog (relational facts)",
     "q233" -> "TPC-H Q22 analog (relational facts)",
     "q242" -> ("source-grain aggregate of q241's per-word stats " +
-      "(same encode, same plan below the final aggregate)"))
+      "(same encode, same plan below the final aggregate)"),
+    "q243" -> ("chunk arithmetic over q241's encode (two map-side " +
+      "aggregates past the measured vocab-bounded plan)"))
 
   test("every query from q140 on has a ScaleRehearsal row or exemption") {
     val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")

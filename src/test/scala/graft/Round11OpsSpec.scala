@@ -90,6 +90,17 @@ class Round11OpsSpec extends SparkSpec {
     assert(out === Array((2L, 6L, 4L))) // 2 words, 6 chars, 2x[aa|a]
   }
 
+  test("bpePackingWasteDocs matches hand-computed chunk arithmetic") {
+    // chunk = 2: d1 (5 tok, 3 words) -> 3 bpe / 2 ws chunks;
+    //            d2 (6 tok, 3 words) -> 3 bpe / 2 ws chunks
+    // web: pad_bpe = 12-11 = 1 -> 83333 ppm; pad_ws = 8-6 -> 250000
+    val out = graft.ops.TextAnalysis
+      .bpePackingWasteDocs(docsDf(bpeDocs), nMerges = 4, chunk = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out === Array(("web", 2L, 11L, 6L, 83333L, 250000L)))
+  }
+
   // ----------------------------------------- persisted set-sim index
 
   test("index-riding q126/q181/q191 are bit-identical to the from-scratch forms") {

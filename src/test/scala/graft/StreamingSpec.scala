@@ -875,6 +875,38 @@ class StreamingSpec extends SparkSpec {
         s"${batch.take(3)}")
   }
 
+  test("bpe pair-count stream state ranks merges identically to the batch kernel") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val staged = Files.createTempDirectory("graft_bpe_in").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val stateDir = Files.createTempDirectory("graft_bpe_st").toString + "/s"
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.bpePairStream(stream, stateDir)
+      .option("checkpointLocation", s"$stateDir.ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = rows(spark.read.parquet(stateDir)
+      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
+      .limit(20)
+      .orderBy(col("n_weighted").desc, col("sym_a"), col("sym_b"))
+      .select(col("sym_a"), col("sym_b"), col("n_weighted")))
+    val batch = rows(TextAnalysis.bpePairStatsDocs(docs)
+      .select(col("sym_a"), col("sym_b"), col("n_weighted")))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"chunked pair state ranked differently: ${streamed.take(4)} vs " +
+        s"${batch.take(4)}")
+  }
+
   test("boundary-stitch stream state read equals the q237 batch run") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
