@@ -351,6 +351,20 @@ object SparkEntry {
       TextAnalysis.bpeFertility(s, d)),
     "q243_bpe_packing"      -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpePackingWaste(s, d)),
+    "q244_revenue_forecast" -> (TpchShapes.revenueForecast _),
+    "q245_product_profit"   -> ((s: SparkSession, d: String) =>
+      TpchShapes.productProfit(s, d)),
+    "q246_part_concentration" -> (TpchShapes.partConcentration _),
+    "q247_late_priority"    -> (TpchShapes.latePriorityLines _),
+    "q248_top_supplier"     -> (TpchShapes.topSupplierRevenue _),
+    "q249_supplier_diversity" -> (TpchShapes.supplierDiversity _),
+    "q250_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      TpchShapes.smallQuantityRevenue(s, d)),
+    "q251_brand_size_qty"   -> (TpchShapes.brandSizeQtyRevenue _),
+    "q252_surplus_suppliers" -> ((s: SparkSession, d: String) =>
+      TpchShapes.surplusSuppliers(s, d)),
+    "q253_min_unit_supplier" -> ((s: SparkSession, d: String) =>
+      TpchShapes.minUnitPriceSupplier(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2675,6 +2689,21 @@ object SparkEntry {
       "q241_bpe_encode" -> TextAnalysis.bpeEncodeStatsOracleSql(),
       "q242_bpe_fertility" -> TextAnalysis.bpeFertilityOracleSql(),
       "q243_bpe_packing" -> TextAnalysis.bpePackingWasteOracleSql(),
+      "q244_revenue_forecast" -> TpchShapes.revenueForecastOracleSql,
+      "q245_product_profit" -> TpchShapes.productProfitOracleSql(),
+      "q246_part_concentration" ->
+        TpchShapes.partConcentrationOracleSql,
+      "q247_late_priority" -> TpchShapes.latePriorityLinesOracleSql,
+      "q248_top_supplier" -> TpchShapes.topSupplierRevenueOracleSql,
+      "q249_supplier_diversity" ->
+        TpchShapes.supplierDiversityOracleSql,
+      "q250_small_qty_revenue" ->
+        TpchShapes.smallQuantityRevenueOracleSql(),
+      "q251_brand_size_qty" -> TpchShapes.brandSizeQtyRevenueOracleSql,
+      "q252_surplus_suppliers" ->
+        TpchShapes.surplusSuppliersOracleSql(),
+      "q253_min_unit_supplier" ->
+        TpchShapes.minUnitPriceSupplierOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

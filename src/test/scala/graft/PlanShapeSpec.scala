@@ -271,7 +271,24 @@ class PlanShapeSpec extends SparkSpec {
       // the final sort; the anti join itself is exchange-free
       "q230_nation_volume"      -> (2, 6),
       "q231_returned_revenue"   -> (1, 4),
-      "q233_idle_rich"          -> (3, 3))
+      "q233_idle_rich"          -> (3, 3),
+      // round-11 completion of the 22-analog sweep. Bucketed-seam
+      // queries (q245 Q9, q247 Q12) join fact-fact exchange-free;
+      // the window-over-aggregate queries (q246 Q11, q248 Q15, q250
+      // Q17, q252 Q20, q253 Q2) pay one keyed exchange for the
+      // aggregate and one for the post-aggregate window/sort; the
+      // single-aggregate scans (q244 Q6, q249 Q16, q251 Q19) are one
+      // scan + the agg exchange.
+      "q244_revenue_forecast"   -> (1, 1),
+      "q245_product_profit"     -> (2, 5),
+      "q246_part_concentration" -> (3, 3),
+      "q247_late_priority"      -> (2, 2),
+      "q248_top_supplier"       -> (2, 2),
+      "q249_supplier_diversity" -> (3, 2),
+      "q250_small_qty_revenue"  -> (2, 2),
+      "q251_brand_size_qty"     -> (1, 2),
+      "q252_surplus_suppliers"  -> (4, 3),
+      "q253_min_unit_supplier"  -> (3, 4))
     budgets.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, maxScans)) =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()

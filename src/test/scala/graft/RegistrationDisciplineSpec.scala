@@ -93,7 +93,17 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
     "q242" -> ("source-grain aggregate of q241's per-word stats " +
       "(same encode, same plan below the final aggregate)"),
     "q243" -> ("chunk arithmetic over q241's encode (two map-side " +
-      "aggregates past the measured vocab-bounded plan)"))
+      "aggregates past the measured vocab-bounded plan)"),
+    "q244" -> "TPC-H Q6 analog (relational facts)",
+    "q245" -> "TPC-H Q9 analog (relational facts)",
+    "q246" -> "TPC-H Q11 analog (relational facts)",
+    "q247" -> "TPC-H Q12 analog (relational facts)",
+    "q248" -> "TPC-H Q15 analog (relational facts)",
+    "q249" -> "TPC-H Q16 analog (relational facts)",
+    "q250" -> "TPC-H Q17 analog (relational facts)",
+    "q251" -> "TPC-H Q19 analog (relational facts)",
+    "q252" -> "TPC-H Q20 analog (relational facts)",
+    "q253" -> "TPC-H Q2 analog (relational facts)")
 
   test("every query from q140 on has a ScaleRehearsal row or exemption") {
     val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")
