@@ -1242,8 +1242,13 @@ object Dedup {
     newInCorpus.unionByName(corpusInNew)
   }
 
-  /** Query (q191): both containment directions of the id ≥ 400 ingest
-    * against the id < 400 corpus (the q63/q120 split), C ≥ 0.9. */
+  /** Query (q191): both containment directions of the newest-10%-of-
+    * ids ingest batch against the other 90% as the indexed corpus,
+    * C ≥ 0.9. The cutoff is DATA-DERIVED ((max_id+1)·9 div 10, the
+    * autoK rule, re-derived by the oracle) so the corpus:batch ratio
+    * matches the deployment shape at every scale — the round-10 fixed
+    * id<400 split made the "increment" 92% of the sf0.1 corpus, which
+    * inverted the asymmetry the persisted index exists for. */
   def containmentIncrementalQuery(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -1251,10 +1256,13 @@ object Dedup {
     // grams + signature table + the df order the ingest ranks by);
     // only the increment's grams are computed fresh — the deployment
     // shape: index once, probe per ingest batch.
-    val idx = persistedSetSimIndex(spark, dir, "docs_lt400",
-      (s, d) => Tables.documents(s, d).filter(col("doc_id") < 400))
+    val maxId = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val cutoff = (maxId + 1L) * 9L / 10L
+    val idx = persistedSetSimIndex(spark, dir, "docs_p90",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") < cutoff))
     val newDocs = Tables.documents(spark, dir)
-      .filter(col("doc_id") >= 400)
+      .filter(col("doc_id") >= cutoff)
     latin1Guard(newDocs)
     val szC = idx.sizerOf(spark)
     val gramsN = packedGrams(newDocs, "doc_id")
@@ -1271,9 +1279,12 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[containmentIncrementalQuery]] — brute force
-    * both directions over the same split. */
+    * both directions over the same split, with the 90% cutoff
+    * RE-DERIVED from the data (the autoK rule). */
   def containmentIncrementalOracleSql(tPpm: Long = 900000L): String =
-    s"""WITH g AS (
+    s"""WITH cut AS (
+       |  SELECT (MAX(doc_id) + 1) * 9 // 10 AS c FROM documents),
+       |g AS (
        |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
        |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
        |  FROM documents),
@@ -1281,8 +1292,8 @@ object Dedup {
        |i AS (
        |  SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
        |    count(*) AS ni
-       |  FROM g n JOIN g c ON n.gram = c.gram
-       |  WHERE n.doc_id >= 400 AND c.doc_id < 400
+       |  FROM g n JOIN g c ON n.gram = c.gram CROSS JOIN cut
+       |  WHERE n.doc_id >= cut.c AND c.doc_id < cut.c
        |  GROUP BY 1, 2),
        |bo AS (
        |  SELECT new_doc_id, corpus_doc_id, 'new_in_corpus' AS direction,

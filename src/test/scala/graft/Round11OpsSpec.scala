@@ -116,10 +116,13 @@ class Round11OpsSpec extends SparkSpec {
       graft.ops.Dedup.containmentJoin(docs, "doc_id", 900000L))
     val idxC = rows(graft.ops.Dedup.containmentNearDups(spark, sf))
     assert(idxC === freshC)
-    // q191: fresh containmentIncremental vs corpus-index path
+    // q191: fresh containmentIncremental vs corpus-index path (the
+    // query's own data-derived 90% cutoff: 500 docs -> 450)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
     val freshI = rows(graft.ops.Dedup.containmentIncremental(
-      docs.filter(col("doc_id") < 400), "doc_id",
-      docs.filter(col("doc_id") >= 400), "doc_id", 900000L))
+      docs.filter(col("doc_id") < cutoff), "doc_id",
+      docs.filter(col("doc_id") >= cutoff), "doc_id", 900000L))
     val idxI = rows(graft.ops.Dedup.containmentIncrementalQuery(spark, sf))
     assert(idxI === freshI)
     graft.ops.Dedup.unpersistCaches()
