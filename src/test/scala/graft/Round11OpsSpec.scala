@@ -140,6 +140,25 @@ class Round11OpsSpec extends SparkSpec {
     assert(idx1.nDocs === 50L)
   }
 
+  test("persisted tokenizer path is bit-identical to the fresh encode") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val T = graft.ops.TextAnalysis
+    assert(rows(T.bpeEncodeStats(spark, sf)) ===
+      rows(T.bpeEncodeStatsDocs(docs)))
+    assert(rows(T.bpeFertility(spark, sf)) ===
+      rows(T.bpeFertilityDocs(docs)))
+    assert(rows(T.bpePackingWaste(spark, sf)) ===
+      rows(T.bpePackingWasteDocs(docs)))
+    // second load reads the same on-disk artifact (per-JVM cache +
+    // fingerprint digest)
+    val t1 = T.persistedBpeTokenizer(spark, sf)
+    val t2 = T.persistedBpeTokenizer(spark, sf)
+    assert(t1.merges === t2.merges && t1.merges.size === 12)
+    assert(t1.vocab.inputFiles.sorted === t2.vocab.inputFiles.sorted)
+  }
+
   // ------------------------------------------------- autoPlanes LSH
 
   test("autoPlanes holds expected bucket occupancy constant (capped)") {
