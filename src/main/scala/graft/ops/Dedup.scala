@@ -445,12 +445,23 @@ object Dedup {
     * yardstick (the q44/embeddingNearDups convention — one side
     * broadcasts); the production estimator path stays q41's
     * LSH → estimate → verify. */
+  /** The audit slice is DATA-DEPENDENT: ids < greatest(200,
+    * (max_id+1) div 5) — the fixed 200-id slice went vacuous at
+    * sf0.1 (its docs hold no J ≥ 0.5 pair there), and a vacuous
+    * accuracy audit certifies nothing. The oracle re-derives the cap
+    * (the autoK rule); small corpora keep the original 200. Pass
+    * `maxId > 0` to pin an explicit slice. */
   def minhashAccuracy(spark: SparkSession, dir: String,
-      maxId: Long = 200L, minJPpm: Long = 500000L,
-      boundPpm: Long = 250000L): DataFrame =
-    minhashAccuracyOn(
-      Tables.documents(spark, dir).filter(col("doc_id") < maxId),
+      maxId: Long = 0L, minJPpm: Long = 500000L,
+      boundPpm: Long = 250000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cap =
+      if (maxId > 0) maxId
+      else math.max(200L,
+        (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) / 5L)
+    minhashAccuracyOn(docs.filter(col("doc_id") < cap),
       minJPpm, boundPpm)
+  }
 
   /** Frame-based core of [[minhashAccuracy]] (needs doc_id, text;
     * caller bounds the slice). */
@@ -486,12 +497,14 @@ object Dedup {
   /** DuckDB oracle for [[minhashAccuracy]] — exact Jaccard over the
     * same slice, TRUE for the contract flag (the q57 convention; the
     * native signature stays in the measured path). */
-  def minhashAccuracyOracleSql(maxId: Long = 200L,
-      minJPpm: Long = 500000L): String =
-    s"""WITH g AS (
+  def minhashAccuracyOracleSql(minJPpm: Long = 500000L): String =
+    s"""WITH cut AS (
+       |  SELECT GREATEST(200, (MAX(doc_id) + 1) // 5) AS c
+       |  FROM documents),
+       |g AS (
        |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
        |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
-       |  FROM documents WHERE doc_id < $maxId),
+       |  FROM documents CROSS JOIN cut WHERE doc_id < cut.c),
        |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
        |i AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
