@@ -958,11 +958,15 @@ object Dedup {
     * (VERDICT r4 #1). Over the threshold the hint pins a shuffled
     * HASH join (no AQE flip back to broadcast, no sort of the
     * candidate stream — 2.6x faster than merge at the measured 10x
-    * point, BASELINE.md round 5). The 256 MB default is itself a
-    * measured choice: a ~120 MB gram-set broadcast beat the shuffled
-    * path 13 s to 65 s, and executors sized for 100 TB handle
-    * hundreds of MB routinely — the guard is against CORPUS-sized
-    * (GB+) payloads, not dim-table-sized ones. */
+    * point, BASELINE.md round 5). The 1 GiB default is itself a
+    * measured choice, twice: a ~120 MB gram-set broadcast beat the
+    * shuffled path 13 s to 65 s (round 5), and at the 30x rehearsal
+    * point the threshold CLIFF itself was the story — the 331 MB
+    * signature table sat just over the old 256 MB limit and the
+    * shuffled verify ran 224 s vs 14 s broadcast (16x, round 11).
+    * Executors sized for 100 TB hold 1 GiB broadcasts routinely
+    * (Spark's own hard cap is 8 GiB); the guard is against
+    * CORPUS-sized (multi-GB) payloads, not dim-table-sized ones. */
   private final case class SetSizer(nDocs: Long, gramBytes: Long,
       limit: Long) {
     def apply(df: DataFrame, estBytes: Long): DataFrame =
@@ -971,7 +975,7 @@ object Dedup {
 
   private def sizer(sess: SparkSession, gramSets: DataFrame): SetSizer = {
     val limit = sess.conf.getOption("graft.setsim.broadcastBytes")
-      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+      .map(_.toLong).getOrElse(1024L * 1024 * 1024)
     val st = gramSets.agg(count(lit(1)).as("d"), sum(col("n")).as("g")).head()
     val nDocs = st.getLong(0)
     val gramBytes = (if (st.isNullAt(1)) 0L else st.getLong(1)) * 8L +
@@ -1028,16 +1032,19 @@ object Dedup {
     private[Dedup] def sizerOf(sess: SparkSession): SetSizer =
       SetSizer(nDocs, gramBytes,
         sess.conf.getOption("graft.setsim.broadcastBytes")
-          .map(_.toLong).getOrElse(256L * 1024 * 1024))
+          .map(_.toLong).getOrElse(1024L * 1024 * 1024))
   }
 
-  /** Build + write the set-sim index for a corpus: the one-off
-    * organized write a deployment amortizes (the scaladoc promise at
-    * [[setSimJoinIncremental]] — "the stable index-side statistic a
-    * deployment precomputes" — made real; the Ivf.writeIndex twin).
-    * Everything written is exact integer state (packed grams, counts,
-    * row_number ranks with a total tie-break), so an index-riding
-    * query is bit-identical to the from-scratch form. */
+  /** Build + write the set-sim index for a corpus as PLAIN parquet —
+    * the portable form for stores without a metastore (the
+    * bucketed-table form [[persistedSetSimIndex]] builds is the
+    * default). The one-off organized write a deployment amortizes
+    * (the scaladoc promise at [[setSimJoinIncremental]] — "the stable
+    * index-side statistic a deployment precomputes" — made real; the
+    * Ivf.writeIndex twin). Everything written is exact integer state
+    * (packed grams, counts, row_number ranks with a total tie-break),
+    * so an index-riding query is bit-identical to the from-scratch
+    * form. */
   def writeSetSimIndex(docs: DataFrame, idCol: String,
       path: String): Unit = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -1067,37 +1074,81 @@ object Dedup {
 
   // one persisted set-sim index per (root, dir, corpus tag) per JVM;
   // the on-disk digest folds in the source fingerprint AND a schema
-  // version ("ssi1") so both a regenerated corpus and a code-level
-  // index schema change force a rebuild (the round-6 fingerprint rule
-  // + the round-7 rehearsal-cache version rule). The stats/_SUCCESS
-  // probe makes the artifact reusable ACROSS JVMs: a verify run and
+  // version ("ssi2" = the bucketed-table layout) so both a
+  // regenerated corpus and a code-level index schema change force a
+  // rebuild (the round-6 fingerprint rule + the round-7
+  // rehearsal-cache version rule). Table-existence + stats/_SUCCESS
+  // probes make the artifact reusable ACROSS JVMs: a verify run and
   // the bench that follows read the same on-disk build.
   private val setSimIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Bucket count of the persisted index tables — matches the 32-way
+    * session parallelism; on a cluster this is a deployment knob. */
+  private val IndexBuckets = 32
+
   /** The persisted set-sim index for a corpus selection: built +
-    * written on first use, read from parquet after (including from a
-    * PRIOR JVM whose source fingerprint still matches) — the honest
-    * per-query cost of a deployed exact-dedup system, exactly like
+    * written on first use, read after (including from a PRIOR JVM
+    * whose source fingerprint still matches) — the honest per-query
+    * cost of a deployed exact-dedup system, exactly like
     * [[Ivf.persistedIndex]] for ANN. `tag` names the corpus selection
     * (full table, an id-range snapshot, …) so distinct selections
-    * never share an artifact. */
+    * never share an artifact.
+    *
+    * Layout: `ranked` is a table BUCKETED+SORTED on g64, so the
+    * candidate self-join (and an incremental probe's g64 join) plans
+    * with ZERO exchange and zero sort on the index side; `gramSets`
+    * is bucketed on doc_id, so an over-threshold shuffled-hash verify
+    * never re-shuffles the signature table itself. Measured honesty
+    * (30x rehearsal): that build-side saving is MARGINAL — the
+    * over-threshold cliff (224 s vs 14 s broadcast) is the exchange
+    * between the two verify joins, whose rows carry the first side's
+    * gram ARRAY (24.7M candidates × ~2 KB); it is intrinsic to exact
+    * verification once the signature table outgrows broadcast. The
+    * scale levers are the broadcast limit (executors sized for 100 TB
+    * hold 1 GiB routinely) and candidate volume (threshold choice) —
+    * recorded in BASELINE.md round 11. */
   def persistedSetSimIndex(spark: SparkSession, dir: String, tag: String,
       corpus: (SparkSession, String) => DataFrame, idCol: String = "doc_id",
       indexRoot: String = sys.props("java.io.tmpdir") + "/graft_setsim")
       : SetSimIndex = {
     val fp = Tables.sourceFingerprint(dir, Seq("documents"))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"ssi2|$dir|$tag|$fp".getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val gsTable = s"ssi_gs_$digest"
+    val rkTable = s"ssi_rk_$digest"
     val path = setSimIndexPaths.computeIfAbsent(
       s"$indexRoot|$dir|$tag|$fp", _ => {
-        val digest = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(s"ssi1|$dir|$tag|$fp".getBytes("UTF-8")).take(8)
-          .map(b => f"${b & 0xff}%02x").mkString
         val p = s"$indexRoot/$digest"
-        if (!new java.io.File(s"$p/stats/_SUCCESS").exists())
-          writeSetSimIndex(corpus(spark, dir), idCol, p)
+        if (!spark.catalog.tableExists(gsTable) ||
+            !spark.catalog.tableExists(rkTable) ||
+            !new java.io.File(s"$p/stats/_SUCCESS").exists()) {
+          val docs = corpus(spark, dir)
+          graft.functions.GraftFunctions.register(spark)
+          latin1Guard(docs)
+          val grams = packedGrams(docs, idCol)
+          val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+          val gramSets = gramSetsOf(grams)
+          val sz = sizer(spark, gramSets)
+          rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false)
+            .write.mode("overwrite")
+            .bucketBy(IndexBuckets, "g64").sortBy("g64")
+            .option("path", s"$p/ranked").saveAsTable(rkTable)
+          gramSets.write.mode("overwrite")
+            .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+            .option("path", s"$p/gramsets").saveAsTable(gsTable)
+          freq.write.mode("overwrite").parquet(s"$p/freq")
+          import spark.implicits._
+          Seq((sz.nDocs, sz.gramBytes)).toDF("n_docs", "gram_bytes")
+            .coalesce(1).write.mode("overwrite").parquet(s"$p/stats")
+          unpersistCaches()
+        }
         p
       })
-    readSetSimIndex(spark, path)
+    val st = spark.read.parquet(s"$path/stats").head()
+    SetSimIndex(spark.table(rkTable), spark.table(gsTable),
+      spark.read.parquet(s"$path/freq"), st.getLong(0), st.getLong(1))
   }
 
   /** Exact set-CONTAINMENT join (q181): ordered pairs (a, b) where
