@@ -468,16 +468,30 @@ object Dedup {
   def minhashAccuracyOn(docs: DataFrame, minJPpm: Long = 500000L,
       boundPpm: Long = 250000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // sort once per doc, intersect with the native two-cursor
+    // expression: array_intersect/array_union built per-pair hash
+    // sets and ran 95 s on the sf0.1 slice; sorted_intersect_count
+    // is the same count at a fraction of the per-pair cost (the
+    // setsim verify discipline)
     val sh = docs.select(col("doc_id"),
-      expr("shingle8(text)").as("sh"))
+      sort_array(expr("shingle8(text)")).as("sh"))
     val sigs = minHashSignatures(docs).select(col("doc_id"), col("sig"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
-      .withColumn("ni",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    // the q126 LENGTH bound, inside the join: J >= t forces
+    // t*max(na,nb) <= min(na,nb) — exactness-preserving for the
+    // audited (J >= t) set, prunes size-incompatible pairs before
+    // they pay the intersect
+    a.join(broadcast(b), col("doc_a") < col("doc_b") &&
+        size(col("sh_a")).cast("long") * 1000000L >=
+          lit(minJPpm) * size(col("sh_b")).cast("long") &&
+        size(col("sh_b")).cast("long") * 1000000L >=
+          lit(minJPpm) * size(col("sh_a")).cast("long"))
+      .withColumn("ni", call_function("sorted_intersect_count",
+        col("sh_a"), col("sh_b")))
       .withColumn("nu",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
+          - col("ni"))
       .withColumn("jaccard_ppm", expr("ni * 1000000 div nu"))
       .filter(col("jaccard_ppm") >= minJPpm)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
