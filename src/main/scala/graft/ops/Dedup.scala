@@ -473,17 +473,32 @@ object Dedup {
     // sets and ran 95 s on the sf0.1 slice; sorted_intersect_count
     // is the same count at a fraction of the per-pair cost (the
     // setsim verify discipline)
-    val sh = docs.select(col("doc_id"),
-      sort_array(expr("shingle8(text)")).as("sh"))
+    val sh = register(docs.select(col("doc_id"),
+        sort_array(expr("shingle8(text)")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val sigs = minHashSignatures(docs).select(col("doc_id"), col("sig"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    // the q126 LENGTH bound, inside the join: J >= t forces
-    // t*max(na,nb) <= min(na,nb) — exactness-preserving for the
-    // audited (J >= t) set, prunes size-incompatible pairs before
-    // they pay the intersect
-    a.join(broadcast(b), col("doc_a") < col("doc_b") &&
-        size(col("sh_a")).cast("long") * 1000000L >=
+    // exact PPJoin PREFIX candidates on the HASH total order instead
+    // of the all-pairs join: two docs with J >= t must share a hash
+    // among each one's first n - ceil(t*n) + 1 SMALLEST hashes (the
+    // prefix theorem — complete for any shared total order), so only
+    // prefix-colliding pairs pay the intersect. The audit stays an
+    // LSH-independent path: the prefix bound is a theorem, not a
+    // banding heuristic with recall.
+    val prefix = sh.select(col("doc_id"), explode(expr(
+      s"slice(sh, 1, cast(size(sh) -" +
+        s" (($minJPpm * size(sh) + 999999) div 1000000) + 1 as int))"))
+      .as("h"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // the q126 LENGTH bound + exact intersect on the candidates
+    cand
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"))), Seq("doc_a"))
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"))), Seq("doc_b"))
+      .filter(size(col("sh_a")).cast("long") * 1000000L >=
           lit(minJPpm) * size(col("sh_b")).cast("long") &&
         size(col("sh_b")).cast("long") * 1000000L >=
           lit(minJPpm) * size(col("sh_a")).cast("long"))
