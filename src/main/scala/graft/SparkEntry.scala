@@ -365,6 +365,8 @@ object SparkEntry {
       TpchShapes.surplusSuppliers(s, d)),
     "q253_min_unit_supplier" -> ((s: SparkSession, d: String) =>
       TpchShapes.minUnitPriceSupplier(s, d)),
+    "q254_boundary_stitch_incremental" -> ((s: SparkSession, d: String) =>
+      Dedup.boundaryStitchesIncrementalQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2704,6 +2706,8 @@ object SparkEntry {
         TpchShapes.surplusSuppliersOracleSql(),
       "q253_min_unit_supplier" ->
         TpchShapes.minUnitPriceSupplierOracleSql(),
+      "q254_boundary_stitch_incremental" ->
+        Dedup.boundaryStitchesIncrementalOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

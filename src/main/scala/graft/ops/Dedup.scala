@@ -1650,34 +1650,73 @@ object Dedup {
     * batch form persists the shared feature frame at its call site. */
   def boundaryStitchesFromFeatures(featA: DataFrame, featB: DataFrame,
       maxKeyFreq: Long = 64L): DataFrame = {
+    // when the cap base IS the joined side, a window computes the
+    // frequency in the same pass — measured 0.8 s cheaper than the
+    // aggregate+semi-join form at sf0.1; the Capped variant exists
+    // for the incremental op whose cap base is a SUPERSET
     import org.apache.spark.sql.expressions.Window
-    def pack(c: Column): Column = (1 to 8).foldLeft(lit(0L)) {
+    def windowCapped(side: DataFrame): DataFrame =
+      side.withColumn("kf",
+          count(lit(1)).over(Window.partitionBy(col("k8"))))
+        .filter(col("kf") <= maxKeyFreq).drop("kf", "k8")
+    boundaryStitchTail(
+      windowCapped(boundaryASide(featA)),
+      windowCapped(boundaryBSide(featB)))
+  }
+
+  private def boundaryPack(c: Column): Column =
+    (1 to 8).foldLeft(lit(0L)) {
       (acc, i) => shiftleft(acc, 8) + ascii(substring(c, i, 1)).cast("long")
     }
-    // The frequency cap partitions on the RAW 8-char substring (the
-    // oracle's key); the packed long is only the join key. ascii()
-    // returns the full code point, so the 8-bit packing is injective
-    // only over Latin-1 — capping on the packed value would merge
-    // distinct non-Latin-1 keys and flip the suppression filter vs
-    // the oracle. Packed-key COLLISIONS in the join are harmless:
-    // the exact 64-char probe comparison removes false candidates.
-    val aTail = featA.select(col("doc_id").as("doc_a"),
-        expr("substring(tail64, length(tail64) - 7, 8)").as("k8"),
-        pack(expr("substring(tail64, length(tail64) - 7, 8)")).as("k"),
-        col("tail64"),
-        col("len").as("len_a"))
-      .withColumn("kf", count(lit(1)).over(Window.partitionBy(col("k8"))))
-      .filter(col("kf") <= maxKeyFreq).drop("kf", "k8")
-    val bHead = featB.select(col("doc_id").as("doc_b"),
+
+  /** A-side rows (suffix key per doc), uncapped. */
+  private def boundaryASide(feat: DataFrame): DataFrame =
+    feat.select(col("doc_id").as("doc_a"),
+      expr("substring(tail64, length(tail64) - 7, 8)").as("k8"),
+      boundaryPack(expr("substring(tail64, length(tail64) - 7, 8)"))
+        .as("k"),
+      col("tail64"),
+      col("len").as("len_a"))
+
+  /** B-side rows (one per head-gram position), uncapped. */
+  private def boundaryBSide(feat: DataFrame): DataFrame =
+    feat.select(col("doc_id").as("doc_b"),
         col("head64"), col("len").as("len_b"),
         explode(expr("sequence(1, least(greatest(len - 7, 1), 57))"))
           .as("p"))
       .select(col("doc_b"), col("head64"), col("len_b"),
         col("p").cast("long").as("p"),
         expr("substring(head64, cast(p as int), 8)").as("k8"),
-        pack(expr("substring(head64, cast(p as int), 8)")).as("k"))
-      .withColumn("kf", count(lit(1)).over(Window.partitionBy(col("k8"))))
-      .filter(col("kf") <= maxKeyFreq).drop("kf", "k8")
+        boundaryPack(expr("substring(head64, cast(p as int), 8)"))
+          .as("k"))
+
+  /** Stitch join with the frequency caps COUNTED over `capA`/`capB`
+    * (the cap base can be a superset of the joined side — the
+    * incremental form caps over the full seen corpus while joining
+    * only batch rows, so its verdicts equal the full batch run's).
+    * The cap keys on the RAW 8-char substring (the oracle's key);
+    * the packed long is only the join key — ascii() returns full
+    * code points, so the 8-bit packing is injective only over
+    * Latin-1, and capping on the packed value would merge distinct
+    * non-Latin-1 keys and flip the suppression filter vs the oracle.
+    * Packed-key COLLISIONS in the join are harmless: the exact
+    * 64-char probe comparison removes false candidates. */
+  private def boundaryStitchesCapped(featA: DataFrame, featB: DataFrame,
+      maxKeyFreq: Long, capA: DataFrame, capB: DataFrame): DataFrame = {
+    def capped(side: DataFrame, capBase: DataFrame): DataFrame =
+      side.join(
+        capBase.groupBy(col("k8")).agg(count(lit(1)).as("kf"))
+          .filter(col("kf") <= maxKeyFreq).select(col("k8")),
+        Seq("k8"), "left_semi").drop("k8")
+    boundaryStitchTail(
+      capped(boundaryASide(featA), boundaryASide(capA)),
+      capped(boundaryBSide(featB), boundaryBSide(capB)))
+  }
+
+  /** The shared packed-key join + exact 64-char verify + per-pair
+    * maximal overlap. */
+  private def boundaryStitchTail(aTail: DataFrame,
+      bHead: DataFrame): DataFrame =
     aTail.join(bHead, Seq("k"))
       .filter(col("doc_a") =!= col("doc_b"))
       .withColumn("ln", col("p") + 7L)
@@ -1687,6 +1726,50 @@ object Dedup {
           " cast(length(tail64) - ln + 1 as int), cast(ln as int))"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("ln")).as("overlap_len"))
+
+  /** Incremental boundary-stitch (q254): the stitch pairs INVOLVING
+    * the newest-10%-of-ids ingest batch (the q191 split convention,
+    * cutoff re-derived by the oracle), under the frequency caps of
+    * the FULL seen corpus — so the result is exactly the full q237
+    * run filtered to pairs touching the batch (the reconciliation
+    * semantics the streaming twin's state read provides), while the
+    * candidate join fans out only on batch-side rows: direction 1
+    * joins every seen tail against BATCH heads, direction 2 batch
+    * tails against prior heads. Feature frames only (head64/tail64/
+    * len per doc); the cap bases are the union side. */
+  def boundaryStitchesIncrementalQuery(spark: SparkSession,
+      dir: String, maxKeyFreq: Long = 64L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    val union = register(boundaryFeatures(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val corpusF = union.filter(col("doc_id") < cutoff)
+    val batchF = union.filter(col("doc_id") >= cutoff)
+    boundaryStitchesCapped(union, batchF, maxKeyFreq, union, union)
+      .unionByName(
+        boundaryStitchesCapped(batchF, corpusF, maxKeyFreq, union, union))
+      .repartition(1)
+      .sortWithinPartitions(col("doc_a"), col("doc_b"),
+        col("overlap_len"))
+  }
+
+  /** DuckDB oracle for [[boundaryStitchesIncrementalQuery]] — the
+    * full q237 brute force, filtered to pairs touching the derived
+    * ingest batch. */
+  def boundaryStitchesIncrementalOracleSql(
+      maxKeyFreq: Long = 64L): String = {
+    val full = boundaryStitchesOracleSql(maxKeyFreq)
+    // splice the cutoff CTE in and filter the final select
+    full
+      .replace("WITH d AS (",
+        """WITH cut AS (
+          |  SELECT (MAX(doc_id) + 1) * 9 // 10 AS c FROM documents),
+          |d AS (""".stripMargin)
+      .replace("FROM v GROUP BY doc_a, doc_b",
+        """FROM v CROSS JOIN cut
+          |WHERE doc_a >= cut.c OR doc_b >= cut.c
+          |GROUP BY doc_a, doc_b""".stripMargin)
   }
 
   /** DuckDB oracle for [[boundaryStitches]] — string keys
