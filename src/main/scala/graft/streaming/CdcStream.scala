@@ -65,20 +65,12 @@ object CdcStream {
       stateDir: String): DataStreamWriter[Row] = {
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     rows.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val partial = batch.groupBy(col(grpCol))
-          .agg(count(lit(1)).as("n"), sum(d(col(valCol))).as("s"),
-            sum(d(col(valCol)) * d(col(valCol))).as("ss"))
-        val merged =
-          if (new java.io.File(stateDir).exists()) {
-            val prev = spark.read.parquet(stateDir)
-            prev.unionByName(partial).groupBy(col(grpCol))
-              .agg(sum(col("n")).as("n"),
-                sum(col("s")).cast("decimal(38,0)").as("s"),
-                sum(col("ss")).cast("decimal(38,0)").as("ss"))
-          } else partial
-        promoteState(stateDir, merged)
+      (batch: DataFrame, batchId: Long) =>
+        mergeAdditive(stateDir, batchId,
+          batch.groupBy(col(grpCol))
+            .agg(count(lit(1)).as("n"), sum(d(col(valCol))).as("s"),
+              sum(d(col(valCol)) * d(col(valCol))).as("ss")),
+          Seq(grpCol))
     }
   }
 
@@ -144,10 +136,48 @@ object CdcStream {
     * then drop the aside copy. Every rename is checked — a failed
     * swap aborts the batch (and the checkpoint) instead of silently
     * dropping accumulated state. */
+  /** Shared per-batch core for the ADDITIVE counter twins: merge the
+    * micro-batch's `partial` into the parquet state by summing every
+    * non-key column per `keys` group. Additive merges are NOT
+    * replay-idempotent (unlike the id-keyed twins, whose anti-joins
+    * drop replayed docs), so a micro-batch replayed after a
+    * crash-after-promote is skipped via the promoted-batchId marker
+    * (ADVICE r11) — the marker rides inside the state dir and is
+    * promoted atomically with it, so state and provenance can never
+    * disagree. */
+  private[streaming] def mergeAdditive(stateDir: String, batchId: Long,
+      partial: DataFrame, keys: Seq[String]): Unit = {
+    if (batchId <= lastPromotedBatchId(stateDir)) return
+    val merged =
+      if (new java.io.File(stateDir).exists()) {
+        val aggs = partial.columns.filterNot(keys.contains)
+          .map(c => sum(col(c)).cast(partial.schema(c).dataType).as(c))
+        partial.sparkSession.read.parquet(stateDir)
+          .unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      } else partial
+    promoteState(stateDir, merged, batchId)
+  }
+
+  /** Last batchId promoted into `stateDir` (−1 when absent). The
+    * marker lives INSIDE the state directory, so the promote rename
+    * moves state and provenance atomically — no crash window where
+    * they disagree. */
+  private[streaming] def lastPromotedBatchId(stateDir: String): Long = {
+    val f = new java.io.File(stateDir, "_BATCH_ID")
+    if (f.isFile) java.nio.file.Files.readString(f.toPath).trim.toLong
+    else -1L
+  }
+
   private[streaming] def promoteState(stateDir: String,
-      merged: DataFrame): Unit = {
+      merged: DataFrame, batchId: Long = -1L): Unit = {
     val tmp = stateDir + ".next"
     merged.write.mode("overwrite").parquet(tmp)
+    // underscore-prefixed, so parquet readers ignore it
+    if (batchId >= 0L)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_BATCH_ID").toPath, batchId.toString): Unit
     def rmr(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rmr)
       f.delete(): Unit

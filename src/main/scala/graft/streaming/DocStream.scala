@@ -141,21 +141,11 @@ object DocStream {
   def cascadeFunnelStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val partial = graft.ops.TextAnalysis.filterCascadeDocs(
-          batch.select(col("source"), col("text")))
-        val merged =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir).unionByName(partial)
-              .groupBy(col("source"))
-              .agg(sum(col("n_docs")).as("n_docs"),
-                sum(col("pass_len")).as("pass_len"),
-                sum(col("pass_tokens")).as("pass_tokens"),
-                sum(col("pass_ttr")).as("pass_ttr"),
-                sum(col("pass_stopword")).as("pass_stopword"))
-          else partial
-        CdcStream.promoteState(stateDir, merged)
+      (batch: DataFrame, batchId: Long) =>
+        CdcStream.mergeAdditive(stateDir, batchId,
+          graft.ops.TextAnalysis.filterCascadeDocs(
+            batch.select(col("source"), col("text"))),
+          Seq("source"))
     }
 
   /** Streaming twin of the collocation miner (TextAnalysis
@@ -170,17 +160,11 @@ object DocStream {
   def collocationsStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val partial = graft.ops.TextAnalysis.pairCountsOf(
-          batch.select(col("text")))
-        val merged =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir).unionByName(partial)
-              .groupBy(col("w1"), col("w2"))
-              .agg(sum(col("n_xy")).as("n_xy"))
-          else partial
-        CdcStream.promoteState(stateDir, merged)
+      (batch: DataFrame, batchId: Long) =>
+        CdcStream.mergeAdditive(stateDir, batchId,
+          graft.ops.TextAnalysis.pairCountsOf(
+            batch.select(col("text"))),
+          Seq("w1", "w2"))
     }
 
   /** Streaming twin of the q214 calibration audit: per-doc margins
@@ -192,18 +176,11 @@ object DocStream {
   def calibrationStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val partial = graft.ops.TextAnalysis.calibrationCounts(
-          batch.select(col("doc_id"), col("text"), col("lang")))
-        val merged =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir).unionByName(partial)
-              .groupBy(col("margin"))
-              .agg(sum(col("n_docs")).as("n_docs"),
-                sum(col("n_correct")).as("n_correct"))
-          else partial
-        CdcStream.promoteState(stateDir, merged)
+      (batch: DataFrame, batchId: Long) =>
+        CdcStream.mergeAdditive(stateDir, batchId,
+          graft.ops.TextAnalysis.calibrationCounts(
+            batch.select(col("doc_id"), col("text"), col("lang"))),
+          Seq("margin"))
     }
 
   /** Streaming twin of the incremental perceptual dedup
@@ -237,17 +214,19 @@ object DocStream {
   def bpePairStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val partial = graft.ops.TextAnalysis.bpePairCounts(batch)
-        val merged =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir).unionByName(partial)
-              .groupBy(col("sym_a"), col("sym_b"))
-              .agg(sum(col("n_weighted")).as("n_weighted"))
-          else partial
-        CdcStream.promoteState(stateDir, merged)
+      (batch: DataFrame, batchId: Long) =>
+        bpePairProcessBatch(batch, batchId, stateDir)
     }
+
+  /** Per-batch core of [[bpePairStream]]: additive count merges are
+    * not replay-idempotent, so replayed micro-batches (batchId ≤ the
+    * atomically-promoted marker) are skipped — the errorBurnStream
+    * guard (ADVICE r11). */
+  private[graft] def bpePairProcessBatch(batch: DataFrame,
+      batchId: Long, stateDir: String): Unit =
+    CdcStream.mergeAdditive(stateDir, batchId,
+      graft.ops.TextAnalysis.bpePairCounts(batch),
+      Seq("sym_a", "sym_b"))
 
   /** Streaming twin of the q237 boundary-stitch detector (the
     * phashDedupStream shape): corpus state is

@@ -31,16 +31,10 @@ object EventStream {
   def weekdayCountsStream(events: DataFrame, stateDir: String)
       : DataStreamWriter[Row] =
     events.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val partial = graft.ops.TimeSeries.weekdayCounts(batch)
-        val merged =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir).unionByName(partial)
-              .groupBy(col("event_type"), col("dow"))
-              .agg(sum(col("n_events")).as("n_events"))
-          else partial
-        CdcStream.promoteState(stateDir, merged)
+      (batch: DataFrame, batchId: Long) =>
+        CdcStream.mergeAdditive(stateDir, batchId,
+          graft.ops.TimeSeries.weekdayCounts(batch),
+          Seq("event_type", "dow"))
     }
 
   /** Streaming twin of the q239 error-budget burn: per-day
@@ -53,18 +47,20 @@ object EventStream {
   def errorBurnStream(events: DataFrame, stateDir: String)
       : DataStreamWriter[Row] =
     events.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val partial = graft.ops.TimeSeries.dailyErrorCounts(batch)
-        val merged =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir).unionByName(partial)
-              .groupBy(col("day"))
-              .agg(sum(col("n_events")).as("n_events"),
-                sum(col("n_errors")).as("n_errors"))
-          else partial
-        CdcStream.promoteState(stateDir, merged)
+      (batch: DataFrame, batchId: Long) =>
+        errorBurnProcessBatch(batch, batchId, stateDir)
     }
+
+  /** Per-batch core of [[errorBurnStream]]. Additive count merges are
+    * NOT replay-idempotent (unlike the id-keyed twins, whose
+    * anti-joins drop replayed docs), so a micro-batch replayed after
+    * a crash-after-promote is skipped via the promoted-batchId marker
+    * (ADVICE r11) — the marker rides inside the state dir, promoted
+    * atomically with it. */
+  private[graft] def errorBurnProcessBatch(batch: DataFrame,
+      batchId: Long, stateDir: String): Unit =
+    CdcStream.mergeAdditive(stateDir, batchId,
+      graft.ops.TimeSeries.dailyErrorCounts(batch), Seq("day"))
 
   /** Streaming tumbling-window aggregation with watermark — the
     * streaming twin of ops.Events.tumbling. */

@@ -907,6 +907,31 @@ class StreamingSpec extends SparkSpec {
         s"${batch.take(4)}")
   }
 
+  test("additive counter twins skip a replayed micro-batch (promoted-batchId provenance)") {
+    // additive merges are not replay-idempotent, so a micro-batch
+    // replayed after a crash-after-promote (same batchId) must be
+    // skipped, while the next batchId still merges (ADVICE r11)
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    val s = spark
+    import s.implicits._
+    def ev(rows: (Long, String)*) = rows.toDF("day", "event_type")
+      .select(timestamp_micros(col("day") * 86400000000L + 1L).as("ts"),
+        col("event_type"))
+    val stateDir =
+      Files.createTempDirectory("graft_replay_st").toString + "/s"
+    def state() = spark.read.parquet(stateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val b0 = ev((1L, "error"), (1L, "view"))
+    EventStream.errorBurnProcessBatch(b0, 0L, stateDir)
+    assert(state() == Seq((1L, 2L, 1L)), s"after b0: ${state()}")
+    EventStream.errorBurnProcessBatch(b0, 0L, stateDir) // crash replay
+    assert(state() == Seq((1L, 2L, 1L)),
+      s"replayed batch double-counted: ${state()}")
+    EventStream.errorBurnProcessBatch(ev((1L, "view")), 1L, stateDir)
+    assert(state() == Seq((1L, 3L, 1L)), s"after b1: ${state()}")
+  }
+
   test("boundary-stitch stream state read equals the q237 batch run") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
