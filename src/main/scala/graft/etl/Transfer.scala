@@ -355,7 +355,23 @@ object Transfer {
         val obs = new org.apache.spark.sql.Observation()
         write(m, df.observe(obs, org.apache.spark.sql.functions.count(
           lit(1)).as("rows")))
-        val metrics = obs.get
+        // obs.get is the only public accessor and it BLOCKS; once
+        // `write` has returned, the action either already ran (get
+        // returns instantly) or never will — so a bounded wait turns
+        // a zero-action writer into a loud per-table error instead of
+        // an indefinite hang inside this try (ADVICE r11). The
+        // timed-out waiter thread is daemon and leaks only on misuse.
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val metrics =
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future(obs.get),
+            scala.concurrent.duration.Duration(30, "s"))
+          catch { case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              s"migrate(${m.qualifiedName}): no observed metrics " +
+                "after 30s — the supplied `write` must run exactly " +
+                "one Spark action over the frame it is given")
+          }
         TransferResult(m.qualifiedName,
           metrics("rows").asInstanceOf[Long], ok = true)
       } catch {

@@ -241,8 +241,10 @@ object TpchShapes {
   /** Q17: small-quantity revenue — lines of one brand whose quantity
     * is under 20% of their part's average, as a yearly revenue figure.
     * The correlated avg becomes a per-part window; the 0.2·avg test
-    * is cross-multiplied (5·qty·cnt < Σqty, exact DECIMAL); the /7 is
-    * the single IEEE division, rounded to 6dp. */
+    * is cross-multiplied (5·qty·cnt < Σqty, exact DECIMAL); the /7
+    * yearly figure is exact integer micro-dollars (Σ·10⁶ div 7 —
+    * round-of-a-float-quotient is the q113 cross-engine ulp trap;
+    * ADVICE r11). */
   def smallQuantityRevenue(spark: SparkSession, dir: String,
       brand: String = "Brand#2"): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -256,9 +258,9 @@ object TpchShapes {
       .withColumn("cnt", count(lit(1)).over(w))
       .withColumn("sq", sum(col("qb")).over(w))
       .filter(col("qb") * 5 * col("cnt") < col("sq"))
-      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("double") / 7.0, 6).as("avg_yearly"))
-      .orderBy(col("avg_yearly"))
+      .agg(expr("cast((sum(cast(l_extendedprice as decimal(18,2)))" +
+          " * 1000000) div 7 as bigint)").as("avg_yearly_micro"))
+      .orderBy(col("avg_yearly_micro"))
   }
 
   def smallQuantityRevenueOracleSql(brand: String = "Brand#2"): String =
@@ -269,11 +271,11 @@ object TpchShapes {
        |      OVER (PARTITION BY p_partkey) AS sq
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |  WHERE p_brand = '$brand')
-       |SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-       |    AS DOUBLE) / 7.0, 6) AS avg_yearly
+       |SELECT CAST((SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+       |    * 1000000) // 7 AS BIGINT) AS avg_yearly_micro
        |FROM j
        |WHERE qb * 5 * cnt < sq
-       |ORDER BY avg_yearly""".stripMargin
+       |ORDER BY avg_yearly_micro""".stripMargin
 
   // ------------------------------------------------ q251 (Q19 shape)
 
