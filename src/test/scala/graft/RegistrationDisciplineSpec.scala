@@ -103,7 +103,9 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
     "q250" -> "TPC-H Q17 analog (relational facts)",
     "q251" -> "TPC-H Q19 analog (relational facts)",
     "q252" -> "TPC-H Q20 analog (relational facts)",
-    "q253" -> "TPC-H Q2 analog (relational facts)")
+    "q253" -> "TPC-H Q2 analog (relational facts)",
+    "q256" -> ("contract read over q255's trained artifact (same " +
+      "state; the training cost is q255's rehearsal row)"))
 
   test("every query from q140 on has a ScaleRehearsal row or exemption") {
     val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")
@@ -122,6 +124,21 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
       .filter(id => s"""wanted\\("$id"\\)""".r.findFirstIn(rehearsal).isDefined)
     assert(stale.isEmpty,
       s"exempted queries that now HAVE rehearsal rows: ${stale.mkString(", ")}")
+  }
+
+  test("every registered query has an sf0.1 verification ledger entry") {
+    // SF01_LEDGER.json is written ONLY by tools/check.py matching a
+    // query's hash against DuckDB at sf0.1 — so presence here means
+    // "was verified at full scale at least once", the standing form
+    // of round 11's one-time sweep. Registering a query without an
+    // sf0.1 run now fails the suite (q254's round-11 failure mode).
+    val ledger = read("SF01_LEDGER.json")
+    val missing = SparkEntry.queries.keySet.toSeq.sorted.filter { k =>
+      !ledger.contains("\"" + k + "\"")
+    }
+    assert(missing.isEmpty,
+      "queries never verified at sf0.1 (run Verify + tools/check.py " +
+        s"against /root/testdata/sf0.1): ${missing.mkString(", ")}")
   }
 
   test("README.md's registered-query count matches SparkEntry") {

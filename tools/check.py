@@ -29,6 +29,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = []
+    matched = {}  # name -> row count, for the sf0.1 ledger
     # exempt failures tracked separately: they affect the exit code but
     # not the "N/N oracles match" summary denominator
     exempt_failures = []
@@ -48,7 +49,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:
             exempt_failures.append(name)
             print(f"FAIL {name}: unreadable exempt output: {e}")
+    skipped = 0
     for name, sql in sorted(oracles.items()):
+        # partial dev runs (SPARK_GRAFT_ONLY): only compare queries
+        # that were dumped into THIS dir — oracle_sql.json always
+        # carries the full registered map, and running every sf0.1
+        # oracle to check two queries costs tens of minutes. Full runs
+        # have every dir, so nothing is ever skipped there; per-query
+        # failures still come from failures.json + the FAIL lines.
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            skipped += 1
+            continue
         try:
             oracle = con.execute(sql).fetchdf()
         except Exception as e:
@@ -95,11 +106,42 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures.append(name)
             print(f"FAIL {name}: {bad} mismatched cells ({len(oracle)} rows)")
         else:
+            matched[name] = len(oracle)
             print(f"OK   {name}: {len(oracle)} rows match")
-    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    print(f"\n{len(oracles) - len(failures) - skipped}/"
+          f"{len(oracles) - skipped} queries match"
+          + (f" ({skipped} not dumped here — partial run)" if skipped
+             else ""))
     if exempt_failures:
         print(f"({len(exempt_failures)} exempt outputs unreadable: "
               f"{', '.join(exempt_failures)})")
+    # sf0.1 verification ledger: a checked-in per-query record of the
+    # last full-scale hash match, kept current by THIS tool (the only
+    # place that knows "matched") whenever it runs against sf0.1.
+    # RegistrationDisciplineSpec requires every registered query to
+    # have an entry, turning round 11's one-time sweep into a
+    # standing invariant. Partial runs (SPARK_GRAFT_ONLY) update only
+    # the queries that matched; keys gone from oracle_sql.json are
+    # pruned (that file always carries the full registered map).
+    if "sf0.1" in os.path.basename(os.path.normpath(sf_dir)):
+        import datetime
+        ledger_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            "SF01_LEDGER.json")
+        try:
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        except (OSError, ValueError):
+            ledger = {}
+        today = datetime.date.today().isoformat()
+        for name, rows in matched.items():
+            ledger[name] = {"rows": rows, "date": today}
+        ledger = {k: v for k, v in sorted(ledger.items()) if k in oracles}
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"sf0.1 ledger updated: {len(matched)} entries refreshed, "
+              f"{len(ledger)} total")
     return 1 if failures or exempt_failures else 0
 
 
