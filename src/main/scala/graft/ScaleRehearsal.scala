@@ -959,6 +959,30 @@ object ScaleRehearsal {
         }
         report("q237_boundary_stitch", tBs, nBs)
       }
+      // q254: incremental boundary stitch — fixed 1x batch (the
+      // original newest-10% id slice, the q191 convention) vs the
+      // growing seen corpus: candidates stay batch-bounded, only
+      // the cap aggregates scan the corpus
+      if (wanted("q254")) {
+        val (nBsi, tBsi) = timed {
+          val n = graft.ops.Dedup.boundaryStitchesIncrementalOn(d,
+            col("doc_id") >= 4500L && col("doc_id") < 1000000L).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q254_boundary_stitch_incremental", tBsi, nBsi)
+      }
+      // q255: iterative BPE training, FIXED 64 rounds so both scales
+      // run the same round count (exhaustion varies with vocab) —
+      // cost model is rounds × vocab; the 10x shard-permuted corpus
+      // multiplies the vocab, so per-round growth tracks vocab size
+      // while the round structure (argmax collect + one fold) is
+      // scale-invariant
+      if (wanted("q255")) {
+        val (nBt, tBt) = timed(
+          graft.ops.BpeIterative.trainTableDocs(d, 64).count())
+        report("q255_bpe_train_iter", tBt, nBt)
+      }
       // q238: closure audit over the SCALE edge source (LSH pairs)
       if (wanted("q238")) {
         val (nCa, tCa) = timed {

@@ -367,6 +367,10 @@ object SparkEntry {
       TpchShapes.minUnitPriceSupplier(s, d)),
     "q254_boundary_stitch_incremental" -> ((s: SparkSession, d: String) =>
       Dedup.boundaryStitchesIncrementalQuery(s, d)),
+    "q255_bpe_train_iter"   -> ((s: SparkSession, d: String) =>
+      BpeIterative.trainTableQuery(s, d)),
+    "q256_bpe_iter_contract" -> ((s: SparkSession, d: String) =>
+      BpeIterative.encodeContractQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2708,6 +2712,9 @@ object SparkEntry {
         TpchShapes.minUnitPriceSupplierOracleSql(),
       "q254_boundary_stitch_incremental" ->
         Dedup.boundaryStitchesIncrementalOracleSql(),
+      "q255_bpe_train_iter" -> BpeIterative.trainTableOracleSql(),
+      "q256_bpe_iter_contract" ->
+        BpeIterative.encodeContractOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

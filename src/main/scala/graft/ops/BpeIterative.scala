@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE training — the REAL algorithm (Sennrich et al. 2016,
+  * the public subword-nmt reference): each round re-counts adjacent
+  * SYMBOL pairs over the current vocabulary tokenization, merges the
+  * argmax pair everywhere, and repeats — so later merges compose
+  * earlier ones into multi-char tokens, unlike the q207/q241
+  * single-pass CHAR-pair ranking whose rules never grow past 2 chars
+  * (the round-11 verdict's "toy vocabulary" cap, removed here).
+  *
+  * Scale shape: the ONLY corpus-sized step is the word-frequency
+  * aggregate; every training round runs over the VOCAB frame
+  * (|distinct words| rows — heavy-hitter-bounded at any corpus size),
+  * one tiny argmax collect per round (driver-sized, the Ivf centroid
+  * precedent) plus one interpreted fold over the vocab rows. The
+  * per-round transform chain is truncated by localCheckpoint every
+  * `ckptEvery` rounds (the dedupClusters discipline — persist does
+  * NOT truncate the logical plan).
+  *
+  * Determinism contract (both engines replay it symbol-for-symbol):
+  * pair weight = Σ word freq over adjacent occurrences after
+  * leftmost-non-overlapping application of all prior rules; argmax
+  * tie order (n desc, sym_a, sym_b); training stops when the best
+  * pair's weight < 2 or after `nMerges` rounds. Words containing the
+  * U+001F frame char are excluded up front (the DuckDB replay folds
+  * over chr(31)-joined strings; the Spark side uses real arrays, so
+  * agreement needs the frame char out of band — latin1Guard style).
+  *
+  * Reference scope: the reference tool (all 8 files) has no text
+  * operators; this extends the LLM-pipeline surface (SURVEY §2B). */
+object BpeIterative {
+
+  /** (w, freq, toks) — initial tokenization = single chars. */
+  private[graft] def vocabOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("\u001F"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+
+  /** Weighted adjacent-pair counts over the current tokenization. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("toks")) >= 2) // sequence(1,0) = [1,0]!
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "named_struct('a', element_at(toks, i), " +
+          "'b', element_at(toks, i + 1)))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** One leftmost-non-overlapping pass of rule (a, b) → a||b. After a
+    * merge the new last token is a||b ≠ a (b nonempty), so the fold
+    * cannot chain into an overlapping application — exactly the
+    * scan-and-skip semantics. try_element_at: NULL (not ANSI error)
+    * on the empty accumulator. */
+  private[graft] def applyMerge(toks: Column, a: String,
+      b: String): Column =
+    aggregate(toks, lit(Array.empty[String]), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Trained state: priority-ordered rules (sym_a, sym_b, weight at
+    * selection time), the final vocab tokenization frame
+    * (w, freq, toks), and the snapshot after round `snapshotAt`
+    * (prefix theorem: the first k rounds of an R-round run ARE the
+    * k-round trainer, so one run yields both faces). */
+  final case class IterBpe(merges: Seq[(String, String, Long)],
+      vocab: DataFrame, snapshot: DataFrame)
+
+  def trainIterative(docs: DataFrame, nMerges: Int,
+      snapshotAt: Int = 16, ckptEvery: Int = 12): IterBpe = {
+    var vocab = vocabOf(docs).localCheckpoint()
+    var snap = vocab
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b, top(0).getLong(2)))
+        vocab = vocab.withColumn("toks", applyMerge(col("toks"), a, b))
+        if (r % ckptEvery == 0 || r == snapshotAt)
+          vocab = vocab.localCheckpoint()
+      }
+      if (r == snapshotAt) snap = vocab
+      r += 1
+    }
+    val fin = vocab.localCheckpoint()
+    // early exhaustion before the snapshot round: the prefix == full
+    if (merges.size < snapshotAt) snap = fin
+    IterBpe(merges.toSeq, fin, snap)
+  }
+
+  // ------------------------------------ persisted tokenizer artifact
+
+  /** Fingerprint-keyed persisted artifact (graft.Artifacts — the
+    * Ivf/setsim/bpe1 pattern): merges (rank, sym_a, sym_b,
+    * n_weighted), final vocab (w, freq, toks, n_tok), and the
+    * round-`snapshotAt` vocab (w, n_tok_pre). Trained once per
+    * (corpus fingerprint, params) including across JVMs (_SUCCESS
+    * probe); "bpei1" versions the schema. */
+  def persistedIterBpe(spark: SparkSession, dir: String,
+      nMerges: Int = 128, snapshotAt: Int = 16,
+      root: String = sys.props("java.io.tmpdir") + "/graft_bpei")
+      : String =
+    graft.Artifacts.resolve(root, dir,
+      Tables.sourceFingerprint(dir, Seq("documents")),
+      s"bpei1|n$nMerges|s$snapshotAt")(
+      p => new java.io.File(s"$p/vocab/_SUCCESS").exists()) { (p, _) =>
+      val t = trainIterative(Tables.documents(spark, dir), nMerges,
+        snapshotAt)
+      val sess = spark
+      import sess.implicits._
+      t.merges.zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+        .toDF("rank", "sym_a", "sym_b", "n_weighted")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
+      t.snapshot
+        .select(col("w"), size(col("toks")).cast("long").as("n_tok_pre"))
+        .write.mode("overwrite").parquet(s"$p/snapshot")
+      t.vocab
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .write.mode("overwrite").parquet(s"$p/vocab")
+    }
+
+  // ------------------------------------------------- q255 query face
+
+  /** q255: the full learned merge table — training replayed to
+    * exhaustion (every rule the stop-condition admits, multi-char
+    * compositions included). The DuckDB oracle re-derives the SAME
+    * table by unrolling the training rounds as MATERIALIZED CTEs, so
+    * the hash compare proves ranking, application, and stop rule. */
+  def trainTableQuery(spark: SparkSession, dir: String,
+      nMerges: Int = 128): DataFrame = {
+    val p = persistedIterBpe(spark, dir, nMerges)
+    spark.read.parquet(s"$p/merges").orderBy(col("rank"))
+  }
+
+  /** Fresh-training twin of [[trainTableQuery]] for specs. */
+  private[graft] def trainTableDocs(docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    trainIterative(docs, nMerges).merges.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+      .toDF("rank", "sym_a", "sym_b", "n_weighted")
+  }
+
+  // ------------------------------------------------- q256 query face
+
+  /** q256: the accuracy-contract face for merge counts past what an
+    * oracle can replay (the q57/q176/q192 pattern): per vocab word,
+    * the replayable round-`snapshotAt` token count, plus two booleans
+    * that keep the NATIVE full tokenizer in-path — monotonicity
+    * (more merges never add tokens) and losslessness (the final
+    * tokens concatenate back to the word). The oracle replays the
+    * snapshot prefix exactly and emits TRUE literals. */
+  def encodeContractQuery(spark: SparkSession, dir: String,
+      nMerges: Int = 128, snapshotAt: Int = 16): DataFrame = {
+    val p = persistedIterBpe(spark, dir, nMerges, snapshotAt)
+    spark.read.parquet(s"$p/vocab")
+      .join(spark.read.parquet(s"$p/snapshot"), Seq("w"))
+      .select(col("w"), length(col("w")).cast("long").as("n_chars"),
+        col("n_tok_pre"),
+        (col("n_tok") <= col("n_tok_pre")).as("mono_ok"),
+        (concat_ws("", col("toks")) === col("w")).as("lossless_ok"))
+      .orderBy(col("w"))
+  }
+
+  // ---------------------------------------------------- oracle SQL
+
+  /** Unrolled training rounds s0..s`rounds` over chr(31)-joined
+    * tokenizations. AS MATERIALIZED is mandatory: each round is
+    * referenced by the next round's pair count AND apply (the q213
+    * k-core unrolled-CTE lesson — default inlining re-evaluates the
+    * chain exponentially). Round k's argmax CTE pk is empty once the
+    * stop rule fires; the LEFT JOIN then degrades the round to
+    * identity, matching the Spark trainer's early stop. */
+  private def trainCtesSql(rounds: Int): String = {
+    val perRound = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT u.a, u.b, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, UNNEST([{'a': l[i], 'b': l[i+1]}
+         |      FOR i IN range(1, LEN(l))]) AS u
+         |    FROM (SELECT freq, STRING_SPLIT(s, chr(31)) AS l
+         |          FROM s${k - 1}))
+         |  GROUP BY 1, 2 HAVING CAST(SUM(freq) AS BIGINT) >= 2
+         |  ORDER BY n DESC, u.a, u.b LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT t.w, t.freq, CASE WHEN p.a IS NULL THEN t.s ELSE
+         |    SUBSTR(list_reduce(list_prepend('', STRING_SPLIT(t.s, chr(31))),
+         |      (acc, x) -> CASE WHEN ends_with(acc, chr(31) || p.a)
+         |        AND x = p.b THEN acc || x
+         |        ELSE acc || chr(31) || x END), 2) END AS s
+         |  FROM s${k - 1} t LEFT JOIN p$k p ON TRUE)""".stripMargin
+    }
+    s"""wx AS (
+       |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+       |v AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wx
+       |  WHERE LENGTH(w) >= 1 AND NOT contains(w, chr(31))
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, freq, ARRAY_TO_STRING([SUBSTR(w, CAST(i AS INTEGER), 1)
+       |    FOR i IN range(1, LENGTH(w) + 1)], chr(31)) AS s
+       |  FROM v),
+       |${perRound.mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[trainTableQuery]]. */
+  def trainTableOracleSql(nMerges: Int = 128): String = {
+    val rows = (1 to nMerges).map { k =>
+      s"SELECT $k AS rank, a AS sym_a, b AS sym_b, n AS n_weighted FROM p$k"
+    }
+    s"""WITH ${trainCtesSql(nMerges)}
+       |SELECT CAST(rank AS BIGINT) AS rank, sym_a, sym_b, n_weighted
+       |FROM (${rows.mkString("\nUNION ALL\n")})
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[encodeContractQuery]]: replays only the
+    * `snapshotAt`-round prefix (the replayable face) and asserts the
+    * native-path contract booleans as literals. */
+  def encodeContractOracleSql(snapshotAt: Int = 16): String =
+    s"""WITH ${trainCtesSql(snapshotAt)}
+       |SELECT w, CAST(LENGTH(w) AS BIGINT) AS n_chars,
+       |  CAST(LEN(STRING_SPLIT(s, chr(31))) AS BIGINT) AS n_tok_pre,
+       |  TRUE AS mono_ok, TRUE AS lossless_ok
+       |FROM s$snapshotAt
+       |ORDER BY w""".stripMargin
+}

@@ -484,10 +484,12 @@ object Dedup {
     // prefix-colliding pairs pay the intersect. The audit stays an
     // LSH-independent path: the prefix bound is a theorem, not a
     // banding heuristic with recall.
+    // ${minJPpm}L: the ppm literal × size() as INT×INT overflows ANSI
+    // at ≥ ~4295 distinct shingles (ADVICE r11) — long arithmetic
     val prefix = sh.select(col("doc_id"), explode(expr(
       s"slice(sh, 1, cast(size(sh) -" +
-        s" (($minJPpm * size(sh) + 999999) div 1000000) + 1 as int))"))
-      .as("h"))
+        s" ((${minJPpm}L * cast(size(sh) as bigint) + 999999L)" +
+        s" div 1000000) + 1 as int))")).as("h"))
     val cand = prefix.select(col("doc_id").as("doc_a"), col("h"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
@@ -1057,12 +1059,32 @@ object Dedup {
     * index path pays ZERO driver actions for join sizing (the round-7
     * eager-sizing lesson). */
   final case class SetSimIndex(ranked: DataFrame, gramSets: DataFrame,
-      freq: DataFrame, nDocs: Long, gramBytes: Long) {
+      freq: DataFrame, hi: DataFrame, nDocs: Long, gramBytes: Long) {
     private[Dedup] def sizerOf(sess: SparkSession): SetSizer =
       SetSizer(nDocs, gramBytes,
         sess.conf.getOption("graft.setsim.broadcastBytes")
           .map(_.toLong).getOrElse(1024L * 1024 * 1024))
   }
+
+  /** df cut between the inverted-join (low) and residual-array (high)
+    * halves of the array-free verify — an index-layout constant ("the
+    * hi table IS the df > cap slice"), versioned into the ssi3
+    * digest. 64 keeps the low side's Σ df² tuple volume ~120× under
+    * the uncapped inverted join on the measured corpus while the
+    * residual arrays stay ~10× smaller than the full gram sets. */
+  private val InvertedDfCap = 64L
+
+  /** The per-doc HIGH-df residual table (doc_id, hs sorted, n):
+    * COMPLETE — one row per doc, hs possibly empty — and carrying the
+    * doc's TOTAL gram count, so the array-free verify gets residual
+    * arrays and set sizes from the same two bucket-co-located joins
+    * with no broadcast of any corpus-row-sized frame (the VERDICT r4
+    * no-corpus-broadcast contract holds at any nDocs). */
+  private def hiArraysOf(ranked: DataFrame): DataFrame =
+    ranked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+          when(col("df") > InvertedDfCap, col("g64")))).as("hs"),
+        first(col("n")).as("n"))
 
   /** Build + write the set-sim index for a corpus as PLAIN parquet —
     * the portable form for stores without a metastore (the
@@ -1082,10 +1104,11 @@ object Dedup {
     val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
     val gramSets = gramSetsOf(grams)
     val sz = sizer(docs.sparkSession, gramSets)
-    val ranked = rankedGrams(grams, freq, gramSets, sz,
-      leftJoinFreq = false)
+    val ranked = register(rankedGrams(grams, freq, gramSets, sz,
+      leftJoinFreq = false).persist(StorageLevel.MEMORY_AND_DISK))
     ranked.write.mode("overwrite").parquet(s"$path/ranked")
     gramSets.write.mode("overwrite").parquet(s"$path/gramsets")
+    hiArraysOf(ranked).write.mode("overwrite").parquet(s"$path/hi")
     freq.write.mode("overwrite").parquet(s"$path/freq")
     import docs.sparkSession.implicits._
     Seq((sz.nDocs, sz.gramBytes)).toDF("n_docs", "gram_bytes")
@@ -1098,6 +1121,7 @@ object Dedup {
     SetSimIndex(spark.read.parquet(s"$path/ranked"),
       spark.read.parquet(s"$path/gramsets"),
       spark.read.parquet(s"$path/freq"),
+      spark.read.parquet(s"$path/hi"),
       st.getLong(0), st.getLong(1))
   }
 
@@ -1106,11 +1130,10 @@ object Dedup {
   // version ("ssi2" = the bucketed-table layout) so both a
   // regenerated corpus and a code-level index schema change force a
   // rebuild (the round-6 fingerprint rule + the round-7
-  // rehearsal-cache version rule). Table-existence + stats/_SUCCESS
+  // rehearsal-cache version rule) — all via the shared
+  // graft.Artifacts resolver. Table-existence + stats/_SUCCESS
   // probes make the artifact reusable ACROSS JVMs: a verify run and
   // the bench that follows read the same on-disk build.
-  private val setSimIndexPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Bucket count of the persisted index tables — matches the 32-way
     * session parallelism; on a cluster this is a deployment knob. */
@@ -1141,43 +1164,48 @@ object Dedup {
       corpus: (SparkSession, String) => DataFrame, idCol: String = "doc_id",
       indexRoot: String = sys.props("java.io.tmpdir") + "/graft_setsim")
       : SetSimIndex = {
-    val fp = Tables.sourceFingerprint(dir, Seq("documents"))
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"ssi2|$dir|$tag|$fp".getBytes("UTF-8")).take(8)
-      .map(b => f"${b & 0xff}%02x").mkString
-    val gsTable = s"ssi_gs_$digest"
-    val rkTable = s"ssi_rk_$digest"
-    val path = setSimIndexPaths.computeIfAbsent(
-      s"$indexRoot|$dir|$tag|$fp", _ => {
-        val p = s"$indexRoot/$digest"
-        if (!spark.catalog.tableExists(gsTable) ||
-            !spark.catalog.tableExists(rkTable) ||
-            !new java.io.File(s"$p/stats/_SUCCESS").exists()) {
-          val docs = corpus(spark, dir)
-          graft.functions.GraftFunctions.register(spark)
-          latin1Guard(docs)
-          val grams = packedGrams(docs, idCol)
-          val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
-          val gramSets = gramSetsOf(grams)
-          val sz = sizer(spark, gramSets)
-          rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false)
-            .write.mode("overwrite")
-            .bucketBy(IndexBuckets, "g64").sortBy("g64")
-            .option("path", s"$p/ranked").saveAsTable(rkTable)
-          gramSets.write.mode("overwrite")
-            .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
-            .option("path", s"$p/gramsets").saveAsTable(gsTable)
-          freq.write.mode("overwrite").parquet(s"$p/freq")
-          import spark.implicits._
-          Seq((sz.nDocs, sz.gramBytes)).toDF("n_docs", "gram_bytes")
-            .coalesce(1).write.mode("overwrite").parquet(s"$p/stats")
-          unpersistCaches()
-        }
-        p
-      })
+    def tables(digest: String) =
+      (s"ssi_gs_$digest", s"ssi_rk_$digest", s"ssi_hi_$digest")
+    val path = graft.Artifacts.resolve(indexRoot, dir,
+      Tables.sourceFingerprint(dir, Seq("documents")), s"ssi3|$tag")(
+      p => {
+        val (gs, rk, hi) = tables(p.split('/').last)
+        spark.catalog.tableExists(gs) && spark.catalog.tableExists(rk) &&
+          spark.catalog.tableExists(hi) &&
+          new java.io.File(s"$p/stats/_SUCCESS").exists()
+      }) { (p, digest) =>
+      val (gsTable, rkTable, hiTable) = tables(digest)
+      val docs = corpus(spark, dir)
+      graft.functions.GraftFunctions.register(spark)
+      latin1Guard(docs)
+      val grams = packedGrams(docs, idCol)
+      val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+      val gramSets = gramSetsOf(grams)
+      val sz = sizer(spark, gramSets)
+      val ranked = register(
+        rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      ranked.write.mode("overwrite")
+        .bucketBy(IndexBuckets, "g64").sortBy("g64")
+        .option("path", s"$p/ranked").saveAsTable(rkTable)
+      gramSets.write.mode("overwrite")
+        .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+        .option("path", s"$p/gramsets").saveAsTable(gsTable)
+      // the array-free verify's residual table (df > InvertedDfCap)
+      hiArraysOf(ranked).write.mode("overwrite")
+        .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+        .option("path", s"$p/hi").saveAsTable(hiTable)
+      freq.write.mode("overwrite").parquet(s"$p/freq")
+      import spark.implicits._
+      Seq((sz.nDocs, sz.gramBytes)).toDF("n_docs", "gram_bytes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/stats")
+      unpersistCaches()
+    }
+    val (gsTable, rkTable, hiTable) = tables(path.split('/').last)
     val st = spark.read.parquet(s"$path/stats").head()
     SetSimIndex(spark.table(rkTable), spark.table(gsTable),
-      spark.read.parquet(s"$path/freq"), st.getLong(0), st.getLong(1))
+      spark.read.parquet(s"$path/freq"), spark.table(hiTable),
+      st.getLong(0), st.getLong(1))
   }
 
   /** Exact set-CONTAINMENT join (q181): ordered pairs (a, b) where
@@ -1534,10 +1562,67 @@ object Dedup {
     val sz = idx.sizerOf(spark)
     val cand = selfCandidatesFromPrefix(
       prefixCutFilter(idx.ranked, 700000L), 700000L)
-    verifyPairs(cand, idx.gramSets, "doc_a", idx.gramSets, "doc_b",
-        sz, sz, 700000L)
+    // over the broadcast threshold the classic verify pays the
+    // gram-array exchange between its two joins (the 30× 224 s
+    // cliff); the index path then switches to the array-free form
+    // unless explicitly disabled
+    val verified =
+      if (sz.gramBytes > sz.limit &&
+          spark.conf.getOption("graft.setsim.invertedVerify")
+            .forall(_.toBoolean))
+        verifyPairsInverted(cand, idx, 700000L)
+      else
+        verifyPairs(cand, idx.gramSets, "doc_a", idx.gramSets, "doc_b",
+          sz, sz, 700000L)
+    verified
       .repartition(1)
       .sortWithinPartitions(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
+  }
+
+  /** Array-free exact verify (VERDICT r11 #5): re-derives each
+    * candidate pair's intersection from the persisted index WITHOUT
+    * ever exchanging gram arrays per candidate.
+    *  - ni_low (df ≤ [[InvertedDfCap]]): a CO-LOCATED self-join on
+    *    the g64-bucketed ranked table (zero exchange on the index
+    *    side) emits bare (doc_a, doc_b) id pairs, map-side-combined
+    *    into per-pair counts — Σ_{df≤cap} df² generated tuples,
+    *    ~120× under the uncapped inverted join on the measured
+    *    corpus, and the only shuffled rows are 16-byte id pairs.
+    *  - ni_high (df > cap): the per-doc residual arrays (~24 grams
+    *    ≈ 10× smaller than the full sets) ride the two candidate
+    *    joins, shrinking the between-join exchange by the same
+    *    factor; docs with no high grams left-join to an empty array.
+    *  - ni = ni_low + ni_high is EXACT (each shared gram is counted
+    *    in exactly one half), and the inner join from the candidate
+    *    side keeps candidate-completeness semantics identical to
+    *    [[verifyPairs]] — the differential spec pins bit-identity.
+    * Sizes (doc lengths) broadcast from the gramSets table's (doc_id,
+    * n) columns — column pruning keeps the arrays on disk. */
+  private def verifyPairsInverted(cand: DataFrame, idx: SetSimIndex,
+      tPpm: Long): DataFrame = {
+    val low = idx.ranked.filter(col("df") <= InvertedDfCap &&
+      col("df") >= 2L)
+    val niLow = low.select(col("doc_id").as("doc_a"), col("g64"))
+      .join(low.select(col("doc_id").as("doc_b"), col("g64")), Seq("g64"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ni_low"))
+    cand
+      .join(idx.hi.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("n").as("na")), Seq("doc_a"))
+      .join(idx.hi.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("ni_high", call_function("sorted_intersect_count",
+        col("hs_a"), col("hs_b")))
+      .drop("hs_a", "hs_b")
+      .join(niLow, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("ni_low"))
+      .withColumn("ni", col("ni_low") + col("ni_high"))
+      .filter(col("ni") * lit(1000000L) >=
+        lit(tPpm) * (col("na") + col("nb") - col("ni")))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((ni * 1000000) DIV (na + nb - ni) AS BIGINT)")
+          .as("jaccard_ppm"))
   }
 
   /** Dedup-savings accounting (q156): the token-budget view of exact
@@ -1742,16 +1827,26 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val cutoff =
       (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
-    val union = register(boundaryFeatures(docs)
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    val corpusF = union.filter(col("doc_id") < cutoff)
-    val batchF = union.filter(col("doc_id") >= cutoff)
-    boundaryStitchesCapped(union, batchF, maxKeyFreq, union, union)
-      .unionByName(
-        boundaryStitchesCapped(batchF, corpusF, maxKeyFreq, union, union))
+    boundaryStitchesIncrementalOn(docs, col("doc_id") >= cutoff,
+      maxKeyFreq)
       .repartition(1)
       .sortWithinPartitions(col("doc_a"), col("doc_b"),
         col("overlap_len"))
+  }
+
+  /** Frame-based core of [[boundaryStitchesIncrementalQuery]]:
+    * `isBatch` marks the ingest batch inside `docs` (the full seen
+    * corpus). Registers a persist of the union feature frame — drain
+    * via [[unpersistCaches]]. */
+  def boundaryStitchesIncrementalOn(docs: DataFrame, isBatch: Column,
+      maxKeyFreq: Long = 64L): DataFrame = {
+    val union = register(boundaryFeatures(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val corpusF = union.filter(!isBatch)
+    val batchF = union.filter(isBatch)
+    boundaryStitchesCapped(union, batchF, maxKeyFreq, union, union)
+      .unionByName(
+        boundaryStitchesCapped(batchF, corpusF, maxKeyFreq, union, union))
   }
 
   /** DuckDB oracle for [[boundaryStitchesIncrementalQuery]] — the

@@ -120,35 +120,22 @@ object Ivf {
     Index(centroids, spark.read.parquet(s"$path/cells"))
   }
 
-  // one persisted index per (indexRoot, corpus dir) per JVM — queries
-  // share it instead of re-fitting. Keyed by BOTH root and dir so an
-  // explicit cluster root (distributed FS) is never shadowed by an
-  // earlier default-root build; the on-disk name is a SHA-256 prefix
-  // of the dir (String.hashCode collisions would cross-contaminate
-  // two corpora's indexes)
-  private val indexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The persisted index for a corpus dir: built + written on first
-    * use (sampled fit), read from the partitioned parquet after.
-    * `indexRoot` may be any Hadoop-FS path (local tmp by default; a
-    * distributed FS on a cluster). */
+    * use (sampled fit), read from the partitioned parquet after —
+    * including across JVMs (centroids/_SUCCESS probe, a reuse the
+    * hand-rolled resolver never had). `indexRoot` may be any
+    * Hadoop-FS path (local tmp by default; a distributed FS on a
+    * cluster). Cache identity via the shared graft.Artifacts
+    * resolver: source fingerprint + "ivf1" schema version. */
   def persistedIndex(spark: SparkSession, dir: String,
-      indexRoot: String = sys.props("java.io.tmpdir") + "/graft_ivf"): Index = {
-    // the source fingerprint (length+mtime) is part of the digest so a
-    // corpus regenerated at the same path rebuilds instead of reading
-    // a stale on-disk index from a prior JVM (same guard as
-    // Tables.bucketedPair — round 5's in-place testdata regen)
-    val fp = Tables.sourceFingerprint(dir, Seq("embeddings"))
-    val path = indexPaths.computeIfAbsent(s"$indexRoot|$dir|$fp", _ => {
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(s"$dir|$fp".getBytes("UTF-8")).take(8)
-        .map(b => f"${b & 0xff}%02x").mkString
-      val p = s"$indexRoot/$digest"
-      writeIndex(build(Tables.embeddings(spark, dir), fitFraction = 0.25), p)
-      p
+      indexRoot: String = sys.props("java.io.tmpdir") + "/graft_ivf"): Index =
+    readIndex(spark, graft.Artifacts.resolve(indexRoot, dir,
+      Tables.sourceFingerprint(dir, Seq("embeddings")), "ivf1")(
+      p => new java.io.File(s"$p/centroids/_SUCCESS").exists()) {
+      (p, _) =>
+        writeIndex(build(Tables.embeddings(spark, dir),
+          fitFraction = 0.25), p)
     })
-    readIndex(spark, path)
-  }
 
   /** Query: rank cells by centroid distance (driver-side — k tiny),
     * probe the nProbe nearest, exact cosine re-rank inside them. */

@@ -1017,9 +1017,22 @@ object TextAnalysis {
     * centroid-collect precedent); a production tokenizer's merge
     * table is likewise a driver/broadcast artifact, never data-sized. */
   private[graft] def bpeMerges(docs: DataFrame,
-      nMerges: Int): Seq[(String, String)] =
-    bpePairStatsDocs(docs, nMerges).collect()
+      nMerges: Int): Seq[(String, String)] = {
+    val m = bpePairStatsDocs(docs, nMerges).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+    // Spark's chr() masks its argument to 8 bits while DuckDB's is
+    // full Unicode: a merge symbol above U+00FF would silently become
+    // a DIFFERENT character in the generated Spark SQL and diverge
+    // from the oracle (ADVICE r11) — fail loudly, the latin1Guard
+    // discipline. Driver-side over ≤ nMerges rows, so it's free.
+    val bad = m.flatMap { case (a, b) => Seq(a, b) }
+      .filter(s => s.length != 1 || s.head > 0xFF)
+    require(bad.isEmpty,
+      "BPE merge symbols above U+00FF are not chr()-encodable on the " +
+        s"Spark side: ${bad.distinct.mkString(", ")} — pre-filter or " +
+        "transliterate the corpus first.")
+    m
+  }
 
   /** SQL expression encoding word column `wcol` under `merges`: start
     * from the chr(31)-separated char sequence, then ONE sequential
@@ -1110,31 +1123,20 @@ object TextAnalysis {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq,
       spark.read.parquet(s"$path/vocab"))
 
-  private val bpeTokenizerPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The persisted tokenizer for a corpus dir: trained + written on
     * first use, read from parquet after (including across JVMs when
-    * the source fingerprint matches -- the vocab/_SUCCESS probe).
-    * "bpe1|n<nMerges>" versions the artifact schema AND the merge
-    * count inside the digest. */
+    * the source fingerprint matches -- the vocab/_SUCCESS probe,
+    * via the shared graft.Artifacts resolver). "bpe1|n<nMerges>"
+    * versions the artifact schema AND the merge count. */
   def persistedBpeTokenizer(spark: SparkSession, dir: String,
       nMerges: Int = 12,
       root: String = sys.props("java.io.tmpdir") + "/graft_bpe")
-      : BpeTokenizer = {
-    val fp = Tables.sourceFingerprint(dir, Seq("documents"))
-    val path = bpeTokenizerPaths.computeIfAbsent(
-      s"$root|$dir|$nMerges|$fp", _ => {
-        val digest = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(s"bpe1|n$nMerges|$dir|$fp".getBytes("UTF-8")).take(8)
-          .map(b => f"${b & 0xff}%02x").mkString
-        val p = s"$root/$digest"
-        if (!new java.io.File(s"$p/vocab/_SUCCESS").exists())
-          writeBpeTokenizer(Tables.documents(spark, dir), nMerges, p)
-        p
-      })
-    readBpeTokenizer(spark, path)
-  }
+      : BpeTokenizer =
+    readBpeTokenizer(spark, graft.Artifacts.resolve(root, dir,
+      Tables.sourceFingerprint(dir, Seq("documents")), s"bpe1|n$nMerges")(
+      p => new java.io.File(s"$p/vocab/_SUCCESS").exists()) { (p, _) =>
+      writeBpeTokenizer(Tables.documents(spark, dir), nMerges, p)
+    })
 
   /** [[bpeWordStats]] riding the persisted tokenizer -- the per-query
     * cost is one word explode + one vocab join; training amortizes
