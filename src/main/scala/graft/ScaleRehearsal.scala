@@ -243,6 +243,24 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q126_setsim_join", tSs, nSs)
       }
+      // q126i: the INDEX-path near-dup verify (setSimNearDups) — the
+      // deployed shape. Under the broadcast threshold the verify
+      // broadcasts the gram sets; over it (SPARK_GRAFT_SETSIM_BCAST=1)
+      // it switches to the ARRAY-FREE inverted form (VERDICT r11 #5).
+      // The index build is warmed outside the timed run, so the
+      // number is the per-query probe+verify cost, matching how a
+      // deployment amortizes the artifact.
+      if (wanted("q126i")) {
+        val dirAt = if (scale == "1x") dir else outFor(scale)
+        Dedup.setSimNearDups(spark, dirAt).count()
+        Dedup.unpersistCaches()
+        val (nIv, tIv) = timed {
+          val n = Dedup.setSimNearDups(spark, dirAt).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q126i_neardups_indexed", tIv, nIv)
+      }
       // q119 shape: stride-1 substring extent dedup
       if (wanted("q119")) {
         val (nSub, tSub) = timed(Dedup.substringDedup(d).count())

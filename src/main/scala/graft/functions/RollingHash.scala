@@ -82,6 +82,12 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2mu", exprs => L2MuSq(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "varint_delta_pack",
+      exprs => VarintDeltaPack(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_varint_intersect_count",
+      exprs => SortedVarintIntersectCount(exprs.head, exprs(1)), "internal")
   }
 
   /** Plain-Scala splitmix64 reference for differential testing. */

@@ -1059,32 +1059,35 @@ object Dedup {
     * index path pays ZERO driver actions for join sizing (the round-7
     * eager-sizing lesson). */
   final case class SetSimIndex(ranked: DataFrame, gramSets: DataFrame,
-      freq: DataFrame, hi: DataFrame, nDocs: Long, gramBytes: Long) {
+      freq: DataFrame, nDocs: Long, gramBytes: Long) {
     private[Dedup] def sizerOf(sess: SparkSession): SetSizer =
       SetSizer(nDocs, gramBytes,
         sess.conf.getOption("graft.setsim.broadcastBytes")
           .map(_.toLong).getOrElse(1024L * 1024 * 1024))
   }
 
-  /** df cut between the inverted-join (low) and residual-array (high)
-    * halves of the array-free verify — an index-layout constant ("the
-    * hi table IS the df > cap slice"), versioned into the ssi3
-    * digest. 64 keeps the low side's Σ df² tuple volume ~120× under
-    * the uncapped inverted join on the measured corpus while the
-    * residual arrays stay ~10× smaller than the full gram sets. */
-  private val InvertedDfCap = 64L
-
-  /** The per-doc HIGH-df residual table (doc_id, hs sorted, n):
-    * COMPLETE — one row per doc, hs possibly empty — and carrying the
-    * doc's TOTAL gram count, so the array-free verify gets residual
-    * arrays and set sizes from the same two bucket-co-located joins
-    * with no broadcast of any corpus-row-sized frame (the VERDICT r4
-    * no-corpus-broadcast contract holds at any nDocs). */
-  private def hiArraysOf(ranked: DataFrame): DataFrame =
-    ranked.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(
-          when(col("df") > InvertedDfCap, col("g64")))).as("hs"),
-        first(col("n")).as("n"))
+  /** The index's gram-set table WITH the packed column: per doc the
+    * sorted raw gram array (gs — the broadcast-regime payload), the
+    * set size, and the dictionary-dense delta-varint packing (gv —
+    * the over-threshold exchange payload, ~4× smaller; see
+    * graft.functions.VarintGramSet for the measurement chain that
+    * chose this over a df-capped inverted join). The dictionary
+    * orders ids by (df desc, g64) so common grams cluster at low ids
+    * and per-doc gaps stay small. */
+  private def packedGramSetsOf(grams: DataFrame,
+      freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // single-partition window: dictionary-sized (distinct grams),
+    // index-build-time only
+    val freqG = freq.withColumn("gid", row_number()
+      .over(Window.orderBy(col("df").desc, col("g64"))).cast("long"))
+    grams.join(freqG, Seq("g64"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g64"))).as("gs"),
+        count(lit(1)).as("n"),
+        call_function("varint_delta_pack",
+          sort_array(collect_list(col("gid")))).as("gv"))
+  }
 
   /** Build + write the set-sim index for a corpus as PLAIN parquet —
     * the portable form for stores without a metastore (the
@@ -1100,15 +1103,15 @@ object Dedup {
       path: String): Unit = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     latin1Guard(docs)
-    val grams = packedGrams(docs, idCol)
+    val grams = register(packedGrams(docs, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
-    val gramSets = gramSetsOf(grams)
+    val gramSets = register(packedGramSetsOf(grams, freq)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val sz = sizer(docs.sparkSession, gramSets)
-    val ranked = register(rankedGrams(grams, freq, gramSets, sz,
-      leftJoinFreq = false).persist(StorageLevel.MEMORY_AND_DISK))
-    ranked.write.mode("overwrite").parquet(s"$path/ranked")
+    rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false)
+      .write.mode("overwrite").parquet(s"$path/ranked")
     gramSets.write.mode("overwrite").parquet(s"$path/gramsets")
-    hiArraysOf(ranked).write.mode("overwrite").parquet(s"$path/hi")
     freq.write.mode("overwrite").parquet(s"$path/freq")
     import docs.sparkSession.implicits._
     Seq((sz.nDocs, sz.gramBytes)).toDF("n_docs", "gram_bytes")
@@ -1121,7 +1124,6 @@ object Dedup {
     SetSimIndex(spark.read.parquet(s"$path/ranked"),
       spark.read.parquet(s"$path/gramsets"),
       spark.read.parquet(s"$path/freq"),
-      spark.read.parquet(s"$path/hi"),
       st.getLong(0), st.getLong(1))
   }
 
@@ -1164,47 +1166,41 @@ object Dedup {
       corpus: (SparkSession, String) => DataFrame, idCol: String = "doc_id",
       indexRoot: String = sys.props("java.io.tmpdir") + "/graft_setsim")
       : SetSimIndex = {
-    def tables(digest: String) =
-      (s"ssi_gs_$digest", s"ssi_rk_$digest", s"ssi_hi_$digest")
+    def tables(digest: String) = (s"ssi_gs_$digest", s"ssi_rk_$digest")
     val path = graft.Artifacts.resolve(indexRoot, dir,
-      Tables.sourceFingerprint(dir, Seq("documents")), s"ssi3|$tag")(
+      Tables.sourceFingerprint(dir, Seq("documents")), s"ssi4|$tag")(
       p => {
-        val (gs, rk, hi) = tables(p.split('/').last)
+        val (gs, rk) = tables(p.split('/').last)
         spark.catalog.tableExists(gs) && spark.catalog.tableExists(rk) &&
-          spark.catalog.tableExists(hi) &&
           new java.io.File(s"$p/stats/_SUCCESS").exists()
       }) { (p, digest) =>
-      val (gsTable, rkTable, hiTable) = tables(digest)
+      val (gsTable, rkTable) = tables(digest)
       val docs = corpus(spark, dir)
       graft.functions.GraftFunctions.register(spark)
       latin1Guard(docs)
-      val grams = packedGrams(docs, idCol)
+      val grams = register(packedGrams(docs, idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
-      val gramSets = gramSetsOf(grams)
+      val gramSets = register(packedGramSetsOf(grams, freq)
+        .persist(StorageLevel.MEMORY_AND_DISK))
       val sz = sizer(spark, gramSets)
-      val ranked = register(
-        rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false)
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      ranked.write.mode("overwrite")
+      rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false)
+        .write.mode("overwrite")
         .bucketBy(IndexBuckets, "g64").sortBy("g64")
         .option("path", s"$p/ranked").saveAsTable(rkTable)
       gramSets.write.mode("overwrite")
         .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
         .option("path", s"$p/gramsets").saveAsTable(gsTable)
-      // the array-free verify's residual table (df > InvertedDfCap)
-      hiArraysOf(ranked).write.mode("overwrite")
-        .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
-        .option("path", s"$p/hi").saveAsTable(hiTable)
       freq.write.mode("overwrite").parquet(s"$p/freq")
       import spark.implicits._
       Seq((sz.nDocs, sz.gramBytes)).toDF("n_docs", "gram_bytes")
         .coalesce(1).write.mode("overwrite").parquet(s"$p/stats")
       unpersistCaches()
     }
-    val (gsTable, rkTable, hiTable) = tables(path.split('/').last)
+    val (gsTable, rkTable) = tables(path.split('/').last)
     val st = spark.read.parquet(s"$path/stats").head()
     SetSimIndex(spark.table(rkTable), spark.table(gsTable),
-      spark.read.parquet(s"$path/freq"), spark.table(hiTable),
+      spark.read.parquet(s"$path/freq"),
       st.getLong(0), st.getLong(1))
   }
 
@@ -1564,13 +1560,14 @@ object Dedup {
       prefixCutFilter(idx.ranked, 700000L), 700000L)
     // over the broadcast threshold the classic verify pays the
     // gram-array exchange between its two joins (the 30× 224 s
-    // cliff); the index path then switches to the array-free form
-    // unless explicitly disabled
+    // cliff); the index path then switches to the PACKED verify
+    // (delta-varint gram sets, ~4× smaller exchange, no array on any
+    // exchange) unless explicitly disabled
     val verified =
       if (sz.gramBytes > sz.limit &&
-          spark.conf.getOption("graft.setsim.invertedVerify")
+          spark.conf.getOption("graft.setsim.packedVerify")
             .forall(_.toBoolean))
-        verifyPairsInverted(cand, idx, 700000L)
+        verifyPairsPacked(cand, idx.gramSets, 700000L)
       else
         verifyPairs(cand, idx.gramSets, "doc_a", idx.gramSets, "doc_b",
           sz, sz, 700000L)
@@ -1579,45 +1576,41 @@ object Dedup {
       .sortWithinPartitions(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
   }
 
-  /** Array-free exact verify (VERDICT r11 #5): re-derives each
-    * candidate pair's intersection from the persisted index WITHOUT
-    * ever exchanging gram arrays per candidate.
-    *  - ni_low (df ≤ [[InvertedDfCap]]): a CO-LOCATED self-join on
-    *    the g64-bucketed ranked table (zero exchange on the index
-    *    side) emits bare (doc_a, doc_b) id pairs, map-side-combined
-    *    into per-pair counts — Σ_{df≤cap} df² generated tuples,
-    *    ~120× under the uncapped inverted join on the measured
-    *    corpus, and the only shuffled rows are 16-byte id pairs.
-    *  - ni_high (df > cap): the per-doc residual arrays (~24 grams
-    *    ≈ 10× smaller than the full sets) ride the two candidate
-    *    joins, shrinking the between-join exchange by the same
-    *    factor; docs with no high grams left-join to an empty array.
-    *  - ni = ni_low + ni_high is EXACT (each shared gram is counted
-    *    in exactly one half), and the inner join from the candidate
-    *    side keeps candidate-completeness semantics identical to
-    *    [[verifyPairs]] — the differential spec pins bit-identity.
-    * Sizes (doc lengths) broadcast from the gramSets table's (doc_id,
-    * n) columns — column pruning keeps the arrays on disk. */
-  private def verifyPairsInverted(cand: DataFrame, idx: SetSimIndex,
+  /** Packed exact verify for the over-broadcast-threshold regime
+    * (VERDICT r11 #5): identical semantics to [[verifyPairs]], but
+    * the per-candidate payload is the delta-varint DICTIONARY packing
+    * (gv, BinaryType) instead of the raw bigint gram array — ~4×
+    * fewer exchanged bytes, and no exchange anywhere in the plan
+    * carries an ArrayType column (the differential spec asserts
+    * both). A df-capped inverted id-pair join was built and measured
+    * first and rejected: on this corpus high-df grams dominate doc
+    * membership, so its residual arrays kept 88% of the payload while
+    * the uncapped inverted join generates Σ df² ≈ 17 B tuples at 30×
+    * (see graft.functions.VarintGramSet).
+    *
+    * Join shape: shuffle_hash on both gram-set joins (sort-merge
+    * would sort the fat candidate stream — hint-less SMJs measured
+    * 235 s at 30×), with the build sides EXPLICITLY repartitioned on
+    * the join key: their shuffles are small and AQE would otherwise
+    * coalesce them into a handful of fat partitions whose per-task
+    * hash builds blow the executor memory budget (measured:
+    * SparkOutOfMemoryError at 30×) — an explicit numPartitions is
+    * exempt from coalescing. */
+  private def verifyPairsPacked(cand: DataFrame, gramSets: DataFrame,
       tPpm: Long): DataFrame = {
-    val low = idx.ranked.filter(col("df") <= InvertedDfCap &&
-      col("df") >= 2L)
-    val niLow = low.select(col("doc_id").as("doc_a"), col("g64"))
-      .join(low.select(col("doc_id").as("doc_b"), col("g64")), Seq("g64"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("ni_low"))
+    val nP = cand.sparkSession.sessionState.conf.numShufflePartitions
     cand
-      .join(idx.hi.select(col("doc_id").as("doc_a"),
-        col("hs").as("hs_a"), col("n").as("na")), Seq("doc_a"))
-      .join(idx.hi.select(col("doc_id").as("doc_b"),
-        col("hs").as("hs_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("ni_high", call_function("sorted_intersect_count",
-        col("hs_a"), col("hs_b")))
-      .drop("hs_a", "hs_b")
-      .join(niLow, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("ni_low"))
-      .withColumn("ni", col("ni_low") + col("ni_high"))
+      .join(gramSets.select(col("doc_id").as("doc_a"),
+          col("gv").as("gv_a"), col("n").as("na"))
+        .repartition(nP, col("doc_a")).hint("shuffle_hash"),
+        Seq("doc_a"))
+      .join(gramSets.select(col("doc_id").as("doc_b"),
+          col("gv").as("gv_b"), col("n").as("nb"))
+        .repartition(nP, col("doc_b")).hint("shuffle_hash"),
+        Seq("doc_b"))
+      .withColumn("ni", call_function("sorted_varint_intersect_count",
+        col("gv_a"), col("gv_b")))
+      .drop("gv_a", "gv_b")
       .filter(col("ni") * lit(1000000L) >=
         lit(tPpm) * (col("na") + col("nb") - col("ni")))
       .select(col("doc_a"), col("doc_b"),

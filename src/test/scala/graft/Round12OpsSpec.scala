@@ -90,10 +90,11 @@ class Round12OpsSpec extends SparkSpec {
       val df = Dedup.setSimNearDups(spark, dir)
       assert(rows(df) == base && base.nonEmpty,
         s"inverted verify diverged from the broadcast path")
-      // the candidate stream must never exchange the full gram sets
-      // (gs — the 2 KB/candidate payload behind the 30x 224 s cliff);
-      // the ONLY array allowed on an exchange is the hi-table
-      // residual (hs, ~10x smaller by the df-cap split)
+      // the 100-TB contract of the packed verify: NO exchange in the
+      // whole executed plan carries an ArrayType column — the
+      // per-candidate payload is the delta-varint BinaryType packing
+      // (gv, ~4× smaller than the raw gram arrays whose exchange was
+      // the 30× 224 s cliff)
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -109,15 +110,42 @@ class Round12OpsSpec extends SparkSpec {
         case other => other.children.foreach(walk)
       }
       walk(df.queryExecution.executedPlan)
-      assert(!arrayCols.exists(_.startsWith("gs")),
-        s"full gram sets rode an exchange: $arrayCols")
-      assert(arrayCols.forall(_.startsWith("hs")),
-        s"unexpected array on an exchange: $arrayCols")
+      assert(arrayCols.isEmpty,
+        s"an exchange carried array columns: $arrayCols")
     } finally {
       spark.conf.unset("graft.setsim.broadcastBytes")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       Dedup.unpersistCaches()
     }
+  }
+
+  test("varint gram-set packing: pack + merge-count agree with unpacked set intersection") {
+    import graft.functions.VarintGramSet
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(500000).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(500000).toLong)
+        .distinct.sorted
+      val expect = a.toSet.intersect(b.toSet).size.toLong
+      val got = VarintGramSet.intersectCount(
+        VarintGramSet.packReference(a), VarintGramSet.packReference(b))
+      assert(got == expect, s"a=$a b=$b got=$got expect=$expect")
+    }
+    // the Expression path (pack in Spark, intersect in Spark) agrees
+    // with the driver reference on a planted frame incl. empty sets
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 5L, 1000L, 99999L), Seq(5L, 99999L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(0L, 127L, 128L, 16384L), Seq(0L, 128L, 16384L)))
+      .toDF("a", "b")
+      .select(call_function("sorted_varint_intersect_count",
+        call_function("varint_delta_pack", col("a")),
+        call_function("varint_delta_pack", col("b"))).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 0L, 3L))
   }
 
   // ---------------------------------------------- iterative BPE (q255/q256)
