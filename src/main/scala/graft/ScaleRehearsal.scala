@@ -1001,15 +1001,35 @@ object ScaleRehearsal {
           graft.ops.BpeIterative.trainTableDocs(d, 64).count())
         report("q255_bpe_train_iter", tBt, nBt)
       }
-      // q238: closure audit over the SCALE edge source (LSH pairs)
+      // q238: closure audit over the SCALE edge source. Round 12's
+      // 100x decade measured the FIXED-8-planes source at N^2.0 edges
+      // (69.9k → 6.97M, maxdeg 39 → 319) and the audit at N^1.73
+      // (0.88 → 47.3 s) — the autoPlanes density control is therefore
+      // mandatory here, exactly as on the q65 row; and the q229 Σdeg²
+      // forecast is priced and reported BEFORE the audit runs, the
+      // deployment gate the audit's cost model demands.
       if (wanted("q238")) {
+        val e = embAt(scale)
+        val nVecs = e.count()
+        val pairs = Similarity.lshEmbeddingNearDups(e, 0.25,
+            Similarity.autoPlanes(nVecs))
+          .select(col("vec_a"), col("vec_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (fc, tFc) = timed {
+          def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+          val deg = pairs.select(col("vec_a").as("v"))
+            .unionAll(pairs.select(col("vec_b").as("v")))
+            .groupBy(col("v")).agg(count(lit(1)).as("d"))
+          deg.agg(sum(dec(col("d")) * dec(col("d"))).as("s"))
+            .head().getDecimal(0).longValue()
+        }
+        report("q238_wedge_forecast", tFc, fc)
         val (nCa, tCa) = timed {
-          val pairs = Similarity.lshEmbeddingNearDups(embAt(scale), 0.25)
-            .select(col("vec_a"), col("vec_b"))
           val n = Similarity.closureAuditOn(pairs).count()
           Dedup.unpersistCaches()
           n
         }
+        pairs.unpersist()
         report("q238_closure_audit", tCa, nCa)
       }
       // q234: quality-length bias — scoring projection + tiny bins

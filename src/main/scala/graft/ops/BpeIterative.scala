@@ -34,13 +34,21 @@ import org.apache.spark.sql.functions._
   * operators; this extends the LLM-pipeline surface (SURVEY §2B). */
 object BpeIterative {
 
-  /** (w, freq, toks) — initial tokenization = single chars. */
-  private[graft] def vocabOf(docs: DataFrame): DataFrame =
+  /** The trainer's ONLY corpus-sized step: (w, freq). Additive, so a
+    * streaming ingest maintains it as chunking-invariant state
+    * (DocStream.bpeVocabStream) and the trainer reads the state. */
+  private[graft] def vocabCountsOf(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1 && !col("w").contains("\u001F"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("toks",
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+
+  /** (w, freq, toks) — initial tokenization = single chars. */
+  private[graft] def vocabOf(docs: DataFrame): DataFrame =
+    withCharToks(vocabCountsOf(docs))
+
+  private[graft] def withCharToks(counts: DataFrame): DataFrame =
+    counts.withColumn("toks",
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
 
   /** Weighted adjacent-pair counts over the current tokenization. */
   private def pairCounts(vocab: DataFrame): DataFrame =
@@ -73,8 +81,16 @@ object BpeIterative {
       vocab: DataFrame, snapshot: DataFrame)
 
   def trainIterative(docs: DataFrame, nMerges: Int,
+      snapshotAt: Int = 16, ckptEvery: Int = 12): IterBpe =
+    trainFromCounts(vocabCountsOf(docs), nMerges, snapshotAt, ckptEvery)
+
+  /** Train from a (w, freq) state — the streaming-ingest entry: the
+    * vocab-count state is additive (bpeVocabStream maintains it), so
+    * training over the state equals training over the one-shot corpus
+    * (StreamingSpec asserts the full merge-table equality). */
+  def trainFromCounts(counts: DataFrame, nMerges: Int,
       snapshotAt: Int = 16, ckptEvery: Int = 12): IterBpe = {
-    var vocab = vocabOf(docs).localCheckpoint()
+    var vocab = withCharToks(counts).localCheckpoint()
     var snap = vocab
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var r = 1

@@ -228,6 +228,25 @@ object DocStream {
       graft.ops.TextAnalysis.bpePairCounts(batch),
       Seq("sym_a", "sym_b"))
 
+  /** Streaming twin of the ITERATIVE BPE trainer's corpus-sized step
+    * (q255): the (w, freq) vocabulary counts are pure additive state
+    * (chunking-invariant, vocab-bounded, replay-guarded), and the
+    * trainer itself is a READ over the state —
+    * `BpeIterative.trainFromCounts(read state)` produces the EXACT
+    * merge table of a one-shot train over everything ingested
+    * (StreamingSpec asserts full-table equality). This is how a
+    * continuously-ingesting corpus keeps a retrainable tokenizer:
+    * the rounds never touch the corpus, only this state. */
+  def bpeVocabStream(docs: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        CdcStream.mergeAdditive(stateDir, batchId,
+          graft.ops.BpeIterative.vocabCountsOf(
+            batch.select(col("text"))),
+          Seq("w"))
+    }
+
   /** Streaming twin of the q237 boundary-stitch detector (the
     * phashDedupStream shape): corpus state is
     * [[graft.ops.Dedup.boundaryFeatures]] — head64/tail64/len per

@@ -932,6 +932,34 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Seq((1L, 3L, 1L)), s"after b1: ${state()}")
   }
 
+  test("iterative BPE trained from streamed vocab state equals the one-shot train") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStream
+    import graft.ops.BpeIterative
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val staged = Files.createTempDirectory("graft_bpev_in").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val stateDir = Files.createTempDirectory("graft_bpev_st").toString + "/s"
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.bpeVocabStream(stream, stateDir)
+      .option("checkpointLocation", s"$stateDir.ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    // the trainer as a READ over the streamed state: the FULL merge
+    // table (every rank, symbol, weight) equals the one-shot train
+    val fromState = BpeIterative
+      .trainFromCounts(spark.read.parquet(stateDir), 32).merges
+    val oneShot = BpeIterative.trainIterative(docs, 32).merges
+    assert(fromState.nonEmpty && fromState == oneShot,
+      s"state-trained merges diverged: ${fromState.take(4)} vs " +
+        s"${oneShot.take(4)}")
+  }
+
   test("boundary-stitch stream state read equals the q237 batch run") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
