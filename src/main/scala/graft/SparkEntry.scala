@@ -371,6 +371,8 @@ object SparkEntry {
       BpeIterative.trainTableQuery(s, d)),
     "q256_bpe_iter_contract" -> ((s: SparkSession, d: String) =>
       BpeIterative.encodeContractQuery(s, d)),
+    "q257_bpe_frozen_drift" -> ((s: SparkSession, d: String) =>
+      BpeIterative.frozenDriftQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2715,6 +2717,8 @@ object SparkEntry {
       "q255_bpe_train_iter" -> BpeIterative.trainTableOracleSql(),
       "q256_bpe_iter_contract" ->
         BpeIterative.encodeContractOracleSql(),
+      "q257_bpe_frozen_drift" ->
+        BpeIterative.frozenDriftOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -191,6 +191,57 @@ object BpeIterative {
       .orderBy(col("w"))
   }
 
+  // ------------------------------------------------- q257 query face
+
+  /** Encode a word column under a FROZEN merge table — the
+    * unseen-word path a deployed tokenizer needs (no vocab lookup):
+    * one leftmost-non-overlapping fold per rule in priority order,
+    * which reproduces the trainer's own tokenization for in-vocab
+    * words (each training round applies exactly this fold) and
+    * extends it to words the trainer never saw. */
+  private[graft] def encodeUnderMerges(w: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1)))) {
+      case (c, (a, b)) => applyMerge(c, a, b)
+    }
+
+  /** q257: fertility drift of an ingest batch under the FROZEN
+    * tokenizer — train `nMerges` rounds on the PRIOR corpus only
+    * (doc_id below the derived newest-10% cutoff, the q191/q254
+    * split), then encode every distinct batch word through the
+    * stored rules via [[encodeUnderMerges]] — deliberately NOT the
+    * vocab lookup, so the unseen-word path is what the oracle
+    * hash-checks. This is the "does yesterday's tokenizer still fit
+    * today's crawl" read a continuously-ingesting pipeline runs
+    * before deciding to retrain. */
+  def frozenDriftQuery(spark: SparkSession, dir: String,
+      nMerges: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    frozenDriftOn(docs.filter(col("doc_id") < cutoff),
+      docs.filter(col("doc_id") >= cutoff), nMerges)
+  }
+
+  /** Frame-based core of [[frozenDriftQuery]]. */
+  def frozenDriftOn(prior: DataFrame, batch: DataFrame,
+      nMerges: Int): DataFrame = {
+    val t = trainFromCounts(vocabCountsOf(prior), nMerges,
+      snapshotAt = nMerges)
+    val rules = t.merges.map { case (a, b, _) => (a, b) }
+    val priorVocab = t.vocab.select(col("w"), lit(true).as("in_prior"))
+    vocabCountsOf(batch).select(col("w"))
+      .withColumn("toks", encodeUnderMerges(col("w"), rules))
+      .join(priorVocab, Seq("w"), "left")
+      .select(col("w"),
+        coalesce(col("in_prior"), lit(false)).as("in_prior_vocab"),
+        length(col("w")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .orderBy(col("w"))
+  }
+
   // ---------------------------------------------------- oracle SQL
 
   /** Unrolled training rounds s0..s`rounds` over chr(31)-joined
@@ -200,7 +251,10 @@ object BpeIterative {
     * chain exponentially). Round k's argmax CTE pk is empty once the
     * stop rule fires; the LEFT JOIN then degrades the round to
     * identity, matching the Spark trainer's early stop. */
-  private def trainCtesSql(rounds: Int): String = {
+  private def trainCtesSql(rounds: Int): String =
+    trainCtesSql(rounds, "TRUE")
+
+  private def trainCtesSql(rounds: Int, docFilter: String): String = {
     val perRound = (1 to rounds).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT u.a, u.b, CAST(SUM(freq) AS BIGINT) AS n FROM (
@@ -219,7 +273,8 @@ object BpeIterative {
          |  FROM s${k - 1} t LEFT JOIN p$k p ON TRUE)""".stripMargin
     }
     s"""wx AS (
-       |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+       |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+       |  WHERE $docFilter),
        |v AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wx
        |  WHERE LENGTH(w) >= 1 AND NOT contains(w, chr(31))
@@ -252,4 +307,40 @@ object BpeIterative {
        |  TRUE AS mono_ok, TRUE AS lossless_ok
        |FROM s$snapshotAt
        |ORDER BY w""".stripMargin
+
+  /** DuckDB oracle for [[frozenDriftQuery]]: re-derives the cutoff,
+    * replays the `nMerges`-round training over the PRIOR corpus, and
+    * applies the frozen rules to the batch vocabulary through the
+    * same per-rule fold chain (f0..fN mirror the sK apply steps on a
+    * different base — the unseen-word encode path, not a vocab
+    * lookup). */
+  def frozenDriftOracleSql(nMerges: Int = 16): String = {
+    val applyRounds = (1 to nMerges).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT t.w, CASE WHEN p.a IS NULL THEN t.s ELSE
+         |    SUBSTR(list_reduce(list_prepend('', STRING_SPLIT(t.s, chr(31))),
+         |      (acc, x) -> CASE WHEN ends_with(acc, chr(31) || p.a)
+         |        AND x = p.b THEN acc || x
+         |        ELSE acc || chr(31) || x END), 2) END AS s
+         |  FROM f${k - 1} t LEFT JOIN p$k p ON TRUE)""".stripMargin
+    }
+    s"""WITH cut AS (
+       |  SELECT (MAX(doc_id) + 1) * 9 // 10 AS c FROM documents),
+       |${trainCtesSql(nMerges, "doc_id < (SELECT c FROM cut)")},
+       |bw AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+       |    WHERE doc_id >= (SELECT c FROM cut))
+       |  WHERE LENGTH(w) >= 1 AND NOT contains(w, chr(31))),
+       |f0 AS (
+       |  SELECT w, ARRAY_TO_STRING([SUBSTR(w, CAST(i AS INTEGER), 1)
+       |    FOR i IN range(1, LENGTH(w) + 1)], chr(31)) AS s
+       |  FROM bw),
+       |${applyRounds.mkString(",\n")}
+       |SELECT w, w IN (SELECT w FROM v) AS in_prior_vocab,
+       |  CAST(LENGTH(w) AS BIGINT) AS n_chars,
+       |  CAST(LEN(STRING_SPLIT(s, chr(31))) AS BIGINT) AS n_tok
+       |FROM f$nMerges
+       |ORDER BY w""".stripMargin
+  }
 }

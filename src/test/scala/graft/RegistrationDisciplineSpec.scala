@@ -105,7 +105,9 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
     "q252" -> "TPC-H Q20 analog (relational facts)",
     "q253" -> "TPC-H Q2 analog (relational facts)",
     "q256" -> ("contract read over q255's trained artifact (same " +
-      "state; the training cost is q255's rehearsal row)"))
+      "state; the training cost is q255's rehearsal row)"),
+    "q257" -> ("16-round prefix of q255's measured trainer + a " +
+      "vocab-row fold chain (shape covered by q255's row)"))
 
   test("every query from q140 on has a ScaleRehearsal row or exemption") {
     val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")

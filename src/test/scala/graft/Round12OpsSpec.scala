@@ -184,6 +184,24 @@ class Round12OpsSpec extends SparkSpec {
       s"persisted/fresh diverged: ${fresh.take(3)} vs ${stored.take(3)}")
   }
 
+  test("q257 frozen drift: unseen batch words encode through the stored rules") {
+    val s = spark
+    import s.implicits._
+    // prior: vocab abc:2, abd:1 → r1 (a,b,3); r2 (ab,c,2); stop
+    // (the (ab,d) pair is weight 1 < 2). Batch: abc re-encodes to 1
+    // token through the frozen rules; abe (UNSEEN) partially merges
+    // to [ab, e]; xd (unseen, no rule applies) stays char-level.
+    val prior = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    val batch = Seq((9L, "abc abe xd")).toDF("doc_id", "text")
+    val out = graft.ops.BpeIterative.frozenDriftOn(prior, batch, 16)
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("abc", true, 3L, 1L), ("abe", false, 3L, 2L),
+      ("xd", false, 2L, 2L)), s"drift: ${out.toSeq}")
+  }
+
   test("q256 contract: monotone and lossless over the full vocab, prefix counts exceed final") {
     val out = graft.ops.BpeIterative
       .encodeContractQuery(spark, "/root/testdata/sf0.001").collect()
