@@ -217,21 +217,52 @@ object BpeIterative {
     * today's crawl" read a continuously-ingesting pipeline runs
     * before deciding to retrain. */
   def frozenDriftQuery(spark: SparkSession, dir: String,
-      nMerges: Int = 16): DataFrame = {
+      nMerges: Int = 16,
+      root: String = sys.props("java.io.tmpdir") + "/graft_bpefz")
+      : DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cutoff =
       (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
-    frozenDriftOn(docs.filter(col("doc_id") < cutoff),
-      docs.filter(col("doc_id") >= cutoff), nMerges)
+    // the frozen tokenizer is itself a persisted artifact: in
+    // deployment it exists BEFORE the ingest batch arrives (that is
+    // the premise of the drift question), so the per-query cost is
+    // the encode, not the training. Deterministic: the cutoff is a
+    // pure function of the fingerprinted corpus. Differential spec
+    // pins persisted == fresh ([[frozenDriftOn]]).
+    val p = graft.Artifacts.resolve(root, dir,
+      Tables.sourceFingerprint(dir, Seq("documents")), s"bpefz1|n$nMerges")(
+      q => new java.io.File(s"$q/vocab/_SUCCESS").exists()) { (q, _) =>
+      val t = trainFromCounts(
+        vocabCountsOf(docs.filter(col("doc_id") < cutoff)), nMerges,
+        snapshotAt = nMerges)
+      val sess = spark
+      import sess.implicits._
+      t.merges.zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+        .toDF("rank", "sym_a", "sym_b", "n_weighted")
+        .coalesce(1).write.mode("overwrite").parquet(s"$q/merges")
+      t.vocab.select(col("w"))
+        .write.mode("overwrite").parquet(s"$q/vocab")
+    }
+    val rules = spark.read.parquet(s"$p/merges").orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val priorVocab = spark.read.parquet(s"$p/vocab")
+      .select(col("w"), lit(true).as("in_prior"))
+    encodeBatchWords(docs.filter(col("doc_id") >= cutoff), rules,
+      priorVocab)
   }
 
-  /** Frame-based core of [[frozenDriftQuery]]. */
+  /** Frame-based fresh-training core of [[frozenDriftQuery]]. */
   def frozenDriftOn(prior: DataFrame, batch: DataFrame,
       nMerges: Int): DataFrame = {
     val t = trainFromCounts(vocabCountsOf(prior), nMerges,
       snapshotAt = nMerges)
-    val rules = t.merges.map { case (a, b, _) => (a, b) }
-    val priorVocab = t.vocab.select(col("w"), lit(true).as("in_prior"))
+    encodeBatchWords(batch, t.merges.map { case (a, b, _) => (a, b) },
+      t.vocab.select(col("w"), lit(true).as("in_prior")))
+  }
+
+  private def encodeBatchWords(batch: DataFrame,
+      rules: Seq[(String, String)], priorVocab: DataFrame): DataFrame =
     vocabCountsOf(batch).select(col("w"))
       .withColumn("toks", encodeUnderMerges(col("w"), rules))
       .join(priorVocab, Seq("w"), "left")
@@ -240,7 +271,6 @@ object BpeIterative {
         length(col("w")).cast("long").as("n_chars"),
         size(col("toks")).cast("long").as("n_tok"))
       .orderBy(col("w"))
-  }
 
   // ---------------------------------------------------- oracle SQL
 

@@ -202,6 +202,21 @@ class Round12OpsSpec extends SparkSpec {
       ("xd", false, 2L, 2L)), s"drift: ${out.toSeq}")
   }
 
+  test("q257 persisted frozen tokenizer is bit-identical to the fresh-trained path") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val cutoff = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) *
+      9L / 10L
+    val fresh = graft.ops.BpeIterative.frozenDriftOn(
+      docs.filter(col("doc_id") < cutoff),
+      docs.filter(col("doc_id") >= cutoff), 16)
+      .collect().map(_.toSeq).toSeq
+    val stored = graft.ops.BpeIterative.frozenDriftQuery(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fresh.nonEmpty && fresh == stored,
+      s"persisted/fresh drift diverged: ${fresh.take(3)} vs ${stored.take(3)}")
+  }
+
   test("q256 contract: monotone and lossless over the full vocab, prefix counts exceed final") {
     val out = graft.ops.BpeIterative
       .encodeContractQuery(spark, "/root/testdata/sf0.001").collect()
