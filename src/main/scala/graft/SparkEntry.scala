@@ -373,6 +373,8 @@ object SparkEntry {
       BpeIterative.encodeContractQuery(s, d)),
     "q257_bpe_frozen_drift" -> ((s: SparkSession, d: String) =>
       BpeIterative.frozenDriftQuery(s, d)),
+    "q258_setsim_threshold_sweep" -> ((s: SparkSession, d: String) =>
+      Dedup.thresholdSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2719,6 +2721,8 @@ object SparkEntry {
         BpeIterative.encodeContractOracleSql(),
       "q257_bpe_frozen_drift" ->
         BpeIterative.frozenDriftOracleSql(),
+      "q258_setsim_threshold_sweep" ->
+        Dedup.thresholdSweepOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

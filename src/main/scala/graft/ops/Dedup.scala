@@ -1576,6 +1576,94 @@ object Dedup {
       .sortWithinPartitions(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
   }
 
+  /** Threshold sweep (q258): the payoff of the THRESHOLD-INDEPENDENT
+    * index — one candidate+verify pass at the loosest threshold
+    * (t = 0.6) yields the exact verified-pair table with exact
+    * Jaccard per pair, and every tighter cut's pair count and mean
+    * Jaccard is a FILTER over that table: "how aggressive does dedup
+    * get as t moves" answered with zero extra joins. The swept cuts
+    * are DATA-DERIVED (the autoK rule — round 11's fixed-constant
+    * bug class): the exact nearest-rank quartile VALUES of the
+    * verified-pair J distribution, so the rows differentiate at any
+    * scale and the oracle re-derives the cuts; nearest-rank values
+    * are tie-order-invariant (the Theil–Sen rule). */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val idx = persistedSetSimIndex(spark, dir, "docs", Tables.documents _)
+    val sz = idx.sizerOf(spark)
+    val base = 600000L
+    val cand = selfCandidatesFromPrefix(
+      prefixCutFilter(idx.ranked, base), base)
+    val pairs = register(
+      verifyPairs(cand, idx.gramSets, "doc_a", idx.gramSets, "doc_b",
+        sz, sz, base).persist(StorageLevel.MEMORY_AND_DISK))
+    sweepQuartiles(pairs)
+  }
+
+  /** The sweep over an exact verified-pair frame (jaccard_ppm): cuts
+    * at nearest-rank quartile values, then per-cut count + integer
+    * mean. Tiny input by construction — single-partition windows. */
+  private[graft] def sweepQuartiles(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    val ranked = pairs.select(col("jaccard_ppm"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("jaccard_ppm"))))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy().orderBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    // nearest rank k = ceil(pct·n/100):  (k−1)·100 < pct·n ≤ k·100
+    val cuts = broadcast(Seq(25L, 50L, 75L).toDF("pct"))
+      .join(ranked, col("rn") * 100L >= col("pct") * col("nn") &&
+        (col("rn") - 1L) * 100L < col("pct") * col("nn"))
+      .select(col("pct"), col("jaccard_ppm").as("t_ppm"))
+    broadcast(cuts)
+      .join(pairs, col("jaccard_ppm") >= col("t_ppm"))
+      .groupBy(col("pct"), col("t_ppm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(jaccard_ppm) div count(1) AS BIGINT)")
+          .as("mean_j_ppm"))
+      .orderBy(col("pct"))
+  }
+
+  /** DuckDB oracle for [[thresholdSweep]] — brute-force exact Jaccard
+    * via the gram EQUIJOIN (the q126 completeness-gate form: only
+    * co-occurring pairs pay an intersection, vs the all-pairs
+    * LIST_INTERSECT that ran 12.5M comparisons at sf0.1), quartile
+    * cuts re-derived by the same nearest-rank rule. */
+  def thresholdSweepOracleSql(): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+       |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+       |  FROM documents),
+       |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |i AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT (ni * 1000000) // (sa.n + sb.n - ni) AS jppm
+       |  FROM i JOIN s sa ON sa.doc_id = doc_a
+       |  JOIN s sb ON sb.doc_id = doc_b
+       |  WHERE ni * 1000000 >= 600000 * (sa.n + sb.n - ni)),
+       |r AS (
+       |  SELECT jppm, ROW_NUMBER() OVER (ORDER BY jppm) AS rn,
+       |    COUNT(*) OVER () AS nn
+       |  FROM j),
+       |c AS (
+       |  SELECT pct, jppm AS t_ppm
+       |  FROM (SELECT UNNEST([25, 50, 75]) AS pct) t JOIN r
+       |    ON rn * 100 >= pct * nn AND (rn - 1) * 100 < pct * nn)
+       |SELECT CAST(pct AS BIGINT) AS pct, CAST(t_ppm AS BIGINT) AS t_ppm,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(jppm) // COUNT(*) AS BIGINT) AS mean_j_ppm
+       |FROM c JOIN j ON j.jppm >= c.t_ppm
+       |GROUP BY 1, 2
+       |ORDER BY pct""".stripMargin
+
   /** Packed exact verify for the over-broadcast-threshold regime
     * (VERDICT r11 #5): identical semantics to [[verifyPairs]], but
     * the per-candidate payload is the delta-varint DICTIONARY packing

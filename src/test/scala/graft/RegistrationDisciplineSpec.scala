@@ -107,7 +107,10 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
     "q256" -> ("contract read over q255's trained artifact (same " +
       "state; the training cost is q255's rehearsal row)"),
     "q257" -> ("16-round prefix of q255's measured trainer + a " +
-      "vocab-row fold chain (shape covered by q255's row)"))
+      "vocab-row fold chain (shape covered by q255's row)"),
+    "q258" -> ("the q126/q126i measured index pipeline at a looser " +
+      "prefix cut + three single-partition windows over the tiny " +
+      "verified set"))
 
   test("every query from q140 on has a ScaleRehearsal row or exemption") {
     val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")

@@ -119,6 +119,31 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("q258 threshold sweep: hand-computed quartile cuts over three planted pair Js") {
+    val s = spark
+    import s.implicits._
+    // three near-dup pairs with exact 8-gram Jaccards 1.0, 0.8
+    // (ni=8, union 10 — the pair differs only in its last char) and
+    // 7/11 = 636363 ppm (last two chars differ); letters disjoint
+    // across pairs. Quartile cuts over [636363, 800000, 1000000]:
+    // k=⌈.25·3⌉=1 → 636363 (3 pairs, mean 812121);
+    // k=⌈.5·3⌉=2 → 800000 (2, 900000); k=⌈.75·3⌉=3 → 1000000 (1).
+    val docs = Seq(
+      (1L, "a" * 8 + "b" * 8), (2L, "a" * 8 + "b" * 8),
+      (3L, "c" * 8 + "d" * 8), (4L, "c" * 8 + "d" * 7 + "x"),
+      (5L, "e" * 8 + "f" * 8), (6L, "e" * 8 + "f" * 6 + "xy"))
+      .toDF("doc_id", "text")
+    try {
+      val pairs = Dedup.setSimJoin(docs, "doc_id", 600000L)
+      val out = Dedup.sweepQuartiles(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(out.toSeq == Seq(
+        (25L, 636363L, 3L, 812121L), (50L, 800000L, 2L, 900000L),
+        (75L, 1000000L, 1L, 1000000L)), s"sweep: ${out.toSeq}")
+    } finally Dedup.unpersistCaches()
+  }
+
   test("varint gram-set packing: pack + merge-count agree with unpacked set intersection") {
     import graft.functions.VarintGramSet
     val rnd = new scala.util.Random(42)
