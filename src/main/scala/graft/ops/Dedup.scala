@@ -1074,13 +1074,49 @@ object Dedup {
     * chose this over a df-capped inverted join). The dictionary
     * orders ids by (df desc, g64) so common grams cluster at low ids
     * and per-doc gaps stay small. */
+  /** Dictionary-dense gid per gram in (df desc, g64 asc) order —
+    * bit-identical to `row_number().over(Window.orderBy(...))` but
+    * computed with NO single-partition stage (the round-12 verdict's
+    * last scale-killer: at a 100 TB corpus the distinct-8-gram
+    * dictionary is O(10⁹–10¹⁰) entries, and one task sorting tens of
+    * GB is an OOM). Classic two-pass distributed rank:
+    * range-repartition on the rank order, count rows per partition
+    * (driver state = one long per partition — the only collect, and
+    * it is partition-count-sized, not data-sized), then
+    * gid = cumulative offset(pid) + pid-local row_number. Range
+    * partitions are contiguous in the rank order, so the
+    * concatenation of locally-sorted partitions IS the global order;
+    * (df, g64) has the unique g64 tie-break, so no tie can straddle a
+    * boundary ambiguously. The frame is persisted (registry-drained)
+    * so both passes see one boundary sample and the pid column is
+    * stable across the two jobs. */
+  private[graft] def dictIdsOf(freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = freq.sparkSession
+    val nP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = register(freq
+      .repartitionByRange(nP, col("df").desc, col("g64").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val counts = parted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val offsets = (0 until maxPid)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offOf = element_at(
+      map((0 until maxPid)
+        .flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("pid"))
+    parted
+      .withColumn("gid", (offOf + row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("df").desc, col("g64").asc))).cast("long"))
+      .select(col("g64"), col("gid"))
+  }
+
   private def packedGramSetsOf(grams: DataFrame,
       freq: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // single-partition window: dictionary-sized (distinct grams),
-    // index-build-time only
-    val freqG = freq.withColumn("gid", row_number()
-      .over(Window.orderBy(col("df").desc, col("g64"))).cast("long"))
+    val freqG = dictIdsOf(freq)
     grams.join(freqG, Seq("g64"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("g64"))).as("gs"),
