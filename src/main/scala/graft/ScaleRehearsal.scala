@@ -1015,22 +1015,26 @@ object ScaleRehearsal {
             Similarity.autoPlanes(nVecs))
           .select(col("vec_a"), col("vec_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (fc, tFc) = timed {
-          def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-          val deg = pairs.select(col("vec_a").as("v"))
-            .unionAll(pairs.select(col("vec_b").as("v")))
-            .groupBy(col("v")).agg(count(lit(1)).as("d"))
-          deg.agg(sum(dec(col("d")) * dec(col("d"))).as("s"))
-            .head().getDecimal(0).longValue()
-        }
-        report("q238_wedge_forecast", tFc, fc)
-        val (nCa, tCa) = timed {
-          val n = Similarity.closureAuditOn(pairs).count()
-          Dedup.unpersistCaches()
-          n
-        }
-        pairs.unpersist()
-        report("q238_closure_audit", tCa, nCa)
+        // try/finally: a throw in the forecast or audit must not leak
+        // the persist for the JVM lifetime (ADVICE r12 — later
+        // rehearsal queries could ride a CacheManager plan hit)
+        try {
+          val (fc, tFc) = timed {
+            def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+            val deg = pairs.select(col("vec_a").as("v"))
+              .unionAll(pairs.select(col("vec_b").as("v")))
+              .groupBy(col("v")).agg(count(lit(1)).as("d"))
+            deg.agg(sum(dec(col("d")) * dec(col("d"))).as("s"))
+              .head().getDecimal(0).longValue()
+          }
+          report("q238_wedge_forecast", tFc, fc)
+          val (nCa, tCa) = timed {
+            val n = Similarity.closureAuditOn(pairs).count()
+            Dedup.unpersistCaches()
+            n
+          }
+          report("q238_closure_audit", tCa, nCa)
+        } finally pairs.unpersist()
       }
       // q234: quality-length bias — scoring projection + tiny bins
       if (wanted("q234")) {

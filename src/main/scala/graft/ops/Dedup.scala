@@ -1066,14 +1066,6 @@ object Dedup {
           .map(_.toLong).getOrElse(1024L * 1024 * 1024))
   }
 
-  /** The index's gram-set table WITH the packed column: per doc the
-    * sorted raw gram array (gs — the broadcast-regime payload), the
-    * set size, and the dictionary-dense delta-varint packing (gv —
-    * the over-threshold exchange payload, ~4× smaller; see
-    * graft.functions.VarintGramSet for the measurement chain that
-    * chose this over a df-capped inverted join). The dictionary
-    * orders ids by (df desc, g64) so common grams cluster at low ids
-    * and per-doc gaps stay small. */
   /** Dictionary-dense gid per gram in (df desc, g64 asc) order —
     * bit-identical to `row_number().over(Window.orderBy(...))` but
     * computed with NO single-partition stage (the round-12 verdict's
@@ -1114,6 +1106,14 @@ object Dedup {
       .select(col("g64"), col("gid"))
   }
 
+  /** The index's gram-set table WITH the packed column: per doc the
+    * sorted raw gram array (gs — the broadcast-regime payload), the
+    * set size, and the dictionary-dense delta-varint packing (gv —
+    * the over-threshold exchange payload, ~4× smaller; see
+    * graft.functions.VarintGramSet for the measurement chain that
+    * chose this over a df-capped inverted join). The dictionary
+    * orders ids by (df desc, g64) so common grams cluster at low ids
+    * and per-doc gaps stay small. */
   private def packedGramSetsOf(grams: DataFrame,
       freq: DataFrame): DataFrame = {
     val freqG = dictIdsOf(freq)

@@ -106,6 +106,7 @@ object CdcStream {
             col("event_id"),
             (col("value").cast("decimal(18,6)") * 1000000).cast("long")
               .as("v"), lit(0L).as("n0"), lit(false).as("is_marker"))
+        recoverState(stateDir)
         val withState =
           if (new java.io.File(stateDir).exists())
             ev.unionByName(spark.read.parquet(stateDir)
@@ -147,6 +148,7 @@ object CdcStream {
     * disagree. */
   private[streaming] def mergeAdditive(stateDir: String, batchId: Long,
       partial: DataFrame, keys: Seq[String]): Unit = {
+    recoverState(stateDir)
     if (batchId <= lastPromotedBatchId(stateDir)) return
     val merged =
       if (new java.io.File(stateDir).exists()) {
@@ -160,10 +162,34 @@ object CdcStream {
     promoteState(stateDir, merged, batchId)
   }
 
+  /** Recover from a crash INSIDE [[promoteState]]'s swap — between
+    * moving the old state aside and promoting the staged copy, the
+    * state dir (and its _BATCH_ID marker) is briefly absent. A crash
+    * there previously left only `<stateDir>.old`, which the NEXT
+    * promote deleted as a leftover: accumulated state silently lost
+    * (ADVICE r12). Every state READ now restores the aside copy first
+    * when the state dir is missing, so the window closes on restart
+    * instead of compounding. */
+  private[streaming] def recoverState(stateDir: String): Unit = {
+    val s0 = new java.io.File(stateDir)
+    val aside = new java.io.File(stateDir + ".old")
+    if (!s0.exists() && aside.exists() && !aside.renameTo(s0))
+      throw new java.io.IOException(
+        s"recoverState: failed to restore $aside to $stateDir")
+  }
+
   /** Last batchId promoted into `stateDir` (−1 when absent). The
     * marker lives INSIDE the state directory, so the promote rename
     * moves state and provenance atomically — no crash window where
-    * they disagree. */
+    * they disagree.
+    *
+    * Identity contract: batchIds are meaningful only within ONE
+    * checkpoint lineage. Restarting a stream against an existing
+    * stateDir with a FRESH checkpointLocation resets batchIds to 0,
+    * and the replay guard would skip every batch until the counter
+    * passes the old marker — stateDir and checkpointLocation must be
+    * created and destroyed TOGETHER (the same contract Spark's own
+    * stateful operators place on their checkpointed state). */
   private[streaming] def lastPromotedBatchId(stateDir: String): Long = {
     val f = new java.io.File(stateDir, "_BATCH_ID")
     if (f.isFile) java.nio.file.Files.readString(f.toPath).trim.toLong
@@ -229,6 +255,7 @@ object CdcStream {
             date_trunc("hour", col("ts")).as("hour"))
           .agg(sum(col("value").cast("decimal(18,2)")).as("sv"),
             count(lit(1)).as("n_events"))
+        recoverState(stateDir)
         val prev =
           if (new java.io.File(stateDir).exists())
             spark.read.parquet(stateDir)

@@ -137,7 +137,10 @@ object DocStream {
     * merge — the incrementalMoments shape. After any chunking of the
     * corpus the state equals the one-shot funnel exactly (counts are
     * associative+commutative sums; StreamingSpec asserts it). This is
-    * the live curation dashboard a crawl ingest feeds. */
+    * the live curation dashboard a crawl ingest feeds.
+    * Crash matrix (CdcStream.mergeAdditive): replays skip via the
+    * promoted marker, a crashed batch's leftover stage is discarded,
+    * a mid-swap crash restores the aside state copy. */
   def cascadeFunnelStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -156,7 +159,9 @@ object DocStream {
     * cascadeFunnelStream shape). Lift ranking is a READ over the
     * state (TextAnalysis.collocationsFromPairs), so the expensive
     * corpus explode is paid once per micro-batch over that batch
-    * only; state is vocab²-bounded, never corpus-sized. */
+    * only; state is vocab²-bounded, never corpus-sized.
+    * Crash matrix: the [[cascadeFunnelStream]] semantics (replay
+    * skip, stage discard, aside recovery — CdcStream.mergeAdditive). */
   def collocationsStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -172,7 +177,9 @@ object DocStream {
     * merge by sum and the state is chunking-invariant (≤ 7 rows
     * total — bins −1..5). The reliability diagram is a READ over the
     * state (TextAnalysis.calibrationFromCounts), never recomputed
-    * from documents. */
+    * from documents.
+    * Crash matrix: the [[cascadeFunnelStream]] semantics (replay
+    * skip, stage discard, aside recovery — CdcStream.mergeAdditive). */
   def calibrationStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -183,26 +190,6 @@ object DocStream {
           Seq("margin"))
     }
 
-  /** Streaming twin of the incremental perceptual dedup
-    * (graft.multimodal.Multimodal.phashIncremental, q204): new image
-    * docs arrive as a stream; each is kept iff no STATIC-corpus
-    * image, no earlier stream image, and no lower-id same-micro-batch
-    * image sits within hamming `maxHamming` of its dHash. State holds
-    * the bands of EVERY stream doc seen so far, kept AND dropped (the
-    * EmbStream rule: hamming balls do not compose transitively, an
-    * admitted-only state would diverge from the batch op). Under
-    * id-ordered arrival the verdicts equal one q204 run over all rows
-    * at once, with cross-micro-batch suppression landing in
-    * dup_of_corpus instead of dup_of_batch (ids share one space —
-    * least() of the two is the parity invariant, StreamingSpec).
-    *
-    * Scale shape: state is (doc_id, 4 ints) per seen doc — 64 bits
-    * of perceptual hash, never payload bytes; each micro-batch pays
-    * two band-keyed joins; state promotes crash-safe
-    * (CdcStream.promoteState) and replay is value-idempotent (the
-    * seen-state anti-joins the batch's own ids — a crash after
-    * promote would otherwise drop every replayed doc against its own
-    * state row at hamming 0). */
   /** Streaming twin of the q207 BPE pair kernel: the weighted
     * adjacent-pair table is a sum over word occurrences, so per-batch
     * partials merge by (sym_a, sym_b) sum (chunking-invariant,
@@ -221,7 +208,8 @@ object DocStream {
   /** Per-batch core of [[bpePairStream]]: additive count merges are
     * not replay-idempotent, so replayed micro-batches (batchId ≤ the
     * atomically-promoted marker) are skipped — the errorBurnStream
-    * guard (ADVICE r11). */
+    * guard (ADVICE r11). Crash matrix: stage discard + aside
+    * recovery per CdcStream.mergeAdditive. */
   private[graft] def bpePairProcessBatch(batch: DataFrame,
       batchId: Long, stateDir: String): Unit =
     CdcStream.mergeAdditive(stateDir, batchId,
@@ -236,7 +224,9 @@ object DocStream {
     * merge table of a one-shot train over everything ingested
     * (StreamingSpec asserts full-table equality). This is how a
     * continuously-ingesting corpus keeps a retrainable tokenizer:
-    * the rounds never touch the corpus, only this state. */
+    * the rounds never touch the corpus, only this state.
+    * Crash matrix: the [[cascadeFunnelStream]] semantics (replay
+    * skip, stage discard, aside recovery — CdcStream.mergeAdditive). */
   def bpeVocabStream(docs: DataFrame, stateDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -281,6 +271,7 @@ object DocStream {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bf = dd.boundaryFeatures(batch.select(col("doc_id"), col("text")))
       .persist(lvl)
+    CdcStream.recoverState(stateDir)
     val prior: Option[DataFrame] =
       if (new java.io.File(stateDir).exists())
         Some(s.read.parquet(stateDir)
@@ -302,6 +293,26 @@ object DocStream {
     }
   }
 
+  /** Streaming twin of the incremental perceptual dedup
+    * (graft.multimodal.Multimodal.phashIncremental, q204): new image
+    * docs arrive as a stream; each is kept iff no STATIC-corpus
+    * image, no earlier stream image, and no lower-id same-micro-batch
+    * image sits within hamming `maxHamming` of its dHash. State holds
+    * the bands of EVERY stream doc seen so far, kept AND dropped (the
+    * EmbStream rule: hamming balls do not compose transitively, an
+    * admitted-only state would diverge from the batch op). Under
+    * id-ordered arrival the verdicts equal one q204 run over all rows
+    * at once, with cross-micro-batch suppression landing in
+    * dup_of_corpus instead of dup_of_batch (ids share one space —
+    * least() of the two is the parity invariant, StreamingSpec).
+    *
+    * Scale shape: state is (doc_id, 4 ints) per seen doc — 64 bits
+    * of perceptual hash, never payload bytes; each micro-batch pays
+    * two band-keyed joins; state promotes crash-safe
+    * (CdcStream.promoteState) and replay is value-idempotent (the
+    * seen-state anti-joins the batch's own ids — a crash after
+    * promote would otherwise drop every replayed doc against its own
+    * state row at hamming 0). */
   def phashDedupStream(docs: DataFrame, dir: String, outDir: String,
       stateDir: String, maxHamming: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -327,6 +338,7 @@ object DocStream {
       graft.Tables.documents(s, dir)
         .filter(col("doc_id") % 3 === 0 && col("doc_id") < 300)
         .select(col("doc_id"), col("text")))
+    CdcStream.recoverState(stateDir)
     val seen: Option[DataFrame] =
       if (new java.io.File(stateDir).exists())
         Some(s.read.parquet(stateDir)

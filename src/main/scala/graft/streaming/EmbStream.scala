@@ -76,6 +76,7 @@ object EmbStream {
         .join(Tables.embeddings(s, dir), Seq("vec_id"))
         .select(col("cell"), col("vec_id").as("c_id"),
           col("embedding").as("c_emb"))
+      CdcStream.recoverState(stateDir)
       val seen: Option[DataFrame] =
         if (new java.io.File(stateDir).exists())
           Some(s.read.parquet(stateDir)

@@ -27,7 +27,10 @@ object EventStream {
     * weekdays are independent, so the (event_type, dow) counts merge
     * by sum and the state is chunking-invariant (≤ |types|·7 rows).
     * The seasonality profile is a READ over the state
-    * (TimeSeries.weekdaySeasonalityFromCounts). */
+    * (TimeSeries.weekdaySeasonalityFromCounts).
+    * Crash matrix (CdcStream.mergeAdditive): replays skip via the
+    * promoted marker, a crashed batch's leftover stage is discarded,
+    * a mid-swap crash restores the aside state copy. */
   def weekdayCountsStream(events: DataFrame, stateDir: String)
       : DataStreamWriter[Row] =
     events.writeStream.outputMode("append").foreachBatch {
@@ -56,7 +59,8 @@ object EventStream {
     * anti-joins drop replayed docs), so a micro-batch replayed after
     * a crash-after-promote is skipped via the promoted-batchId marker
     * (ADVICE r11) — the marker rides inside the state dir, promoted
-    * atomically with it. */
+    * atomically with it. Crash matrix: stage discard + aside
+    * recovery per CdcStream.mergeAdditive (StreamingSpec). */
   private[graft] def errorBurnProcessBatch(batch: DataFrame,
       batchId: Long, stateDir: String): Unit =
     CdcStream.mergeAdditive(stateDir, batchId,

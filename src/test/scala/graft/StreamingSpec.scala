@@ -932,6 +932,53 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Seq((1L, 3L, 1L)), s"after b1: ${state()}")
   }
 
+  test("additive crash matrix: leftover stage is discarded; mid-swap crash restores the aside copy") {
+    // the two crash corners the replay guard alone doesn't cover
+    // (VERDICT r12 #6 + ADVICE r12): (a) promote succeeds, the NEXT
+    // batch crashes MID-STAGE — its stage dir exists with partial
+    // rows but the marker never moved — the restart must DISCARD the
+    // stage, never merge it; (b) a crash INSIDE promoteState's swap
+    // (old state moved aside, staged copy not yet promoted) leaves
+    // no state dir — the restart must restore the aside copy, not
+    // rebuild from the single replayed micro-batch.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{CdcStream, EventStream}
+    val s = spark
+    import s.implicits._
+    def ev(rows: (Long, String)*) = rows.toDF("day", "event_type")
+      .select(timestamp_micros(col("day") * 86400000000L + 1L).as("ts"),
+        col("event_type"))
+    val stateDir =
+      Files.createTempDirectory("graft_crash_st").toString + "/s"
+    def state() = spark.read.parquet(stateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    EventStream.errorBurnProcessBatch(ev((1L, "error"), (1L, "view")),
+      0L, stateDir)
+    assert(state() == Seq((1L, 2L, 1L)), s"after b0: ${state()}")
+    // (a) poison the stage dir as a crashed batch 1 would leave it:
+    // absurd counts + its own marker, never promoted
+    val poison = Seq((1L, 999L, 999L)).toDF("day", "n_events", "n_errors")
+    poison.write.mode("overwrite").parquet(stateDir + ".next")
+    java.nio.file.Files.writeString(
+      new java.io.File(stateDir + ".next", "_BATCH_ID").toPath, "1")
+    EventStream.errorBurnProcessBatch(ev((1L, "view")), 1L, stateDir)
+    assert(state() == Seq((1L, 3L, 1L)),
+      s"crashed stage leaked into the merge: ${state()}")
+    // (b) crash inside the swap: state moved aside, promote never ran
+    assert(new java.io.File(stateDir)
+      .renameTo(new java.io.File(stateDir + ".old")))
+    EventStream.errorBurnProcessBatch(ev((1L, "error")), 2L, stateDir)
+    assert(state() == Seq((1L, 4L, 2L)),
+      s"aside copy not recovered before the merge: ${state()}")
+    assert(!new java.io.File(stateDir + ".old").exists(),
+      "aside copy left behind after recovery")
+    // the recovered marker also re-arms the replay guard: batch 2
+    // replayed is a no-op
+    EventStream.errorBurnProcessBatch(ev((1L, "error")), 2L, stateDir)
+    assert(state() == Seq((1L, 4L, 2L)),
+      s"replay after recovery double-counted: ${state()}")
+  }
+
   test("iterative BPE trained from streamed vocab state equals the one-shot train") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream

@@ -49,14 +49,30 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:
             exempt_failures.append(name)
             print(f"FAIL {name}: unreadable exempt output: {e}")
+    # a query that THREW during Verify leaves no output dir — without
+    # failures.json it would read as "not dumped here — partial run"
+    # and a full run would still report N/N match (ADVICE r12). Verify
+    # writes failures.json even when empty, so every selected query is
+    # either a dir or a failure entry; only genuinely-unselected
+    # queries fall through to "skipped".
+    try:
+        with open(f"{out_dir}/failures.json") as f:
+            verify_failures = json.load(f)
+    except (OSError, ValueError):
+        verify_failures = {}
+    for name, err in sorted(verify_failures.items()):
+        failures.append(name)
+        print(f"FAIL {name}: threw during Verify: {str(err)[:200]}")
     skipped = 0
     for name, sql in sorted(oracles.items()):
+        if name in verify_failures:
+            continue
         # partial dev runs (SPARK_GRAFT_ONLY): only compare queries
         # that were dumped into THIS dir — oracle_sql.json always
         # carries the full registered map, and running every sf0.1
         # oracle to check two queries costs tens of minutes. Full runs
         # have every dir, so nothing is ever skipped there; per-query
-        # failures still come from failures.json + the FAIL lines.
+        # Verify crashes come from failures.json above.
         if not os.path.isdir(os.path.join(out_dir, name)):
             skipped += 1
             continue
@@ -108,7 +124,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             matched[name] = len(oracle)
             print(f"OK   {name}: {len(oracle)} rows match")
-    print(f"\n{len(oracles) - len(failures) - skipped}/"
+    print(f"\n{len(matched)}/"
           f"{len(oracles) - skipped} queries match"
           + (f" ({skipped} not dumped here — partial run)" if skipped
              else ""))
