@@ -88,6 +88,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_varint_intersect_count",
       exprs => SortedVarintIntersectCount(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode", exprs => BpeEncode(exprs.head, exprs(1)), "internal")
   }
 
   /** Plain-Scala splitmix64 reference for differential testing. */

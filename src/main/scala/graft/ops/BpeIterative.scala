@@ -198,8 +198,22 @@ object BpeIterative {
     * one leftmost-non-overlapping fold per rule in priority order,
     * which reproduces the trainer's own tokenization for in-vocab
     * words (each training round applies exactly this fold) and
-    * extends it to words the trainer never saw. */
+    * extends it to words the trainer never saw.
+    *
+    * NATIVE since round 13 (VERDICT r12 #3): the whole fold is one
+    * codegen'd graft.functions.BpeEncode call instead of nMerges
+    * stacked interpreted `aggregate` lambdas — bit-identical to
+    * [[encodeUnderMergesFold]] (differential spec) and O(rules) per
+    * word only for rules whose fused token occurs in it. The caller
+    * must have GraftFunctions registered. */
   private[graft] def encodeUnderMerges(w: Column,
+      merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", w,
+      lit(merges.map { case (a, b) => a + "\u001F" + b }.toArray))
+
+  /** The pre-native Column fold chain, kept as the differential
+    * reference for [[encodeUnderMerges]] — semantics frozen. */
+  private[graft] def encodeUnderMergesFold(w: Column,
       merges: Seq[(String, String)]): Column =
     merges.foldLeft(
       transform(sequence(lit(1), length(w)),
@@ -262,7 +276,8 @@ object BpeIterative {
   }
 
   private def encodeBatchWords(batch: DataFrame,
-      rules: Seq[(String, String)], priorVocab: DataFrame): DataFrame =
+      rules: Seq[(String, String)], priorVocab: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
     vocabCountsOf(batch).select(col("w"))
       .withColumn("toks", encodeUnderMerges(col("w"), rules))
       .join(priorVocab, Seq("w"), "left")
@@ -271,6 +286,7 @@ object BpeIterative {
         length(col("w")).cast("long").as("n_chars"),
         size(col("toks")).cast("long").as("n_tok"))
       .orderBy(col("w"))
+  }
 
   // ---------------------------------------------------- oracle SQL
 

@@ -1081,14 +1081,21 @@ object TextAnalysis {
       .filter(length(col("w")) >= 1)
 
   /** Encode the distinct vocabulary of a word frame under `merges` ->
-    * (w, n_chars, n_tok). */
+    * (w, n_chars, n_tok). NATIVE since round 13: one codegen'd
+    * graft.functions.BpeEncode call replaces the nMerges-deep
+    * interpreted [[bpeEncodeSqlExpr]] fold chain — bit-identical
+    * (Round11OpsSpec pins the chain's semantics, Round13OpsSpec the
+    * native == chain equality). */
   private def encodedVocabOf(words: DataFrame,
-      merges: Seq[(String, String)]): DataFrame =
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(words.sparkSession)
     words.select(col("w")).distinct()
-      .withColumn("enc", expr(bpeEncodeSqlExpr("w", merges)))
+      .withColumn("enc", call_function("bpe_encode", col("w"),
+        lit(merges.map { case (a, b) => a + "\u001F" + b }.toArray)))
       .select(col("w"),
         length(col("w")).cast("long").as("n_chars"),
-        size(split(col("enc"), "\u001F")).cast("long").as("n_tok"))
+        size(col("enc")).cast("long").as("n_tok"))
+  }
 
   // ------------------------------------ persisted tokenizer artifact
 

@@ -62,4 +62,55 @@ class Round13OpsSpec extends SparkSpec {
       assert(bad.isEmpty, s"single-partition stages in the dict build: $bad")
     } finally Dedup.unpersistCaches()
   }
+
+  // --------------------------- native BPE encode (VERDICT r12 #3)
+
+  test("native bpe_encode == interpreted fold chain, bit-identical") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val B = graft.ops.BpeIterative
+    // multi-char compositions, a self-pair, an overlap chain, and a
+    // rule that never fires — the shapes the iterative trainer emits
+    val merges = Seq(("a", "b"), ("ab", "c"), ("c", "d"),
+      ("abc", "abc"), ("ab", "ab"), ("x", "y"), ("q", "zz"))
+    val r = new scala.util.Random(1313)
+    val alpha = "abcdxyqz"
+    val words = Seq("abcabc", "aab", "ababab", "abcd", "abab",
+      "qzz", "qzzz", "zzq", "a", "zz") ++
+      (1 to 300).map(_ => (1 to (1 + r.nextInt(12)))
+        .map(_ => alpha(r.nextInt(alpha.length))).mkString)
+    val df = words.distinct.toDF("w")
+    val out = df
+      .select(col("w"), B.encodeUnderMerges(col("w"), merges).as("nat"),
+        B.encodeUnderMergesFold(col("w"), merges).as("fold"))
+      .collect()
+    out.foreach { row =>
+      val (w, nat, fold) =
+        (row.getString(0), row.getSeq[String](1), row.getSeq[String](2))
+      assert(nat == fold, s"native diverged on '$w': $nat vs $fold")
+      assert(nat.mkString("") == w, s"lossless violated on '$w': $nat")
+      val ref = graft.functions.BpeMergeTable(merges.toArray)
+        .encodeReference(w)
+      assert(nat == ref, s"reference diverged on '$w': $nat vs $ref")
+    }
+  }
+
+  test("native bpe_encode matches bpeEncodeSqlExpr for char-pair rules") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val merges = Seq(("t", "h"), ("e", "r"), ("h", "e"))
+    val words = Seq("the", "there", "ether", "her", "thth", "t")
+    val df = words.toDF("w")
+    val gotN = df.select(col("w"), size(call_function("bpe_encode",
+        col("w"), lit(merges.map { case (a, b) => a + "\u001F" + b }
+          .toArray))).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val gotS = df.select(col("w"), size(split(expr(
+        graft.ops.TextAnalysis.bpeEncodeSqlExpr("w", merges)),
+        "\u001F")).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(gotN == gotS, s"native $gotN vs sql-chain $gotS")
+  }
 }
