@@ -261,6 +261,29 @@ object ScaleRehearsal {
         }
         report("q126i_neardups_indexed", tIv, nIv)
       }
+      // q259: set-sim verify pre-flight — the slot forecast is priced
+      // BEFORE any candidate join runs, then compared against the
+      // actual bounded candidate count (forecast >= actual by
+      // construction; the ratio is the length/positional bounds'
+      // measured pruning power, recorded per scale in BASELINE.md —
+      // the forecast-vs-actual tolerance VERDICT r12 #4 asks for)
+      if (wanted("q259")) {
+        val dirAt = if (scale == "1x") dir else outFor(scale)
+        var slots = 0L
+        val (_, tPf) = timed {
+          val r = Dedup.setSimPreflight(spark, dirAt)
+            .filter(col("t_ppm") === 700000L).head()
+          slots = r.getAs[Long]("fanout_slots")
+          Dedup.unpersistCaches()
+        }
+        report("q259_preflight_slots", tPf, slots)
+        val (nAct, tAct) = timed {
+          val n = Dedup.setSimCandidates(d, "doc_id", 700000L).count()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q259_actual_candidates", tAct, nAct)
+      }
       // q119 shape: stride-1 substring extent dedup
       if (wanted("q119")) {
         val (nSub, tSub) = timed(Dedup.substringDedup(d).count())

@@ -375,6 +375,8 @@ object SparkEntry {
       BpeIterative.frozenDriftQuery(s, d)),
     "q258_setsim_threshold_sweep" -> ((s: SparkSession, d: String) =>
       Dedup.thresholdSweep(s, d)),
+    "q259_setsim_preflight" -> ((s: SparkSession, d: String) =>
+      Dedup.setSimPreflight(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2723,6 +2725,8 @@ object SparkEntry {
         BpeIterative.frozenDriftOracleSql(),
       "q258_setsim_threshold_sweep" ->
         Dedup.thresholdSweepOracleSql(),
+      "q259_setsim_preflight" ->
+        Dedup.setSimPreflightOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -87,8 +87,39 @@ object BpeIterative {
   /** Train from a (w, freq) state — the streaming-ingest entry: the
     * vocab-count state is additive (bpeVocabStream maintains it), so
     * training over the state equals training over the one-shot corpus
-    * (StreamingSpec asserts the full merge-table equality). */
+    * (StreamingSpec asserts the full merge-table equality).
+    *
+    * HEAVY-HITTER DISPATCH (VERDICT r12 #2): the vocab frame is
+    * |distinct words|-sized — bounded at ANY corpus size — and the
+    * frame trainer costs one argmax collect + one interpreted fold
+    * per round (0.24 s/round measured — a 32k-merge production vocab
+    * would be hours of driver round-trips). When the vocab fits the
+    * driver budget (`graft.bpe.driverVocabRows`, default 1M rows —
+    * one `limit(budget+1).collect()` action, the SAME corpus
+    * aggregate the frame path would pay every round), training runs
+    * IN MEMORY under the identical determinism contract
+    * ([[trainInMemory]] — differential spec pins full bit-identity of
+    * merges, final vocab, and snapshot), so 1024 merges cost one
+    * corpus aggregate + milliseconds instead of 1024 Spark jobs. A
+    * web-scale vocab (billions of distinct tokens) exceeds the budget
+    * and keeps the frame path — the heavy-hitter bound the scaladoc
+    * above promises. */
   def trainFromCounts(counts: DataFrame, nMerges: Int,
+      snapshotAt: Int = 16, ckptEvery: Int = 12): IterBpe = {
+    val budget = counts.sparkSession.conf
+      .getOption("graft.bpe.driverVocabRows").map(_.toLong)
+      .getOrElse(1000000L)
+    val head = counts.select(col("w"), col("freq").cast("long"))
+      .limit((budget + 1).toInt).collect()
+    if (head.length <= budget)
+      trainInMemory(counts.sparkSession,
+        head.map(r => (r.getString(0), r.getLong(1))), nMerges, snapshotAt)
+    else trainFromCountsFrame(counts, nMerges, snapshotAt, ckptEvery)
+  }
+
+  /** The frame-path trainer (the pre-round-13 default), kept as the
+    * over-budget path and the in-memory differential reference. */
+  private[graft] def trainFromCountsFrame(counts: DataFrame, nMerges: Int,
       snapshotAt: Int = 16, ckptEvery: Int = 12): IterBpe = {
     var vocab = withCharToks(counts).localCheckpoint()
     var snap = vocab
@@ -113,6 +144,111 @@ object BpeIterative {
     // early exhaustion before the snapshot round: the prefix == full
     if (merges.size < snapshotAt) snap = fin
     IterBpe(merges.toSeq, fin, snap)
+  }
+
+  /** Spark's string orderBy compares UTF8String bytes (unsigned
+    * byte-wise UTF-8); the in-memory argmax tie-break must match it
+    * exactly, not String.compareTo's UTF-16 code units. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** One leftmost-non-overlapping pass — the literal [[applyMerge]]
+    * fold (merge when the last emitted token is `a` and the current
+    * is `b`; the merged token a||b ≠ a can never chain within the
+    * pass). */
+  private[graft] def applyMergeMem(toks: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (out.nonEmpty && out.last == a && toks(i) == b)
+        out(out.length - 1) = a + b
+      else out += toks(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Driver-side trainer over a collected (w, freq) vocab — the SAME
+    * determinism contract as [[trainFromCountsFrame]] symbol for
+    * symbol: pair weight = Σ word freq over adjacent occurrences
+    * (every adjacent index, multiplicity kept), argmax tie order
+    * (n desc, a, b) under UTF-8 byte string order, leftmost-non-
+    * overlapping application, stop when the best weight < 2. The
+    * frame-char exclusion already happened in [[vocabCountsOf]];
+    * a collected state from elsewhere gets the same filter here. */
+  private[graft] def trainInMemory(spark: SparkSession,
+      counts: Array[(String, Long)], nMerges: Int,
+      snapshotAt: Int): IterBpe = {
+    val kept = counts.filter { case (w, _) =>
+      w.length >= 1 && !w.contains('\u001F') }
+    val freqs = kept.map(_._2)
+    // split by CODE POINTS, not UTF-16 units — the frame path's
+    // substring(w, i, 1) walks UTF8String code points, and the
+    // bit-identity contract extends to supplementary characters
+    def charToks(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    var toks: Array[Array[String]] = kept.map(t => charToks(t._1))
+    var snap: Array[Array[String]] = toks
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val cnt = new scala.collection.mutable.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < toks.length) {
+        val t = toks(wi)
+        val f = freqs(wi)
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      var best: ((String, String), Long) = null
+      cnt.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+          best = e
+      }
+      if (best == null || best._2 < 2L) done = true
+      else {
+        val (a, b) = best._1
+        merges += ((a, b, best._2))
+        toks = toks.map(applyMergeMem(_, a, b))
+      }
+      if (r == snapshotAt) snap = toks
+      r += 1
+    }
+    if (merges.size < snapshotAt) snap = toks
+    val sess = spark
+    import sess.implicits._
+    def frame(ts: Array[Array[String]]): DataFrame =
+      kept.map(_._1).zip(freqs).zip(ts)
+        .map { case ((w, f), t) => (w, f, t.toSeq) }.toSeq
+        .toDF("w", "freq", "toks")
+    IterBpe(merges.toSeq, frame(toks), frame(snap))
   }
 
   // ------------------------------------ persisted tokenizer artifact

@@ -1700,6 +1700,171 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY pct""".stripMargin
 
+  /** Set-sim verify pre-flight (q259): the executable "price it, then
+    * run it" gate for the exact-verification family (VERDICT r12 #4 —
+    * the q229/q238-Σdeg² pattern applied to the family that ships).
+    * From ONE keyed count over the threshold-independent index's
+    * prefix table, BEFORE any candidate join runs, per swept
+    * threshold:
+    *  - `fanout_slots` = Σ_g C(c_g, 2) over per-gram prefix
+    *    memberships — EXACTLY the row count the PPJoin candidate
+    *    self-join processes (every slot is one evaluated pair; the
+    *    length/positional bounds prune inside the join, so this is
+    *    the work upper bound and the distinct-candidate upper bound);
+    *  - `max_gram_slots` / `top_gram_share_ppm` — the skew read (one
+    *    hot prefix gram = one hot join partition, the salting
+    *    trigger);
+    *  - `est_exchange_bytes` = slots × (avg packed payload + row
+    *    overhead) — what the over-threshold PACKED verify would move
+    *    between its two joins (the measured 30×/100× cost center),
+    *    priced from the index's own varint column;
+    *  - `packed_regime` — whether the verify would take the packed
+    *    shuffle path at the default 1 GiB broadcast limit (the
+    *    gramBytes rule [[SetSizer]] applies).
+    * At 1000× a deployment runs THIS query (seconds — one aggregate
+    * over the prefix table), reads est_exchange_bytes against its
+    * shuffle budget, and only then commits to the verify — or
+    * tightens t / salts the top gram first.
+    *
+    * All outputs are exact integers derived from replayable state, so
+    * the DuckDB oracle re-derives every number — including the varint
+    * payload bytes, replayed gram-by-gram from the LEB128 length
+    * formula ⌈bitlen/7⌉ against Spark's `length(gv)` of the actual
+    * packed bytes: the hash compare proves the payload accounting
+    * cross-engine.
+    *
+    * Scale shape: prefix filter → one (t, g64)-keyed count →
+    * 3-row fold; the only corpus-sized inputs are index-table scans.
+    * No candidate pair ever materializes. */
+  def setSimPreflight(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = persistedSetSimIndex(spark, dir, "docs", Tables.documents _)
+    setSimPreflightOn(idx.ranked, idx.gramSets, idx.nDocs, idx.gramBytes)
+  }
+
+  /** Fresh-path (index-free) twin of [[setSimPreflight]] for the
+    * differential spec — bit-identical by the same argument as
+    * setSimNearDups vs setSimJoin (exact integer state throughout). */
+  private[graft] def setSimPreflightDocs(docs: DataFrame,
+      idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    latin1Guard(docs)
+    val grams = packedGrams(docs, idCol)
+    val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    val gramSets = register(packedGramSetsOf(grams, freq)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val sz = sizer(docs.sparkSession, gramSets)
+    setSimPreflightOn(
+      rankedGrams(grams, freq, gramSets, sz, leftJoinFreq = false),
+      gramSets, sz.nDocs, sz.gramBytes)
+  }
+
+  private def setSimPreflightOn(ranked: DataFrame, gramSets: DataFrame,
+      nDocs: Long, gramBytes: Long): DataFrame = {
+    val sess = ranked.sparkSession
+    import sess.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val ts = Seq(600000L, 700000L, 800000L).toDF("t_ppm")
+    // 3-row broadcast nested-loop against the bucketed index scan:
+    // the per-t prefix cut is the same pos <= n - ceil(t*n) + 1 rule
+    // prefixCutFilter applies for a fixed t
+    val prefix = broadcast(ts).join(ranked,
+      col("pos") <= col("n") - expr("(t_ppm * n + 999999) DIV 1000000") + 1)
+    val perGram = prefix.groupBy(col("t_ppm"), col("g64"))
+      .agg(count(lit(1)).as("c"))
+    val fan = perGram.groupBy(col("t_ppm"))
+      .agg(sum(col("c")).as("prefix_rows"),
+        sum(dec(col("c")) * dec(col("c") - 1)).as("slots2"),
+        max(dec(col("c")) * dec(col("c") - 1)).as("mx2"))
+      .select(col("t_ppm"), col("prefix_rows"),
+        expr("CAST(slots2 div 2 AS BIGINT)").as("fanout_slots"),
+        expr("CAST(mx2 div 2 AS BIGINT)").as("max_gram_slots"))
+    // payload statistics: nDocs/gramBytes ride the index's
+    // precomputed stats (zero actions); the packed payload is one
+    // aggregate over the bucketed signature table's gv column
+    val pay = gramSets
+      .agg(sum(length(col("gv")).cast("long")).as("gv_bytes"))
+      .select(lit(nDocs).as("n_docs"),
+        lit(gramBytes).as("gram_bytes"), col("gv_bytes"),
+        expr(s"CAST(gv_bytes div $nDocs + 24 AS BIGINT)")
+          .as("est_row_bytes"))
+    fan.crossJoin(broadcast(pay))
+      .select(col("t_ppm"), col("prefix_rows"), col("fanout_slots"),
+        col("max_gram_slots"),
+        when(col("fanout_slots") === 0L, 0L)
+          .otherwise(expr(
+            "CAST((max_gram_slots * 1000000) div fanout_slots AS BIGINT)"))
+          .as("top_gram_share_ppm"),
+        col("n_docs"), col("gram_bytes"), col("gv_bytes"),
+        col("est_row_bytes"),
+        (col("fanout_slots") * col("est_row_bytes"))
+          .as("est_exchange_bytes"),
+        (col("gram_bytes") > lit(1073741824L)).as("packed_regime"))
+      .orderBy(col("t_ppm"), col("prefix_rows"), col("fanout_slots"),
+        col("max_gram_slots"), col("top_gram_share_ppm"), col("n_docs"),
+        col("gram_bytes"), col("gv_bytes"), col("est_row_bytes"),
+        col("est_exchange_bytes"), col("packed_regime"))
+  }
+
+  /** DuckDB oracle for [[setSimPreflight]]: replays the shared total
+    * order (df asc, gram asc — string order == packed-long order for
+    * Latin-1 grams), the prefix cut, the per-gram slot counts, the
+    * dictionary rank (df desc, gram asc), and the LEB128 payload
+    * length ⌈bitlen(delta)/7⌉ per delta of each doc's sorted dense
+    * ids — byte-for-byte the varint_delta_pack length. */
+  def setSimPreflightOracleSql(): String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+      |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+      |  FROM documents),
+      |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+      |      FROM g GROUP BY gram),
+      |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |      FROM g GROUP BY doc_id),
+      |r AS (
+      |  SELECT g.doc_id, g.gram,
+      |    ROW_NUMBER() OVER (PARTITION BY g.doc_id
+      |      ORDER BY f.df ASC, g.gram ASC) AS pos, s.n
+      |  FROM g JOIN f ON f.gram = g.gram JOIN s ON s.doc_id = g.doc_id),
+      |t AS (SELECT UNNEST([600000, 700000, 800000]) AS t_ppm),
+      |p AS (
+      |  SELECT t_ppm, gram
+      |  FROM t JOIN r ON pos <= n - ((t_ppm * n + 999999) // 1000000) + 1),
+      |cg AS (SELECT t_ppm, gram, CAST(COUNT(*) AS HUGEINT) AS c
+      |       FROM p GROUP BY 1, 2),
+      |fan AS (
+      |  SELECT t_ppm, CAST(SUM(c) AS BIGINT) AS prefix_rows,
+      |    CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS fanout_slots,
+      |    CAST(MAX(c * (c - 1)) // 2 AS BIGINT) AS max_gram_slots
+      |  FROM cg GROUP BY 1),
+      |d AS (SELECT gram, ROW_NUMBER() OVER (ORDER BY df DESC, gram ASC)
+      |        AS gid
+      |      FROM f),
+      |del AS (
+      |  SELECT gid - COALESCE(LAG(gid) OVER (
+      |    PARTITION BY doc_id ORDER BY gid), 0) AS delta
+      |  FROM (SELECT g.doc_id, d.gid FROM g JOIN d ON d.gram = g.gram)),
+      |st AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs,
+      |    (SELECT CAST(SUM(n) * 8 + COUNT(*) * 48 AS BIGINT) FROM s)
+      |      AS gram_bytes,
+      |    (SELECT CAST(SUM((LENGTH(BIN(delta)) + 6) // 7) AS BIGINT)
+      |     FROM del) AS gv_bytes)
+      |SELECT CAST(t_ppm AS BIGINT) AS t_ppm, prefix_rows, fanout_slots,
+      |  max_gram_slots,
+      |  CASE WHEN fanout_slots = 0 THEN 0
+      |    ELSE CAST(CAST(max_gram_slots AS HUGEINT) * 1000000
+      |      // fanout_slots AS BIGINT) END AS top_gram_share_ppm,
+      |  n_docs, gram_bytes, gv_bytes,
+      |  CAST(gv_bytes // n_docs + 24 AS BIGINT) AS est_row_bytes,
+      |  CAST(CAST(fanout_slots AS HUGEINT)
+      |    * (gv_bytes // n_docs + 24) AS BIGINT) AS est_exchange_bytes,
+      |  gram_bytes > 1073741824 AS packed_regime
+      |FROM fan CROSS JOIN st
+      |ORDER BY t_ppm, prefix_rows, fanout_slots, max_gram_slots,
+      |  top_gram_share_ppm, n_docs, gram_bytes, gv_bytes, est_row_bytes,
+      |  est_exchange_bytes, packed_regime""".stripMargin
+
   /** Packed exact verify for the over-broadcast-threshold regime
     * (VERDICT r11 #5): identical semantics to [[verifyPairs]], but
     * the per-candidate payload is the delta-varint DICTIONARY packing

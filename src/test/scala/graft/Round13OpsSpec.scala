@@ -96,6 +96,105 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------- q259 set-sim pre-flight (VERDICT r12 #4)
+
+  test("q259 preflight: fanout_slots == candidate-join slot count; bounds actual candidates") {
+    val docs = Tables.documents(spark, sf)
+    try {
+      val pf = Dedup.setSimPreflightDocs(docs, "doc_id").collect()
+        .map(r => r.getAs[Long]("t_ppm") -> r).toMap
+      // independent replay on STRING grams (window + self-join — a
+      // different code path than the packed-long index internals)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1))," +
+            " i -> substring(text, i, 8))"))).as("gram"))
+        .persist()
+      val f = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val ranked = grams.join(f, Seq("gram")).join(sizes, Seq("doc_id"))
+        .withColumn("pos", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("gram"))))
+      for (t <- Seq(600000L, 700000L, 800000L)) {
+        val prefix = ranked.filter(col("pos") <=
+          col("n") - expr(s"($t * n + 999999) DIV 1000000") + 1)
+          .select(col("doc_id"), col("gram")).persist()
+        val slots = prefix.select(col("doc_id").as("a"), col("gram"))
+          .join(prefix.select(col("doc_id").as("b"), col("gram")), Seq("gram"))
+          .filter(col("a") < col("b")).count()
+        prefix.unpersist()
+        assert(pf(t).getAs[Long]("fanout_slots") === slots,
+          s"slot forecast diverged from the raw join at t=$t")
+        assert(pf(t).getAs[Long]("prefix_rows") > 0L)
+      }
+      grams.unpersist()
+      // the forecast is an upper bound on what the bounded join emits
+      val actual = Dedup.setSimCandidates(docs, "doc_id", 700000L).count()
+      assert(actual <= pf(700000L).getAs[Long]("fanout_slots"))
+      // payload accounting: gv_bytes must equal the actual packed
+      // column's byte mass (the oracle replays the LEB128 formula)
+      assert(pf(700000L).getAs[Long]("gv_bytes") > 0L)
+      assert(pf(700000L).getAs[Long]("est_exchange_bytes") ===
+        pf(700000L).getAs[Long]("fanout_slots") *
+          pf(700000L).getAs[Long]("est_row_bytes"))
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("q259 preflight: index path == fresh docs path, bit-identical") {
+    try {
+      val idx = Dedup.setSimPreflight(spark, sf).collect().toSeq
+      val fresh = Dedup.setSimPreflightDocs(
+        Tables.documents(spark, sf), "doc_id").collect().toSeq
+      assert(idx === fresh)
+    } finally Dedup.unpersistCaches()
+  }
+
+  // ---------------- in-memory heavy-hitter BPE trainer (VERDICT r12 #2)
+
+  private def plantedBpeDocs = {
+    val s = spark
+    import s.implicits._
+    Seq("the cat sat on the mat", "the bat and the cat ran",
+      "a cat and a bat sat", "the mat the cat the bat",
+      "rare words appear once here", "sat sat sat on a mat",
+      "the the the and and a").toDF("text")
+  }
+
+  test("in-memory BPE trainer == frame trainer: merges, vocab, snapshot bit-identical") {
+    val B = graft.ops.BpeIterative
+    val counts = B.vocabCountsOf(plantedBpeDocs)
+    val mem = B.trainInMemory(spark,
+      counts.collect().map(r => (r.getString(0), r.getLong(1))),
+      nMerges = 60, snapshotAt = 5)
+    val frm = B.trainFromCountsFrame(counts, 60, snapshotAt = 5)
+    assert(mem.merges === frm.merges)
+    assert(mem.merges.nonEmpty)
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("w"), col("freq"), col("toks")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+        .sortBy(_._1)
+    assert(state(mem.vocab) === state(frm.vocab))
+    assert(state(mem.snapshot) === state(frm.snapshot))
+    // both exhausted (planted corpus is tiny): same rule count twice
+    val memX = B.trainInMemory(spark,
+      counts.collect().map(r => (r.getString(0), r.getLong(1))),
+      nMerges = 10000, snapshotAt = 5)
+    val frmX = B.trainFromCountsFrame(counts, 10000, snapshotAt = 5)
+    assert(memX.merges === frmX.merges)
+  }
+
+  test("trainFromCounts dispatches by the driver vocab budget, same result either way") {
+    val B = graft.ops.BpeIterative
+    val counts = B.vocabCountsOf(plantedBpeDocs)
+    val auto = B.trainFromCounts(counts, 40, snapshotAt = 4)
+    spark.conf.set("graft.bpe.driverVocabRows", "2") // force frame path
+    try {
+      val framed = B.trainFromCounts(counts, 40, snapshotAt = 4)
+      assert(auto.merges === framed.merges)
+    } finally spark.conf.unset("graft.bpe.driverVocabRows")
+  }
+
   test("native bpe_encode matches bpeEncodeSqlExpr for char-pair rules") {
     val s = spark
     import s.implicits._
