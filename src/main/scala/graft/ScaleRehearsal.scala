@@ -178,7 +178,7 @@ object ScaleRehearsal {
     // silently measure last round's data). "v4|" = corpus schema
     // version (round 7 added source, round 8 lang, round 9
     // event_id/event_type/value); "nN|" pins the shard count.
-    scales.filterNot(_ == "1x").distinct.foreach { sc =>
+    def ensureCorpus(sc: String): Unit = if (sc != "1x") {
       val n = shardsOf(sc)
       val o = outFor(sc)
       val fpFile = java.nio.file.Paths.get(s"$o/.source_fingerprint")
@@ -197,6 +197,7 @@ object ScaleRehearsal {
         java.nio.file.Files.writeString(fpFile, fp)
       }
     }
+    scales.distinct.foreach(ensureCorpus)
 
     def docsAt(scale: String): DataFrame =
       if (scale == "1x") Tables.documents(spark, dir)
@@ -1024,6 +1025,39 @@ object ScaleRehearsal {
           graft.ops.BpeIterative.trainTableDocs(d, 64).count())
         report("q255_bpe_train_iter", tBt, nBt)
       }
+      // q255big: the non-toy-vocabulary demonstration (VERDICT r12
+      // #2) — nMerges=1024 through the heavy-hitter dispatch (the
+      // vocab fits the driver budget at every rehearsal scale, so
+      // training is one corpus aggregate + an in-memory loop), then
+      // the q256 contract with the NATIVE tokenizer in-path over the
+      // big vocab: per word, native encode under the learned rules ==
+      // the trainer's own tokenization, token counts monotone vs the
+      // round-16 snapshot, and lossless concat — violations must be 0
+      if (wanted("q255big")) {
+        graft.functions.GraftFunctions.register(spark)
+        var rules = 0L
+        val (t, tTr) = timed {
+          val r = graft.ops.BpeIterative.trainIterative(d, 1024,
+            snapshotAt = 16)
+          rules = r.merges.size.toLong
+          r
+        }
+        report("q255big_train_1024", tTr, rules)
+        val ruleSeq = t.merges.map { case (a, b, _) => (a, b) }
+        val (nBad, tCt) = timed {
+          t.vocab
+            .join(t.snapshot.select(col("w"),
+              size(col("toks")).as("n_pre")), "w")
+            .select(col("w"), col("toks"), col("n_pre"),
+              graft.ops.BpeIterative.encodeUnderMerges(col("w"), ruleSeq)
+                .as("enc"))
+            .filter(!(col("enc") === col("toks")) ||
+              size(col("toks")) > col("n_pre") ||
+              concat_ws("", col("toks")) =!= col("w"))
+            .count()
+        }
+        report("q255big_contract_violations", tCt, nBad)
+      }
       // q238: closure audit over the SCALE edge source. Round 12's
       // 100x decade measured the FIXED-8-planes source at N^2.0 edges
       // (69.9k → 6.97M, maxdeg 39 → 319) and the audit at N^1.73
@@ -1133,6 +1167,31 @@ object ScaleRehearsal {
           graft.ops.TextAnalysis.bpeEncodeStatsDocs(d).count())
         report("q241_bpe_encode", tBe, nBe)
       }
+      // q241enc: the native codegen bpe_encode (round 13) vs the
+      // retained interpreted fold chain, same 64 learned rules, over
+      // the RAW token stream (not the distinct vocab — the per-row
+      // cost is what the fold chain scales badly in; the production
+      // queries are additionally vocab-bounded by the encode join)
+      if (wanted("q241enc")) {
+        graft.functions.GraftFunctions.register(spark)
+        val B = graft.ops.BpeIterative
+        val t = B.trainIterative(d, 64)
+        val rules = t.merges.map { case (a, b, _) => (a, b) }
+        val toksRaw = d.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          toksRaw.count() // materialize outside both timed runs
+          val (nN, tN) = timed(toksRaw
+            .select(sum(size(B.encodeUnderMerges(col("w"), rules)))
+              .as("s")).head().getLong(0))
+          report("q241_encode_native", tN, nN)
+          val (nF, tF) = timed(toksRaw
+            .select(sum(size(B.encodeUnderMergesFold(col("w"), rules)))
+              .as("s")).head().getLong(0))
+          report("q241_encode_fold", tF, nF)
+        } finally toksRaw.unpersist()
+      }
       // q126 INDEX-riding probe (the round-11 persisted set-sim
       // index): first call on a corpus dir pays build+probe, the
       // second is the steady-state probe a deployment runs per query
@@ -1196,6 +1255,71 @@ object ScaleRehearsal {
         val (nEa, tEa) = timed(Similarity.lshEmbeddingNearDups(e, 0.2,
           Similarity.autoPlanes(nVecs)).count())
         report("q65_lsh_edges_auto", tEa, nEa)
+      }
+    }
+
+    // ------------- standing 100x decade rows (VERDICT r12 #7) -------
+    // The two ops whose scaling earned a second growth decade in
+    // round 12 — q213 k-core (sublinear claim) and the q238 closure
+    // audit (the fixed-plane N^1.73 blowup that forced autoPlanes) —
+    // re-measure their full 1x/10x/100x decade EVERY rehearsal run,
+    // with fitted per-decade exponents, instead of living as a
+    // one-time BASELINE.md table. The 100x corpus rides the same
+    // fingerprint-guarded cache as any scale point. Skippable only by
+    // explicitly filtering them out (SPARK_GRAFT_REHEARSAL_ONLY).
+    val decadeOps = Seq("q213", "q238")
+    if (decadeOps.exists(wanted)) {
+      val decadeScales = Seq("1x", "10x", "100x")
+      decadeScales.foreach(ensureCorpus)
+      val walls = scala.collection.mutable.Map[(String, String), Double]()
+      for (scale <- decadeScales) {
+        val e = embAt(scale)
+        if (wanted("q213")) {
+          val (nKc, tKc) = timed {
+            val pairs = Similarity.lshEmbeddingNearDups(e, 0.25)
+              .select(col("vec_a"), col("vec_b"))
+            Similarity.kCoreOn(pairs, k = 3, rounds = 16).count()
+          }
+          walls(("q213_kcore", scale)) = tKc
+          println(s"""{"op":"q213_kcore_decade","scale":"$scale",""" +
+            s""""sec":${f"$tKc%.2f"},"rows":$nKc}""")
+        }
+        if (wanted("q238")) {
+          val nVecs = e.count()
+          val pairs = Similarity.lshEmbeddingNearDups(e, 0.25,
+              Similarity.autoPlanes(nVecs))
+            .select(col("vec_a"), col("vec_b"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val (fc, tFc) = timed {
+              def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+              val deg = pairs.select(col("vec_a").as("v"))
+                .unionAll(pairs.select(col("vec_b").as("v")))
+                .groupBy(col("v")).agg(count(lit(1)).as("d"))
+              deg.agg(sum(dec(col("d")) * dec(col("d"))).as("s"))
+                .head().getDecimal(0).longValue()
+            }
+            println(s"""{"op":"q238_forecast_decade","scale":"$scale",""" +
+              s""""sec":${f"$tFc%.2f"},"rows":$fc}""")
+            val (nCa, tCa) = timed {
+              val n = Similarity.closureAuditOn(pairs).count()
+              Dedup.unpersistCaches()
+              n
+            }
+            walls(("q238_closure_audit", scale)) = tCa
+            println(s"""{"op":"q238_closure_audit_decade","scale":"$scale",""" +
+              s""""sec":${f"$tCa%.2f"},"rows":$nCa}""")
+          } finally pairs.unpersist()
+        }
+      }
+      // fitted exponents: wall ~ N^e per decade, e = log10(w_b/w_a)
+      for (op <- Seq("q213_kcore", "q238_closure_audit")
+           if walls.contains((op, "1x"))) {
+        def ex(a: String, b: String): Double =
+          math.log10(walls((op, b)) / walls((op, a)))
+        println(s"""{"op":"${op}_exponents",""" +
+          s""""exp_1x_10x":${f"${ex("1x", "10x")}%.2f"},""" +
+          s""""exp_10x_100x":${f"${ex("10x", "100x")}%.2f"}}""")
       }
     }
     spark.stop()

@@ -86,16 +86,20 @@ object Audit {
     * (transfer_data_script.py:109-114): fixed key ranges scan in
     * parallel, never rescan, and this audit shows whether the key
     * space is uniform enough or the stride needs adjusting. Pure
-    * integer arithmetic; one keyed aggregate + one window over the
-    * chunk table. */
+    * integer arithmetic; one keyed aggregate + a broadcast 1-row
+    * total — the chunk table is corpus-sized/stride, so a full-frame
+    * window over it would funnel every chunk row through one task
+    * (the round-13 global-window discipline); the register-persisted
+    * chunk frame feeds both the totals and the per-chunk share. */
   def exportChunkAudit(spark: SparkSession, dir: String,
       stride: Long = 2048L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    Tables.orders(spark, dir)
+    val chunks = Dedup.register(Tables.orders(spark, dir)
       .select(expr(s"o_orderkey div $stride").as("chunk"))
       .groupBy(col("chunk")).agg(count(lit(1)).as("n_rows"))
-      .withColumn("total", sum(col("n_rows")).over(w))
-      .withColumn("n_chunks", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = chunks.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_chunks"))
+    chunks.crossJoin(broadcast(totals))
       .select(col("chunk"), col("n_rows"),
         expr("n_rows * n_chunks * 1000000 div total").as("load_ppm"))
       .orderBy(col("chunk"), col("n_rows"), col("load_ppm"))

@@ -177,18 +177,25 @@ object TpchShapes {
   // ------------------------------------------------ q248 (Q15 shape)
 
   /** Q15: top supplier(s) by quarterly revenue — the CREATE VIEW +
-    * max-scalar-subquery shape as one post-aggregate window; the max
+    * max-scalar-subquery shape. The max is a 1-row AGGREGATE joined
+    * back by broadcast, NOT a full-frame window: a
+    * `Window.partitionBy()` max would funnel the whole per-supplier
+    * aggregate through one task (supplier count scales with the
+    * corpus — the round-13 global-window discipline), while the
+    * broadcast-max join keeps every stage distributed for one extra
+    * scan of the REGISTER-persisted supplier aggregate. The max
     * compare stays in exact DECIMAL so ties are real ties. */
   def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val s = Tables.supplier(spark, dir)
-    val perSupp = li
+    val perSupp = Dedup.register(li
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey")).agg(sum(rev).as("total_revenue"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val mx = perSupp.agg(max(col("total_revenue")).as("mx"))
     perSupp
-      .withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
-      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(mx), col("total_revenue") === col("mx"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_revenue").cast("double").as("total_revenue"))

@@ -131,6 +131,20 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
       s"exempted queries that now HAVE rehearsal rows: ${stale.mkString(", ")}")
   }
 
+  test("the standing 100x decade rows stay in ScaleRehearsal") {
+    // VERDICT r12 #7: the two ops whose scaling earned a second
+    // growth decade (q213 k-core, q238 closure audit) re-measure
+    // their 1x/10x/100x exponents on every rehearsal run — removing
+    // the standing rows demotes measured scaling claims back to
+    // one-time prose, so their absence fails the suite.
+    val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")
+    Seq("decadeOps", "q213_kcore_decade", "q238_closure_audit_decade",
+      "_exponents").foreach { marker =>
+      assert(rehearsal.contains(marker),
+        s"ScaleRehearsal lost its standing decade row marker '$marker'")
+    }
+  }
+
   test("every registered query has an sf0.1 verification ledger entry") {
     // SF01_LEDGER.json is written ONLY by tools/check.py matching a
     // query's hash against DuckDB at sf0.1 — so presence here means
