@@ -377,6 +377,8 @@ object SparkEntry {
       Dedup.thresholdSweep(s, d)),
     "q259_setsim_preflight" -> ((s: SparkSession, d: String) =>
       Dedup.setSimPreflight(s, d)),
+    "q260_setsim_preflight_incremental" -> ((s: SparkSession, d: String) =>
+      Dedup.setSimPreflightIncremental(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2727,6 +2729,8 @@ object SparkEntry {
         Dedup.thresholdSweepOracleSql(),
       "q259_setsim_preflight" ->
         Dedup.setSimPreflightOracleSql(),
+      "q260_setsim_preflight_incremental" ->
+        Dedup.setSimPreflightIncrementalOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

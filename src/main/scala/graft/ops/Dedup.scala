@@ -1759,26 +1759,51 @@ object Dedup {
       gramSets, sz.nDocs, sz.gramBytes)
   }
 
+  /** The swept thresholds. Prefix cuts NEST (lower t ⇒ longer
+    * prefix), so one scan with one conditional count per t replaces a
+    * 3-way threshold-spine join — measured 77.6 s → one-scan at the
+    * 100× rehearsal point, where the spine join tripled the
+    * 55M-row ranked-table scan and the (t, g64) shuffle. */
+  private val PreflightTs = Seq(600000L, 700000L, 800000L)
+
+  /** Per-gram prefix-membership counts for ALL swept thresholds in
+    * one pass over the ranked table: rows failing even the loosest
+    * cut drop before the aggregate; each tighter t is a conditional
+    * count. Output: (g64, c600000, c700000, c800000). */
+  private def preflightGramCounts(ranked: DataFrame): DataFrame = {
+    def cutOk(t: Long) =
+      col("pos") <= col("n") - expr(s"($t * n + 999999) DIV 1000000") + 1
+    val cnts = PreflightTs.map(t =>
+      sum(when(cutOk(t), 1L).otherwise(0L)).as(s"c$t"))
+    ranked.filter(cutOk(PreflightTs.min))
+      .groupBy(col("g64"))
+      .agg(cnts.head, cnts.tail: _*)
+  }
+
   private def setSimPreflightOn(ranked: DataFrame, gramSets: DataFrame,
       nDocs: Long, gramBytes: Long): DataFrame = {
     val sess = ranked.sparkSession
     import sess.implicits._
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val ts = Seq(600000L, 700000L, 800000L).toDF("t_ppm")
-    // 3-row broadcast nested-loop against the bucketed index scan:
-    // the per-t prefix cut is the same pos <= n - ceil(t*n) + 1 rule
-    // prefixCutFilter applies for a fixed t
-    val prefix = broadcast(ts).join(ranked,
-      col("pos") <= col("n") - expr("(t_ppm * n + 999999) DIV 1000000") + 1)
-    val perGram = prefix.groupBy(col("t_ppm"), col("g64"))
-      .agg(count(lit(1)).as("c"))
-    val fan = perGram.groupBy(col("t_ppm"))
-      .agg(sum(col("c")).as("prefix_rows"),
-        sum(dec(col("c")) * dec(col("c") - 1)).as("slots2"),
-        max(dec(col("c")) * dec(col("c") - 1)).as("mx2"))
-      .select(col("t_ppm"), col("prefix_rows"),
-        expr("CAST(slots2 div 2 AS BIGINT)").as("fanout_slots"),
-        expr("CAST(mx2 div 2 AS BIGINT)").as("max_gram_slots"))
+    val perGram = preflightGramCounts(ranked)
+    val aggs = PreflightTs.flatMap { t =>
+      Seq(sum(col(s"c$t")).as(s"pr$t"),
+        sum(dec(col(s"c$t")) * dec(col(s"c$t") - 1)).as(s"sl$t"),
+        max(dec(col(s"c$t")) * dec(col(s"c$t") - 1)).as(s"mx$t"))
+    }
+    val agg1 = perGram.agg(aggs.head, aggs.tail: _*)
+    // one stack() reshape of the 1-row aggregate into the 3-row sweep
+    // (a unionAll of per-t selects would re-run the aggregate 3x)
+    val fan = agg1.select(expr(
+        s"stack(${PreflightTs.size}, " + PreflightTs.map(t =>
+          s"${t}L, pr$t, sl$t, mx$t").mkString(", ") +
+          ") AS (t_ppm, prefix_rows0, slots2, mx2)"))
+      .select(col("t_ppm"),
+        coalesce(col("prefix_rows0"), lit(0L)).as("prefix_rows"),
+        coalesce(expr("CAST(slots2 div 2 AS BIGINT)"), lit(0L))
+          .as("fanout_slots"),
+        coalesce(expr("CAST(mx2 div 2 AS BIGINT)"), lit(0L))
+          .as("max_gram_slots"))
     // payload statistics: nDocs/gramBytes ride the index's
     // precomputed stats (zero actions); the packed payload is one
     // aggregate over the bucketed signature table's gv column
@@ -1864,6 +1889,170 @@ object Dedup {
       |ORDER BY t_ppm, prefix_rows, fanout_slots, max_gram_slots,
       |  top_gram_share_ppm, n_docs, gram_bytes, gv_bytes, est_row_bytes,
       |  est_exchange_bytes, packed_regime""".stripMargin
+
+  /** Incremental set-sim pre-flight (q260): the [[setSimPreflight]]
+    * gate for the shape a deployment actually runs DAILY — an ingest
+    * batch probing the existing corpus ([[setSimJoinIncremental]]).
+    * Per swept threshold, from per-side keyed counts over the two
+    * prefix tables (corpus-side df is the shared total order; batch
+    * grams unseen in the corpus rank first with df = 0 — the
+    * incremental asymmetry), BEFORE any join runs:
+    * `fanout_slots` = Σ_g cN(g)·cC(g) — exactly the row count the
+    * batch×corpus candidate join processes; the top-gram skew share;
+    * and the exchange-byte estimate from the CORPUS-side signature
+    * payload (the side that outgrows broadcast first). The batch is
+    * the derived newest-10% id slice (the q191/q254/q257 convention),
+    * so the oracle re-derives the cutoff too. */
+  def setSimPreflightIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sess = spark
+    import sess.implicits._
+    val docs = Tables.documents(spark, dir)
+    latin1Guard(docs)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    val gramsC = packedGrams(docs.filter(col("doc_id") < cutoff), "doc_id")
+    val gramsN = packedGrams(docs.filter(col("doc_id") >= cutoff), "doc_id")
+    val setsC = gramSetsOf(gramsC)
+    val setsN = gramSetsOf(gramsN)
+    val szC = sizer(spark, setsC)
+    val szN = sizer(spark, setsN)
+    val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    // one-pass conditional counts per side (the q259 trick: prefix
+    // cuts nest, so one scan covers all swept thresholds); each side
+    // feeds the slot join AND its own prefix-row totals — persisted
+    // (vocabulary-sized) so the window stack runs once per side
+    val cC = register(preflightGramCounts(
+        rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false))
+      .select(col("g64") +: PreflightTs.map(t => col(s"c$t").as(s"cc$t")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val cN = register(preflightGramCounts(
+        rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true))
+      .select(col("g64") +: PreflightTs.map(t => col(s"c$t").as(s"cn$t")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val slotAggs = PreflightTs.flatMap { t =>
+      Seq(sum(dec(col(s"cn$t")) * dec(col(s"cc$t"))).as(s"sl$t"),
+        max(dec(col(s"cn$t")) * dec(col(s"cc$t"))).as(s"mx$t"))
+    }
+    val fan1 = cN.join(cC, Seq("g64")).agg(slotAggs.head, slotAggs.tail: _*)
+    val prNAggs = PreflightTs.map(t => sum(col(s"cn$t")).as(s"prn$t"))
+    val prCAggs = PreflightTs.map(t => sum(col(s"cc$t")).as(s"prc$t"))
+    val totals = cN.agg(prNAggs.head, prNAggs.tail: _*)
+      .crossJoin(cC.agg(prCAggs.head, prCAggs.tail: _*))
+      .crossJoin(fan1)
+    val pay = Seq((szN.nDocs, szC.nDocs, szC.gramBytes,
+        szC.gramBytes / math.max(szC.nDocs, 1L) + 24L))
+      .toDF("n_batch_docs", "n_corpus_docs", "corpus_gram_bytes",
+        "est_row_bytes")
+    totals.select(expr(
+        s"stack(${PreflightTs.size}, " + PreflightTs.map(t =>
+          s"${t}L, prn$t, prc$t, sl$t, mx$t").mkString(", ") +
+          ") AS (t_ppm, prn0, prc0, sl0, mx0)"))
+      .select(col("t_ppm"),
+        coalesce(col("prn0"), lit(0L)).as("batch_prefix_rows"),
+        coalesce(col("prc0"), lit(0L)).as("corpus_prefix_rows"),
+        coalesce(expr("CAST(sl0 AS BIGINT)"), lit(0L)).as("fanout_slots"),
+        coalesce(expr("CAST(mx0 AS BIGINT)"), lit(0L)).as("max_gram_slots"))
+      .crossJoin(broadcast(pay))
+      .select(col("t_ppm"), col("batch_prefix_rows"),
+        col("corpus_prefix_rows"), col("fanout_slots"),
+        col("max_gram_slots"),
+        when(col("fanout_slots") === 0L, 0L)
+          .otherwise(expr(
+            "CAST((max_gram_slots * 1000000) div fanout_slots AS BIGINT)"))
+          .as("top_gram_share_ppm"),
+        col("n_batch_docs"), col("n_corpus_docs"),
+        col("corpus_gram_bytes"), col("est_row_bytes"),
+        (col("fanout_slots") * col("est_row_bytes"))
+          .as("est_exchange_bytes"))
+      .orderBy(col("t_ppm"), col("batch_prefix_rows"),
+        col("corpus_prefix_rows"), col("fanout_slots"),
+        col("max_gram_slots"), col("top_gram_share_ppm"),
+        col("n_batch_docs"), col("n_corpus_docs"),
+        col("corpus_gram_bytes"), col("est_row_bytes"),
+        col("est_exchange_bytes"))
+  }
+
+  /** DuckDB oracle for [[setSimPreflightIncremental]] — re-derives
+    * the cutoff, the corpus-only df order (batch-unseen grams df = 0
+    * via LEFT JOIN + COALESCE), both prefix cuts, and the per-gram
+    * slot products. */
+  def setSimPreflightIncrementalOracleSql(): String =
+    """WITH cut AS (
+      |  SELECT (MAX(doc_id) + 1) * 9 // 10 AS c FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+      |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+      |  FROM documents),
+      |gc AS (SELECT * FROM g WHERE doc_id < (SELECT c FROM cut)),
+      |gn AS (SELECT * FROM g WHERE doc_id >= (SELECT c FROM cut)),
+      |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+      |      FROM gc GROUP BY gram),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM gc GROUP BY doc_id),
+      |sn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM gn GROUP BY doc_id),
+      |rc AS (
+      |  SELECT gc.doc_id, gc.gram,
+      |    ROW_NUMBER() OVER (PARTITION BY gc.doc_id
+      |      ORDER BY f.df ASC, gc.gram ASC) AS pos, sc.n
+      |  FROM gc JOIN f ON f.gram = gc.gram
+      |  JOIN sc ON sc.doc_id = gc.doc_id),
+      |rn AS (
+      |  SELECT gn.doc_id, gn.gram,
+      |    ROW_NUMBER() OVER (PARTITION BY gn.doc_id
+      |      ORDER BY COALESCE(f.df, 0) ASC, gn.gram ASC) AS pos, sn.n
+      |  FROM gn LEFT JOIN f ON f.gram = gn.gram
+      |  JOIN sn ON sn.doc_id = gn.doc_id),
+      |t AS (SELECT UNNEST([600000, 700000, 800000]) AS t_ppm),
+      |pc AS (
+      |  SELECT t_ppm, gram FROM t JOIN rc
+      |    ON pos <= n - ((t_ppm * n + 999999) // 1000000) + 1),
+      |pn AS (
+      |  SELECT t_ppm, gram FROM t JOIN rn
+      |    ON pos <= n - ((t_ppm * n + 999999) // 1000000) + 1),
+      |cc AS (SELECT t_ppm, gram, CAST(COUNT(*) AS HUGEINT) AS c
+      |       FROM pc GROUP BY 1, 2),
+      |cn AS (SELECT t_ppm, gram, CAST(COUNT(*) AS HUGEINT) AS c
+      |       FROM pn GROUP BY 1, 2),
+      |fan AS (
+      |  SELECT cn.t_ppm, CAST(SUM(cn.c * cc.c) AS BIGINT) AS fanout_slots,
+      |    CAST(MAX(cn.c * cc.c) AS BIGINT) AS max_gram_slots
+      |  FROM cn JOIN cc ON cn.t_ppm = cc.t_ppm AND cn.gram = cc.gram
+      |  GROUP BY 1),
+      |prn AS (SELECT t_ppm, CAST(SUM(c) AS BIGINT) AS batch_prefix_rows
+      |        FROM cn GROUP BY 1),
+      |prc AS (SELECT t_ppm, CAST(SUM(c) AS BIGINT) AS corpus_prefix_rows
+      |        FROM cc GROUP BY 1),
+      |st AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sn) AS n_batch_docs,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_corpus_docs,
+      |    (SELECT CAST(SUM(n) * 8 + COUNT(*) * 48 AS BIGINT) FROM sc)
+      |      AS corpus_gram_bytes,
+      |    (SELECT CAST((SUM(n) * 8 + COUNT(*) * 48)
+      |      // GREATEST(COUNT(*), 1) + 24 AS BIGINT) FROM sc)
+      |      AS est_row_bytes)
+      |SELECT CAST(t.t_ppm AS BIGINT) AS t_ppm,
+      |  COALESCE(batch_prefix_rows, 0) AS batch_prefix_rows,
+      |  COALESCE(corpus_prefix_rows, 0) AS corpus_prefix_rows,
+      |  COALESCE(fanout_slots, 0) AS fanout_slots,
+      |  COALESCE(max_gram_slots, 0) AS max_gram_slots,
+      |  CASE WHEN COALESCE(fanout_slots, 0) = 0 THEN 0
+      |    ELSE CAST(CAST(max_gram_slots AS HUGEINT) * 1000000
+      |      // fanout_slots AS BIGINT) END AS top_gram_share_ppm,
+      |  n_batch_docs, n_corpus_docs, corpus_gram_bytes, est_row_bytes,
+      |  CAST(CAST(COALESCE(fanout_slots, 0) AS HUGEINT) * est_row_bytes
+      |    AS BIGINT) AS est_exchange_bytes
+      |FROM t LEFT JOIN prn ON prn.t_ppm = t.t_ppm
+      |LEFT JOIN prc ON prc.t_ppm = t.t_ppm
+      |LEFT JOIN fan ON fan.t_ppm = t.t_ppm
+      |CROSS JOIN st
+      |ORDER BY t_ppm, batch_prefix_rows, corpus_prefix_rows,
+      |  fanout_slots, max_gram_slots, top_gram_share_ppm, n_batch_docs,
+      |  n_corpus_docs, corpus_gram_bytes, est_row_bytes,
+      |  est_exchange_bytes""".stripMargin
 
   /** Packed exact verify for the over-broadcast-threshold regime
     * (VERDICT r11 #5): identical semantics to [[verifyPairs]], but

@@ -150,6 +150,48 @@ class Round13OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  test("q260 incremental preflight: fanout_slots == raw batch×corpus join count; bounds verified pairs") {
+    val docs = Tables.documents(spark, sf)
+    try {
+      val pf = Dedup.setSimPreflightIncremental(spark, sf).collect()
+        .map(r => r.getAs[Long]("t_ppm") -> r).toMap
+      val cutoff =
+        (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+      // independent string-gram replay (the q259 spec pattern, split
+      // at the derived cutoff with corpus-side-only df)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1))," +
+            " i -> substring(text, i, 8))"))).as("gram"))
+        .persist()
+      val gc = grams.filter(col("doc_id") < cutoff)
+      val gn = grams.filter(col("doc_id") >= cutoff)
+      val f = gc.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val nc = gc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val nn = gn.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("gram"))
+      val rc = gc.join(f, Seq("gram")).join(nc, Seq("doc_id"))
+        .withColumn("pos", row_number().over(w))
+      val rn = gn.join(f, Seq("gram"), "left").na.fill(0L, Seq("df"))
+        .join(nn, Seq("doc_id")).withColumn("pos", row_number().over(w))
+      for (t <- Seq(600000L, 700000L, 800000L)) {
+        def cut(r: org.apache.spark.sql.DataFrame) = r.filter(col("pos") <=
+          col("n") - expr(s"($t * n + 999999) DIV 1000000") + 1)
+        val slots = cut(rn).select(col("gram"))
+          .join(cut(rc).select(col("gram")), Seq("gram")).count()
+        assert(pf(t).getAs[Long]("fanout_slots") === slots,
+          s"incremental slot forecast diverged from the raw join at t=$t")
+      }
+      grams.unpersist()
+      val verified = Dedup.setSimJoinIncremental(
+        docs.filter(col("doc_id") < cutoff), "doc_id",
+        docs.filter(col("doc_id") >= cutoff), "doc_id", 700000L).count()
+      assert(verified <= pf(700000L).getAs[Long]("fanout_slots"))
+    } finally Dedup.unpersistCaches()
+  }
+
   // ---------------- in-memory heavy-hitter BPE trainer (VERDICT r12 #2)
 
   private def plantedBpeDocs = {
