@@ -1591,6 +1591,27 @@ object Dedup {
     // probe, the honest per-query cost of a deployed exact-dedup
     // system). Bit-identical to setSimJoin on the same docs.
     val idx = persistedSetSimIndex(spark, dir, "docs", Tables.documents _)
+    // OPT-IN pre-flight budget (the q259 gate as a CONTROL, not just
+    // a report): when graft.setsim.maxExchangeBytes is set, the
+    // forecast runs first (scale-flat — 1.1 s at the 100× rehearsal
+    // point) and a verify whose estimated candidate×payload exchange
+    // exceeds the budget fails LOUDLY with the numbers, instead of
+    // shuffling tens of GB to find out. Unset (the default) costs
+    // nothing — tests and the bench never pay the extra aggregate.
+    spark.conf.getOption("graft.setsim.maxExchangeBytes")
+      .map(_.toLong).foreach { budget =>
+      val r = setSimPreflightOn(idx.ranked, idx.gramSets, idx.nDocs,
+          idx.gramBytes)
+        .filter(col("t_ppm") === 700000L).head()
+      val est = r.getAs[Long]("est_exchange_bytes")
+      if (est > budget) throw new IllegalStateException(
+        s"setSimNearDups pre-flight: estimated verify exchange $est B " +
+          s"(${r.getAs[Long]("fanout_slots")} candidate-join slots × " +
+          s"${r.getAs[Long]("est_row_bytes")} B/row, top gram " +
+          s"${r.getAs[Long]("top_gram_share_ppm")} ppm of slots) " +
+          s"exceeds graft.setsim.maxExchangeBytes=$budget — tighten " +
+          "the threshold, salt the top gram, or raise the budget")
+    }
     val sz = idx.sizerOf(spark)
     val cand = selfCandidatesFromPrefix(
       prefixCutFilter(idx.ranked, 700000L), 700000L)

@@ -141,6 +141,23 @@ class Round13OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  test("the exchange-budget gate fires loudly under budget, is free when unset") {
+    try {
+      spark.conf.set("graft.setsim.maxExchangeBytes", "1")
+      val e = intercept[IllegalStateException](
+        Dedup.setSimNearDups(spark, sf).head())
+      assert(e.getMessage.contains("estimated verify exchange"))
+      assert(e.getMessage.contains("candidate-join slots"))
+      spark.conf.set("graft.setsim.maxExchangeBytes",
+        Long.MaxValue.toString)
+      assert(Dedup.setSimNearDups(spark, sf).count() > 0L)
+      Dedup.unpersistCaches()
+    } finally {
+      spark.conf.unset("graft.setsim.maxExchangeBytes")
+      Dedup.unpersistCaches()
+    }
+  }
+
   test("q259 preflight: index path == fresh docs path, bit-identical") {
     try {
       val idx = Dedup.setSimPreflight(spark, sf).collect().toSeq

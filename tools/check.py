@@ -55,11 +55,19 @@ def main(sf_dir: str, out_dir: str) -> int:
     # writes failures.json even when empty, so every selected query is
     # either a dir or a failure entry; only genuinely-unselected
     # queries fall through to "skipped".
+    # ... and a Verify JVM that DIED mid-run (OOM, kill) leaves no
+    # failures.json at all — the dumped subset would otherwise read
+    # as a clean partial run. Verify writes the file at the end of
+    # EVERY run (filtered ones included), so absence is itself a
+    # hard failure, not an empty default.
     try:
         with open(f"{out_dir}/failures.json") as f:
             verify_failures = json.load(f)
-    except (OSError, ValueError):
-        verify_failures = {}
+    except (OSError, ValueError) as e:
+        print(f"FAIL <run>: {out_dir}/failures.json missing/unreadable "
+              f"({e}) — Verify did not complete; the dumped subset "
+              f"proves nothing")
+        return 1
     for name, err in sorted(verify_failures.items()):
         failures.append(name)
         print(f"FAIL {name}: threw during Verify: {str(err)[:200]}")
