@@ -303,6 +303,21 @@ object ScaleRehearsal {
         }
         report("q260_incr_preflight_slots", tPf, slots)
       }
+      // q261: embedding-occupancy drift — prior-only index build +
+      // batch broadcast argmin + cell-keyed counts; on the scaled
+      // corpora the newest-10% batch is sign-permuted shard content,
+      // so the drift read is the DECORRELATED-encoder case (mass
+      // spreads; compare the 1x same-distribution point)
+      if (wanted("q261")) {
+        val dirAt = if (scale == "1x") dir else outFor(scale)
+        val (nDr, tDr) = timed {
+          val n = graft.ops.Ivf.embeddingDrift(spark, dirAt).count()
+          graft.ops.Ivf.clearDetIndexes()
+          Dedup.unpersistCaches()
+          n
+        }
+        report("q261_embedding_drift", tDr, nDr)
+      }
       // q119 shape: stride-1 substring extent dedup
       if (wanted("q119")) {
         val (nSub, tSub) = timed(Dedup.substringDedup(d).count())

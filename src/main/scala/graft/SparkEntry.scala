@@ -379,6 +379,8 @@ object SparkEntry {
       Dedup.setSimPreflight(s, d)),
     "q260_setsim_preflight_incremental" -> ((s: SparkSession, d: String) =>
       Dedup.setSimPreflightIncremental(s, d)),
+    "q261_embedding_drift" -> ((s: SparkSession, d: String) =>
+      Ivf.embeddingDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2731,6 +2733,7 @@ object SparkEntry {
         Dedup.setSimPreflightOracleSql(),
       "q260_setsim_preflight_incremental" ->
         Dedup.setSimPreflightIncrementalOracleSql(),
+      "q261_embedding_drift" -> Ivf.embeddingDriftOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

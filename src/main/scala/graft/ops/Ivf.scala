@@ -355,7 +355,8 @@ object Ivf {
     * is a SQL expression — the default replays the [[autoK]] rule
     * from the corpus's own count, so the oracle derives k the same
     * way the engine does and the hash compare proves the rule. */
-  private def buildCtes(iters: Int, kExpr: String = kSql()): String = {
+  private def buildCtes(iters: Int, kExpr: String = kSql(),
+      where: String = "TRUE"): String = {
     val mu = "list_transform(range(1, 65), i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
     val rounds = (0 until iters).map { r =>
       s"""d$r AS (SELECT x.vec_id, c.cell, ${oracleD2("x.x", "c.c")} AS d2
@@ -369,7 +370,7 @@ object Ivf {
          |        GROUP BY a.cell, s.i),
          |cent${r + 1} AS (SELECT cell, list(m ORDER BY pos) AS c FROM s$r GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""xi AS (SELECT vec_id, $mu AS x FROM embeddings),
+    s"""xi AS (SELECT vec_id, $mu AS x FROM embeddings WHERE $where),
        |cent0 AS (SELECT vec_id AS cell, x AS c FROM xi WHERE vec_id < ($kExpr)),
        |$rounds,
        |afin AS (SELECT x.vec_id, c.cell FROM xi x CROSS JOIN cent$iters c
@@ -401,6 +402,117 @@ object Ivf {
        |  CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
        |FROM afin GROUP BY cell
        |ORDER BY cell, n_vecs, min_vec_id""".stripMargin
+
+  /** Embedding-occupancy drift (q261): the ANN-index staleness /
+    * retrain trigger every deployed vector store needs and the
+    * embedding-space member of the drift family (q122 KS, q125 TVD,
+    * q179/q187 PSI, q210 schema, q257 tokenizer). The index is built
+    * on the PRIOR corpus ONLY (vec_id below the derived newest-10%
+    * cutoff — the q191/q254/q257 split), the ingest batch is assigned
+    * through THAT index (exactly what a deployment's router does),
+    * and the output is per-cell occupancy: prior/batch counts and
+    * shares in ppm plus the absolute share drift. A batch that no
+    * longer matches the index's density (new domains, new encoder)
+    * shows mass piling into few cells — the "retrain the quantizer"
+    * signal read BEFORE recall degrades.
+    *
+    * Determinism: the integer-Lloyd build has zero float ambiguity
+    * (the q46 contract), batch assignment is the same exact-integer
+    * argmin with the cell-id tie-break, and shares are truncating
+    * integer ppm — the oracle replays build, assignment, and the
+    * arithmetic symbol-for-symbol.
+    *
+    * Scale shape: index build is iters× (broadcast-argmin + k-row
+    * collect) over the prior corpus; the batch pays one broadcast
+    * argmin; everything after is cell-keyed counts (k keys) and a
+    * broadcast 1-row totals join — no global window, no pair stage. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cutoff =
+      (emb.agg(max(col("vec_id"))).head().getLong(0) + 1L) * 9L / 10L
+    embeddingDriftOn(emb.filter(col("vec_id") < cutoff),
+      emb.filter(col("vec_id") >= cutoff))
+  }
+
+  /** Frame-based core of [[embeddingDrift]]. */
+  def embeddingDriftOn(prior: DataFrame, batch: DataFrame): DataFrame = {
+    val sess = prior.sparkSession
+    import sess.implicits._
+    val idx = deterministicIndexOn(prior, autoK(prior.count()))
+    // the prior-only index is NOT the (dir)-cached one — its persisted
+    // assignment frame must ride the drained registry or every bench
+    // sample leaks one cache entry (the round-6 rule)
+    Dedup.register(idx.assigned)
+    val priorCnt = idx.assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_prior"))
+    val batchCnt = withCellCol(
+        batch.select(col("vec_id"), muCol.as("x")), idx.centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_batch"))
+    val cells = idx.centroids.map(_._1).toDF("cell")
+    val totals = priorCnt.agg(sum(col("n_prior")).as("tp"))
+      .crossJoin(batchCnt.agg(
+        coalesce(sum(col("n_batch")), lit(0L)).as("tb")))
+    cells
+      .join(priorCnt, Seq("cell"), "left")
+      .join(batchCnt, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_prior", "n_batch"))
+      .crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_prior"), col("n_batch"),
+        expr("CAST(n_prior * 1000000 div tp AS BIGINT)")
+          .as("prior_share_ppm"),
+        when(col("tb") === 0L, 0L)
+          .otherwise(expr("CAST(n_batch * 1000000 div tb AS BIGINT)"))
+          .as("batch_share_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("prior_share_ppm") - col("batch_share_ppm")))
+      .orderBy(col("cell"), col("n_prior"), col("n_batch"),
+        col("prior_share_ppm"), col("batch_share_ppm"), col("drift_ppm"))
+  }
+
+  /** DuckDB oracle for [[embeddingDrift]]: re-derive the cutoff,
+    * replay the prior-only integer-Lloyd build ([[buildCtes]] with
+    * the cutoff filter and prior-count autoK), assign the batch
+    * against the final centroids with the same (d2, cell) argmin,
+    * and replay the ppm arithmetic. */
+  def embeddingDriftOracleSql(iters: Int = 2): String = {
+    val mu = "list_transform(range(1, 65), i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))"
+    val priorWhere = "vec_id < (SELECT c FROM cut)"
+    val kExpr = s"GREATEST(8, ((SELECT COUNT(*) FROM embeddings " +
+      s"WHERE $priorWhere) + ${TargetCellSize - 1}) // $TargetCellSize)"
+    s"""WITH cut AS (
+       |  SELECT (MAX(vec_id) + 1) * 9 // 10 AS c FROM embeddings),
+       |${buildCtes(iters, kExpr, priorWhere)},
+       |bi AS (SELECT vec_id, $mu AS x FROM embeddings
+       |       WHERE vec_id >= (SELECT c FROM cut)),
+       |ba AS (SELECT b.vec_id, c.cell FROM bi b CROSS JOIN cent$iters c
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |         ORDER BY ${oracleD2("b.x", "c.c")}, c.cell) = 1),
+       |pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_prior
+       |       FROM afin GROUP BY cell),
+       |bc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_batch
+       |       FROM ba GROUP BY cell),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM afin) AS tp,
+       |    (SELECT COUNT(*) FROM ba) AS tb)
+       |SELECT CAST(k.cell AS BIGINT) AS cell,
+       |  COALESCE(n_prior, 0) AS n_prior,
+       |  COALESCE(n_batch, 0) AS n_batch,
+       |  CAST(COALESCE(n_prior, 0) * 1000000 // tp AS BIGINT)
+       |    AS prior_share_ppm,
+       |  CASE WHEN tb = 0 THEN 0
+       |    ELSE CAST(COALESCE(n_batch, 0) * 1000000 // tb AS BIGINT)
+       |    END AS batch_share_ppm,
+       |  ABS(CAST(COALESCE(n_prior, 0) * 1000000 // tp AS BIGINT)
+       |    - CASE WHEN tb = 0 THEN 0
+       |      ELSE CAST(COALESCE(n_batch, 0) * 1000000 // tb AS BIGINT)
+       |      END) AS drift_ppm
+       |FROM (SELECT cell FROM cent$iters) k
+       |LEFT JOIN pc ON pc.cell = k.cell
+       |LEFT JOIN bc ON bc.cell = k.cell
+       |CROSS JOIN tot
+       |ORDER BY cell, n_prior, n_batch, prior_share_ppm,
+       |  batch_share_ppm, drift_ppm""".stripMargin
+  }
 
   /** Cell-medoid coreset (q186): per deterministic-IVF cell, the
     * member vector closest to the cell centroid (exact integer µu

@@ -209,6 +209,37 @@ class Round13OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  // ------------------------ q261 embedding-occupancy drift
+
+  test("q261 embedding drift: identical batch ⇒ zero drift in every cell; shares sum sanely") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    try {
+      // batch == prior exactly: every vector re-assigns to its own
+      // cell, so per-cell counts match and every drift_ppm is 0
+      val same = graft.ops.Ivf.embeddingDriftOn(emb, emb).collect()
+      assert(same.nonEmpty)
+      same.foreach { r =>
+        assert(r.getAs[Long]("n_prior") === r.getAs[Long]("n_batch"))
+        assert(r.getAs[Long]("drift_ppm") === 0L)
+      }
+      assert(same.map(_.getAs[Long]("n_prior")).sum === emb.count())
+      // the registered split: shares are valid ppm, totals add up
+      val drift = graft.ops.Ivf.embeddingDrift(spark, sf).collect()
+      assert(drift.nonEmpty)
+      drift.foreach { r =>
+        assert(r.getAs[Long]("prior_share_ppm") >= 0L &&
+          r.getAs[Long]("prior_share_ppm") <= 1000000L)
+        assert(r.getAs[Long]("drift_ppm") ===
+          math.abs(r.getAs[Long]("prior_share_ppm") -
+            r.getAs[Long]("batch_share_ppm")))
+      }
+    } finally {
+      graft.ops.Ivf.clearDetIndexes()
+      Dedup.unpersistCaches()
+    }
+  }
+
   // ---------------- in-memory heavy-hitter BPE trainer (VERDICT r12 #2)
 
   private def plantedBpeDocs = {
