@@ -807,6 +807,20 @@ object ScaleRehearsal {
         }
         report("q203_phash_dedup", tPh, nPh)
       }
+      // q262: the phash band pre-flight — per-band slot forecast
+      // priced before the band join (reported rows = Σ over bands)
+      if (wanted("q262")) {
+        val mm = graft.multimodal.Multimodal
+        val img = d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+        val (nSl, tSl) = timed {
+          val s = mm.phashPreflightBands(mm.phashBandsCols(img))
+            .agg(sum(col("fanout_slots"))).head().getLong(0)
+          Dedup.unpersistCaches()
+          s
+        }
+        report("q262_phash_preflight_slots", tSl, nSl)
+      }
       // q204: incremental perceptual dedup — fixed corpus (the 1x
       // image third below id 300), batch = the scaled image third
       // above it (the corpus-vs-growing-ingest shape)

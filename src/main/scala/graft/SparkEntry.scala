@@ -381,6 +381,8 @@ object SparkEntry {
       Dedup.setSimPreflightIncremental(s, d)),
     "q261_embedding_drift" -> ((s: SparkSession, d: String) =>
       Ivf.embeddingDrift(s, d)),
+    "q262_phash_preflight" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.phashPreflight(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2734,6 +2736,8 @@ object SparkEntry {
       "q260_setsim_preflight_incremental" ->
         Dedup.setSimPreflightIncrementalOracleSql(),
       "q261_embedding_drift" -> Ivf.embeddingDriftOracleSql(),
+      "q262_phash_preflight" ->
+        graft.multimodal.Multimodal.phashPreflightOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -279,6 +279,97 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Perceptual-band pre-flight (q262): the q259 "price it, then run
+    * it" gate for the phash family — with this, EVERY pair-generating
+    * family in the engine has an executable forecast (q229 self-join,
+    * q238 Σdeg² wedges, q259/q260 set-sim, here dHash bands). Per
+    * band: Σ C(c, 2) over (band, value) bucket occupancies — EXACTLY
+    * the rows the band-equality self-join processes — plus bucket
+    * count and the hottest bucket's slot share (the q126-style
+    * MaxBucket/star-pairing trigger: a boilerplate image cluster puts
+    * all its ids into ONE bucket per band and the forecast shows it
+    * as top_bucket_share_ppm → 10⁶ BEFORE the join fans out). One
+    * keyed count over the exploded bands frame; no pair ever
+    * materializes. */
+  def phashPreflight(spark: SparkSession, dir: String): DataFrame =
+    phashPreflightBands(phashBandsCols(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))))
+
+  /** Frame-based core of [[phashPreflight]]. The bands frame is
+    * persisted (registry-drained) BEFORE the posexplode: feeding the
+    * interpreted band expression straight into the generator lets the
+    * optimizer collapse the 72-pixel projection into the 128
+    * per-band-bit references — measured 27 s vs ~1 s at sf0.1 for the
+    * SAME rows (the q31 CollapseProject lesson, generator edition);
+    * the cache boundary materializes the arrays once per row. */
+  private[graft] def phashPreflightBands(bandsIn: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    graft.ops.Dedup.register(bandsIn
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band_idx"))
+      .agg(sum(col("c")).as("n_hashes"),
+        count(lit(1)).as("n_buckets"),
+        sum(dec(col("c")) * dec(col("c") - 1)).as("slots2"),
+        max(dec(col("c")) * dec(col("c") - 1)).as("mx2"))
+      .select(col("band_idx").cast("long").as("band_idx"),
+        col("n_hashes"), col("n_buckets"),
+        expr("CAST(slots2 div 2 AS BIGINT)").as("fanout_slots"),
+        expr("CAST(mx2 div 2 AS BIGINT)").as("max_bucket_slots"),
+        when(expr("CAST(slots2 div 2 AS BIGINT)") === 0L, 0L)
+          .otherwise(expr(
+            "CAST(((mx2 div 2) * 1000000) div (slots2 div 2) AS BIGINT)"))
+          .as("top_bucket_share_ppm"))
+      .orderBy(col("band_idx"), col("n_hashes"), col("n_buckets"),
+        col("fanout_slots"), col("max_bucket_slots"),
+        col("top_bucket_share_ppm"))
+  }
+
+  /** DuckDB oracle for [[phashPreflight]]: the q203 plane/band CTEs,
+    * then per-(band, value) bucket counts and the slot arithmetic in
+    * HUGEINT. */
+  def phashPreflightOracleSql(): String =
+    s"""WITH img AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND LENGTH(text) >= 1),
+       |px AS (
+       |  SELECT doc_id,
+       |    LIST_TRANSFORM(RANGE(0, 72),
+       |      i -> ASCII(SUBSTR(text, (i % LENGTH(text)) + 1, 1))) AS p
+       |  FROM img),
+       |bnd AS (
+       |  SELECT doc_id,
+       |    LIST_TRANSFORM(RANGE(0, 4), j -> CAST(LIST_SUM(
+       |      LIST_TRANSFORM(RANGE(0, 16), t -> CASE
+       |        WHEN p[(j*16+t) + (j*16+t) // 8 + 1]
+       |           < p[(j*16+t) + (j*16+t) // 8 + 2]
+       |        THEN (1 << t) ELSE 0 END)) AS BIGINT)) AS bands
+       |  FROM px),
+       |eb AS (
+       |  SELECT doc_id, j - 1 AS band_idx,
+       |    bands[CAST(j AS INTEGER)] AS band_val
+       |  FROM bnd CROSS JOIN generate_series(1, 4) s(j)),
+       |bk AS (
+       |  SELECT band_idx, band_val, CAST(COUNT(*) AS HUGEINT) AS c
+       |  FROM eb GROUP BY 1, 2)
+       |SELECT CAST(band_idx AS BIGINT) AS band_idx,
+       |  CAST(SUM(c) AS BIGINT) AS n_hashes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS fanout_slots,
+       |  CAST(MAX(c * (c - 1)) // 2 AS BIGINT) AS max_bucket_slots,
+       |  CASE WHEN SUM(c * (c - 1)) // 2 = 0 THEN 0
+       |    ELSE CAST((MAX(c * (c - 1)) // 2 * 1000000)
+       |      // (SUM(c * (c - 1)) // 2) AS BIGINT)
+       |    END AS top_bucket_share_ppm
+       |FROM bk GROUP BY 1
+       |ORDER BY band_idx, n_hashes, n_buckets, fanout_slots,
+       |  max_bucket_slots, top_bucket_share_ppm""".stripMargin
+
   /** Query entry (q203): perceptual-hash image dedup — dHash bands
     * over the image-modality payload plane, band-bucketed candidates,
     * exact hamming ≤ 3 verify. The brute-force DuckDB oracle doubles

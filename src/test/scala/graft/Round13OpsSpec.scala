@@ -209,6 +209,37 @@ class Round13OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  // ------------------------ q262 phash band pre-flight
+
+  test("q262 phash preflight: fanout_slots == band self-join slot count; bounds verified pairs") {
+    val mm = graft.multimodal.Multimodal
+    val img = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    try {
+      val bands = mm.phashBandsCols(img).persist()
+      val pf = mm.phashPreflightBands(bands).collect()
+        .map(r => r.getAs[Long]("band_idx") -> r).toMap
+      assert(pf.keySet === Set(0L, 1L, 2L, 3L))
+      // raw slot count per band from the actual band-equality join
+      val ex = bands.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+      val slots = ex.as("a").join(ex.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.bi")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+      for (b <- 0L to 3L)
+        assert(pf(b).getAs[Long]("fanout_slots") ===
+          slots.getOrElse(b, 0L),
+          s"band $b slot forecast diverged from the raw join")
+      val verified = mm.phashDedupBands(bands).count()
+      bands.unpersist()
+      assert(verified <= (0L to 3L).map(b =>
+        pf(b).getAs[Long]("fanout_slots")).sum)
+    } finally Dedup.unpersistCaches()
+  }
+
   // ------------------------ q261 embedding-occupancy drift
 
   test("q261 embedding drift: identical batch ⇒ zero drift in every cell; shares sum sanely") {
