@@ -303,6 +303,43 @@ object ScaleRehearsal {
         }
         report("q260_incr_preflight_slots", tPf, slots)
       }
+      // q260i: the WARM-GATE (deployed) read (VERDICT r13 #4) — the
+      // corpus side rides the persisted prior-corpus index (the q191
+      // docs_p90 artifact), warmed OUTSIDE the timed run (the q126i
+      // convention), so the number is the daily gate cost a
+      // deployment pays, not the one-time index build the fresh-path
+      // q260 row re-pays per drained sample
+      if (wanted("q260i")) {
+        val dirAt = if (scale == "1x") dir else outFor(scale)
+        Dedup.setSimPreflightIncrementalIndexed(spark, dirAt).head()
+        Dedup.unpersistCaches()
+        var slots = 0L
+        val (_, tPf) = timed {
+          val r = Dedup.setSimPreflightIncrementalIndexed(spark, dirAt)
+            .filter(col("t_ppm") === 700000L).head()
+          slots = r.getAs[Long]("fanout_slots")
+          Dedup.unpersistCaches()
+        }
+        report("q260i_warm_gate_slots", tPf, slots)
+      }
+      // q263: the containment-gate forecast — one conditional-count
+      // scan off the same persisted docs index q126/q181 ride,
+      // warmed outside the timed run (the q126i convention); the
+      // number is what the graft.containment.maxExchangeBytes gate
+      // adds to a gated q181 run
+      if (wanted("q263")) {
+        val dirAt = if (scale == "1x") dir else outFor(scale)
+        Dedup.containmentPreflight(spark, dirAt).head()
+        Dedup.unpersistCaches()
+        var slots = 0L
+        val (_, tPf) = timed {
+          val r = Dedup.containmentPreflight(spark, dirAt)
+            .filter(col("t_ppm") === 900000L).head()
+          slots = r.getAs[Long]("fanout_slots")
+          Dedup.unpersistCaches()
+        }
+        report("q263_containment_gate_slots", tPf, slots)
+      }
       // q261: embedding-occupancy drift — prior-only index build +
       // batch broadcast argmin + cell-keyed counts; on the scaled
       // corpora the newest-10% batch is sign-permuted shard content,
@@ -1104,6 +1141,73 @@ object ScaleRehearsal {
             .count()
         }
         report("q255big_contract_violations", tCt, nBad)
+      }
+      // q256big (VERDICT r13 #3): the ≥32k-merge demonstration. The
+      // corpus vocab exhausts at 89 rules, so a wide vocab is DERIVED
+      // from it: every corpus word × enough 5-digit shard suffixes
+      // for ~49k distinct words at freq 2 (each word's full fusion
+      // stays learnable ⇒ ≥ vocab-size merges available). Train
+      // in-memory at nMerges = 32768 (the incremental-count trainer;
+      // the naive recount path is minutes-to-hours here), then
+      // measure ENCODE at the full 32k-rule table over the
+      // corpus-scaled token stream — the native kernel dispatches to
+      // the rank-order walk (rule-count-independent); a 2k-word
+      // sample through the sequential kernel (forced via an
+      // inert-but-unsafe prefix rule) records what the r13 kernel
+      // would have paid per word. The q256 contract closes the block:
+      // native encode == trainer tokenization, monotone vs the
+      // round-16 snapshot, lossless concat — violations must be 0.
+      if (wanted("q256big")) {
+        graft.functions.GraftFunctions.register(spark)
+        val base = d.select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 1 && !col("w").contains("\u001F"))
+          .distinct().collect().map(_.getString(0)).sorted
+        val nSuf = math.max(1, (49152 + base.length - 1) / base.length)
+        val counts: Array[(String, Long)] =
+          (for { w <- base; i <- 0 until nSuf }
+            yield (w + f"$i%05d", 2L)).toArray
+        var t: graft.ops.BpeIterative.IterBpe = null
+        val (nR, tTr) = timed {
+          t = graft.ops.BpeIterative.trainInMemory(spark, counts,
+            32768, 16)
+          t.merges.size.toLong
+        }
+        report("q256big_train_32k", tTr, nR)
+        val ruleSeq = t.merges.map { case (a, b, _) => (a, b) }
+        val stream = d
+          .select(posexplode(split(col("text"), " ")).as(Seq("i", "w0")))
+          .filter(length(col("w0")) >= 1)
+          .select(concat(col("w0"),
+            lpad((col("i") % nSuf).cast("string"), 5, "0")).as("w"))
+        val (nTok, tEnc) = timed {
+          stream.select(size(graft.ops.BpeIterative
+              .encodeUnderMerges(col("w"), ruleSeq)).cast("long").as("n"))
+            .agg(sum(col("n"))).head().getLong(0)
+        }
+        report("q256big_encode_32k", tEnc, nTok)
+        // the sequential contrast: one unsafe (side never created)
+        // but inert (U+0001 absent from the stream) rule forces the
+        // fallback kernel over the SAME 32k rules, bounded sample
+        val seqRules = ("\u0001", "\u0001\u0001") +: ruleSeq
+        val (nTokS, tSeq) = timed {
+          stream.limit(2000).select(size(graft.ops.BpeIterative
+              .encodeUnderMerges(col("w"), seqRules)).cast("long").as("n"))
+            .agg(sum(col("n"))).head().getLong(0)
+        }
+        report("q256big_encode_32k_seq2k", tSeq, nTokS)
+        val (nBad, tCt) = timed {
+          t.vocab
+            .join(t.snapshot.select(col("w"),
+              size(col("toks")).as("n_pre")), "w")
+            .select(col("w"), col("toks"), col("n_pre"),
+              graft.ops.BpeIterative.encodeUnderMerges(col("w"), ruleSeq)
+                .as("enc"))
+            .filter(!(col("enc") === col("toks")) ||
+              size(col("toks")) > col("n_pre") ||
+              concat_ws("", col("toks")) =!= col("w"))
+            .count()
+        }
+        report("q256big_contract_violations", tCt, nBad)
       }
       // q238: closure audit over the SCALE edge source. Round 12's
       // 100x decade measured the FIXED-8-planes source at N^2.0 edges

@@ -383,6 +383,8 @@ object SparkEntry {
       Ivf.embeddingDrift(s, d)),
     "q262_phash_preflight" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.phashPreflight(s, d)),
+    "q263_containment_preflight" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPreflight(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2738,6 +2740,8 @@ object SparkEntry {
       "q261_embedding_drift" -> Ivf.embeddingDriftOracleSql(),
       "q262_phash_preflight" ->
         graft.multimodal.Multimodal.phashPreflightOracleSql(),
+      "q263_containment_preflight" ->
+        Dedup.containmentPreflightOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

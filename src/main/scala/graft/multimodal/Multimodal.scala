@@ -261,6 +261,14 @@ object Multimodal {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ex = bands.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    // OPT-IN pre-flight budget (the q259 gate, phash edition —
+    // VERDICT r13 #1, priced exactly like the q262 forecast): when
+    // graft.phash.maxFanoutSlots is set, Σ_bands Σ_buckets C(c,2) —
+    // the band self-join's exact row count — runs first as one keyed
+    // count over the persisted bands frame, and an over-budget join
+    // (a boilerplate-image cluster star-pairing one bucket) fails
+    // LOUDLY before any pair materializes. Unset costs nothing.
+    phashGate(bands.sparkSession, "phashDedup")(selfSlots(ex))
     val cands = ex.as("a").join(ex.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -277,6 +285,64 @@ object Multimodal {
           " 0, (acc, v) -> acc + v) as bigint)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Opt-in slot budget for the phash band joins (the q259
+    * `maxExchangeBytes` control, phash edition — VERDICT r13 #1):
+    * when `graft.phash.maxFanoutSlots` is set the by-name `price`
+    * thunk runs (keyed counts only, no pair materialized) and an
+    * over-budget band join fails loudly with the slot count and the
+    * hottest bucket's share — the q262 star-guard read as a CONTROL.
+    * The unit is slots, not bytes: phash candidates are fixed-width
+    * (two ids), so bytes = slots × a constant and the slot count is
+    * the honest lever. Unset (the default) costs nothing. */
+  private def phashGate(spark: SparkSession, label: String)(
+      price: => (Long, Long)): Unit =
+    spark.conf.getOption("graft.phash.maxFanoutSlots")
+      .map(_.toLong).foreach { budget =>
+        val (sl, mx) = price
+        if (sl > budget) {
+          val share =
+            if (sl == 0L) 0L
+            else (BigInt(mx) * 1000000 / BigInt(sl)).toLong
+          throw new IllegalStateException(
+            s"$label pre-flight: $sl band-join candidate slots (hottest " +
+              s"bucket $share ppm of slots) exceeds " +
+              s"graft.phash.maxFanoutSlots=$budget — split the hot " +
+              "bucket, tighten the image slice, or raise the budget")
+        }
+      }
+
+  /** Σ_(band,val) C(c,2) and the hottest bucket's C(c,2) over an
+    * exploded bands frame — the band SELF-join's exact row count
+    * (the q262 fanout arithmetic, totalled across bands). */
+  private def selfSlots(ex: DataFrame): (Long, Long) = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val r = ex.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(dec(col("c")) * dec(col("c") - 1)).as("sl2"),
+        max(dec(col("c")) * dec(col("c") - 1)).as("mx2"))
+      .select(expr("CAST(coalesce(sl2, 0) DIV 2 AS BIGINT)"),
+        expr("CAST(coalesce(mx2, 0) DIV 2 AS BIGINT)"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Σ over shared (band, value) buckets of cA·cB and the hottest
+    * product — the batch×corpus band join's exact row count. */
+  private def crossSlotsOf(exA: DataFrame, exB: DataFrame): (Long, Long) = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cA = exA.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("ca"))
+    val cB = exB.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("cb"))
+    val r = cA.join(cB, Seq("band_idx", "band_val"))
+      .agg(sum(dec(col("ca")) * dec(col("cb"))).as("sl"),
+        max(dec(col("ca")) * dec(col("cb"))).as("mx"))
+      .select(expr("CAST(coalesce(sl, 0) AS BIGINT)"),
+        expr("CAST(coalesce(mx, 0) AS BIGINT)"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Perceptual-band pre-flight (q262): the q259 "price it, then run
@@ -448,6 +514,14 @@ object Multimodal {
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val exC = exploded(cb)
     val exB = exploded(bb)
+    // OPT-IN pre-flight budget (VERDICT r13 #1): price BOTH candidate
+    // joins — batch×corpus bucket products plus the batch self-join's
+    // Σ C(c,2) — before either fans out. Unset costs nothing.
+    phashGate(cb.sparkSession, "phashIncremental")({
+      val (s1, m1) = crossSlotsOf(exB, exC)
+      val (s2, m2) = selfSlots(exB)
+      (s1 + s2, math.max(m1, m2))
+    })
     val ham = expr("cast(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y))," +
       " 0, (acc, v) -> acc + v) as bigint)")
     def verified(cand: DataFrame, left: DataFrame, right: DataFrame) =

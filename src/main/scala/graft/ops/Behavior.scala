@@ -220,7 +220,14 @@ object Behavior {
     * The funnel-speed number next to q92's conversion RATE.
     *
     * Scale shape: one per-user aggregate → minute-bin counts →
-    * a running cum walk over the bounded bin table. */
+    * a running cum walk over the bounded bin table. The bin-table
+    * bound, PRICED (VERDICT r13 #7): it grows with the observation
+    * WINDOW, not the corpus — 525 600 minute bins per deployment
+    * year, so even a 10-year window is ~5.26M rows × 16 B ≈ 84 MB,
+    * a sub-second single-task cum walk. If a deployment ever needs
+    * a multi-century window, swap the grain above 1 hour to log2
+    * bins (the q184 pattern); at any realistic age the exact minute
+    * grain is the better answer and costs nothing. */
   def conversionLatency(spark: SparkSession, dir: String): DataFrame =
     conversionLatencyOn(Tables.events(spark, dir))
 

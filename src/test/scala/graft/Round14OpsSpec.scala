@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.multimodal.Multimodal
+
+/** Round-14 additions: the pre-flight budget gate wired into every
+  * pair family (VERDICT r13 #1 — q259's maxExchangeBytes pattern,
+  * extended to incremental set-sim, containment, and phash), each
+  * with a planted over-budget case and a free-when-unset case. The
+  * planted budgets are −1 so the gate MUST fire whatever the corpus
+  * (any estimate ≥ 0 exceeds it) — the test can't go vacuous if a
+  * testdata regen empties a candidate set. */
+class Round14OpsSpec extends SparkSpec {
+
+  test("containment budget gate (q181): fires loudly under budget, free when unset") {
+    try {
+      spark.conf.set("graft.containment.maxExchangeBytes", "-1")
+      val e = intercept[IllegalStateException](
+        Dedup.containmentNearDups(spark, sf).head())
+      assert(e.getMessage.contains("containmentNearDups pre-flight"))
+      assert(e.getMessage.contains("candidate-join slots"))
+      spark.conf.set("graft.containment.maxExchangeBytes",
+        Long.MaxValue.toString)
+      assert(Dedup.containmentNearDups(spark, sf).count() >= 0L)
+      Dedup.unpersistCaches()
+    } finally {
+      spark.conf.unset("graft.containment.maxExchangeBytes")
+      Dedup.unpersistCaches()
+    }
+  }
+
+  test("containment budget gate (q191 incremental): prices both directions, fires loudly") {
+    try {
+      spark.conf.set("graft.containment.maxExchangeBytes", "-1")
+      val e = intercept[IllegalStateException](
+        Dedup.containmentIncrementalQuery(spark, sf).head())
+      assert(e.getMessage.contains("containmentIncrementalQuery pre-flight"))
+    } finally {
+      spark.conf.unset("graft.containment.maxExchangeBytes")
+      Dedup.unpersistCaches()
+    }
+  }
+
+  test("incremental set-sim budget gate: fires loudly under budget, free when unset") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    try {
+      spark.conf.set("graft.setsim.incremental.maxExchangeBytes", "-1")
+      val e = intercept[IllegalStateException](
+        Dedup.setSimJoinIncremental(corpus, "doc_id", batch, "doc_id",
+          700000L).head())
+      assert(e.getMessage.contains("setSimJoinIncremental pre-flight"))
+      assert(e.getMessage.contains("candidate-join slots"))
+      spark.conf.unset("graft.setsim.incremental.maxExchangeBytes")
+      Dedup.unpersistCaches()
+      assert(Dedup.setSimJoinIncremental(corpus, "doc_id", batch,
+        "doc_id", 700000L).count() >= 0L)
+    } finally {
+      spark.conf.unset("graft.setsim.incremental.maxExchangeBytes")
+      Dedup.unpersistCaches()
+    }
+  }
+
+  test("phash slot gate: fires on the self-join (q203) and the incremental joins (q204)") {
+    val img = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+    try {
+      spark.conf.set("graft.phash.maxFanoutSlots", "-1")
+      val e1 = intercept[IllegalStateException](
+        Multimodal.phashDedup(spark, sf).head())
+      assert(e1.getMessage.contains("phashDedup pre-flight"))
+      assert(e1.getMessage.contains("band-join candidate slots"))
+      Dedup.unpersistCaches()
+      val e2 = intercept[IllegalStateException](
+        Multimodal.phashIncrementalBands(
+          Multimodal.phashBandsCols(img.filter(col("doc_id") < 300)),
+          Multimodal.phashBandsCols(img.filter(col("doc_id") >= 300)))
+          .head())
+      assert(e2.getMessage.contains("phashIncremental pre-flight"))
+      spark.conf.unset("graft.phash.maxFanoutSlots")
+      Dedup.unpersistCaches()
+      assert(Multimodal.phashDedup(spark, sf).count() >= 0L)
+    } finally {
+      spark.conf.unset("graft.phash.maxFanoutSlots")
+      Dedup.unpersistCaches()
+    }
+  }
+
+  test("q260 incremental preflight: indexed (warm-gate) path == fresh path, bit-identical") {
+    try {
+      val fresh = Dedup.setSimPreflightIncremental(spark, sf)
+        .collect().toSeq
+      Dedup.unpersistCaches()
+      val indexed = Dedup.setSimPreflightIncrementalIndexed(spark, sf)
+        .collect().toSeq
+      assert(fresh.nonEmpty && indexed === fresh)
+    } finally Dedup.unpersistCaches()
+  }
+
+  // ------------------- 32k-merge BPE levers (VERDICT r13 #3)
+
+  /** Deterministic synthetic vocab with heavy pair ties and enough
+    * diversity to exercise both trainers well past toy sizes. */
+  private def synthCounts(nWords: Int, seed: Int): Array[(String, Long)] = {
+    val r = new scala.util.Random(seed)
+    val alpha = "abcdef"
+    (1 to nWords).map(_ => ((1 to (2 + r.nextInt(10)))
+        .map(_ => alpha(r.nextInt(alpha.length))).mkString,
+      1L + r.nextInt(5)))
+      .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+  }
+
+  test("incremental in-memory BPE trainer == naive full-recount trainer, to exhaustion") {
+    import graft.ops.BpeIterative
+    val counts = synthCounts(400, 14)
+    // 10_000 asks for more merges than the vocab supports — both
+    // paths must stop at the same exhaustion point with identical
+    // (a, b, weight) tables (counts AND tie order)
+    val inc = BpeIterative.trainInMemory(spark, counts, 10000, 16)
+    val naive = BpeIterative.trainInMemoryNaive(counts, 10000)
+    assert(inc.merges.nonEmpty && inc.merges.size > 100,
+      s"fixture too small: ${inc.merges.size} merges")
+    assert(inc.merges == naive,
+      s"first divergence: ${inc.merges.zip(naive)
+        .find { case (a, b) => a != b }}")
+  }
+
+  test("bpe_encode rank-order kernel: trained tables take it and match the sequential reference; hazard tables fall back") {
+    import graft.ops.BpeIterative
+    import org.apache.spark.unsafe.types.UTF8String
+    val counts = synthCounts(300, 15)
+    val merges = BpeIterative.trainInMemory(spark, counts, 10000, 16)
+      .merges.map(t => (t._1, t._2)).toArray
+    val trained = graft.functions.BpeMergeTable(merges)
+    assert(trained.byRankSafe,
+      "a trained table must qualify for the rank-order kernel")
+    def enc(t: graft.functions.BpeMergeTable, w: String): Seq[String] =
+      t.encode(UTF8String.fromString(w)).array
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+    val r = new scala.util.Random(16)
+    val words = counts.map(_._1).take(120) ++
+      (1 to 120).map(_ => (1 to (1 + r.nextInt(12)))
+        .map(_ => "abcdefxy"(r.nextInt(8))).mkString)
+    words.foreach { w =>
+      assert(enc(trained, w) == trained.encodeReference(w),
+        s"rank kernel diverged on '$w'")
+    }
+    // the hazard shape: rule 0's side 'ab' is only CREATED by rule 1
+    // (a later rank) — sequential never merges it, a rank-order walk
+    // would; byRankSafe must reject and fall back
+    val hazard = graft.functions.BpeMergeTable(
+      Array(("z", "ab"), ("a", "b")))
+    assert(!hazard.byRankSafe)
+    assert(enc(hazard, "zab") == Seq("z", "ab"))
+    assert(enc(hazard, "zab") == hazard.encodeReference("zab"))
+    // dead-side rule (the Round13OpsSpec fixture shape) also rejects
+    assert(!graft.functions.BpeMergeTable(
+      Array(("a", "b"), ("q", "zz"))).byRankSafe)
+  }
+
+  test("q263 containment preflight: fanout_slots bounds the actual candidate join; est arithmetic consistent") {
+    try {
+      val pf = Dedup.containmentPreflight(spark, sf).collect()
+        .map(r => r.getAs[Long]("t_ppm") -> r).toMap
+      assert(pf.keySet === Set(800000L, 900000L, 950000L))
+      // the forecast counts EVERY row the prefix-cut × full-container
+      // join processes (self matches included), so it upper-bounds
+      // the distinct candidate pairs the generator emits
+      val actual = Dedup.containmentCandidates(
+        Tables.documents(spark, sf), "doc_id", 900000L).count()
+      assert(actual <= pf(900000L).getAs[Long]("fanout_slots"))
+      // tighter cut ⇒ shorter prefix ⇒ no more slots
+      assert(pf(950000L).getAs[Long]("fanout_slots") <=
+        pf(900000L).getAs[Long]("fanout_slots"))
+      assert(pf(900000L).getAs[Long]("fanout_slots") <=
+        pf(800000L).getAs[Long]("fanout_slots"))
+      assert(pf(900000L).getAs[Long]("est_exchange_bytes") ===
+        pf(900000L).getAs[Long]("fanout_slots") *
+          pf(900000L).getAs[Long]("est_row_bytes"))
+      assert(pf(900000L).getAs[Long]("n_docs") > 0L)
+    } finally Dedup.unpersistCaches()
+  }
+}

@@ -979,6 +979,57 @@ class StreamingSpec extends SparkSpec {
       s"replay after recovery double-counted: ${state()}")
   }
 
+  test("fresh checkpoint against an existing additive state errors loudly, same checkpoint restarts fine (lineage guard)") {
+    // VERDICT r13 #5: the stateDir/checkpointLocation contract was
+    // documentation only — a fresh checkpoint restarts batchIds at 0
+    // and the replay guard silently SKIPPED every batch until the
+    // counter passed the old marker (data loss, no error). The
+    // _QUERY_ID marker now makes the violation loud.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val s = spark
+    import s.implicits._
+    val staged = Files.createTempDirectory("graft_lin_in").toString
+    def feed(flag: String, v: Long) =
+      Seq((flag, v)).toDF("l_returnflag", "c")
+        .coalesce(1).write.mode("append").parquet(staged)
+    feed("A", 1L)
+    val stateDir = Files.createTempDirectory("graft_lin_st").toString + "/s"
+    val schema = spark.read.parquet(staged).schema
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val q = CdcStream.incrementalMoments(stream, "l_returnflag", "c",
+        stateDir).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def state() = spark.read.parquet(stateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val ckptA = Files.createTempDirectory("graft_lin_ca").toString
+    run(ckptA)
+    assert(new java.io.File(stateDir, "_QUERY_ID").isFile,
+      "the lineage marker was not promoted with the state")
+    assert(state() == Set(("A", 1L)), s"after run 1: ${state()}")
+    // legitimate restart: SAME checkpoint, new data — the guard must
+    // not false-positive and the state advances
+    feed("A", 2L)
+    run(ckptA)
+    assert(state() == Set(("A", 2L)), s"after legit restart: ${state()}")
+    // fresh checkpoint, same state dir: batch 0 would replay ALL
+    // files and the old guard would skip it silently — now it refuses
+    feed("B", 5L)
+    val ckptB = Files.createTempDirectory("graft_lin_cb").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      run(ckptB))
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage
+      else t.getMessage + "\n" + rootMsg(t.getCause)
+    assert(rootMsg(e).contains("lineage"),
+      s"expected the lineage refusal, got: ${rootMsg(e).take(400)}")
+    assert(state() == Set(("A", 2L)),
+      s"the refused lineage still mutated state: ${state()}")
+  }
+
   test("iterative BPE trained from streamed vocab state equals the one-shot train") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
