@@ -43,4 +43,12 @@ private[graft] object Artifacts {
       if (!ready(p)) build(p, digest)
       p
     })
+
+  /** Test hook: forget the in-JVM memo for artifacts under `root`, so
+    * the next resolve re-runs the `ready` probe — the only way a spec
+    * can simulate a FRESH JVM's catalog-loss path (the probe is where
+    * the re-attach lives) without forking one. Safe under parallel
+    * suites when `root` is test-private. */
+  private[graft] def evict(root: String): Unit =
+    paths.keySet.removeIf(_.startsWith(s"$root|")): Unit
 }

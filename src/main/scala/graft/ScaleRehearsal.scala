@@ -321,6 +321,17 @@ object ScaleRehearsal {
           Dedup.unpersistCaches()
         }
         report("q260i_warm_gate_slots", tPf, slots)
+        // the MARGINAL row: what the WIRED gate (the conf control in
+        // setSimJoinIncremental) adds to a probe that already built
+        // its prefix tables — the probe joins them anyway, so the
+        // gate's own cost is two keyed counts + one vocabulary join;
+        // the full-warm row above still carries the batch-side build
+        // (linear in ingest size, paid by gate and probe alike)
+        val (warm, gate) = Dedup.incrementalGateInstrument(spark, dirAt)
+        warm()
+        val (sl2, tMg) = timed(gate())
+        report("q260i_marginal_gate_slots", tMg, sl2._1)
+        Dedup.unpersistCaches()
       }
       // q263: the containment-gate forecast — one conditional-count
       // scan off the same persisted docs index q126/q181 ride,

@@ -100,6 +100,73 @@ class Round14OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  test("q260i marginal-gate instrument prices the same slots as the oracle-checked q260 forecast") {
+    try {
+      val want = Dedup.setSimPreflightIncremental(spark, sf)
+        .filter(col("t_ppm") === 700000L).head()
+        .getAs[Long]("fanout_slots")
+      Dedup.unpersistCaches()
+      val (warm, gate) = Dedup.incrementalGateInstrument(spark, sf)
+      warm()
+      assert(gate()._1 === want)
+    } finally Dedup.unpersistCaches()
+  }
+
+  test("fresh-JVM catalog loss re-ATTACHES the set-sim index (no rebuild); rows and bucketing survive") {
+    // isolated root + tag: suites run in parallel and the shared
+    // 'docs' index tables must not vanish under a concurrent query
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ssi_attach").toString
+    def resolve() = Dedup.persistedSetSimIndex(spark, sf, "r14attach",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") < 120),
+      indexRoot = root)
+    try {
+      val idx = resolve()
+      val before = idx.ranked.collect()
+        .map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      Dedup.unpersistCaches()
+      def markers = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+          else if (f.getName == "_SUCCESS") Seq(f) else Nil
+        walk(new java.io.File(root))
+      }
+      val mtimes = markers.map(f => f.getPath -> f.lastModified()).toMap
+      assert(mtimes.nonEmpty, "no persisted index on disk")
+      // simulate the fresh JVM: drop THIS index's tables from the
+      // catalog (EXTERNAL tables — the parquet stays)
+      val mine = spark.catalog.listTables().collect().map(_.name)
+        .filter(t => t.startsWith("ssi_") &&
+          new java.io.File(s"$root").listFiles.exists(d =>
+            t.endsWith(d.getName)))
+      assert(mine.size === 2, s"expected this index's 2 tables: ${
+        mine.toSeq}")
+      mine.foreach(t => spark.sql(s"DROP TABLE $t"))
+      // forget the in-JVM resolve memo too — a real fresh JVM loses
+      // both the catalog AND the memo; the probe is where re-attach
+      // lives
+      graft.Artifacts.evict(root)
+      // the next index touch must ATTACH, not rebuild...
+      val idx2 = resolve()
+      val after = idx2.ranked.collect()
+        .map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(after === before)
+      markers.foreach(f => assert(
+        f.lastModified() === mtimes(f.getPath),
+        s"index was REBUILT (marker rewritten): ${f.getPath}"))
+      // ...and the re-attached table must carry the bucket metadata
+      // (a plain createTable would silently void the zero-exchange
+      // join plans)
+      mine.filter(_.startsWith("ssi_rk_")).foreach { t =>
+        val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+          .map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+        assert(desc.contains("Num Buckets|32") &&
+          desc.contains("Bucket Columns|[`g64`]"),
+          s"bucket metadata lost on re-attach of $t:\n$desc")
+      }
+    } finally Dedup.unpersistCaches()
+  }
+
   // ------------------- 32k-merge BPE levers (VERDICT r13 #3)
 
   /** Deterministic synthetic vocab with heavy pair ties and enough
