@@ -925,21 +925,42 @@ object Dedup {
     val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
     val prefixC = prefixOf(gramsC, freq, setsC, szC, tPpm, leftJoinFreq = false)
     val prefixN = prefixOf(gramsN, freq, setsN, szN, tPpm, leftJoinFreq = true)
+    // over the broadcast threshold the verify switches to the PACKED
+    // payload (round 14 — the q126 regime switch, incremental
+    // edition): the corpus side packs against its own dictionary, the
+    // batch side against the CORPUS dictionary (packedGramSetsAgainst
+    // — unseen grams take non-intersecting high ids), so the varint
+    // intersect counts exactly the common grams. Built before the
+    // gate so the gate can price the row the join actually ships.
+    val packedRegime =
+      (szC.gramBytes > szC.limit || szN.gramBytes > szN.limit) &&
+        corpus.sparkSession.conf.getOption("graft.setsim.packedVerify")
+          .forall(_.toBoolean)
+    lazy val setsCp = register(packedGramSetsOf(gramsC, freq)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    lazy val setsNp = register(packedGramSetsAgainst(gramsN, freq)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // OPT-IN pre-flight budget (the q259 gate, incremental edition —
     // VERDICT r13 #1, priced exactly like the q260 forecast): when
     // graft.setsim.incremental.maxExchangeBytes is set, the batch×
     // corpus candidate-slot count Σ_g cN(g)·cC(g) runs first (two
     // keyed counts + one vocabulary-sized join, no pair materialized)
-    // and an over-budget probe fails LOUDLY. Row bytes are the
-    // UNPACKED corpus gram array (this verify has no packed variant —
-    // the q260 methodology note). Unset costs nothing.
+    // and an over-budget probe fails LOUDLY. Row bytes price what the
+    // verify SHIPS in the regime where the exchange exists: the
+    // packed gv row (under the threshold the verify broadcasts and
+    // never exchanges candidate×payload). Unset costs nothing.
     corpus.sparkSession.conf
       .getOption("graft.setsim.incremental.maxExchangeBytes")
       .map(_.toLong).foreach { budget =>
         val (sl, mx) = joinSlots(prefixN, prefixC)
+        val rowBytes =
+          if (packedRegime)
+            setsCp.agg(sum(length(col("gv")).cast("long"))).head()
+              .getLong(0) / math.max(szC.nDocs, 1L) + 24L
+          else szC.gramBytes / math.max(szC.nDocs, 1L) + 24L
         failBudget("setSimJoinIncremental",
           "graft.setsim.incremental.maxExchangeBytes", budget, sl, mx,
-          szC.gramBytes / math.max(szC.nDocs, 1L) + 24L)
+          rowBytes)
       }
     val cand = prefixN.select(col("doc_id").as("new_doc_id"), col("g64"),
         col("pos").as("pa"), col("n").as("na"))
@@ -948,8 +969,41 @@ object Dedup {
       .filter(ppjoinBounds(tPpm))
       .select(col("new_doc_id"), col("corpus_doc_id"))
       .distinct()
-    verifyPairs(cand, setsN, "new_doc_id", setsC, "corpus_doc_id",
-      szN, szC, tPpm)
+    if (packedRegime)
+      verifyPairsPackedTwo(cand, setsNp, "new_doc_id",
+        setsCp, "corpus_doc_id", tPpm)
+    else
+      verifyPairs(cand, setsN, "new_doc_id", setsC, "corpus_doc_id",
+        szN, szC, tPpm)
+  }
+
+  /** Batch-side packed signature table against a CORPUS dictionary:
+    * grams the corpus knows take the corpus gid — so the sorted
+    * varint intersect counts EXACTLY the common grams of a
+    * batch×corpus pair — and unseen grams take 2^44 + a dense rank of
+    * their own (deterministic, distributed — the dictIdsOf machinery
+    * with df = 0), ids that can never collide with a corpus gid: a
+    * 100 TB corpus holds O(10^11) distinct 8-grams, two orders below
+    * 2^44, and dictIdsOf ranks are row_numbers bounded by the
+    * dictionary size. Unseen ids therefore never intersect anything,
+    * which is exact — an unseen gram is by definition in no corpus
+    * document. */
+  private def packedGramSetsAgainst(gramsN: DataFrame,
+      corpusFreq: DataFrame): DataFrame = {
+    val withIds = gramsN
+      .join(dictIdsOf(corpusFreq), Seq("g64"), "left")
+    val unseen = dictIdsOf(
+        withIds.filter(col("gid").isNull).select(col("g64"))
+          .distinct().withColumn("df", lit(0L)))
+      .select(col("g64"), (col("gid") + lit(1L << 44)).as("ugid"))
+    withIds.join(unseen, Seq("g64"), "left")
+      .select(col("doc_id"), col("g64"),
+        coalesce(col("gid"), col("ugid")).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g64"))).as("gs"),
+        count(lit(1)).as("n"),
+        call_function("varint_delta_pack",
+          sort_array(collect_list(col("id")))).as("gv"))
   }
 
   /** INJECTIVITY PRECONDITION (Latin-1): the 8-bit-per-char packing is
@@ -1112,9 +1166,15 @@ object Dedup {
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max + 1
     val offsets = (0 until maxPid)
       .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offOf = element_at(
-      map((0 until maxPid)
-        .flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("pid"))
+    // an EMPTY frame (reachable via packedGramSetsAgainst's
+    // no-unseen-grams case) has no offsets to map — map() with zero
+    // args doesn't type-check against an int key, and no row ever
+    // reads the value anyway
+    val offOf =
+      if (maxPid == 0) lit(0L)
+      else element_at(
+        map((0 until maxPid)
+          .flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("pid"))
     parted
       .withColumn("gid", (offOf + row_number().over(
         Window.partitionBy(col("pid"))
@@ -1578,8 +1638,8 @@ object Dedup {
     // join fails LOUDLY with the numbers. Unset costs nothing.
     spark.conf.getOption("graft.containment.maxExchangeBytes")
       .map(_.toLong).foreach { budget =>
-        val r = containmentPreflightOn(idx.ranked, idx.freq, idx.nDocs,
-            idx.gramBytes)
+        val r = containmentPreflightOn(idx.ranked, idx.freq,
+            idx.gramSets, idx.nDocs, idx.gramBytes)
           .filter(col("t_ppm") === 900000L).head()
         failBudget("containmentNearDups",
           "graft.containment.maxExchangeBytes", budget,
@@ -1587,8 +1647,19 @@ object Dedup {
           r.getAs[Long]("est_row_bytes"))
       }
     val sz = idx.sizerOf(spark)
-    containVerify(containmentCandidatesFromRanked(idx.ranked, 900000L),
-        idx.gramSets, sz, idx.gramSets, sz, 900000L)
+    val cand = containmentCandidatesFromRanked(idx.ranked, 900000L)
+    // same regime switch as setSimNearDups (round 14): over the
+    // broadcast threshold the unpacked verify pays the gram-array
+    // exchange between its two joins — both sides ride the index's
+    // gv packing, so the packed verify applies verbatim
+    val verified =
+      if (sz.gramBytes > sz.limit &&
+          spark.conf.getOption("graft.setsim.packedVerify")
+            .forall(_.toBoolean))
+        containVerifyPacked(cand, idx.gramSets, 900000L)
+      else
+        containVerify(cand, idx.gramSets, sz, idx.gramSets, sz, 900000L)
+    verified
       .repartition(1)
       .sortWithinPartitions(col("doc_a"), col("doc_b"),
         col("containment_ppm"))
@@ -1922,18 +1993,22 @@ object Dedup {
     * candidate join processes (the container side is unfiltered, so
     * its per-gram count IS the corpus document frequency the index
     * precomputes) — the hottest gram's slot share, and the exchange
-    * estimate. `est_row_bytes` prices the UNPACKED gram-array row
-    * (gram_bytes/doc + 24) because that is what [[containVerify]]
-    * actually exchanges — it has no packed variant (same deliberate
-    * methodology note as [[setSimPreflightIncremental]]). */
+    * estimate. `est_row_bytes` prices the PACKED gv row (the q259
+    * methodology): since round 14 [[containmentNearDups]] switches to
+    * [[containVerifyPacked]] exactly when the exchange regime engages
+    * (over the broadcast threshold — under it the verify BROADCASTS
+    * and never exchanges candidate×payload), so the packed row is
+    * what the gated join actually ships; `packed_regime` flags the
+    * switch. */
   def containmentPreflight(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val idx = persistedSetSimIndex(spark, dir, "docs", Tables.documents _)
-    containmentPreflightOn(idx.ranked, idx.freq, idx.nDocs, idx.gramBytes)
+    containmentPreflightOn(idx.ranked, idx.freq, idx.gramSets,
+      idx.nDocs, idx.gramBytes)
   }
 
   private def containmentPreflightOn(ranked: DataFrame, freq: DataFrame,
-      nDocs: Long, gramBytes: Long): DataFrame = {
+      gramSets: DataFrame, nDocs: Long, gramBytes: Long): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val perGram = preflightGramCounts(ranked, ContainPreflightTs)
       .join(freq, Seq("g64"))
@@ -1943,7 +2018,14 @@ object Dedup {
         max(dec(col(s"c$t")) * dec(col("df"))).as(s"mx$t"))
     }
     val agg1 = perGram.agg(aggs.head, aggs.tail: _*)
-    val rowBytes = gramBytes / math.max(nDocs, 1L) + 24L
+    // packed payload statistics — one aggregate over the index's gv
+    // column (the q259 `pay` shape)
+    val pay = gramSets
+      .agg(sum(length(col("gv")).cast("long")).as("gv_bytes"))
+      .select(lit(nDocs).as("n_docs"),
+        lit(gramBytes).as("gram_bytes"), col("gv_bytes"),
+        expr(s"CAST(gv_bytes div ${math.max(nDocs, 1L)} + 24 AS BIGINT)")
+          .as("est_row_bytes"))
     agg1.select(expr(
         s"stack(${ContainPreflightTs.size}, " + ContainPreflightTs.map(t =>
           s"${t}L, pr$t, sl$t, mx$t").mkString(", ") +
@@ -1952,24 +2034,31 @@ object Dedup {
         coalesce(col("prefix_rows0"), lit(0L)).as("prefix_rows"),
         coalesce(expr("CAST(sl0 AS BIGINT)"), lit(0L)).as("fanout_slots"),
         coalesce(expr("CAST(mx0 AS BIGINT)"), lit(0L)).as("max_gram_slots"))
+      .crossJoin(broadcast(pay))
       .select(col("t_ppm"), col("prefix_rows"), col("fanout_slots"),
         col("max_gram_slots"),
         when(col("fanout_slots") === 0L, 0L)
           .otherwise(expr(
             "CAST((max_gram_slots * 1000000) div fanout_slots AS BIGINT)"))
           .as("top_gram_share_ppm"),
-        lit(nDocs).as("n_docs"), lit(gramBytes).as("gram_bytes"),
-        lit(rowBytes).as("est_row_bytes"),
-        (col("fanout_slots") * lit(rowBytes)).as("est_exchange_bytes"))
+        col("n_docs"), col("gram_bytes"), col("gv_bytes"),
+        col("est_row_bytes"),
+        (col("fanout_slots") * col("est_row_bytes"))
+          .as("est_exchange_bytes"),
+        (col("gram_bytes") > lit(1073741824L)).as("packed_regime"))
       .orderBy(col("t_ppm"), col("prefix_rows"), col("fanout_slots"),
         col("max_gram_slots"), col("top_gram_share_ppm"), col("n_docs"),
-        col("gram_bytes"), col("est_row_bytes"), col("est_exchange_bytes"))
+        col("gram_bytes"), col("gv_bytes"), col("est_row_bytes"),
+        col("est_exchange_bytes"), col("packed_regime"))
   }
 
   /** DuckDB oracle for [[containmentPreflight]]: replays the shared
-    * total order, the contained-side prefix cut per swept t, and
+    * total order, the contained-side prefix cut per swept t,
     * Σ cA·df in HUGEINT (the q259 oracle shape with the container
-    * side's count = df). */
+    * side's count = df), the dictionary rank (df desc, gram asc) and
+    * the LEB128 payload length ⌈bitlen(delta)/7⌉ per delta of each
+    * doc's sorted dense ids — byte-for-byte the varint_delta_pack
+    * length (the q259 `del` CTE, verbatim). */
   def containmentPreflightOracleSql(): String =
     """WITH g AS (
       |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
@@ -1995,25 +2084,35 @@ object Dedup {
       |    CAST(SUM(cg.c * f.df) AS BIGINT) AS fanout_slots,
       |    CAST(MAX(cg.c * f.df) AS BIGINT) AS max_gram_slots
       |  FROM cg JOIN f ON f.gram = cg.gram GROUP BY 1),
+      |d AS (SELECT gram, ROW_NUMBER() OVER (ORDER BY df DESC, gram ASC)
+      |        AS gid
+      |      FROM f),
+      |del AS (
+      |  SELECT gid - COALESCE(LAG(gid) OVER (
+      |    PARTITION BY doc_id ORDER BY gid), 0) AS delta
+      |  FROM (SELECT g.doc_id, d.gid FROM g JOIN d ON d.gram = g.gram)),
       |st AS (
       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs,
       |    (SELECT CAST(SUM(n) * 8 + COUNT(*) * 48 AS BIGINT) FROM s)
-      |      AS gram_bytes)
+      |      AS gram_bytes,
+      |    (SELECT CAST(SUM((LENGTH(BIN(delta)) + 6) // 7) AS BIGINT)
+      |     FROM del) AS gv_bytes)
       |SELECT CAST(t_ppm AS BIGINT) AS t_ppm, prefix_rows, fanout_slots,
       |  max_gram_slots,
       |  CASE WHEN fanout_slots = 0 THEN 0
       |    ELSE CAST(CAST(max_gram_slots AS HUGEINT) * 1000000
       |      // fanout_slots AS BIGINT) END AS top_gram_share_ppm,
-      |  n_docs, gram_bytes,
-      |  CAST(gram_bytes // GREATEST(n_docs, 1) + 24 AS BIGINT)
+      |  n_docs, gram_bytes, gv_bytes,
+      |  CAST(gv_bytes // GREATEST(n_docs, 1) + 24 AS BIGINT)
       |    AS est_row_bytes,
       |  CAST(CAST(fanout_slots AS HUGEINT)
-      |    * (gram_bytes // GREATEST(n_docs, 1) + 24) AS BIGINT)
-      |    AS est_exchange_bytes
+      |    * (gv_bytes // GREATEST(n_docs, 1) + 24) AS BIGINT)
+      |    AS est_exchange_bytes,
+      |  gram_bytes > 1073741824 AS packed_regime
       |FROM fan CROSS JOIN st
       |ORDER BY t_ppm, prefix_rows, fanout_slots, max_gram_slots,
-      |  top_gram_share_ppm, n_docs, gram_bytes, est_row_bytes,
-      |  est_exchange_bytes""".stripMargin
+      |  top_gram_share_ppm, n_docs, gram_bytes, gv_bytes, est_row_bytes,
+      |  est_exchange_bytes, packed_regime""".stripMargin
 
   private def setSimPreflightOn(ranked: DataFrame, gramSets: DataFrame,
       nDocs: Long, gramBytes: Long): DataFrame = {
@@ -2139,15 +2238,15 @@ object Dedup {
     * the derived newest-10% id slice (the q191/q254/q257 convention),
     * so the oracle re-derives the cutoff too.
     *
-    * METHODOLOGY (ADVICE r13 #2, deliberate): `est_row_bytes` here is
-    * the UNPACKED gram-array row (gram_bytes/doc + 24), NOT q259's
-    * packed gv varint bytes — because the join this gate prices,
-    * [[setSimJoinIncremental]]'s [[verifyPairs]], exchanges the raw
-    * bigint arrays (it has no packed variant; the packed verify is an
-    * index-path artifact and an incremental batch's grams are ranked
-    * fresh against the corpus df, never dictionary-packed). The two
-    * gates' numbers differ ~4× by construction: each prices the row
-    * its OWN gated join actually ships. */
+    * METHODOLOGY (ADVICE r13 #2, resolved twice): round 14 first
+    * documented the unpacked estimate as the true row size, then gave
+    * the incremental verify its PACKED regime ([[verifyPairsPackedTwo]]
+    * over [[packedGramSetsAgainst]] — batch grams in the corpus-
+    * dictionary id space), so this forecast now prices the packed gv
+    * row exactly like q259: the exchange this estimate prices only
+    * exists over the broadcast threshold, which is precisely when the
+    * verify ships gv. `packed_regime` flags the switch; all three
+    * pair-forecast queries now share one methodology. */
   def setSimPreflightIncremental(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -2165,6 +2264,7 @@ object Dedup {
     incrementalPreflightOn(
       rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false),
       rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true),
+      packedGramSetsOf(gramsC, freq),
       szN.nDocs, szC.nDocs, szC.gramBytes)
   }
 
@@ -2193,7 +2293,7 @@ object Dedup {
     val szN = sizer(spark, setsN)
     incrementalPreflightOn(idx.ranked,
       rankedGrams(gramsN, idx.freq, setsN, szN, leftJoinFreq = true),
-      szN.nDocs, idx.nDocs, idx.gramBytes)
+      idx.gramSets, szN.nDocs, idx.nDocs, idx.gramBytes)
   }
 
   /** Rehearsal instrument (q260i marginal row): the wired incremental
@@ -2231,8 +2331,8 @@ object Dedup {
     * scan covers all swept thresholds), the slot join, and the
     * stacked sweep reshape. */
   private def incrementalPreflightOn(rankedC: DataFrame,
-      rankedN: DataFrame, nBatchDocs: Long, nCorpusDocs: Long,
-      corpusGramBytes: Long): DataFrame = {
+      rankedN: DataFrame, corpusGv: DataFrame, nBatchDocs: Long,
+      nCorpusDocs: Long, corpusGramBytes: Long): DataFrame = {
     val sess = rankedC.sparkSession
     import sess.implicits._
     // each side feeds the slot join AND its own prefix-row totals —
@@ -2254,10 +2354,16 @@ object Dedup {
     val totals = cN.agg(prNAggs.head, prNAggs.tail: _*)
       .crossJoin(cC.agg(prCAggs.head, prCAggs.tail: _*))
       .crossJoin(fan1)
-    val pay = Seq((nBatchDocs, nCorpusDocs, corpusGramBytes,
-        corpusGramBytes / math.max(nCorpusDocs, 1L) + 24L))
-      .toDF("n_batch_docs", "n_corpus_docs", "corpus_gram_bytes",
-        "est_row_bytes")
+    // packed payload statistics (round 14 — the q259 methodology,
+    // matching the regime-switched incremental verify): one aggregate
+    // over the corpus side's gv column
+    val pay = corpusGv
+      .agg(sum(length(col("gv")).cast("long")).as("gv_bytes"))
+      .select(lit(nBatchDocs).as("n_batch_docs"),
+        lit(nCorpusDocs).as("n_corpus_docs"),
+        lit(corpusGramBytes).as("corpus_gram_bytes"), col("gv_bytes"),
+        expr(s"CAST(gv_bytes div ${math.max(nCorpusDocs, 1L)} + 24" +
+          " AS BIGINT)").as("est_row_bytes"))
     totals.select(expr(
         s"stack(${PreflightTs.size}, " + PreflightTs.map(t =>
           s"${t}L, prn$t, prc$t, sl$t, mx$t").mkString(", ") +
@@ -2276,15 +2382,16 @@ object Dedup {
             "CAST((max_gram_slots * 1000000) div fanout_slots AS BIGINT)"))
           .as("top_gram_share_ppm"),
         col("n_batch_docs"), col("n_corpus_docs"),
-        col("corpus_gram_bytes"), col("est_row_bytes"),
+        col("corpus_gram_bytes"), col("gv_bytes"), col("est_row_bytes"),
         (col("fanout_slots") * col("est_row_bytes"))
-          .as("est_exchange_bytes"))
+          .as("est_exchange_bytes"),
+        (col("corpus_gram_bytes") > lit(1073741824L)).as("packed_regime"))
       .orderBy(col("t_ppm"), col("batch_prefix_rows"),
         col("corpus_prefix_rows"), col("fanout_slots"),
         col("max_gram_slots"), col("top_gram_share_ppm"),
         col("n_batch_docs"), col("n_corpus_docs"),
-        col("corpus_gram_bytes"), col("est_row_bytes"),
-        col("est_exchange_bytes"))
+        col("corpus_gram_bytes"), col("gv_bytes"), col("est_row_bytes"),
+        col("est_exchange_bytes"), col("packed_regime"))
   }
 
   /** DuckDB oracle for [[setSimPreflightIncremental]] — re-derives
@@ -2338,14 +2445,21 @@ object Dedup {
       |        FROM cn GROUP BY 1),
       |prc AS (SELECT t_ppm, CAST(SUM(c) AS BIGINT) AS corpus_prefix_rows
       |        FROM cc GROUP BY 1),
+      |d AS (SELECT gram, ROW_NUMBER() OVER (ORDER BY df DESC, gram ASC)
+      |        AS gid
+      |      FROM f),
+      |del AS (
+      |  SELECT gid - COALESCE(LAG(gid) OVER (
+      |    PARTITION BY doc_id ORDER BY gid), 0) AS delta
+      |  FROM (SELECT gc.doc_id, d.gid FROM gc JOIN d ON d.gram = gc.gram)),
       |st AS (
       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sn) AS n_batch_docs,
       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_corpus_docs,
       |    (SELECT CAST(SUM(n) * 8 + COUNT(*) * 48 AS BIGINT) FROM sc)
       |      AS corpus_gram_bytes,
-      |    (SELECT CAST((SUM(n) * 8 + COUNT(*) * 48)
-      |      // GREATEST(COUNT(*), 1) + 24 AS BIGINT) FROM sc)
-      |      AS est_row_bytes)
+      |    (SELECT CAST(SUM((LENGTH(BIN(delta)) + 6) // 7) AS BIGINT)
+      |     FROM del) AS gv_bytes,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS nc0)
       |SELECT CAST(t.t_ppm AS BIGINT) AS t_ppm,
       |  COALESCE(batch_prefix_rows, 0) AS batch_prefix_rows,
       |  COALESCE(corpus_prefix_rows, 0) AS corpus_prefix_rows,
@@ -2354,17 +2468,21 @@ object Dedup {
       |  CASE WHEN COALESCE(fanout_slots, 0) = 0 THEN 0
       |    ELSE CAST(CAST(max_gram_slots AS HUGEINT) * 1000000
       |      // fanout_slots AS BIGINT) END AS top_gram_share_ppm,
-      |  n_batch_docs, n_corpus_docs, corpus_gram_bytes, est_row_bytes,
-      |  CAST(CAST(COALESCE(fanout_slots, 0) AS HUGEINT) * est_row_bytes
-      |    AS BIGINT) AS est_exchange_bytes
+      |  n_batch_docs, n_corpus_docs, corpus_gram_bytes, gv_bytes,
+      |  CAST(gv_bytes // GREATEST(nc0, 1) + 24 AS BIGINT)
+      |    AS est_row_bytes,
+      |  CAST(CAST(COALESCE(fanout_slots, 0) AS HUGEINT)
+      |    * (gv_bytes // GREATEST(nc0, 1) + 24) AS BIGINT)
+      |    AS est_exchange_bytes,
+      |  corpus_gram_bytes > 1073741824 AS packed_regime
       |FROM t LEFT JOIN prn ON prn.t_ppm = t.t_ppm
       |LEFT JOIN prc ON prc.t_ppm = t.t_ppm
       |LEFT JOIN fan ON fan.t_ppm = t.t_ppm
       |CROSS JOIN st
       |ORDER BY t_ppm, batch_prefix_rows, corpus_prefix_rows,
       |  fanout_slots, max_gram_slots, top_gram_share_ppm, n_batch_docs,
-      |  n_corpus_docs, corpus_gram_bytes, est_row_bytes,
-      |  est_exchange_bytes""".stripMargin
+      |  n_corpus_docs, corpus_gram_bytes, gv_bytes, est_row_bytes,
+      |  est_exchange_bytes, packed_regime""".stripMargin
 
   /** Packed exact verify for the over-broadcast-threshold regime
     * (VERDICT r11 #5): identical semantics to [[verifyPairs]], but
@@ -2387,6 +2505,48 @@ object Dedup {
     * SparkOutOfMemoryError at 30×) — an explicit numPartitions is
     * exempt from coalescing. */
   private def verifyPairsPacked(cand: DataFrame, gramSets: DataFrame,
+      tPpm: Long): DataFrame =
+    verifyPairsPackedTwo(cand, gramSets, "doc_a", gramSets, "doc_b", tPpm)
+
+  /** Two-table form of the packed verify (round 14): the incremental
+    * batch×corpus regime, where each side carries its own gv packing
+    * over the SHARED corpus-dictionary id space (see
+    * [[packedGramSetsAgainst]]). Identical join discipline to the
+    * self-join form. */
+  private def verifyPairsPackedTwo(cand: DataFrame, setsA: DataFrame,
+      aCol: String, setsB: DataFrame, bCol: String,
+      tPpm: Long): DataFrame = {
+    val nP = cand.sparkSession.sessionState.conf.numShufflePartitions
+    cand
+      .join(setsA.select(col("doc_id").as(aCol),
+          col("gv").as("gv_a"), col("n").as("na"))
+        .repartition(nP, col(aCol)).hint("shuffle_hash"),
+        Seq(aCol))
+      .join(setsB.select(col("doc_id").as(bCol),
+          col("gv").as("gv_b"), col("n").as("nb"))
+        .repartition(nP, col(bCol)).hint("shuffle_hash"),
+        Seq(bCol))
+      .withColumn("ni", call_function("sorted_varint_intersect_count",
+        col("gv_a"), col("gv_b")))
+      .drop("gv_a", "gv_b")
+      .filter(col("ni") * lit(1000000L) >=
+        lit(tPpm) * (col("na") + col("nb") - col("ni")))
+      .select(col(aCol), col(bCol),
+        expr("CAST((ni * 1000000) DIV (na + nb - ni) AS BIGINT)")
+          .as("jaccard_ppm"))
+  }
+
+  /** Packed containment verify (round 14): [[containVerify]]'s
+    * over-broadcast-threshold regime — identical semantics, gv
+    * payload instead of the raw gram arrays. Both q181 sides ride the
+    * SAME persisted index, so both already carry the dictionary
+    * packing; the r12 measurement chain (224 s unpacked vs 32 s
+    * packed at 30× forced-over-threshold, no ArrayType on any
+    * exchange) transfers verbatim — the only delta is the asymmetric
+    * threshold against the contained side's na. Same join shape
+    * discipline: shuffle_hash pinned, build sides explicitly
+    * repartitioned against AQE coalescing. */
+  private def containVerifyPacked(cand: DataFrame, gramSets: DataFrame,
       tPpm: Long): DataFrame = {
     val nP = cand.sparkSession.sessionState.conf.numShufflePartitions
     cand
@@ -2395,17 +2555,16 @@ object Dedup {
         .repartition(nP, col("doc_a")).hint("shuffle_hash"),
         Seq("doc_a"))
       .join(gramSets.select(col("doc_id").as("doc_b"),
-          col("gv").as("gv_b"), col("n").as("nb"))
+          col("gv").as("gv_b"))
         .repartition(nP, col("doc_b")).hint("shuffle_hash"),
         Seq("doc_b"))
       .withColumn("ni", call_function("sorted_varint_intersect_count",
         col("gv_a"), col("gv_b")))
       .drop("gv_a", "gv_b")
-      .filter(col("ni") * lit(1000000L) >=
-        lit(tPpm) * (col("na") + col("nb") - col("ni")))
+      .filter(col("ni") * lit(1000000L) >= lit(tPpm) * col("na"))
       .select(col("doc_a"), col("doc_b"),
-        expr("CAST((ni * 1000000) DIV (na + nb - ni) AS BIGINT)")
-          .as("jaccard_ppm"))
+        expr("CAST((ni * 1000000) DIV na AS BIGINT)")
+          .as("containment_ppm"))
   }
 
   /** Dedup-savings accounting (q156): the token-budget view of exact

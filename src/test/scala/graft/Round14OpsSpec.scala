@@ -167,6 +167,94 @@ class Round14OpsSpec extends SparkSpec {
     } finally Dedup.unpersistCaches()
   }
 
+  test("packed containment verify == unpacked, and no exchange carries an ArrayType (forced over-threshold)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = rows(Dedup.containmentNearDups(spark, sf))
+    Dedup.unpersistCaches()
+    // force the over-threshold regime AND disable auto-broadcast so
+    // the executed plan has the 100-TB shuffle shape (the
+    // Round12OpsSpec q126 discipline, containment edition)
+    spark.conf.set("graft.setsim.broadcastBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.containmentNearDups(spark, sf)
+      assert(rows(df) == base && base.nonEmpty,
+        "packed containment verify diverged from the broadcast path")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.types.ArrayType
+      val arrayCols = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeLike =>
+          arrayCols ++= s.output
+            .filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(arrayCols.isEmpty,
+        s"an exchange carried array columns: $arrayCols")
+    } finally {
+      spark.conf.unset("graft.setsim.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Dedup.unpersistCaches()
+    }
+  }
+
+  test("packed incremental verify == unpacked (forced over-threshold); novel-gram batch docs exact; no ArrayType exchange") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 300)
+    // planted: a batch copy of a corpus doc (guaranteed J = 1.0 pair)
+    // and a fully-NOVEL doc (every gram unseen — exercises the 2^44
+    // unseen-id path of packedGramSetsAgainst end to end)
+    val corpusText = corpus.orderBy(col("doc_id")).select(col("text"))
+      .head().getString(0)
+    val batch = docs.filter(col("doc_id") >= 300)
+      .unionByName(Seq((9001L, corpusText),
+        (9002L, "zq" * 40)).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = rows(Dedup.setSimJoinIncremental(corpus, "doc_id",
+      batch, "doc_id", 700000L))
+    Dedup.unpersistCaches()
+    assert(base.exists(_._1 == 9001L), "planted duplicate not matched")
+    spark.conf.set("graft.setsim.broadcastBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.setSimJoinIncremental(corpus, "doc_id", batch,
+        "doc_id", 700000L)
+      assert(rows(df) == base,
+        "packed incremental verify diverged from the broadcast path")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.types.ArrayType
+      val arrayCols = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case sh: ShuffleExchangeLike =>
+          arrayCols ++= sh.output
+            .filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+          sh.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(arrayCols.isEmpty,
+        s"an exchange carried array columns: $arrayCols")
+    } finally {
+      spark.conf.unset("graft.setsim.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Dedup.unpersistCaches()
+    }
+  }
+
   // ------------------- 32k-merge BPE levers (VERDICT r13 #3)
 
   /** Deterministic synthetic vocab with heavy pair ties and enough
