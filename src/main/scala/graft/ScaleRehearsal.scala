@@ -333,6 +333,48 @@ object ScaleRehearsal {
         report("q260i_marginal_gate_slots", tMg, sl2._1)
         Dedup.unpersistCaches()
       }
+      // q126pinc: the incremental daily probe FORCED over the
+      // broadcast threshold — the 100 TB shape (the corpus side
+      // outgrows broadcast long before the batch does), exercising
+      // the round-14 packed regime for real: batch grams packed in
+      // the corpus-dictionary id space, candidates verified via the
+      // varint intersect, no gram array on any exchange
+      if (wanted("q126pinc")) {
+        val dirAt = if (scale == "1x") dir else outFor(scale)
+        val docsP = Tables.documents(spark, dirAt)
+          .select(col("doc_id"), col("text"))
+        val cutP = (docsP.agg(max(col("doc_id"))).head().getLong(0) + 1L) *
+          9L / 10L
+        spark.conf.set("graft.setsim.broadcastBytes", "1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          def probe() = {
+            val n = Dedup.setSimJoinIncremental(
+              docsP.filter(col("doc_id") < cutP), "doc_id",
+              docsP.filter(col("doc_id") >= cutP), "doc_id",
+              700000L).count()
+            Dedup.unpersistCaches()
+            n
+          }
+          // AUTO: the deployed plan — the Σ cN·cC forecast picks
+          // packed only when the candidate exchange outweighs the
+          // fresh packing pass (on the shard-isomorph corpora the
+          // 10×+ batch is content-disjoint, so auto stays unpacked)
+          val (nAuto, tAuto) = timed(probe())
+          report("q126pinc_auto", tAuto, nAuto)
+          // FORCED packed: validates the corpus-dictionary packing
+          // path end-to-end at scale and records what the wrong
+          // regime would cost (the measurement behind the auto rule)
+          spark.conf.set("graft.setsim.packedVerify", "true")
+          val (nPk, tPk) = timed(probe())
+          report("q126pinc_forced_packed", tPk, nPk)
+        } finally {
+          spark.conf.unset("graft.setsim.broadcastBytes")
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset("graft.setsim.packedVerify")
+          Dedup.unpersistCaches()
+        }
+      }
       // q263: the containment-gate forecast — one conditional-count
       // scan off the same persisted docs index q126/q181 ride,
       // warmed outside the timed run (the q126i convention); the

@@ -925,17 +925,53 @@ object Dedup {
     val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
     val prefixC = prefixOf(gramsC, freq, setsC, szC, tPpm, leftJoinFreq = false)
     val prefixN = prefixOf(gramsN, freq, setsN, szN, tPpm, leftJoinFreq = true)
-    // over the broadcast threshold the verify switches to the PACKED
-    // payload (round 14 — the q126 regime switch, incremental
+    // over the broadcast threshold the verify can switch to the
+    // PACKED payload (round 14 — the q126 regime switch, incremental
     // edition): the corpus side packs against its own dictionary, the
     // batch side against the CORPUS dictionary (packedGramSetsAgainst
     // — unseen grams take non-intersecting high ids), so the varint
-    // intersect counts exactly the common grams. Built before the
-    // gate so the gate can price the row the join actually ships.
-    val packedRegime =
-      (szC.gramBytes > szC.limit || szN.gramBytes > szN.limit) &&
-        corpus.sparkSession.conf.getOption("graft.setsim.packedVerify")
-          .forall(_.toBoolean)
+    // intersect counts exactly the common grams. UNLIKE the index
+    // path (where gv is a sunk build cost), this path packs FRESH per
+    // probe — measured at the forced-30× rehearsal point: with ~0
+    // candidates the packing pass made packed 2.5× SLOWER (60.8 vs
+    // 24.4 s), while q126's 30× candidate exchange made packed 7×
+    // faster (224 → 32 s, round 12). So the AUTO rule weighs the
+    // forecasted candidate exchange against the packing cost: pack
+    // iff slots × unpacked-row-bytes > both sides' gram mass (one
+    // linear scan — the packing pre-pass proxy). The slot count is
+    // the same Σ cN·cC the q260 forecast prices — "price it, then run
+    // it" deciding the PLAN, not just the budget.
+    // graft.setsim.packedVerify: unset → auto; "true" → always packed
+    // when over threshold (the differential spec's determinism);
+    // "false" → never.
+    val overThreshold =
+      szC.gramBytes > szC.limit || szN.gramBytes > szN.limit
+    val conf = corpus.sparkSession.conf
+    val gateBudget = conf
+      .getOption("graft.setsim.incremental.maxExchangeBytes").map(_.toLong)
+    val packedMode = conf.getOption("graft.setsim.packedVerify")
+    val needSlots = gateBudget.isDefined ||
+      (overThreshold && !packedMode.contains("false") &&
+        !packedMode.contains("true"))
+    // the slot pre-pass and the candidate join both read the prefix
+    // tables — persist them when both consumers exist (the q65/q146
+    // multi-consumer rule; unpersisted prefixes re-ran their whole
+    // window builds for the forecast — 133 → 26 s on the 30× row)
+    val (prefN, prefC) =
+      if (needSlots)
+        (register(prefixN.persist(StorageLevel.MEMORY_AND_DISK)),
+          register(prefixC.persist(StorageLevel.MEMORY_AND_DISK)))
+      else (prefixN, prefixC)
+    val slotsOpt =
+      if (needSlots) Some(joinSlots(prefN, prefC)) else None
+    val unpackedRow = szC.gramBytes / math.max(szC.nDocs, 1L) + 24L
+    val packedRegime = overThreshold && (packedMode match {
+      case Some("false") => false
+      case Some("true") => true
+      case _ => slotsOpt.exists { case (sl, _) =>
+        BigInt(sl) * BigInt(unpackedRow) >
+          BigInt(szC.gramBytes) + BigInt(szN.gramBytes) }
+    })
     lazy val setsCp = register(packedGramSetsOf(gramsC, freq)
       .persist(StorageLevel.MEMORY_AND_DISK))
     lazy val setsNp = register(packedGramSetsAgainst(gramsN, freq)
@@ -946,25 +982,21 @@ object Dedup {
     // corpus candidate-slot count Σ_g cN(g)·cC(g) runs first (two
     // keyed counts + one vocabulary-sized join, no pair materialized)
     // and an over-budget probe fails LOUDLY. Row bytes price what the
-    // verify SHIPS in the regime where the exchange exists: the
-    // packed gv row (under the threshold the verify broadcasts and
-    // never exchanges candidate×payload). Unset costs nothing.
-    corpus.sparkSession.conf
-      .getOption("graft.setsim.incremental.maxExchangeBytes")
-      .map(_.toLong).foreach { budget =>
-        val (sl, mx) = joinSlots(prefixN, prefixC)
-        val rowBytes =
-          if (packedRegime)
-            setsCp.agg(sum(length(col("gv")).cast("long"))).head()
-              .getLong(0) / math.max(szC.nDocs, 1L) + 24L
-          else szC.gramBytes / math.max(szC.nDocs, 1L) + 24L
-        failBudget("setSimJoinIncremental",
-          "graft.setsim.incremental.maxExchangeBytes", budget, sl, mx,
-          rowBytes)
-      }
-    val cand = prefixN.select(col("doc_id").as("new_doc_id"), col("g64"),
+    // verify SHIPS in the chosen regime. Unset costs nothing.
+    gateBudget.foreach { budget =>
+      val (sl, mx) = slotsOpt.get
+      val rowBytes =
+        if (packedRegime)
+          setsCp.agg(sum(length(col("gv")).cast("long"))).head()
+            .getLong(0) / math.max(szC.nDocs, 1L) + 24L
+        else unpackedRow
+      failBudget("setSimJoinIncremental",
+        "graft.setsim.incremental.maxExchangeBytes", budget, sl, mx,
+        rowBytes)
+    }
+    val cand = prefN.select(col("doc_id").as("new_doc_id"), col("g64"),
         col("pos").as("pa"), col("n").as("na"))
-      .join(prefixC.select(col("doc_id").as("corpus_doc_id"), col("g64"),
+      .join(prefC.select(col("doc_id").as("corpus_doc_id"), col("g64"),
         col("pos").as("pb"), col("n").as("nb")), Seq("g64"))
       .filter(ppjoinBounds(tPpm))
       .select(col("new_doc_id"), col("corpus_doc_id"))

@@ -226,6 +226,9 @@ class Round14OpsSpec extends SparkSpec {
     assert(base.exists(_._1 == 9001L), "planted duplicate not matched")
     spark.conf.set("graft.setsim.broadcastBytes", "1")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // "true" pins the packed plan (the auto rule might legitimately
+    // pick unpacked at this scale — the differential needs the path)
+    spark.conf.set("graft.setsim.packedVerify", "true")
     try {
       val df = Dedup.setSimJoinIncremental(corpus, "doc_id", batch,
         "doc_id", 700000L)
@@ -248,9 +251,16 @@ class Round14OpsSpec extends SparkSpec {
       walk(df.queryExecution.executedPlan)
       assert(arrayCols.isEmpty,
         s"an exchange carried array columns: $arrayCols")
+      // and the AUTO rule picks a LEGAL plan either way: same rows
+      Dedup.unpersistCaches()
+      spark.conf.unset("graft.setsim.packedVerify")
+      assert(rows(Dedup.setSimJoinIncremental(corpus, "doc_id", batch,
+        "doc_id", 700000L)) == base,
+        "auto regime choice changed the verified pairs")
     } finally {
       spark.conf.unset("graft.setsim.broadcastBytes")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("graft.setsim.packedVerify")
       Dedup.unpersistCaches()
     }
   }
