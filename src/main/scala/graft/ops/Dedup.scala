@@ -2296,8 +2296,27 @@ object Dedup {
     incrementalPreflightOn(
       rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false),
       rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true),
-      packedGramSetsOf(gramsC, freq),
+      gvByteLengths(gramsC, freq),
       szN.nDocs, szC.nDocs, szC.gramBytes)
+  }
+
+  /** Per-delta LEB128 byte lengths of the corpus gv packing WITHOUT
+    * materializing any array or binary column: dict ids, per-doc
+    * sorted-delta via a lag window, ⌈bitlen(delta)/7⌉ per row — the
+    * sum is byte-identical to Σ length(gv) over [[packedGramSetsOf]]
+    * (deltas ≥ 1 always: the first delta is the gid itself; the q259
+    * oracle certifies the formula against the real column). The
+    * forecast only needs the SUM, and building the actual arrays for
+    * it cost ~40% of q260's fresh-path wall at 10×. */
+  private def gvByteLengths(grams: DataFrame, freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    grams.join(dictIdsOf(freq), Seq("g64"))
+      .withColumn("delta", col("gid") - coalesce(
+        lag(col("gid"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("gid"))),
+        lit(0L)))
+      .select(expr("CAST((length(bin(delta)) + 6) DIV 7 AS BIGINT)")
+        .as("gvb"))
   }
 
   /** Index-riding twin of [[setSimPreflightIncremental]] — the shape
@@ -2325,7 +2344,8 @@ object Dedup {
     val szN = sizer(spark, setsN)
     incrementalPreflightOn(idx.ranked,
       rankedGrams(gramsN, idx.freq, setsN, szN, leftJoinFreq = true),
-      idx.gramSets, szN.nDocs, idx.nDocs, idx.gramBytes)
+      idx.gramSets.select(length(col("gv")).cast("long").as("gvb")),
+      szN.nDocs, idx.nDocs, idx.gramBytes)
   }
 
   /** Rehearsal instrument (q260i marginal row): the wired incremental
@@ -2363,7 +2383,7 @@ object Dedup {
     * scan covers all swept thresholds), the slot join, and the
     * stacked sweep reshape. */
   private def incrementalPreflightOn(rankedC: DataFrame,
-      rankedN: DataFrame, corpusGv: DataFrame, nBatchDocs: Long,
+      rankedN: DataFrame, gvByteRows: DataFrame, nBatchDocs: Long,
       nCorpusDocs: Long, corpusGramBytes: Long): DataFrame = {
     val sess = rankedC.sparkSession
     import sess.implicits._
@@ -2388,9 +2408,9 @@ object Dedup {
       .crossJoin(fan1)
     // packed payload statistics (round 14 — the q259 methodology,
     // matching the regime-switched incremental verify): one aggregate
-    // over the corpus side's gv column
-    val pay = corpusGv
-      .agg(sum(length(col("gv")).cast("long")).as("gv_bytes"))
+    // over the corpus side's per-delta gv byte lengths
+    val pay = gvByteRows
+      .agg(sum(col("gvb")).as("gv_bytes"))
       .select(lit(nBatchDocs).as("n_batch_docs"),
         lit(nCorpusDocs).as("n_corpus_docs"),
         lit(corpusGramBytes).as("corpus_gram_bytes"), col("gv_bytes"),
