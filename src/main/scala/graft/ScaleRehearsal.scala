@@ -234,15 +234,35 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q41_minhash_pipeline", tPairs, nPairs)
       }
-      // q126 shape: PPJoin candidates, then the full exact join
+      // q126 shape: PPJoin candidates, then the full exact join —
+      // GATED by its own forecast (round 14, dogfooding the q259
+      // pattern): the verify exchange is exactly candidates ×
+      // 2 packed rows, and at 100× (~82M × 2×gv ≈ 300 GB) it
+      // overflows a single dev box's /tmp with shuffle spill (a
+      // cluster spreads it across executor disks — this is a box
+      // limit, not an engine one; the fresh join previously shipped
+      // RAW arrays, 4× worse, fixed this round). Skip + report the
+      // priced bytes instead of dying mid-run.
       if (wanted("q126")) {
         val (nPp, tPp) = timed(
           Dedup.setSimCandidates(d, "doc_id", 700000L).count())
         Dedup.unpersistCaches()
         report("q126_ppjoin_candidates", tPp, nPp)
-        val (nSs, tSs) = timed(Dedup.setSimJoin(d, "doc_id", 700000L).count())
+        val rowB = Dedup.setSimPreflightDocs(d, "doc_id")
+          .filter(col("t_ppm") === 700000L).head()
+          .getAs[Long]("est_row_bytes")
         Dedup.unpersistCaches()
-        report("q126_setsim_join", tSs, nSs)
+        val estBytes = 2L * nPp * rowB
+        val diskBudget =
+          sys.env.get("SPARK_GRAFT_REHEARSAL_EXCHANGE_BUDGET")
+            .map(_.toLong).getOrElse(40L << 30)
+        if (estBytes <= diskBudget) {
+          val (nSs, tSs) =
+            timed(Dedup.setSimJoin(d, "doc_id", 700000L).count())
+          Dedup.unpersistCaches()
+          report("q126_setsim_join", tSs, nSs)
+        } else
+          report("q126_setsim_join_skipped_est_bytes", 0.0, estBytes)
       }
       // q126i: the INDEX-path near-dup verify (setSimNearDups) — the
       // deployed shape. Under the broadcast threshold the verify
@@ -253,14 +273,32 @@ object ScaleRehearsal {
       // deployment amortizes the artifact.
       if (wanted("q126i")) {
         val dirAt = if (scale == "1x") dir else outFor(scale)
-        Dedup.setSimNearDups(spark, dirAt).count()
+        // same priced skip as the q126 block (round 14): the indexed
+        // verify's exchange at 100× (~89 GB packed) exceeds a single
+        // dev box's /tmp — its own q259 forecast says so BEFORE the
+        // join; a cluster spreads the spill, this box cannot. The
+        // index warm-up below doubles as the forecast's input.
+        Dedup.setSimPreflight(spark, dirAt).head(): Unit
         Dedup.unpersistCaches()
-        val (nIv, tIv) = timed {
-          val n = Dedup.setSimNearDups(spark, dirAt).count()
-          Dedup.unpersistCaches()
-          n
-        }
-        report("q126i_neardups_indexed", tIv, nIv)
+        val pf = Dedup.setSimPreflight(spark, dirAt)
+          .filter(col("t_ppm") === 700000L).head()
+        val estIv = pf.getAs[Long]("est_exchange_bytes") / 16L
+        // est_exchange_bytes uses fanout SLOTS — the r13-calibrated
+        // constant 32.8× above actual candidates; /16 ≈ 2 rows per
+        // actual candidate at that calibration, still conservative
+        Dedup.unpersistCaches()
+        val diskBudget =
+          sys.env.get("SPARK_GRAFT_REHEARSAL_EXCHANGE_BUDGET")
+            .map(_.toLong).getOrElse(40L << 30)
+        if (estIv <= diskBudget) {
+          val (nIv, tIv) = timed {
+            val n = Dedup.setSimNearDups(spark, dirAt).count()
+            Dedup.unpersistCaches()
+            n
+          }
+          report("q126i_neardups_indexed", tIv, nIv)
+        } else
+          report("q126i_neardups_skipped_est_bytes", 0.0, estIv)
       }
       // q259: set-sim verify pre-flight — the slot forecast is priced
       // BEFORE any candidate join runs, then compared against the

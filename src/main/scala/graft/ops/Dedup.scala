@@ -854,8 +854,26 @@ object Dedup {
     val grams = packedGrams(docs, idCol)
     val gramSets = gramSetsOf(grams)
     val sz = sizer(docs.sparkSession, gramSets)
-    val cand = selfCandidates(grams, gramSets, sz, tPpm)
-    verifyPairs(cand, gramSets, "doc_a", gramSets, "doc_b", sz, sz, tPpm)
+    val freq = grams.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    val prefix = register(
+      prefixOf(grams, freq, gramSets, sz, tPpm, leftJoinFreq = false)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val cand = selfCandidatesFromPrefix(prefix, tPpm)
+    // over the broadcast threshold the FRESH path switches to the
+    // packed verify too (round 14 — previously index-path only; the
+    // 100× fresh join shipped the raw arrays and overflowed a 75 GB
+    // /tmp with shuffle spill). Candidate-heavy is the self-join norm
+    // over the threshold (the r12 224 s evidence), so size-only
+    // switching is right here; the packing pass is one linear scan.
+    if (sz.gramBytes > sz.limit &&
+        docs.sparkSession.conf.getOption("graft.setsim.packedVerify")
+          .forall(_.toBoolean))
+      verifyPairsPacked(cand,
+        register(packedGramSetsOf(grams, freq)
+          .persist(StorageLevel.MEMORY_AND_DISK)), tPpm)
+    else
+      verifyPairs(cand, gramSets, "doc_a", gramSets, "doc_b", sz, sz,
+        tPpm)
   }
 
   /** Pre-flight diagnostic: the PPJoin candidate pairs (after the

@@ -265,6 +265,43 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("fresh setSimJoin packed regime == unpacked (forced over-threshold), no ArrayType exchange") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = rows(Dedup.setSimJoin(docs, "doc_id", 700000L))
+    Dedup.unpersistCaches()
+    assert(base.nonEmpty)
+    spark.conf.set("graft.setsim.broadcastBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.setSimJoin(docs, "doc_id", 700000L)
+      assert(rows(df) == base,
+        "fresh packed verify diverged from the broadcast path")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.types.ArrayType
+      val arrayCols = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case sh: ShuffleExchangeLike =>
+          arrayCols ++= sh.output
+            .filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+          sh.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(arrayCols.isEmpty,
+        s"an exchange carried array columns: $arrayCols")
+    } finally {
+      spark.conf.unset("graft.setsim.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Dedup.unpersistCaches()
+    }
+  }
+
   // ------------------- 32k-merge BPE levers (VERDICT r13 #3)
 
   /** Deterministic synthetic vocab with heavy pair ties and enough
