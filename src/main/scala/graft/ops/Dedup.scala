@@ -14,6 +14,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Tri-state `graft.setsim.packedVerify`, parsed ONCE for every
+    * family (ADVICE r14 — the incremental path matched the exact
+    * strings "true"/"false" while the fresh/containment paths used
+    * toBoolean, so "TRUE" pinned one plan and silently fell back to
+    * auto in the other): Some(true)/Some(false) for any
+    * case-insensitive boolean spelling, None = unset, loud error on
+    * anything else. */
+  private[graft] def packedVerifyConf(spark: SparkSession): Option[Boolean] =
+    spark.conf.getOption("graft.setsim.packedVerify")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .map {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft.setsim.packedVerify must be true or false, got '$other'")
+      }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup via sha2(text) groupBy: one representative (min
@@ -866,8 +883,7 @@ object Dedup {
     // over the threshold (the r12 224 s evidence), so size-only
     // switching is right here; the packing pass is one linear scan.
     if (sz.gramBytes > sz.limit &&
-        docs.sparkSession.conf.getOption("graft.setsim.packedVerify")
-          .forall(_.toBoolean))
+        packedVerifyConf(docs.sparkSession).getOrElse(true))
       verifyPairsPacked(cand,
         register(packedGramSetsOf(grams, freq)
           .persist(StorageLevel.MEMORY_AND_DISK)), tPpm)
@@ -967,10 +983,9 @@ object Dedup {
     val conf = corpus.sparkSession.conf
     val gateBudget = conf
       .getOption("graft.setsim.incremental.maxExchangeBytes").map(_.toLong)
-    val packedMode = conf.getOption("graft.setsim.packedVerify")
+    val packedMode = packedVerifyConf(corpus.sparkSession)
     val needSlots = gateBudget.isDefined ||
-      (overThreshold && !packedMode.contains("false") &&
-        !packedMode.contains("true"))
+      (overThreshold && packedMode.isEmpty)
     // the slot pre-pass and the candidate join both read the prefix
     // tables — persist them when both consumers exist (the q65/q146
     // multi-consumer rule; unpersisted prefixes re-ran their whole
@@ -984,9 +999,8 @@ object Dedup {
       if (needSlots) Some(joinSlots(prefN, prefC)) else None
     val unpackedRow = szC.gramBytes / math.max(szC.nDocs, 1L) + 24L
     val packedRegime = overThreshold && (packedMode match {
-      case Some("false") => false
-      case Some("true") => true
-      case _ => slotsOpt.exists { case (sl, _) =>
+      case Some(pinned) => pinned
+      case None => slotsOpt.exists { case (sl, _) =>
         BigInt(sl) * BigInt(unpackedRow) >
           BigInt(szC.gramBytes) + BigInt(szN.gramBytes) }
     })
@@ -1347,7 +1361,13 @@ object Dedup {
       : SetSimIndex = {
     def tables(digest: String) = (s"ssi_gs_$digest", s"ssi_rk_$digest")
     val path = graft.Artifacts.resolve(indexRoot, dir,
-      Tables.sourceFingerprint(dir, Seq("documents")), s"ssi4|$tag")(
+      // the bucket count is part of the on-disk layout: folding it
+      // into the digest means a code-level IndexBuckets change can
+      // never re-ATTACH stale-bucket-count metadata over files written
+      // with a different count (ADVICE r14) — it forces a rebuild,
+      // exactly like a schema-version bump
+      Tables.sourceFingerprint(dir, Seq("documents")),
+      s"ssi5|b$IndexBuckets|$tag")(
       p => {
         val (gs, rk) = tables(p.split('/').last)
         new java.io.File(s"$p/stats/_SUCCESS").exists() && {
@@ -1704,8 +1724,7 @@ object Dedup {
     // gv packing, so the packed verify applies verbatim
     val verified =
       if (sz.gramBytes > sz.limit &&
-          spark.conf.getOption("graft.setsim.packedVerify")
-            .forall(_.toBoolean))
+          packedVerifyConf(spark).getOrElse(true))
         containVerifyPacked(cand, idx.gramSets, 900000L)
       else
         containVerify(cand, idx.gramSets, sz, idx.gramSets, sz, 900000L)
@@ -1810,8 +1829,7 @@ object Dedup {
     // exchange) unless explicitly disabled
     val verified =
       if (sz.gramBytes > sz.limit &&
-          spark.conf.getOption("graft.setsim.packedVerify")
-            .forall(_.toBoolean))
+          packedVerifyConf(spark).getOrElse(true))
         verifyPairsPacked(cand, idx.gramSets, 700000L)
       else
         verifyPairs(cand, idx.gramSets, "doc_a", idx.gramSets, "doc_b",
@@ -1928,8 +1946,13 @@ object Dedup {
     *    between its two joins (the measured 30×/100× cost center),
     *    priced from the index's own varint column;
     *  - `packed_regime` — whether the verify would take the packed
-    *    shuffle path at the default 1 GiB broadcast limit (the
-    *    gramBytes rule [[SetSizer]] applies).
+    *    shuffle path at the DEFAULT 1 GiB broadcast limit (the
+    *    gramBytes rule [[SetSizer]] applies). The flag is pinned to
+    *    the default — NOT the configured `graft.setsim.broadcastBytes`
+    *    — by contract (ADVICE r14): the DuckDB oracle cannot read
+    *    Spark conf, so the column is a pure data property; under a
+    *    custom limit the ACTUAL regime switch may differ from the
+    *    flag (read est_exchange_bytes against your own limit).
     * At 1000× a deployment runs THIS query (seconds — one aggregate
     * over the prefix table), reads est_exchange_bytes against its
     * shuffle budget, and only then commits to the verify — or
@@ -2049,7 +2072,9 @@ object Dedup {
     * (over the broadcast threshold — under it the verify BROADCASTS
     * and never exchanges candidate×payload), so the packed row is
     * what the gated join actually ships; `packed_regime` flags the
-    * switch. */
+    * switch AT THE DEFAULT 1 GiB limit (a pure data property the
+    * oracle replays — see the q259 doc for the custom-limit caveat,
+    * ADVICE r14). */
   def containmentPreflight(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val idx = persistedSetSimIndex(spark, dir, "docs", Tables.documents _)
@@ -2147,19 +2172,22 @@ object Dedup {
       |      AS gram_bytes,
       |    (SELECT CAST(SUM((LENGTH(BIN(delta)) + 6) // 7) AS BIGINT)
       |     FROM del) AS gv_bytes)
-      |SELECT CAST(t_ppm AS BIGINT) AS t_ppm, prefix_rows, fanout_slots,
-      |  max_gram_slots,
-      |  CASE WHEN fanout_slots = 0 THEN 0
+      |SELECT CAST(t.t_ppm AS BIGINT) AS t_ppm,
+      |  COALESCE(prefix_rows, 0) AS prefix_rows,
+      |  COALESCE(fanout_slots, 0) AS fanout_slots,
+      |  COALESCE(max_gram_slots, 0) AS max_gram_slots,
+      |  CASE WHEN COALESCE(fanout_slots, 0) = 0 THEN 0
       |    ELSE CAST(CAST(max_gram_slots AS HUGEINT) * 1000000
       |      // fanout_slots AS BIGINT) END AS top_gram_share_ppm,
       |  n_docs, gram_bytes, gv_bytes,
       |  CAST(gv_bytes // GREATEST(n_docs, 1) + 24 AS BIGINT)
       |    AS est_row_bytes,
-      |  CAST(CAST(fanout_slots AS HUGEINT)
+      |  CAST(CAST(COALESCE(fanout_slots, 0) AS HUGEINT)
       |    * (gv_bytes // GREATEST(n_docs, 1) + 24) AS BIGINT)
       |    AS est_exchange_bytes,
       |  gram_bytes > 1073741824 AS packed_regime
-      |FROM fan CROSS JOIN st
+      |FROM t LEFT JOIN fan ON fan.t_ppm = t.t_ppm
+      |CROSS JOIN st
       |ORDER BY t_ppm, prefix_rows, fanout_slots, max_gram_slots,
       |  top_gram_share_ppm, n_docs, gram_bytes, gv_bytes, est_row_bytes,
       |  est_exchange_bytes, packed_regime""".stripMargin
@@ -2295,7 +2323,9 @@ object Dedup {
     * dictionary id space), so this forecast now prices the packed gv
     * row exactly like q259: the exchange this estimate prices only
     * exists over the broadcast threshold, which is precisely when the
-    * verify ships gv. `packed_regime` flags the switch; all three
+    * verify ships gv. `packed_regime` flags the switch at the DEFAULT
+    * 1 GiB limit (a pure data property the oracle replays — see the
+    * q259 doc for the custom-limit caveat, ADVICE r14); all three
     * pair-forecast queries now share one methodology. */
   def setSimPreflightIncremental(spark: SparkSession,
       dir: String): DataFrame = {

@@ -198,7 +198,8 @@ object CdcStream {
   private[streaming] def assertLineage(stateDir: String,
       spark: SparkSession): Option[String] = {
     val cur = lineageIdOf(spark)
-    (storedLineageId(stateDir), cur) match {
+    val stored = storedLineageId(stateDir)
+    (stored, cur) match {
       case (Some(old), Some(now)) if old != now =>
         throw new IllegalStateException(
           s"additive state dir $stateDir was accumulated under streaming" +
@@ -209,7 +210,10 @@ object CdcStream {
             "stateDir and checkpointLocation live and die together: " +
             "restore the original checkpointLocation, or remove/migrate " +
             "the state dir.")
-      case _ => cur
+      // A promote OUTSIDE a stream (backfill / direct processBatch) has
+      // no current lineage; carry the stored id forward so the rename
+      // doesn't erase the marker and disarm the guard (ADVICE r14).
+      case _ => cur.orElse(stored)
     }
   }
 

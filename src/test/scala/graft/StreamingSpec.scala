@@ -1030,6 +1030,54 @@ class StreamingSpec extends SparkSpec {
       s"the refused lineage still mutated state: ${state()}")
   }
 
+  test("non-stream promote preserves the stored lineage marker (ADVICE r14)") {
+    // assertLineage used to return only the CURRENT lineage: a
+    // backfill / direct processBatch (no stream, lineage None) on
+    // state carrying a _QUERY_ID promoted without the marker and the
+    // rename ERASED it — silently disarming the guard, so a later
+    // fresh-checkpoint stream was back to skipping every batch (the
+    // exact r13 #5 data loss). The fix carries the stored id forward.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    val s = spark
+    import s.implicits._
+    def ev(rows: (Long, String)*) = rows.toDF("day", "event_type")
+      .select(timestamp_micros(col("day") * 86400000000L + 1L).as("ts"),
+        col("event_type"))
+    val stateDir =
+      Files.createTempDirectory("graft_linbf_st").toString + "/s"
+    EventStream.errorBurnProcessBatch(ev((1L, "error")), 0L, stateDir)
+    // simulate state accumulated under a prior stream lineage
+    val marker = new java.io.File(stateDir, "_QUERY_ID")
+    java.nio.file.Files.writeString(marker.toPath, "lineage-original")
+    // backfill promote OUTSIDE any stream: must keep the marker
+    EventStream.errorBurnProcessBatch(ev((1L, "view")), 1L, stateDir)
+    assert(marker.isFile &&
+      java.nio.file.Files.readString(marker.toPath).trim
+        == "lineage-original",
+      "a non-stream promote erased (or rewrote) the lineage marker")
+    // and the guard is still ARMED: a different lineage (simulated
+    // via the thread-local Spark sets on micro-batch threads) refuses
+    spark.sparkContext.setLocalProperty(
+      "sql.streaming.queryId", "lineage-fresh")
+    try {
+      val e = intercept[IllegalStateException](
+        EventStream.errorBurnProcessBatch(ev((1L, "view")), 2L, stateDir))
+      assert(e.getMessage.contains("lineage"),
+        s"expected the lineage refusal, got: ${e.getMessage.take(200)}")
+    } finally spark.sparkContext.setLocalProperty(
+      "sql.streaming.queryId", null)
+    // the matching lineage still merges (marker adopted end to end)
+    spark.sparkContext.setLocalProperty(
+      "sql.streaming.queryId", "lineage-original")
+    try EventStream.errorBurnProcessBatch(ev((1L, "view")), 2L, stateDir)
+    finally spark.sparkContext.setLocalProperty(
+      "sql.streaming.queryId", null)
+    val st = spark.read.parquet(stateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(st == Seq((1L, 3L, 1L)), s"post-backfill merges drifted: $st")
+  }
+
   test("iterative BPE trained from streamed vocab state equals the one-shot train") {
     import org.apache.spark.sql.functions._
     import graft.streaming.DocStream
