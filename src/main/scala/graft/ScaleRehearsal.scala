@@ -1265,6 +1265,15 @@ object ScaleRehearsal {
         }
         report("q256big_train_32k", tTr, nR)
         val ruleSeq = t.merges.map { case (a, b, _) => (a, b) }
+        // kernel-dispatch protection (VERDICT r14 #5): the encode wall
+        // below is only meaningful if the 32k table actually takes the
+        // rank-order kernel — a table change that silently fell back
+        // to the sequential sweep (~4000× slower here) must fail the
+        // rehearsal loudly, not read as a mysterious regression
+        val kernel = graft.ops.BpeIterative.encodeKernelOf(ruleSeq)
+        require(kernel == "rank",
+          s"q256big: the 32k trained table dispatched the $kernel " +
+            "kernel — byRankSafe no longer holds for trainer output")
         val stream = d
           .select(posexplode(split(col("text"), " ")).as(Seq("i", "w0")))
           .filter(length(col("w0")) >= 1)
@@ -1280,6 +1289,13 @@ object ScaleRehearsal {
         // but inert (U+0001 absent from the stream) rule forces the
         // fallback kernel over the SAME 32k rules, bounded sample
         val seqRules = ("\u0001", "\u0001\u0001") +: ruleSeq
+        // and the contrast row must really exercise the fallback — if
+        // the forcing rule ever stops tripping the safety proof, the
+        // "sequential" number would silently be another rank-kernel run
+        require(graft.ops.BpeIterative.encodeKernelOf(seqRules)
+          == "sequential",
+          "q256big: the forced-fallback table no longer dispatches the " +
+            "sequential kernel")
         val (nTokS, tSeq) = timed {
           stream.limit(2000).select(size(graft.ops.BpeIterative
               .encodeUnderMerges(col("w"), seqRules)).cast("long").as("n"))

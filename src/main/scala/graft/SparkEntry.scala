@@ -385,6 +385,13 @@ object SparkEntry {
       graft.multimodal.Multimodal.phashPreflight(s, d)),
     "q263_containment_preflight" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPreflight(s, d)),
+    // the DEPLOYED face of q260 (VERDICT r14 #2): same forecast,
+    // bit-identical output (Round14OpsSpec), but the corpus side rides
+    // the persisted p90 index — so the benched number is the warm
+    // daily-gate cost a deployment actually pays, while q260 keeps
+    // pricing the fresh-build oracle face.
+    "q264_setsim_preflight_incr_indexed" -> ((s: SparkSession, d: String) =>
+      Dedup.setSimPreflightIncrementalIndexed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2742,6 +2749,11 @@ object SparkEntry {
         graft.multimodal.Multimodal.phashPreflightOracleSql(),
       "q263_containment_preflight" ->
         Dedup.containmentPreflightOracleSql(),
+      // bit-identical to q260 by construction (the indexed corpus side
+      // replays the same ranked/gramSets state) — the fresh oracle SQL
+      // therefore checks the indexed path verbatim
+      "q264_setsim_preflight_incr_indexed" ->
+        Dedup.setSimPreflightIncrementalOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -287,31 +287,57 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Opt-in slot budget for the phash band joins (the q259
+  /** Bytes ONE phash verify row puts on the exchange: the candidate
+    * join's output carries the two ids (2×8) and each verify join
+    * attaches a 4×64-bit band vector (2×32), plus the row-overhead
+    * constant the set-sim est_row_bytes methodology uses (24). Fixed
+    * width — phash payloads never scale with the corpus — so
+    * exchange bytes = slots × this constant, computable from q262's
+    * fanout_slots today. */
+  private[graft] val PhashVerifyRowBytes = 104L
+
+  /** Opt-in budget for the phash band joins (the q259
     * `maxExchangeBytes` control, phash edition — VERDICT r13 #1):
-    * when `graft.phash.maxFanoutSlots` is set the by-name `price`
-    * thunk runs (keyed counts only, no pair materialized) and an
-    * over-budget band join fails loudly with the slot count and the
+    * when either conf is set the by-name `price` thunk runs (keyed
+    * counts only, no pair materialized) and an over-budget band join
+    * fails loudly with the slot count, the byte estimate, and the
     * hottest bucket's share — the q262 star-guard read as a CONTROL.
-    * The unit is slots, not bytes: phash candidates are fixed-width
-    * (two ids), so bytes = slots × a constant and the slot count is
-    * the honest lever. Unset (the default) costs nothing. */
+    * Two units, ONE budget (VERDICT r14 #3 — the set-sim and
+    * containment gates are exchange BYTES, so a deployment can now
+    * hand all four families the same byte number):
+    *  - `graft.phash.maxFanoutSlots` — candidate slots (kept for
+    *    back-compat; the honest native lever since rows are
+    *    fixed-width);
+    *  - `graft.phash.maxExchangeBytes` — slots × [[PhashVerifyRowBytes]]
+    *    against a byte budget, unit-compatible with
+    *    graft.setsim.*.maxExchangeBytes / graft.containment.*.
+    * Unset (the default) costs nothing. */
   private def phashGate(spark: SparkSession, label: String)(
-      price: => (Long, Long)): Unit =
-    spark.conf.getOption("graft.phash.maxFanoutSlots")
-      .map(_.toLong).foreach { budget =>
-        val (sl, mx) = price
-        if (sl > budget) {
-          val share =
-            if (sl == 0L) 0L
-            else (BigInt(mx) * 1000000 / BigInt(sl)).toLong
-          throw new IllegalStateException(
-            s"$label pre-flight: $sl band-join candidate slots (hottest " +
-              s"bucket $share ppm of slots) exceeds " +
-              s"graft.phash.maxFanoutSlots=$budget — split the hot " +
-              "bucket, tighten the image slice, or raise the budget")
-        }
+      price: => (Long, Long)): Unit = {
+    val slotBudget =
+      spark.conf.getOption("graft.phash.maxFanoutSlots").map(_.toLong)
+    val byteBudget =
+      spark.conf.getOption("graft.phash.maxExchangeBytes").map(_.toLong)
+    if (slotBudget.isDefined || byteBudget.isDefined) {
+      val (sl, mx) = price
+      val bytes = BigInt(sl) * PhashVerifyRowBytes
+      val slotHit = slotBudget.filter(sl > _)
+      val byteHit = byteBudget.filter(bytes > BigInt(_))
+      if (slotHit.isDefined || byteHit.isDefined) {
+        val share =
+          if (sl == 0L) 0L
+          else (BigInt(mx) * 1000000 / BigInt(sl)).toLong
+        val which = (slotHit.map(b => s"graft.phash.maxFanoutSlots=$b")
+          ++ byteHit.map(b => s"graft.phash.maxExchangeBytes=$b"))
+          .mkString(" and ")
+        throw new IllegalStateException(
+          s"$label pre-flight: $sl band-join candidate slots ≈ $bytes " +
+            s"exchange bytes (hottest bucket $share ppm of slots) " +
+            s"exceeds $which — split the hot bucket, tighten the " +
+            "image slice, or raise the budget")
       }
+    }
+  }
 
   /** Σ_(band,val) C(c,2) and the hottest bucket's C(c,2) over an
     * exploded bands frame — the band SELF-join's exact row count

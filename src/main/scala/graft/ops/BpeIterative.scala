@@ -466,6 +466,21 @@ object BpeIterative {
     call_function("bpe_encode", w,
       lit(merges.map { case (a, b) => a + "\u001F" + b }.toArray))
 
+  /** The kernel [[encodeUnderMerges]] (bpe_encode) dispatches for
+    * this rule table — "rank" (the O(|w|²), rule-count-independent
+    * walk; every well-formed trained table) or "sequential" (the
+    * correct-for-anything fallback, O(R·|w|)). Readable OUTSIDE the
+    * expression (VERDICT r14 #5): the rehearsal and specs assert the
+    * 32k table actually takes the rank kernel, so a rule-table change
+    * that silently demotes encode to the sequential sweep fails
+    * loudly instead of shipping a ~4000× hot-path regression. Runs
+    * the same parse-time safety proof the expression runs
+    * ([[graft.functions.BpeMergeTable.byRankSafe]]) on the same
+    * parsed table. */
+  def encodeKernelOf(merges: Seq[(String, String)]): String =
+    if (graft.functions.BpeMergeTable(merges.toArray).byRankSafe) "rank"
+    else "sequential"
+
   /** The pre-native Column fold chain, kept as the differential
     * reference for [[encodeUnderMerges]] — semantics frozen. */
   private[graft] def encodeUnderMergesFold(w: Column,
