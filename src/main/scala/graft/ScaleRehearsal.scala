@@ -138,6 +138,39 @@ object ScaleRehearsal {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Total shuffle WRITE bytes across all tasks while `body` runs —
+    * the measured side of a forecast÷actual exchange calibration
+    * (VERDICT r14 #1). Listener events arrive asynchronously after
+    * the action returns, so the read polls until the counter is
+    * stable (two consecutive unchanged reads 200 ms apart, 10 s cap).
+    * The sum covers EVERY shuffle the body runs (candidate
+    * generation, dictionary ranks, the verify exchange), so it is an
+    * upper bound on any single exchange — at the scales where the
+    * calibration matters the candidate×payload verify exchange
+    * dominates the rest by two orders of magnitude. */
+  private def shuffleBytesDuring[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): (A, Long) = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          acc.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = body
+      var prev = -1L
+      var waited = 0
+      while (acc.get() != prev && waited < 50) {
+        prev = acc.get(); Thread.sleep(200); waited += 1
+      }
+      (r, acc.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -264,6 +297,52 @@ object ScaleRehearsal {
         } else
           report("q126_setsim_join_skipped_est_bytes", 0.0, estBytes)
       }
+      // q126cal (VERDICT r14 #1): a MEASURED point for the fresh
+      // packed-verify exchange forecast. The 100× fresh join is
+      // (correctly) skip-priced at ~89 GB on this box, but above 30×
+      // the pricing curve was extrapolation — this block forces the
+      // over-threshold packed regime (broadcastBytes=1, the r12/r14
+      // forced-regime method, since at intermediate decades gramBytes
+      // sits under the natural 1 GiB switch), prices the verify
+      // exchange EXACTLY as the q126 gate does (2 packed rows per
+      // actual candidate), runs the join, and reports the forecast
+      // bytes next to the LISTENER-measured total shuffle write — the
+      // forecast÷actual constant the slots metric already has. Run at
+      // an intermediate decade that fits the 40 GB default budget
+      // (40× ≈ 36 GB forecast on this corpus).
+      if (wanted("q126cal")) {
+        val prevBc = spark.conf.getOption("graft.setsim.broadcastBytes")
+        spark.conf.set("graft.setsim.broadcastBytes", "1")
+        try {
+          val (nPp, tPp) = timed(
+            Dedup.setSimCandidates(d, "doc_id", 700000L).count())
+          Dedup.unpersistCaches()
+          report("q126cal_candidates", tPp, nPp)
+          val rowB = Dedup.setSimPreflightDocs(d, "doc_id")
+            .filter(col("t_ppm") === 700000L).head()
+            .getAs[Long]("est_row_bytes")
+          Dedup.unpersistCaches()
+          val estBytes = 2L * nPp * rowB
+          val diskBudget =
+            sys.env.get("SPARK_GRAFT_REHEARSAL_EXCHANGE_BUDGET")
+              .map(_.toLong).getOrElse(40L << 30)
+          if (estBytes <= diskBudget) {
+            val ((nSs, tSs), actualBytes) = shuffleBytesDuring(spark) {
+              val r = timed(
+                Dedup.setSimJoin(d, "doc_id", 700000L).count())
+              Dedup.unpersistCaches()
+              r
+            }
+            report("q126cal_fresh_packed_join", tSs, nSs)
+            report("q126cal_forecast_exchange_bytes", 0.0, estBytes)
+            report("q126cal_actual_shuffle_bytes", 0.0, actualBytes)
+          } else
+            report("q126cal_skipped_est_bytes", 0.0, estBytes)
+        } finally prevBc match {
+          case Some(v) => spark.conf.set("graft.setsim.broadcastBytes", v)
+          case None => spark.conf.unset("graft.setsim.broadcastBytes")
+        }
+      }
       // q126i: the INDEX-path near-dup verify (setSimNearDups) — the
       // deployed shape. Under the broadcast threshold the verify
       // broadcasts the gram sets; over it (SPARK_GRAFT_SETSIM_BCAST=1)
@@ -346,7 +425,9 @@ object ScaleRehearsal {
       // docs_p90 artifact), warmed OUTSIDE the timed run (the q126i
       // convention), so the number is the daily gate cost a
       // deployment pays, not the one-time index build the fresh-path
-      // q260 row re-pays per drained sample
+      // q260 row re-pays per drained sample. Since round 15 this
+      // deployed face is also a first-class benched query (q264),
+      // so the suite's headline daily-gate number is the warm cost.
       if (wanted("q260i")) {
         val dirAt = if (scale == "1x") dir else outFor(scale)
         Dedup.setSimPreflightIncrementalIndexed(spark, dirAt).head()
