@@ -382,7 +382,12 @@ object Multimodal {
     * all its ids into ONE bucket per band and the forecast shows it
     * as top_bucket_share_ppm → 10⁶ BEFORE the join fans out). One
     * keyed count over the exploded bands frame; no pair ever
-    * materializes. */
+    * materializes. Since round 15 the output also carries the
+    * q259/q260/q263 byte columns (est_row_bytes — the fixed
+    * [[PhashVerifyRowBytes]] — and est_exchange_bytes = slots × it),
+    * so all four family forecasts share one methodology and the
+    * `graft.phash.maxExchangeBytes` budget reads directly off this
+    * query. */
   def phashPreflight(spark: SparkSession, dir: String): DataFrame =
     phashPreflightBands(phashBandsCols(
       Tables.documents(spark, dir)
@@ -416,10 +421,18 @@ object Multimodal {
         when(expr("CAST(slots2 div 2 AS BIGINT)") === 0L, 0L)
           .otherwise(expr(
             "CAST(((mx2 div 2) * 1000000) div (slots2 div 2) AS BIGINT)"))
-          .as("top_bucket_share_ppm"))
+          .as("top_bucket_share_ppm"),
+        // the q259/q260/q263 byte columns (round 15 — one forecast
+        // methodology across all four families): phash rows are
+        // FIXED-width, so the estimate is slots × the constant the
+        // byte gate uses ([[PhashVerifyRowBytes]])
+        lit(PhashVerifyRowBytes).as("est_row_bytes"),
+        expr(s"CAST((slots2 div 2) * $PhashVerifyRowBytes AS BIGINT)")
+          .as("est_exchange_bytes"))
       .orderBy(col("band_idx"), col("n_hashes"), col("n_buckets"),
         col("fanout_slots"), col("max_bucket_slots"),
-        col("top_bucket_share_ppm"))
+        col("top_bucket_share_ppm"), col("est_row_bytes"),
+        col("est_exchange_bytes"))
   }
 
   /** DuckDB oracle for [[phashPreflight]]: the q203 plane/band CTEs,
@@ -457,10 +470,14 @@ object Multimodal {
        |  CASE WHEN SUM(c * (c - 1)) // 2 = 0 THEN 0
        |    ELSE CAST((MAX(c * (c - 1)) // 2 * 1000000)
        |      // (SUM(c * (c - 1)) // 2) AS BIGINT)
-       |    END AS top_bucket_share_ppm
+       |    END AS top_bucket_share_ppm,
+       |  CAST($PhashVerifyRowBytes AS BIGINT) AS est_row_bytes,
+       |  CAST(SUM(c * (c - 1)) // 2 * $PhashVerifyRowBytes AS BIGINT)
+       |    AS est_exchange_bytes
        |FROM bk GROUP BY 1
        |ORDER BY band_idx, n_hashes, n_buckets, fanout_slots,
-       |  max_bucket_slots, top_bucket_share_ppm""".stripMargin
+       |  max_bucket_slots, top_bucket_share_ppm, est_row_bytes,
+       |  est_exchange_bytes""".stripMargin
 
   /** Query entry (q203): perceptual-hash image dedup — dHash bands
     * over the image-modality payload plane, band-bucketed candidates,
