@@ -782,6 +782,38 @@ object ScaleRehearsal {
           .select(col("ngram")).distinct().count())
         report("q173_eval_gram_set", tEg, nEg)
       }
+      // q265: contamination spans — the matched-position volume (==
+      // the gate's candidate-slot forecast, exact) is the scale knob:
+      // both sides of the 8-gram join grow with the corpus, so the
+      // slots row pins the growth exponent the opt-in
+      // graft.decontam.maxExchangeBytes gate prices
+      if (wanted("q265")) {
+        val (nSp, tSp) = timed(
+          graft.ops.Decontaminate.contaminationSpansOn(d).count())
+        Dedup.unpersistCaches()
+        report("q265_contamination_spans", tSp, nSp)
+        val g = graft.ops.Decontaminate.gramPosFrame(d,
+          graft.ops.Decontaminate.SpanGram)
+        val (nSl, tSl) = timed(
+          g.filter(col("source") =!= "src0").select(col("gram"))
+            .join(g.filter(col("source") === "src0").select(col("gram")),
+              Seq("gram"))
+            .count())
+        report("q265_span_match_slots", tSl, nSl)
+      }
+      // q266: the daily decontamination screen — |batch| rows by
+      // construction; the cost is one winnow pass over the batch +
+      // the broadcast eval fingerprint set (linear in batch size)
+      if (wanted("q266")) {
+        val (nSc, tSc) = timed {
+          val cutoff = (d.agg(max(col("doc_id"))).head().getLong(0)
+            + 1L) * 9L / 10L
+          graft.ops.Decontaminate.decontamScreenOn(d,
+            col("doc_id") >= cutoff).count()
+        }
+        Dedup.unpersistCaches()
+        report("q266_decontam_screen", tSc, nSc)
+      }
       // q174: narrow per-row array fold, no shuffle — linear by
       // construction; the row exists to catch an accidental join/
       // shuffle creeping into the audit

@@ -392,6 +392,12 @@ object SparkEntry {
     // pricing the fresh-build oracle face.
     "q264_setsim_preflight_incr_indexed" -> ((s: SparkSession, d: String) =>
       Dedup.setSimPreflightIncrementalIndexed(s, d)),
+    // q265: longest matched 8-gram run per train doc vs the eval set —
+    // the contamination SPAN audit (q51 = membership, q173 = fraction)
+    "q265_contamination_spans" -> (Decontaminate.contaminationSpans _),
+    // q266: the deployed daily face of q51 — every newest-10% ingest
+    // doc screened against the frozen eval fingerprints, with verdict
+    "q266_decontam_incremental" -> (Decontaminate.decontamIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2754,6 +2760,10 @@ object SparkEntry {
       // therefore checks the indexed path verbatim
       "q264_setsim_preflight_incr_indexed" ->
         Dedup.setSimPreflightIncrementalOracleSql(),
+      "q265_contamination_spans" ->
+        Decontaminate.contaminationSpansOracleSql(),
+      "q266_decontam_incremental" ->
+        HashSql.decontamIncrementalOracle,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -261,4 +261,279 @@ object Decontaminate {
     Dedup.exactVerify(pruned, newDocs, "doc_id", "new_doc_id",
       corpusIndexed, "doc_id", "corpus_doc_id", minJaccard)
   }
+
+  /** Token n-gram length used by the span audit: 8 keeps published
+    * decontamination practice (GPT-3 app. C uses 8–13-gram matches)
+    * while this corpus's ≤100-token documents still carry enough
+    * grams per doc to measure runs. */
+  val SpanGram = 8
+
+  /** Bytes one matched-position row ships on the run-grouping
+    * exchange: (td, ed, pt, pe/diag) as four longs + the shuffle
+    * row overhead (the q262→byte-gate conversion convention,
+    * Multimodal's 104 B fixed-width pricing). */
+  private val SpanRowBytes = 56L
+
+  /** Positional token n-gram stream: one interpreted `transform` over
+    * the split (the Ranking.trigramFrame single-generator rule — a
+    * posexplode + (n−1)-lead window would plan a per-doc Exchange),
+    * 1-based start positions. Docs under n tokens contribute no row. */
+  private[graft] def gramPosFrame(docs: DataFrame, n: Int): DataFrame = {
+    val g = expr(
+      s"""CASE WHEN size(sp) < $n THEN array()
+         |     ELSE transform(sequence(1, size(sp) - ${n - 1}),
+         |       i -> concat_ws(' ', slice(sp, i, $n)))
+         |END""".stripMargin)
+    docs.withColumn("sp", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        posexplode(g).as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("source"),
+        (col("p0") + 1L).cast("long").as("pos"), col("gram"))
+  }
+
+  /** Contamination SPANS (q265): the longest run of consecutive
+    * matched token 8-grams each training document shares with the
+    * eval set — the "how LONG is the contaminated passage" audit of
+    * published decontamination practice (GPT-3, Brown et al. 2020
+    * app. C reports longest-match statistics; PaLM and Llama audits
+    * follow it). q51 answers membership (winnow fingerprints), q173
+    * answers the overlap FRACTION; this localizes contamination as a
+    * maximal contiguous span, the number an "is this a verbatim eval
+    * leak or shared boilerplate?" triage reads. A matched diagonal
+    * (pos_train − pos_eval constant) with consecutive train positions
+    * is exactly a shared token run of length run_grams + 7.
+    *
+    * Scale shape: the corpus side streams through one narrow explode
+    * (never cached — the q149 shingle rule); the eval side is
+    * leaf-stats-sized (broadcast under the limit, shuffle_hash
+    * above — the evalOverlapScoreOn rule verbatim). Only MATCHED
+    * positions reach the run-grouping window, keyed by (train doc,
+    * eval doc, diagonal) — at a sane contamination rate that is a
+    * vanishing fraction of the corpus. The matched frame feeds two
+    * consumers (run window + per-doc distinct counts) so it is
+    * register-persisted (the q146 multi-consumer rule). The opt-in
+    * `graft.decontam.maxExchangeBytes` gate prices the matched-row
+    * exchange as Σ_g cT(g)·cE(g) × 56 B BEFORE the join fans out
+    * (the q259 "price it, then run it" family; planted −1 spec). */
+  def contaminationSpans(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    contaminationSpansOn(graft.Tables.documents(spark, dir))
+
+  /** Frame-based core of [[contaminationSpans]] (needs doc_id,
+    * source, text). */
+  def contaminationSpansOn(docs: DataFrame,
+      evalSource: String = "src0", n: Int = SpanGram): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramPosFrame(docs, n)
+    val train = grams.filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("td"), col("pos").as("pt"), col("gram"))
+    val evalG = grams.filter(col("source") === evalSource)
+      .select(col("doc_id").as("ed"), col("pos").as("pe"), col("gram"))
+    docs.sparkSession.conf.getOption("graft.decontam.maxExchangeBytes")
+      .map(_.toLong).foreach { budget =>
+        val (slots, mx) = Dedup.joinSlots(
+          train.select(col("gram").as("g64")),
+          evalG.select(col("gram").as("g64")))
+        Dedup.failBudget("contamination-span",
+          "graft.decontam.maxExchangeBytes", budget, slots, mx,
+          SpanRowBytes)
+      }
+    // eval-side sizing: each token starts at most one n-gram and the
+    // gram string carries ~n tokens, so the gram table is bounded by
+    // ~n× the text bytes; ×10 total covers parquet string compression
+    // at n=8 (the evalOverlapScoreOn leaf-stats rule — whole-corpus
+    // leaf mass as the conservative bound, shuffle_hash over the
+    // limit, never an unbounded broadcast on a guess).
+    val limit = docs.sparkSession.conf
+      .getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val estBytes = PlanStats.leafBytes(docs) * 10
+    val evalSized =
+      if (estBytes <= limit) broadcast(evalG) else evalG.hint("shuffle_hash")
+    val m = Dedup.register(train.join(evalSized, Seq("gram"))
+      .select(col("td"), col("ed"), col("pt"), col("pe"),
+        (col("pt") - col("pe")).as("diag"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = Window.partitionBy(col("td"), col("ed"), col("diag"))
+      .orderBy(col("pt"))
+    val runs = m
+      .withColumn("brk",
+        when(col("pt") - lag(col("pt"), 1).over(w) === 1L, 0L)
+          .otherwise(1L))
+      .withColumn("rn", sum(col("brk")).over(w))
+      .groupBy(col("td"), col("ed"), col("diag"), col("rn"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("td")).agg(max(col("rl")).as("max_run"))
+    val docStats = m.groupBy(col("td"))
+      .agg(countDistinct(col("pt")).as("n_matched_grams"),
+        countDistinct(col("ed")).as("n_eval_docs"))
+    docStats.join(runs, Seq("td"))
+      .select(col("td").as("doc_id"),
+        col("n_matched_grams").cast("long").as("n_matched_grams"),
+        col("n_eval_docs").cast("long").as("n_eval_docs"),
+        (col("max_run") + lit(n - 1).cast("long")).cast("long")
+          .as("max_span_tokens"),
+        (col("max_run") + lit(n - 1).cast("long") >= 13L).as("flagged"))
+      .orderBy(col("doc_id"), col("n_matched_grams"),
+        col("n_eval_docs"), col("max_span_tokens"), col("flagged"))
+  }
+
+  /** DuckDB oracle for [[contaminationSpans]]: tokenize, positional
+    * 8-grams via half-open `range` (start positions 1..len−7), the
+    * same diagonal lag/run-id windows, two-level max-run aggregate.
+    * The gram join doubles as the completeness gate (q126's rule): a
+    * dropped matched position = a shorter run = a hash mismatch. */
+  def contaminationSpansOracleSql(n: Int = SpanGram): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS s FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, unnest(range(1, len(s) - ${n - 2})) AS pos, s
+       |  FROM toks
+       |), gg AS (
+       |  SELECT doc_id, source, pos,
+       |    list_aggregate(s[pos:pos + ${n - 1}], 'string_agg', ' ') AS gram
+       |  FROM g
+       |), m AS (
+       |  SELECT t.doc_id AS td, e.doc_id AS ed, t.pos AS pt,
+       |    t.pos - e.pos AS diag
+       |  FROM gg t JOIN gg e ON t.gram = e.gram
+       |  WHERE t.source <> 'src0' AND e.source = 'src0'
+       |), r AS (
+       |  SELECT td, ed, diag, pt,
+       |    CASE WHEN pt - lag(pt) OVER (PARTITION BY td, ed, diag
+       |      ORDER BY pt) = 1 THEN 0 ELSE 1 END AS brk
+       |  FROM m
+       |), rid AS (
+       |  SELECT td, ed, diag, pt,
+       |    SUM(brk) OVER (PARTITION BY td, ed, diag ORDER BY pt) AS rn
+       |  FROM r
+       |), runs AS (
+       |  SELECT td, ed, diag, rn, COUNT(*) AS rl FROM rid
+       |  GROUP BY td, ed, diag, rn
+       |), mx AS (
+       |  SELECT td, MAX(rl) AS max_run FROM runs GROUP BY td
+       |), ds AS (
+       |  SELECT td, COUNT(DISTINCT pt) AS n_matched_grams,
+       |    COUNT(DISTINCT ed) AS n_eval_docs
+       |  FROM m GROUP BY td
+       |)
+       |SELECT ds.td AS doc_id,
+       |  CAST(ds.n_matched_grams AS BIGINT) AS n_matched_grams,
+       |  CAST(ds.n_eval_docs AS BIGINT) AS n_eval_docs,
+       |  CAST(mx.max_run + ${n - 1} AS BIGINT) AS max_span_tokens,
+       |  (mx.max_run + ${n - 1} >= 13) AS flagged
+       |FROM ds JOIN mx ON mx.td = ds.td
+       |ORDER BY doc_id, n_matched_grams, n_eval_docs, max_span_tokens,
+       |  flagged""".stripMargin
+
+  /** Incremental decontamination screen (q266): the DEPLOYED daily
+    * face of q51 — every training document of the newest-10%-of-ids
+    * ingest batch (the q191/q254 split convention, cutoff re-derived
+    * by the oracle) reported with its shared-winnow-fingerprint count
+    * against the FROZEN eval set, its shared FRACTION in integer ppm,
+    * and a quarantine verdict. Emitting ALL batch docs (clean ones at
+    * 0) keeps the row count scale-proof (|batch| — the ADVICE r14
+    * spine-join rule): one verdict row per ingested document.
+    *
+    * The verdict is deliberately RELATIVE — the batch's nearest-rank
+    * p90 of shared_ppm, re-derived from the data by the oracle (the
+    * autoK rule) — because the measured absolute overlap distribution
+    * drifts a full 300k ppm across two growth decades (batch median
+    * 623k at 1×, 940k at 100×: a bigger eval set shares more
+    * fingerprints with everything, so any fixed cut goes uniform at
+    * some scale — the q246/q192 vacuous-constant bug class). A
+    * deployed daily screen triages the worst decile of each ingest
+    * for review; the per-doc COUNTS face
+    * ([[contaminationCountsOn]]) stays absolute, per-doc independent,
+    * and is what the stateless streaming twin
+    * (DocStream.contaminationScreenStream) emits.
+    *
+    * Scale shape: the batch side pays one winnow pass; the eval
+    * fingerprint set is ~2/(W+1) of the eval text positions and is
+    * leaf-stats SIZE-CONDITIONAL (broadcast under the limit,
+    * shuffle_hash above — the evalOverlapScoreOn rule; here too
+    * "small by nature" is a labeling convention, and this corpus's
+    * src0 share scales with the corpus). The p90 threshold is computed
+    * on the ppm VALUE GRID (≤ 1e6+1 rows whatever the corpus — a
+    * domain-bounded global window, the census-allowlisted class),
+    * never a batch-sized window or TakeOrdered. Documents never
+    * shuffle — 8-byte fingerprints, ids and counts do. */
+  def decontamIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    decontamScreenOn(docs, col("doc_id") >= cutoff)
+  }
+
+  /** Per-doc contamination counts of the `isBatch` slice against the
+    * frozen `evalSource` fingerprint set: (doc_id, n_fps,
+    * n_shared_fps, shared_ppm). Per-doc independent given the eval
+    * set — the face the streaming twin replays verbatim and the
+    * full-vs-batch bit-identity spec pins. */
+  def contaminationCountsOn(docs: DataFrame,
+      isBatch: org.apache.spark.sql.Column,
+      evalSource: String = "src0"): DataFrame = {
+    val evalFp = TextAnalysis.winnowed(
+        docs.filter(col("source") === evalSource))
+      .select(explode(col("fingerprints")).as("fp")).distinct()
+    // "small by nature" is a labeling convention, not a structural
+    // bound (the evalOverlapScoreOn rule): winnow keeps ~2/(W+1) of
+    // the byte positions as 8-byte longs, so the fingerprint table is
+    // bounded by ~2× the text bytes; ×6 covers parquet compression.
+    // Whole-corpus leaf mass is the conservative bound — under the
+    // limit broadcast, above it shuffle_hash, never an unbounded
+    // broadcast on a guess.
+    val limit = docs.sparkSession.conf
+      .getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val evalSized =
+      if (PlanStats.leafBytes(docs) * 6 <= limit) broadcast(evalFp)
+      else evalFp.hint("shuffle_hash")
+    val batch = TextAnalysis.winnowed(
+        docs.filter(isBatch && col("source") =!= evalSource))
+      .select(col("doc_id"),
+        size(col("fingerprints")).cast("long").as("n_fps"),
+        col("fingerprints"))
+    val shared = batch
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      .join(evalSized, Seq("fp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+    batch.select(col("doc_id"), col("n_fps"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fps"),
+        coalesce(col("__n"), lit(0L)).as("n_shared_fps"))
+      .withColumn("shared_ppm",
+        expr("n_shared_fps * 1000000 div n_fps"))
+  }
+
+  /** [[contaminationCountsOn]] + the batch-relative triage verdict:
+    * quarantine = shared_ppm at or above the batch's nearest-rank
+    * p90 (k = ceil(0.9·n), ties included). The threshold walk runs
+    * over per-ppm-value counts — a grid bounded by the ppm domain,
+    * not the corpus. */
+  def decontamScreenOn(docs: DataFrame,
+      isBatch: org.apache.spark.sql.Column,
+      evalSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pp = Dedup.register(contaminationCountsOn(docs, isBatch, evalSource)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nn = pp.agg(count(lit(1)).as("__nb"))
+    // domain-bounded value grid (≤ 1e6+1 rows): cumulative counts by
+    // ppm value, nearest-rank selection — the q100 family without a
+    // corpus-sized window or a driver-side TakeOrdered
+    val wv = Window.orderBy(col("shared_ppm"))
+    val thr = pp.groupBy(col("shared_ppm"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .crossJoin(broadcast(nn))
+      .filter(col("__cum") >= expr("(9 * __nb + 9) div 10"))
+      .agg(min(col("shared_ppm")).as("__thr"))
+    pp.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_fps"), col("n_shared_fps"),
+        col("shared_ppm"),
+        (col("shared_ppm") >= col("__thr")).as("quarantine"))
+      .orderBy(col("doc_id"), col("n_fps"), col("n_shared_fps"),
+        col("shared_ppm"), col("quarantine"))
+  }
 }

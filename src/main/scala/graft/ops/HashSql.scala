@@ -112,6 +112,44 @@ object HashSql {
        |GROUP BY f.doc_id HAVING count(*) >= $minShared
        |ORDER BY doc_id""".stripMargin
 
+  /** q266: the incremental decontamination screen — the q51 winnow
+    * replay restricted to the newest-10%-of-ids ingest batch (cutoff
+    * re-derived from the data, the autoK rule), every batch doc
+    * reported (clean ones at 0) with its shared-fingerprint counts,
+    * ppm fraction, and the batch-relative nearest-rank-p90 quarantine
+    * verdict (threshold also re-derived — a cum-walk over per-ppm
+    * value counts, mirroring the Spark value-grid window). */
+  def decontamIncrementalOracle: String =
+    s"""WITH $windowHashCtes,
+       |$winnowMinsCte,
+       |st AS (SELECT (MAX(doc_id) + 1) * 9 // 10 AS cutoff FROM documents),
+       |fpd AS (SELECT doc_id, source, list_distinct(mn) AS fps FROM mins),
+       |fp AS (SELECT doc_id, source, unnest(fps) AS fp FROM fpd),
+       |ev AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0'),
+       |bdocs AS (SELECT d.doc_id, len(fpd.fps) AS nf
+       |          FROM documents d CROSS JOIN st
+       |          JOIN fpd ON fpd.doc_id = d.doc_id
+       |          WHERE d.doc_id >= st.cutoff AND d.source <> 'src0'),
+       |sh AS (SELECT f.doc_id, count(*) AS n FROM fp f
+       |       JOIN ev ON f.fp = ev.fp CROSS JOIN st
+       |       WHERE f.source <> 'src0' AND f.doc_id >= st.cutoff
+       |       GROUP BY f.doc_id),
+       |pp AS (SELECT b.doc_id, b.nf,
+       |         COALESCE(sh.n, 0) AS ns,
+       |         COALESCE(sh.n, 0) * 1000000 // b.nf AS ppm
+       |       FROM bdocs b LEFT JOIN sh ON sh.doc_id = b.doc_id),
+       |nn AS (SELECT count(*) AS nb FROM pp),
+       |vals AS (SELECT ppm, count(*) AS c FROM pp GROUP BY ppm),
+       |cw AS (SELECT ppm, SUM(c) OVER (ORDER BY ppm) AS cum FROM vals),
+       |thr AS (SELECT MIN(ppm) AS t FROM cw CROSS JOIN nn
+       |        WHERE cum >= (9 * nb + 9) // 10)
+       |SELECT pp.doc_id, CAST(pp.nf AS BIGINT) AS n_fps,
+       |  CAST(pp.ns AS BIGINT) AS n_shared_fps,
+       |  CAST(pp.ppm AS BIGINT) AS shared_ppm,
+       |  (pp.ppm >= thr.t) AS quarantine
+       |FROM pp CROSS JOIN thr
+       |ORDER BY doc_id, n_fps, n_shared_fps, shared_ppm, quarantine""".stripMargin
+
   /** q83: deterministic SimHash — the engine's SimHash semantics (per-
     * token 64-bit hash, ±1 bit balances, bit set when balance >= 0,
     * 4×16-bit bands) with the replayable FNV+splitmix token hash in

@@ -95,6 +95,39 @@ object DocStream {
           .write.mode("append").parquet(outDir)
     }
 
+  /** [[docSchema]] plus the source label — the q266 contamination
+    * twin excludes eval-source rows from the screened side. */
+  val sourcedDocSchema: StructType = StructType.fromDDL(
+    "doc_id LONG, text STRING, source STRING, ingest_ts TIMESTAMP")
+
+  /** Streaming twin of the incremental decontamination screen's
+    * COUNTS face (graft.ops.Decontaminate.contaminationCountsOn,
+    * q266): per arriving training document, its winnow-fingerprint
+    * count, shared count against the STATIC frozen eval set, and the
+    * shared ppm fraction — the live "is today's crawl leaking the
+    * eval set" feed. Per-doc independent given the frozen eval
+    * fingerprints, so the op is completely stateless across batches:
+    * each micro-batch runs the batch core verbatim with `isBatch =
+    * every row` (the windowNoveltyStream shape — no drift possible)
+    * and appends its rows; chunked arrival provably cannot change any
+    * row (StreamingSpec-style 2-batch parity in Round15bOpsSpec).
+    * The batch query's quarantine verdict is deliberately NOT
+    * emitted here: it is batch-RELATIVE (nearest-rank p90 of the
+    * whole ingest), so a per-micro-batch replay would drift by
+    * construction — the verdict layer reads the day's accumulated
+    * counts, exactly as q266 computes it. */
+  def contaminationScreenStream(docs: DataFrame, evalDocs: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.ops.Decontaminate.contaminationCountsOn(
+            batch.select(col("doc_id"), col("source"), col("text"))
+              .unionByName(evalDocs
+                .select(col("doc_id"), col("source"), col("text"))),
+            lit(true))
+          .write.mode("append").parquet(outDir)
+    }
+
   case class BDoc(doc_id: Long, source: String, n_tokens: Long)
   case class BudgetState(cum: Long)
   case class BVerdict(doc_id: Long, source: String, cum_tokens: Long,

@@ -28,13 +28,13 @@ class GlobalWindowDisciplineSpec extends SparkSpec {
     * the per-SUPPLIER aggregate — supplier count scales with the
     * corpus) and q116 (full-frame totals over the corpus/stride chunk
     * table), both FIXED to broadcast 1-row aggregates rather than
-    * excused. The AllowlistSize (= 13) entries below are bounded by
+    * excused. The AllowlistSize (= 14) entries below are bounded by
     * domain or by a documented scale swap (ADVICE r13 #1: the count
     * is asserted against the map, so prose and code can't drift).
     * Every other global-window-looking site (q258's quartile cuts,
     * the RRF ranks, q65's cluster profile, …) either sits above a
     * limit the optimizer folds away or is partitioned. */
-  private val AllowlistSize = 13
+  private val AllowlistSize = 14
   private val boundedGlobalWindow: Map[String, String] = Map(
     "q92" -> ("funnel: lag over the 3-row stage frame (one row per" +
       " funnel stage — Behavior.scala documents the deliberate" +
@@ -73,7 +73,11 @@ class GlobalWindowDisciplineSpec extends SparkSpec {
       " AGE at 525.6k rows/year, never with corpus size or user count" +
       " (Behavior.conversionLatencyOn documents the same number)"),
     "q239" -> ("error burn: 7-day range window over the per-DAY" +
-      " aggregate — calendar-bounded"))
+      " aggregate — calendar-bounded"),
+    "q266" -> ("decontam screen: nearest-rank-p90 cum-walk over the" +
+      " per-shared_ppm VALUE grid — bounded by the ppm domain" +
+      " (≤ 1e6+1 rows) whatever the corpus (Decontaminate" +
+      ".decontamScreenOn documents the q100-family choice)"))
 
   private def globalWindows(p: LogicalPlan): Seq[LWindow] =
     p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
