@@ -5,7 +5,15 @@ import graft.ops.Decontaminate
 
 /** Round-15 continuation: the contamination-span audit (q265) and the
   * incremental decontamination screen (q266). */
-class Round15bOpsSpec extends SparkSpec {
+class Round15bOpsSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  // span/screen entry points register persists (the q146 rule);
+  // drain after every test exactly like Bench/Verify do per query
+  override protected def afterEach(): Unit = {
+    graft.ops.Dedup.unpersistCaches()
+    super.afterEach()
+  }
 
   // ---- q265 planted fixture ----------------------------------------
   // eval1 (20 tokens w1..w20), eval2 (10 tokens w3..w12); train docs:
@@ -70,6 +78,41 @@ class Round15bOpsSpec extends SparkSpec {
     spark.conf.set(key, (64L * 1024 * 1024 * 1024).toString)
     try assert(Decontaminate.contaminationSpansOn(spanDocs).count() == 3L)
     finally spark.conf.unset(key)
+  }
+
+  test("q265 plan: eval side broadcasts at test scale; no exchange ships gram strings") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = Decontaminate.contaminationSpans(spark, sf)
+    try {
+      df.collect() // materialize so the AQE final plan is in place
+      var bhj = 0
+      val gramShuffles = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BroadcastHashJoinExec =>
+          bhj += 1; b.children.foreach(walk)
+        case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)
+        case s: ShuffleExchangeLike =>
+          gramShuffles ++= s.output.filter(_.name == "gram").map(_.name)
+          s.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      // the match join broadcasts the (small, leaf-stats-sized) eval
+      // gram side at test scale — the corpus gram stream never sorts
+      // or shuffles for it
+      assert(bhj >= 1, "no BroadcastHashJoin in the q265 plan")
+      // the run-window/aggregate exchanges ship ids + positions only;
+      // a gram string on an exchange would be the q259 row-width
+      // regression class
+      assert(gramShuffles.isEmpty,
+        s"an exchange carried the gram column: $gramShuffles")
+    } finally graft.ops.Dedup.unpersistCaches()
   }
 
   // ---- q266 ---------------------------------------------------------
