@@ -800,6 +800,15 @@ object ScaleRehearsal {
               Seq("gram"))
             .count())
         report("q265_span_match_slots", tSl, nSl)
+        // q267: the forecast query itself — its n=8 match_slots row
+        // must equal the raw-join count above at every decade
+        val (sl267, tPf) = timed(
+          graft.ops.Decontaminate.decontamPreflightOn(d)
+            .filter(col("gram_n") === 8L).head().getAs[Long]("match_slots"))
+        report("q267_decontam_gate_slots", tPf, sl267)
+        if (sl267 != nSl)
+          println(s"""{"op":"q267_slot_mismatch","scale":"$scale",""" +
+            s""""priced":$sl267,"joined":$nSl}""")
       }
       // q266: the daily decontamination screen — |batch| rows by
       // construction; the cost is one winnow pass over the batch +

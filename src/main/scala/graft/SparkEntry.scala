@@ -398,6 +398,9 @@ object SparkEntry {
     // q266: the deployed daily face of q51 — every newest-10% ingest
     // doc screened against the frozen eval fingerprints, with verdict
     "q266_decontam_incremental" -> (Decontaminate.decontamIncremental _),
+    // q267: the q259-methodology forecast face of the decontam gate —
+    // matched-slot pricing swept over gram lengths, zero pairs run
+    "q267_decontam_preflight" -> (Decontaminate.decontamPreflight _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2764,6 +2767,8 @@ object SparkEntry {
         Decontaminate.contaminationSpansOracleSql(),
       "q266_decontam_incremental" ->
         HashSql.decontamIncrementalOracle,
+      "q267_decontam_preflight" ->
+        Decontaminate.decontamPreflightOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -426,6 +426,96 @@ object Decontaminate {
        |ORDER BY doc_id, n_matched_grams, n_eval_docs, max_span_tokens,
        |  flagged""".stripMargin
 
+  /** Decontamination pre-flight (q267): the q259 "price it, then run
+    * it" forecast face of the `graft.decontam.maxExchangeBytes` gate,
+    * swept over candidate gram lengths. Per n ∈ {3, 5, 8}: the number
+    * of distinct shared grams, the matched-position join slots
+    * Σ_g cT(g)·cE(g) — EXACTLY the rows the q265 match join processes
+    * before any run grouping — the hottest gram's slot share, and the
+    * exchange estimate at the 56-B matched row. This is how a
+    * deployment picks the gram length from DATA instead of folklore:
+    * at this corpus the sweep reads ~119k slots for trigrams vs ~1.2k
+    * for 8-grams at sf0.1 — the longer gram IS the fanout throttle,
+    * and the row that proves it costs three linear scans, zero pairs.
+    *
+    * Scale shape: per swept n, two gram-keyed counts and one keyed
+    * join of count tables (gram-distinct-sized, not position-sized);
+    * a fixed 3-row output spine whatever the corpus (agg-without-
+    * groupBy rows coalesced to 0 — the ADVICE r15 scale-proof rule). */
+  def decontamPreflight(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    decontamPreflightOn(graft.Tables.documents(spark, dir))
+
+  /** Frame-based core of [[decontamPreflight]]. */
+  def decontamPreflightOn(docs: DataFrame,
+      evalSource: String = "src0",
+      ns: Seq[Int] = Seq(3, 5, 8)): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perN = ns.map { n =>
+      val g = gramPosFrame(docs, n)
+      val ct = g.filter(col("source") =!= evalSource)
+        .groupBy(col("gram")).agg(count(lit(1)).as("ct"))
+      val ce = g.filter(col("source") === evalSource)
+        .groupBy(col("gram")).agg(count(lit(1)).as("ce"))
+      ct.join(ce, Seq("gram"))
+        .agg(count(lit(1)).as("__sg"),
+          sum(dec(col("ct")) * dec(col("ce"))).as("__sl"),
+          max(dec(col("ct")) * dec(col("ce"))).as("__mx"))
+        .select(lit(n.toLong).as("gram_n"),
+          col("__sg").cast("long").as("shared_grams"),
+          expr("CAST(coalesce(__sl, 0) AS BIGINT)").as("match_slots"),
+          expr("CAST(coalesce(__mx, 0) AS BIGINT)").as("max_gram_slots"))
+    }
+    perN.reduce(_.unionByName(_))
+      .select(col("gram_n"), col("shared_grams"), col("match_slots"),
+        col("max_gram_slots"),
+        expr("CASE WHEN match_slots = 0 THEN 0L " +
+          "ELSE CAST(CAST(max_gram_slots AS DECIMAL(38,0)) * 1000000 " +
+          "div match_slots AS BIGINT) END").as("top_gram_ppm"),
+        expr(s"CAST(CAST(match_slots AS DECIMAL(38,0)) * $SpanRowBytes " +
+          "AS BIGINT)").as("est_exchange_bytes"))
+      .orderBy(col("gram_n"), col("shared_grams"), col("match_slots"),
+        col("max_gram_slots"), col("top_gram_ppm"),
+        col("est_exchange_bytes"))
+  }
+
+  /** DuckDB oracle for [[decontamPreflight]]: per swept n, the gram
+    * CTEs + count-table join, unioned over the fixed n spine. */
+  def decontamPreflightOracleSql(ns: Seq[Int] = Seq(3, 5, 8)): String = {
+    val blocks = ns.map { n =>
+      s"""SELECT $n AS gram_n, COUNT(*) AS sg,
+         |  SUM(ct.c * ce.c) AS sl, MAX(ct.c * ce.c) AS mx
+         |FROM (
+         |  SELECT gram, COUNT(*)::HUGEINT AS c FROM (
+         |    SELECT list_aggregate(s[pos:pos + ${n - 1}], 'string_agg', ' ') AS gram
+         |    FROM (SELECT source, unnest(range(1, len(s) - ${n - 2})) AS pos, s
+         |          FROM (SELECT source, string_split(text, ' ') AS s
+         |                FROM documents) t0) t1
+         |    WHERE source <> 'src0') t2 GROUP BY gram) ct
+         |JOIN (
+         |  SELECT gram, COUNT(*)::HUGEINT AS c FROM (
+         |    SELECT list_aggregate(s[pos:pos + ${n - 1}], 'string_agg', ' ') AS gram
+         |    FROM (SELECT source, unnest(range(1, len(s) - ${n - 2})) AS pos, s
+         |          FROM (SELECT source, string_split(text, ' ') AS s
+         |                FROM documents) e0) e1
+         |    WHERE source = 'src0') e2 GROUP BY gram) ce
+         |ON ct.gram = ce.gram""".stripMargin
+    }
+    s"""WITH raw AS (
+       |${blocks.mkString("\n", "\nUNION ALL\n", "\n")})
+       |SELECT gram_n, CAST(sg AS BIGINT) AS shared_grams,
+       |  CAST(COALESCE(sl, 0) AS BIGINT) AS match_slots,
+       |  CAST(COALESCE(mx, 0) AS BIGINT) AS max_gram_slots,
+       |  CAST(CASE WHEN COALESCE(sl, 0) = 0 THEN 0
+       |    ELSE COALESCE(mx, 0) * 1000000 // sl END AS BIGINT)
+       |    AS top_gram_ppm,
+       |  CAST(COALESCE(sl, 0) * $SpanRowBytes AS BIGINT)
+       |    AS est_exchange_bytes
+       |FROM raw
+       |ORDER BY gram_n, shared_grams, match_slots, max_gram_slots,
+       |  top_gram_ppm, est_exchange_bytes""".stripMargin
+  }
+
   /** Incremental decontamination screen (q266): the DEPLOYED daily
     * face of q51 — every training document of the newest-10%-of-ids
     * ingest batch (the q191/q254 split convention, cutoff re-derived

@@ -128,6 +128,30 @@ object DocStream {
           .write.mode("append").parquet(outDir)
     }
 
+  /** Streaming twin of the contamination-span audit
+    * (graft.ops.Decontaminate.contaminationSpansOn, q265): per
+    * arriving training document, its longest matched 8-gram run
+    * against the STATIC frozen eval set. Spans are per-(train doc,
+    * eval doc) diagonals and the eval side is frozen, so the op is
+    * stateless across batches — each micro-batch unions the arrivals
+    * with the eval docs and runs the batch core verbatim (the
+    * contaminationScreenStream shape); chunked arrival provably
+    * cannot change any row (Round15bOpsSpec 2-batch parity). */
+  def contaminationSpansStream(docs: DataFrame, evalDocs: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        graft.ops.Decontaminate.contaminationSpansOn(
+            batch.select(col("doc_id"), col("source"), col("text"))
+              .unionByName(evalDocs
+                .select(col("doc_id"), col("source"), col("text"))))
+          .write.mode("append").parquet(outDir)
+        // the batch core register-persists its matched frame; inside
+        // a stream nothing drains the registry between micro-batches
+        // (the round-10 leak), so drain here after each write
+        graft.ops.Dedup.unpersistCaches()
+    }
+
   case class BDoc(doc_id: Long, source: String, n_tokens: Long)
   case class BudgetState(cum: Long)
   case class BVerdict(doc_id: Long, source: String, cum_tokens: Long,

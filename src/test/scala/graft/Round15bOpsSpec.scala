@@ -115,6 +115,67 @@ class Round15bOpsSpec extends SparkSpec
     } finally graft.ops.Dedup.unpersistCaches()
   }
 
+  test("q267 planted forecast: n=8 slots hand-computed; every n equals its raw join") {
+    val got = Decontaminate.decontamPreflightOn(spanDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toList
+    assert(got.map(_._1) == List(3L, 5L, 8L))
+    // n=8 by hand on the fixture: shared grams and their ct·ce —
+    //   w1..w8 1·1, w3..w10 1·2, w4..w11 1·2, w5..w12 2·2,
+    //   w6..w13 2·1, w7..w14 2·1, w8..w15 1·1, w9..w16 2·1,
+    //   w10..w17 1·1  →  9 grams, Σ 17, max 4
+    val n8 = got.last
+    assert(n8 == ((8L, 9L, 17L, 4L, 4L * 1000000L / 17L, 17L * 56L)),
+      s"n=8 forecast: $n8")
+    // slot-equality (the q259 raw-join rule): the priced slot count
+    // IS the row count the positional match join processes, per n
+    for (n <- Seq(3, 5, 8)) {
+      val g = Decontaminate.gramPosFrame(spanDocs, n)
+      val actual = g.filter(col("source") =!= "src0").select(col("gram"))
+        .join(g.filter(col("source") === "src0").select(col("gram")),
+          Seq("gram"))
+        .count()
+      val priced = got.find(_._1 == n.toLong).get._3
+      assert(priced == actual, s"n=$n priced $priced != joined $actual")
+    }
+  }
+
+  test("q265 streaming twin equals the batch spans on a 2-batch split") {
+    import graft.streaming.DocStream
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf)
+    val evalDocs = docs.filter(col("source") === "src0")
+      .select("doc_id", "source", "text")
+    val ingest = docs.filter(col("source") =!= "src0")
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1767225600L) + col("doc_id")))
+      .select("doc_id", "text", "source", "ingest_ts")
+    val staged = Files.createTempDirectory("graft_spanstream").toString
+    ingest.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(staged)
+    ingest.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(staged)
+    val outDir =
+      Files.createTempDirectory("graft_spanstream_out").toString + "/s"
+    val stream = spark.readStream.schema(DocStream.sourcedDocSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocStream.contaminationSpansStream(stream, evalDocs, outDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_matched_grams"), r.getAs[Long]("n_eval_docs"),
+        r.getAs[Long]("max_span_tokens"), r.getAs[Boolean]("flagged")))
+      .toSet
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(Decontaminate.contaminationSpansOn(docs))
+    assert(streamed.nonEmpty, "streaming spans emitted nothing")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   // ---- q266 ---------------------------------------------------------
 
   test("q266 counts face: full == batch-filtered; verdicts split the batch") {
