@@ -319,41 +319,29 @@ object Decontaminate {
       dir: String): DataFrame =
     contaminationSpansOn(graft.Tables.documents(spark, dir))
 
-  /** Frame-based core of [[contaminationSpans]] (needs doc_id,
-    * source, text). */
-  def contaminationSpansOn(docs: DataFrame,
-      evalSource: String = "src0", n: Int = SpanGram): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = gramPosFrame(docs, n)
-    val train = grams.filter(col("source") =!= evalSource)
-      .select(col("doc_id").as("td"), col("pos").as("pt"), col("gram"))
-    val evalG = grams.filter(col("source") === evalSource)
+  /** The eval side of the span match as a reusable feature frame
+    * (ed, pe, gram) — the precomputed/persisted artifact a deployed
+    * stream joins against (the persisted-artifact pattern: build the
+    * frozen eval features ONCE, not per micro-batch). */
+  def evalGramPositions(evalDocs: DataFrame,
+      n: Int = SpanGram): DataFrame =
+    gramPosFrame(evalDocs, n)
       .select(col("doc_id").as("ed"), col("pos").as("pe"), col("gram"))
-    docs.sparkSession.conf.getOption("graft.decontam.maxExchangeBytes")
-      .map(_.toLong).foreach { budget =>
-        val (slots, mx) = Dedup.joinSlots(
-          train.select(col("gram").as("g64")),
-          evalG.select(col("gram").as("g64")))
-        Dedup.failBudget("contamination-span",
-          "graft.decontam.maxExchangeBytes", budget, slots, mx,
-          SpanRowBytes)
-      }
-    // eval-side sizing: each token starts at most one n-gram and the
-    // gram string carries ~n tokens, so the gram table is bounded by
-    // ~n× the text bytes; ×10 total covers parquet string compression
-    // at n=8 (the evalOverlapScoreOn leaf-stats rule — whole-corpus
-    // leaf mass as the conservative bound, shuffle_hash over the
-    // limit, never an unbounded broadcast on a guess).
-    val limit = docs.sparkSession.conf
-      .getOption("graft.setsim.broadcastBytes")
-      .map(_.toLong).getOrElse(256L * 1024 * 1024)
-    val estBytes = PlanStats.leafBytes(docs) * 10
-    val evalSized =
-      if (estBytes <= limit) broadcast(evalG) else evalG.hint("shuffle_hash")
-    val m = Dedup.register(train.join(evalSized, Seq("gram"))
-      .select(col("td"), col("ed"), col("pt"), col("pe"),
-        (col("pt") - col("pe")).as("diag"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The train side of the span match: (td, pt, gram). */
+  private[graft] def trainGramPositions(trainDocs: DataFrame,
+      n: Int = SpanGram): DataFrame =
+    gramPosFrame(trainDocs, n)
+      .select(col("doc_id").as("td"), col("pos").as("pt"), col("gram"))
+
+  /** Run statistics over a MATCHED-position frame m = (td, ed, pt,
+    * diag): diagonal lag/run-id windows, two-level max, per-doc
+    * distinct counts, the shared tail of the batch face and the
+    * streaming twin (so the run rule cannot drift). `m` is consumed
+    * twice — callers persist it (register-persist in the batch face,
+    * a local per-micro-batch persist in the stream). */
+  private[graft] def spanStatsOf(m: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("td"), col("ed"), col("diag"))
       .orderBy(col("pt"))
     val runs = m
@@ -376,6 +364,45 @@ object Decontaminate {
         (col("max_run") + lit(n - 1).cast("long") >= 13L).as("flagged"))
       .orderBy(col("doc_id"), col("n_matched_grams"),
         col("n_eval_docs"), col("max_span_tokens"), col("flagged"))
+  }
+
+  /** Frame-based core of [[contaminationSpans]] (needs doc_id,
+    * source, text). */
+  def contaminationSpansOn(docs: DataFrame,
+      evalSource: String = "src0", n: Int = SpanGram): DataFrame = {
+    val train = trainGramPositions(
+      docs.filter(col("source") =!= evalSource), n)
+    val evalG = evalGramPositions(
+      docs.filter(col("source") === evalSource), n)
+    docs.sparkSession.conf.getOption("graft.decontam.maxExchangeBytes")
+      .map(_.toLong).foreach { budget =>
+        val (slots, mx) = Dedup.joinSlots(
+          train.select(col("gram").as("g64")),
+          evalG.select(col("gram").as("g64")))
+        Dedup.failBudget("contamination-span",
+          "graft.decontam.maxExchangeBytes", budget, slots, mx,
+          SpanRowBytes)
+      }
+    // eval-side sizing: each token starts at most one n-gram and the
+    // gram string carries ~n tokens, so the gram table is bounded by
+    // ~n× the text bytes; ×10 total covers parquet string compression
+    // at n=8 (the evalOverlapScoreOn leaf-stats rule — whole-corpus
+    // leaf mass as the conservative bound, shuffle_hash over the
+    // limit, never an unbounded broadcast on a guess).
+    val limit = docs.sparkSession.conf
+      .getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val estBytes = PlanStats.leafBytes(docs) * 10
+    val evalSized =
+      if (estBytes <= limit) broadcast(evalG) else evalG.hint("shuffle_hash")
+    // matched rows only: (td, ed, pt, diag) — pe is recoverable as
+    // pt − diag and never read, so it stays off the persist and the
+    // priced exchange (the 4-long row SpanRowBytes prices)
+    val m = Dedup.register(train.join(evalSized, Seq("gram"))
+      .select(col("td"), col("ed"), col("pt"),
+        (col("pt") - col("pe")).as("diag"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    spanStatsOf(m, n)
   }
 
   /** DuckDB oracle for [[contaminationSpans]]: tokenize, positional
@@ -446,18 +473,22 @@ object Decontaminate {
       dir: String): DataFrame =
     decontamPreflightOn(graft.Tables.documents(spark, dir))
 
-  /** Frame-based core of [[decontamPreflight]]. */
+  /** Frame-based core of [[decontamPreflight]]. One gram explode per
+    * swept n with per-side CONDITIONAL counts (the r13 one-scan
+    * sweep rule) — a filter-per-side pair would re-run the explode
+    * twice per n. */
   def decontamPreflightOn(docs: DataFrame,
       evalSource: String = "src0",
       ns: Seq[Int] = Seq(3, 5, 8)): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val perN = ns.map { n =>
-      val g = gramPosFrame(docs, n)
-      val ct = g.filter(col("source") =!= evalSource)
-        .groupBy(col("gram")).agg(count(lit(1)).as("ct"))
-      val ce = g.filter(col("source") === evalSource)
-        .groupBy(col("gram")).agg(count(lit(1)).as("ce"))
-      ct.join(ce, Seq("gram"))
+      gramPosFrame(docs, n)
+        .groupBy(col("gram"))
+        .agg(sum(when(col("source") =!= evalSource, 1L).otherwise(0L))
+            .as("ct"),
+          sum(when(col("source") === evalSource, 1L).otherwise(0L))
+            .as("ce"))
+        .filter(col("ct") > 0L && col("ce") > 0L)
         .agg(count(lit(1)).as("__sg"),
           sum(dec(col("ct")) * dec(col("ce"))).as("__sl"),
           max(dec(col("ct")) * dec(col("ce"))).as("__mx"))
@@ -564,9 +595,6 @@ object Decontaminate {
   def contaminationCountsOn(docs: DataFrame,
       isBatch: org.apache.spark.sql.Column,
       evalSource: String = "src0"): DataFrame = {
-    val evalFp = TextAnalysis.winnowed(
-        docs.filter(col("source") === evalSource))
-      .select(explode(col("fingerprints")).as("fp")).distinct()
     // "small by nature" is a labeling convention, not a structural
     // bound (the evalOverlapScoreOn rule): winnow keeps ~2/(W+1) of
     // the byte positions as 8-byte longs, so the fingerprint table is
@@ -577,25 +605,39 @@ object Decontaminate {
     val limit = docs.sparkSession.conf
       .getOption("graft.setsim.broadcastBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val evalFp =
+      evalFingerprints(docs.filter(col("source") === evalSource))
     val evalSized =
       if (PlanStats.leafBytes(docs) * 6 <= limit) broadcast(evalFp)
       else evalFp.hint("shuffle_hash")
-    val batch = TextAnalysis.winnowed(
-        docs.filter(isBatch && col("source") =!= evalSource))
+    countsAgainst(docs.filter(isBatch && col("source") =!= evalSource),
+      evalSized)
+  }
+
+  /** The frozen eval fingerprint set as a reusable marker frame
+    * (fp, hit=1) — the precomputed/persisted artifact a deployed
+    * stream joins against (the persisted-artifact pattern). */
+  def evalFingerprints(evalDocs: DataFrame): DataFrame =
+    TextAnalysis.winnowed(evalDocs)
+      .select(explode(col("fingerprints")).as("fp")).distinct()
+      .withColumn("hit", lit(1L))
+
+  /** Counts core against an already-sized eval fingerprint frame:
+    * ONE winnow pass (n_fps rides the exploded rows — the q173
+    * left-join + conditional-sum shape, no second consumer and no
+    * persist needed). */
+  private[graft] def countsAgainst(batchTrain: DataFrame,
+      evalSized: DataFrame): DataFrame =
+    TextAnalysis.winnowed(batchTrain)
       .select(col("doc_id"),
         size(col("fingerprints")).cast("long").as("n_fps"),
-        col("fingerprints"))
-    val shared = batch
-      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-      .join(evalSized, Seq("fp"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
-    batch.select(col("doc_id"), col("n_fps"))
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_fps"),
-        coalesce(col("__n"), lit(0L)).as("n_shared_fps"))
+        explode(col("fingerprints")).as("fp"))
+      .join(evalSized, Seq("fp"), "left")
+      .groupBy(col("doc_id"), col("n_fps"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_shared_fps"))
+      .select(col("doc_id"), col("n_fps"), col("n_shared_fps"))
       .withColumn("shared_ppm",
         expr("n_shared_fps * 1000000 div n_fps"))
-  }
 
   /** [[contaminationCountsOn]] + the batch-relative triage verdict:
     * quarantine = shared_ppm at or above the batch's nearest-rank

@@ -101,56 +101,85 @@ object DocStream {
     "doc_id LONG, text STRING, source STRING, ingest_ts TIMESTAMP")
 
   /** Streaming twin of the incremental decontamination screen's
-    * COUNTS face (graft.ops.Decontaminate.contaminationCountsOn,
-    * q266): per arriving training document, its winnow-fingerprint
-    * count, shared count against the STATIC frozen eval set, and the
-    * shared ppm fraction — the live "is today's crawl leaking the
-    * eval set" feed. Per-doc independent given the frozen eval
-    * fingerprints, so the op is completely stateless across batches:
-    * each micro-batch runs the batch core verbatim with `isBatch =
-    * every row` (the windowNoveltyStream shape — no drift possible)
-    * and appends its rows; chunked arrival provably cannot change any
-    * row (StreamingSpec-style 2-batch parity in Round15bOpsSpec).
-    * The batch query's quarantine verdict is deliberately NOT
-    * emitted here: it is batch-RELATIVE (nearest-rank p90 of the
-    * whole ingest), so a per-micro-batch replay would drift by
+    * COUNTS face (graft.ops.Decontaminate.countsAgainst, q266): per
+    * arriving training document, its winnow-fingerprint count, shared
+    * count against the STATIC frozen eval set, and the shared ppm
+    * fraction — the live "is today's crawl leaking the eval set"
+    * feed. Per-doc independent given the frozen eval fingerprints, so
+    * the op is completely stateless across batches and chunked
+    * arrival provably cannot change any row (2-batch parity in
+    * Round15bOpsSpec).
+    *
+    * `evalFp` is the PREBUILT frozen artifact
+    * (Decontaminate.evalFingerprints, persisted/parquet-backed by the
+    * caller — the persisted-artifact pattern): building it per
+    * micro-batch would re-winnow the whole eval corpus every trigger,
+    * and a foreachBatch-side leaf has no measurable stats so the
+    * size-conditional join would never broadcast. Sizing happens ONCE
+    * here at stream construction from the artifact's own leaf/cache
+    * stats. The batch query's quarantine verdict is deliberately NOT
+    * emitted: it is batch-RELATIVE (nearest-rank p90 of the whole
+    * ingest), so a per-micro-batch replay would drift by
     * construction — the verdict layer reads the day's accumulated
     * counts, exactly as q266 computes it. */
-  def contaminationScreenStream(docs: DataFrame, evalDocs: DataFrame,
-      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def contaminationScreenStream(docs: DataFrame, evalFp: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val limit = evalFp.sparkSession.conf
+      .getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val sized =
+      if (graft.ops.PlanStats.leafBytes(evalFp) * 2 <= limit)
+        broadcast(evalFp)
+      else evalFp.hint("shuffle_hash")
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        graft.ops.Decontaminate.contaminationCountsOn(
-            batch.select(col("doc_id"), col("source"), col("text"))
-              .unionByName(evalDocs
-                .select(col("doc_id"), col("source"), col("text"))),
-            lit(true))
+        graft.ops.Decontaminate.countsAgainst(
+            batch.filter(col("source") =!= "src0")
+              .select(col("doc_id"), col("source"), col("text")),
+            sized)
           .write.mode("append").parquet(outDir)
     }
+  }
 
   /** Streaming twin of the contamination-span audit
-    * (graft.ops.Decontaminate.contaminationSpansOn, q265): per
-    * arriving training document, its longest matched 8-gram run
-    * against the STATIC frozen eval set. Spans are per-(train doc,
-    * eval doc) diagonals and the eval side is frozen, so the op is
-    * stateless across batches — each micro-batch unions the arrivals
-    * with the eval docs and runs the batch core verbatim (the
-    * contaminationScreenStream shape); chunked arrival provably
-    * cannot change any row (Round15bOpsSpec 2-batch parity). */
-  def contaminationSpansStream(docs: DataFrame, evalDocs: DataFrame,
-      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    * (graft.ops.Decontaminate.spanStatsOf, q265): per arriving
+    * training document, its longest matched 8-gram run against the
+    * STATIC frozen eval set. Spans are per-(train doc, eval doc)
+    * diagonals and the eval side is frozen, so the op is stateless
+    * across batches; chunked arrival provably cannot change any row
+    * (Round15bOpsSpec 2-batch parity).
+    *
+    * `evalGrams` is the PREBUILT frozen artifact
+    * (Decontaminate.evalGramPositions, persisted/parquet-backed by
+    * the caller) — sized ONCE at construction, never re-exploded per
+    * trigger. The matched frame feeds two consumers, so each
+    * micro-batch persists it LOCALLY and unpersists after the write
+    * (the round-10 rule: a stream manages its own per-batch persists;
+    * it never touches the global registry other queries share). */
+  def contaminationSpansStream(docs: DataFrame, evalGrams: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.ops.Decontaminate
+    val limit = evalGrams.sparkSession.conf
+      .getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val sized =
+      if (graft.ops.PlanStats.leafBytes(evalGrams) * 2 <= limit)
+        broadcast(evalGrams)
+      else evalGrams.hint("shuffle_hash")
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        graft.ops.Decontaminate.contaminationSpansOn(
-            batch.select(col("doc_id"), col("source"), col("text"))
-              .unionByName(evalDocs
-                .select(col("doc_id"), col("source"), col("text"))))
+        val m = Decontaminate.trainGramPositions(
+            batch.filter(col("source") =!= "src0")
+              .select(col("doc_id"), col("source"), col("text")))
+          .join(sized, Seq("gram"))
+          .select(col("td"), col("ed"), col("pt"),
+            (col("pt") - col("pe")).as("diag"))
+          .persist()
+        try Decontaminate.spanStatsOf(m, Decontaminate.SpanGram)
           .write.mode("append").parquet(outDir)
-        // the batch core register-persists its matched frame; inside
-        // a stream nothing drains the registry between micro-batches
-        // (the round-10 leak), so drain here after each write
-        graft.ops.Dedup.unpersistCaches()
+        finally m.unpersist(): Unit
     }
+  }
 
   case class BDoc(doc_id: Long, source: String, n_tokens: Long)
   case class BudgetState(cum: Long)

@@ -160,9 +160,13 @@ class Round15bOpsSpec extends SparkSpec
       Files.createTempDirectory("graft_spanstream_out").toString + "/s"
     val stream = spark.readStream.schema(DocStream.sourcedDocSchema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
-    val q = DocStream.contaminationSpansStream(stream, evalDocs, outDir)
+    // the frozen eval artifact: built once, persisted by the caller
+    // (the deployed shape the twin documents)
+    val evalG = Decontaminate.evalGramPositions(evalDocs).persist()
+    evalG.count()
+    val q = DocStream.contaminationSpansStream(stream, evalG, outDir)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); evalG.unpersist(): Unit }
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("n_matched_grams"), r.getAs[Long]("n_eval_docs"),
@@ -254,9 +258,13 @@ class Round15bOpsSpec extends SparkSpec
       Files.createTempDirectory("graft_decontam_out").toString + "/s"
     val stream = spark.readStream.schema(DocStream.sourcedDocSchema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
-    val q = DocStream.contaminationScreenStream(stream, evalDocs, outDir)
+    // the frozen eval artifact: built once, persisted by the caller
+    // (the deployed shape the twin documents)
+    val evalFp = Decontaminate.evalFingerprints(evalDocs).persist()
+    evalFp.count()
+    val q = DocStream.contaminationScreenStream(stream, evalFp, outDir)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); evalFp.unpersist(): Unit }
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_fps"),
         r.getAs[Long]("n_shared_fps"), r.getAs[Long]("shared_ppm"))).toSet
