@@ -823,6 +823,21 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q266_decontam_screen", tSc, nSc)
       }
+      // q268: the deployed daily span audit — batch-sized spine by
+      // construction (shard-isomorph batches are content-disjoint
+      // from eval at 10×+, so matched stats legitimately read zero
+      // there; the wall is the batch gram explode + the sized eval
+      // join, the deployed-marginal cost of the q265 family)
+      if (wanted("q268")) {
+        val (nSa, tSa) = timed {
+          val cutoff = (d.agg(max(col("doc_id"))).head().getLong(0)
+            + 1L) * 9L / 10L
+          graft.ops.Decontaminate.spanAuditOn(d,
+            col("doc_id") >= cutoff).count()
+        }
+        Dedup.unpersistCaches()
+        report("q268_span_audit_incr", tSa, nSa)
+      }
       // q174: narrow per-row array fold, no shuffle — linear by
       // construction; the row exists to catch an accidental join/
       // shuffle creeping into the audit

@@ -401,6 +401,13 @@ object SparkEntry {
     // q267: the q259-methodology forecast face of the decontam gate —
     // matched-slot pricing swept over gram lengths, zero pairs run
     "q267_decontam_preflight" -> (Decontaminate.decontamPreflight _),
+    // q268: the deployed daily face of q265 — span stats for the
+    // newest-10% ingest batch vs the frozen eval set, |batch| rows
+    "q268_span_audit_incr" -> (Decontaminate.spanAuditIncremental _),
+    // q269: MinHash band-plan tuner — the measured Jaccard histogram
+    // folded through every b×r=64 S-curve; expected candidates +
+    // recall at τ per plan, cheapest plan meeting the recall SLO
+    "q269_lsh_band_plan" -> (BandPlan.bandPlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2769,6 +2776,9 @@ object SparkEntry {
         HashSql.decontamIncrementalOracle,
       "q267_decontam_preflight" ->
         Decontaminate.decontamPreflightOracleSql(),
+      "q268_span_audit_incr" ->
+        Decontaminate.spanAuditIncrOracleSql(),
+      "q269_lsh_band_plan" -> BandPlan.bandPlanOracleSql(),
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

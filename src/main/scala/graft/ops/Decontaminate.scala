@@ -339,7 +339,10 @@ object Decontaminate {
     * distinct counts, the shared tail of the batch face and the
     * streaming twin (so the run rule cannot drift). `m` is consumed
     * twice — callers persist it (register-persist in the batch face,
-    * a local per-micro-batch persist in the stream). */
+    * a local per-micro-batch persist in the stream). Returns UNSORTED
+    * rows — the oracle-checked faces append their own orderBy (the
+    * stream writes order-free parquet and q268 joins the stats onto
+    * its batch spine, where an inner global sort would be waste). */
   private[graft] def spanStatsOf(m: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("td"), col("ed"), col("diag"))
@@ -362,24 +365,23 @@ object Decontaminate {
         (col("max_run") + lit(n - 1).cast("long")).cast("long")
           .as("max_span_tokens"),
         (col("max_run") + lit(n - 1).cast("long") >= 13L).as("flagged"))
-      .orderBy(col("doc_id"), col("n_matched_grams"),
-        col("n_eval_docs"), col("max_span_tokens"), col("flagged"))
   }
 
-  /** Frame-based core of [[contaminationSpans]] (needs doc_id,
-    * source, text). */
-  def contaminationSpansOn(docs: DataFrame,
-      evalSource: String = "src0", n: Int = SpanGram): DataFrame = {
-    val train = trainGramPositions(
-      docs.filter(col("source") =!= evalSource), n)
-    val evalG = evalGramPositions(
-      docs.filter(col("source") === evalSource), n)
+  /** Shared gate + sizing + match core: the budget-priced, register-
+    * persisted matched-position frame (td, ed, pt, diag) for a train
+    * slice against the eval docs. q265 passes the whole train corpus,
+    * q268 its ingest batch — same gate conf, same sizing rule, same
+    * priced row. */
+  private def spanMatched(docs: DataFrame, trainDocs: DataFrame,
+      evalDocs: DataFrame, gateName: String, n: Int): DataFrame = {
+    val train = trainGramPositions(trainDocs, n)
+    val evalG = evalGramPositions(evalDocs, n)
     docs.sparkSession.conf.getOption("graft.decontam.maxExchangeBytes")
       .map(_.toLong).foreach { budget =>
         val (slots, mx) = Dedup.joinSlots(
           train.select(col("gram").as("g64")),
           evalG.select(col("gram").as("g64")))
-        Dedup.failBudget("contamination-span",
+        Dedup.failBudget(gateName,
           "graft.decontam.maxExchangeBytes", budget, slots, mx,
           SpanRowBytes)
       }
@@ -398,20 +400,86 @@ object Decontaminate {
     // matched rows only: (td, ed, pt, diag) — pe is recoverable as
     // pt − diag and never read, so it stays off the persist and the
     // priced exchange (the 4-long row SpanRowBytes prices)
-    val m = Dedup.register(train.join(evalSized, Seq("gram"))
+    Dedup.register(train.join(evalSized, Seq("gram"))
       .select(col("td"), col("ed"), col("pt"),
         (col("pt") - col("pe")).as("diag"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    spanStatsOf(m, n)
   }
 
-  /** DuckDB oracle for [[contaminationSpans]]: tokenize, positional
-    * 8-grams via half-open `range` (start positions 1..len−7), the
-    * same diagonal lag/run-id windows, two-level max-run aggregate.
-    * The gram join doubles as the completeness gate (q126's rule): a
-    * dropped matched position = a shorter run = a hash mismatch. */
-  def contaminationSpansOracleSql(n: Int = SpanGram): String =
-    s"""WITH toks AS (
+  /** Frame-based core of [[contaminationSpans]] (needs doc_id,
+    * source, text). */
+  def contaminationSpansOn(docs: DataFrame,
+      evalSource: String = "src0", n: Int = SpanGram): DataFrame = {
+    val m = spanMatched(docs,
+      docs.filter(col("source") =!= evalSource),
+      docs.filter(col("source") === evalSource),
+      "contamination-span", n)
+    spanStatsOf(m, n)
+      .orderBy(col("doc_id"), col("n_matched_grams"),
+        col("n_eval_docs"), col("max_span_tokens"), col("flagged"))
+  }
+
+  /** DEPLOYED daily face of the span audit (q268): the q265 span
+    * statistics for the newest-10%-of-ids ingest batch ONLY (the
+    * q266/q191/q254 split convention, cutoff re-derived by the
+    * oracle), against the frozen eval set — the q264 pattern applied
+    * to the span family: q265 is the full-corpus oracle face, this is
+    * the row a daily ingest gate actually reads. Emits ALL batch
+    * train docs with zero-filled statistics for unmatched ones, so
+    * the row count is |batch| — scale-proof (the ADVICE r14
+    * spine-join rule), and never a vacuous 0-row green when the
+    * ingest slice happens to be clean (the q246 bug class; on
+    * shard-isomorph rehearsal corpora the batch is content-disjoint
+    * from eval at 10×+, so matched stats legitimately go to zero
+    * there while the spine keeps |batch| rows).
+    *
+    * Scale shape: one gram explode over the BATCH (corpus/10), one
+    * over eval; same size-conditional eval join and the same
+    * `graft.decontam.maxExchangeBytes` gate as q265, pricing the
+    * batch-side (deployed marginal) slot volume. The stats join back
+    * to the spine is id-keyed counts, never text. */
+  def spanAuditIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    spanAuditOn(docs, col("doc_id") >= cutoff)
+  }
+
+  /** Frame-based core of [[spanAuditIncremental]]: span stats for the
+    * `isBatch` train slice, left-joined onto the batch spine with
+    * zero fill. */
+  def spanAuditOn(docs: DataFrame,
+      isBatch: org.apache.spark.sql.Column,
+      evalSource: String = "src0", n: Int = SpanGram): DataFrame = {
+    val batchTrain =
+      docs.filter(isBatch && col("source") =!= evalSource)
+    val m = spanMatched(docs, batchTrain,
+      docs.filter(col("source") === evalSource),
+      "span-audit-incremental", n)
+    batchTrain.select(col("doc_id")).distinct()
+      .join(spanStatsOf(m, n), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("flagged"), lit(false)).as("flagged"))
+      .orderBy(col("doc_id"), col("n_matched_grams"),
+        col("n_eval_docs"), col("max_span_tokens"), col("flagged"))
+  }
+
+  /** Shared DuckDB CTE chain for the span-family oracles: tokenize,
+    * positional n-grams via half-open `range` (start positions
+    * 1..len−n+1), the same diagonal lag/run-id windows, two-level
+    * max-run aggregate. `prefixCte` is prepended (q268's `cut`);
+    * `trainPred` additionally filters the train side of the match
+    * (q265 passes TRUE, q268 the re-derived ingest cutoff). The
+    * caller appends its final SELECT over ds/mx. The gram join
+    * doubles as the completeness gate (q126's rule): a dropped
+    * matched position = a shorter run = a hash mismatch. */
+  private def spanOracleChain(n: Int, prefixCte: String,
+      trainPred: String): String =
+    s"""WITH $prefixCte toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS s FROM documents
        |), g AS (
        |  SELECT doc_id, source, unnest(range(1, len(s) - ${n - 2})) AS pos, s
@@ -424,7 +492,7 @@ object Decontaminate {
        |  SELECT t.doc_id AS td, e.doc_id AS ed, t.pos AS pt,
        |    t.pos - e.pos AS diag
        |  FROM gg t JOIN gg e ON t.gram = e.gram
-       |  WHERE t.source <> 'src0' AND e.source = 'src0'
+       |  WHERE t.source <> 'src0' AND e.source = 'src0' AND ($trainPred)
        |), r AS (
        |  SELECT td, ed, diag, pt,
        |    CASE WHEN pt - lag(pt) OVER (PARTITION BY td, ed, diag
@@ -443,13 +511,41 @@ object Decontaminate {
        |  SELECT td, COUNT(DISTINCT pt) AS n_matched_grams,
        |    COUNT(DISTINCT ed) AS n_eval_docs
        |  FROM m GROUP BY td
-       |)
+       |)""".stripMargin
+
+  /** DuckDB oracle for [[contaminationSpans]]. */
+  def contaminationSpansOracleSql(n: Int = SpanGram): String =
+    s"""${spanOracleChain(n, "", "TRUE")}
        |SELECT ds.td AS doc_id,
        |  CAST(ds.n_matched_grams AS BIGINT) AS n_matched_grams,
        |  CAST(ds.n_eval_docs AS BIGINT) AS n_eval_docs,
        |  CAST(mx.max_run + ${n - 1} AS BIGINT) AS max_span_tokens,
        |  (mx.max_run + ${n - 1} >= 13) AS flagged
        |FROM ds JOIN mx ON mx.td = ds.td
+       |ORDER BY doc_id, n_matched_grams, n_eval_docs, max_span_tokens,
+       |  flagged""".stripMargin
+
+  /** DuckDB oracle for [[spanAuditIncremental]]: the q265 chain with
+    * the train side cut to the newest-10% ingest batch (cutoff
+    * re-derived from the data — the autoK rule), left-joined onto the
+    * batch-doc spine with zero fill so the row count is |batch|. */
+  def spanAuditIncrOracleSql(n: Int = SpanGram): String =
+    s"""${spanOracleChain(n,
+          "cut AS (SELECT (MAX(doc_id) + 1) * 9 // 10 AS c" +
+            " FROM documents),",
+          "t.doc_id >= (SELECT c FROM cut)")},
+       |spine AS (
+       |  SELECT DISTINCT doc_id FROM documents
+       |  WHERE source <> 'src0' AND doc_id >= (SELECT c FROM cut)
+       |)
+       |SELECT spine.doc_id,
+       |  CAST(COALESCE(ds.n_matched_grams, 0) AS BIGINT) AS n_matched_grams,
+       |  CAST(COALESCE(ds.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+       |  CAST(COALESCE(mx.max_run + ${n - 1}, 0) AS BIGINT)
+       |    AS max_span_tokens,
+       |  COALESCE(mx.max_run + ${n - 1} >= 13, FALSE) AS flagged
+       |FROM spine LEFT JOIN ds ON ds.td = spine.doc_id
+       |  LEFT JOIN mx ON mx.td = spine.doc_id
        |ORDER BY doc_id, n_matched_grams, n_eval_docs, max_span_tokens,
        |  flagged""".stripMargin
 

@@ -110,7 +110,10 @@ class RegistrationDisciplineSpec extends AnyFunSuite {
       "vocab-row fold chain (shape covered by q255's row)"),
     "q258" -> ("the q126/q126i measured index pipeline at a looser " +
       "prefix cut + three single-partition windows over the tiny " +
-      "verified set"))
+      "verified set"),
+    "q269" -> ("id-bounded tuner audit slice by design (maxId=200, " +
+      "the q144/q192 discipline); the S-curve fold is over a " +
+      "domain-bounded 5-plan x 21-bin grid whatever the corpus"))
 
   test("every query from q140 on has a ScaleRehearsal row or exemption") {
     val rehearsal = read("src/main/scala/graft/ScaleRehearsal.scala")

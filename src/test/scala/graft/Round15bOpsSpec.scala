@@ -276,4 +276,55 @@ class Round15bOpsSpec extends SparkSpec
       s"stream-only: ${(streamed -- batch).take(3)}; " +
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  // ---- q268: deployed daily span audit ----------------------------
+
+  test("q268 planted: batch spine zero-fills clean docs, stats match q265") {
+    // batch = train docs with id >= 12: doc 12 (clean) and doc 13
+    val got = Decontaminate.spanAuditOn(spanDocs, col("doc_id") >= 12L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toList
+    assert(got == List(
+      (12L, 0L, 0L, 0L, false),
+      (13L, 2L, 1L, 8L, false)), s"got $got")
+  }
+
+  test("q268 deployed face == q265 filtered to the batch, plus zero rows") {
+    val docs = Tables.documents(spark, sf)
+    val cutoff =
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val deployed = tup(Decontaminate.spanAuditIncremental(spark, sf))
+    graft.ops.Dedup.unpersistCaches()
+    val full = tup(Decontaminate.contaminationSpans(spark, sf))
+      .filter(_._1 >= cutoff)
+    // per-doc independence: the batch slice computes exactly the rows
+    // the full audit computes for those docs
+    assert(deployed.filter(_._2 > 0L) == full,
+      s"deployed-only: ${(deployed.filter(_._2 > 0L) -- full).take(3)}; " +
+        s"full-only: ${(full -- deployed).take(3)}")
+    // the spine is every batch train doc — |batch| rows, scale-proof
+    val nBatch = docs
+      .filter(col("doc_id") >= cutoff && col("source") =!= "src0")
+      .select("doc_id").distinct().count()
+    assert(deployed.size.toLong == nBatch,
+      s"spine ${deployed.size} != batch $nBatch")
+    assert(deployed.exists(_._2 == 0L) || deployed == full,
+      "no zero-filled row and no full coverage — fixture lost its clean docs")
+  }
+
+  test("q268 budget gate: -1 fires on the deployed face too") {
+    val key = "graft.decontam.maxExchangeBytes"
+    spark.conf.set(key, "-1")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Decontaminate.spanAuditOn(spanDocs, col("doc_id") >= 12L).collect()
+      }
+      assert(ex.getMessage.contains(key), ex.getMessage)
+    } finally spark.conf.unset(key)
+  }
 }
