@@ -838,6 +838,28 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q268_span_audit_incr", tSa, nSa)
       }
+      // q270: plane-count tuner — one narrow scan + bucket-histogram
+      // work; the row doubles as the standing record of WHY autoPlanes
+      // exists (cand_pairs at fixed p=8 grows ~N², at the chosen p it
+      // stays ~linear — the round-11 edge-flattening, now priced by a
+      // query instead of measured after the join)
+      if (wanted("q270")) {
+        val e = embAt(scale)
+        val (rowsPp, tPp) = timed {
+          val r = graft.ops.Similarity.planePlanOn(e).collect()
+          Dedup.unpersistCaches()
+          r
+        }
+        report("q270_plane_plan", tPp, rowsPp.length.toLong)
+        def row(p: Long) = rowsPp.find(_.getLong(0) == p).get
+        val chosen = rowsPp.find(_.getBoolean(5)).get
+        println(s"""{"op":"q270_cand_pairs","scale":"$scale",""" +
+          s""""fixed8":${row(8L).getLong(3)},""" +
+          s""""chosen_p":${chosen.getLong(0)},""" +
+          s""""chosen":${chosen.getLong(3)},""" +
+          s""""max_bucket8":${row(8L).getLong(2)},""" +
+          s""""max_bucket_chosen":${chosen.getLong(2)}}""")
+      }
       // q174: narrow per-row array fold, no shuffle — linear by
       // construction; the row exists to catch an accidental join/
       // shuffle creeping into the audit

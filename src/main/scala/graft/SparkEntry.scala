@@ -408,6 +408,9 @@ object SparkEntry {
     // folded through every b×r=64 S-curve; expected candidates +
     // recall at τ per plan, cheapest plan meeting the recall SLO
     "q269_lsh_band_plan" -> (BandPlan.bandPlan _),
+    // q270: LSH plane-count tuner — exact bucket occupancy + Σ m(m−1)/2
+    // candidate volume per plane count, autoPlanes choice re-derived
+    "q270_lsh_plane_plan" -> (Similarity.planePlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2779,6 +2782,7 @@ object SparkEntry {
       "q268_span_audit_incr" ->
         Decontaminate.spanAuditIncrOracleSql(),
       "q269_lsh_band_plan" -> BandPlan.bandPlanOracleSql(),
+      "q270_lsh_plane_plan" -> Similarity.planePlanOracleSql,
       "q146_dsir_select" -> HashSql.dsirOracle(),
       "q147_shard_manifest" -> Layout.shardManifestOracleSql(),
       "q148_temperature_mix" -> Sampling.temperatureMixOracleSql,

@@ -71,6 +71,130 @@ object Similarity {
         when(round(dot(emb, planeCol), 6) > 0, shiftleft(lit(1L), j)).otherwise(0L))
     }
 
+  /** LSH plane-count tuner (q270): the executable forecast face of
+    * [[autoPlanes]] — the "design from data" planner family (q229/
+    * q238/q259/q260/q262/q263/q267/q269) applied to the one sizing
+    * rule of the embedding-LSH family that had no query face. For
+    * every plane count p ∈ 8..20 it reports the EXACT bucket-occupancy
+    * statistics of this corpus under the first p hyperplanes — bucket
+    * count, max bucket, the all-pairs candidate volume Σ m(m−1)/2 the
+    * p-plane self-join would generate (the q229 Σn² statistic on the
+    * LSH key), and the rule's own expected occupancy N >> p — plus
+    * the autoPlanes choice, re-derived from the data by the oracle
+    * (the autoK rule). This is the row that explains the measured
+    * N^2.0 → N^1.05 edge flattening (BASELINE.md round 11) BEFORE the
+    * join runs: fixed p lets cand_pairs grow quadratically; the
+    * chosen p holds occupancy (and so the candidate stream) ~flat.
+    *
+    * Everything is exact integer arithmetic — no S-curve fold needed:
+    * occupancy is a fact of the corpus, not a model. The one float
+    * step is the sign-of-projection bucket bit, the already-proven
+    * q43 device (dot rounded to 6dp before the sign on both engines).
+    *
+    * Scale shape: ONE narrow corpus scan computes the 20-bit bucket
+    * (bit j = plane j, so the p-plane bucket is exactly the low-p-bit
+    * prefix — hyperplanes(p) is a prefix of hyperplanes(20) by the
+    * seeded row-major fill); everything after rides the ≤ min(N, 2^20)
+    * -row bucket histogram (register-persisted, 2 consumers): a
+    * 13-row plane spine crossed with it, integer masks, DECIMAL(38,0)
+    * pair sums. No window, no collect, nothing corpus-sized past the
+    * first aggregate. */
+  def planePlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    planePlanOn(Tables.embeddings(spark, dir))
+  }
+
+  /** Plane-count grid: autoPlanes' own domain (floor 8, cap 20). */
+  val PlanePlanMax = 20
+
+  /** Frame-based core of [[planePlan]]. */
+  def planePlanOn(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val planes = hyperplanes(PlanePlanMax, 64)
+    val hist = graft.ops.Dedup.register(emb
+      .select(lshBucket(col("embedding"), planes).as("b20"))
+      .groupBy(col("b20")).agg(count(lit(1)).as("n"))
+      .persist())
+    val pSpine = emb.sparkSession.range(8, PlanePlanMax + 1)
+      .select(col("id").as("p"))
+    val tot = hist.agg(sum(col("n")).cast("long").as("nv"))
+    val byBucket = hist.crossJoin(broadcast(pSpine))
+      .groupBy(col("p"),
+        expr("b20 & (shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) - 1)")
+          .as("bp"))
+      .agg(sum(col("n")).as("m"))
+    val stats = byBucket.groupBy(col("p")).agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("m")).as("max_bucket"),
+      sum(d(col("m")) * (d(col("m")) - lit(1))).as("cp2"))
+    // the autoPlanes rule, as data: smallest p with N >> p at or
+    // under the target occupancy, else the cap
+    val auto = pSpine.crossJoin(broadcast(tot))
+      .agg(coalesce(
+        min(when(expr("shiftright(nv, CAST(p AS INT))") <= 24L,
+          col("p"))),
+        lit(PlanePlanMax.toLong)).as("ap"))
+    stats.crossJoin(broadcast(tot)).crossJoin(broadcast(auto))
+      .select(col("p").cast("long").as("p"),
+        col("n_buckets").cast("long").as("n_buckets"),
+        col("max_bucket").cast("long").as("max_bucket"),
+        expr("CAST(cp2 div 2 AS BIGINT)").as("cand_pairs"),
+        expr("CAST(shiftright(nv, CAST(p AS INT)) AS BIGINT)")
+          .as("exp_occupancy"),
+        (col("p") === col("ap")).as("chosen"))
+      .orderBy(col("p"), col("n_buckets"), col("max_bucket"),
+        col("cand_pairs"), col("exp_occupancy"), col("chosen"))
+  }
+
+  /** DuckDB oracle for [[planePlan]]: the q43 plane-literal replay at
+    * 20 planes, prefix masks, HUGEINT pair sums, the autoPlanes rule
+    * as a scalar subquery. */
+  def planePlanOracleSql: String = {
+    val planeValues = hyperplanes(PlanePlanMax, 64).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(",\n  ")
+    s"""WITH planes(j, plane) AS (VALUES
+       |  $planeValues),
+       |dots AS (
+       |  SELECT e.vec_id, p.j,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])), 6) AS d
+       |  FROM embeddings e CROSS JOIN planes p
+       |), b AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j)
+       |      ELSE 0 END) AS BIGINT) AS b20
+       |  FROM dots GROUP BY vec_id
+       |), hist AS (
+       |  SELECT b20, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY b20
+       |), tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nv FROM hist
+       |), ps AS (
+       |  SELECT CAST(UNNEST(range(8, ${PlanePlanMax + 1})) AS BIGINT) AS p
+       |), byb AS (
+       |  SELECT p, b20 & ((CAST(1 AS BIGINT) << p) - 1) AS bp,
+       |    CAST(SUM(n) AS BIGINT) AS m
+       |  FROM hist CROSS JOIN ps GROUP BY p, bp
+       |), stats AS (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |    CAST(MAX(m) AS BIGINT) AS max_bucket,
+       |    SUM(CAST(m AS HUGEINT) * (m - 1)) AS cp2
+       |  FROM byb GROUP BY p
+       |), auto AS (
+       |  SELECT COALESCE(MIN(CASE WHEN (nv >> p) <= 24 THEN p END),
+       |    $PlanePlanMax) AS ap
+       |  FROM ps CROSS JOIN tot
+       |)
+       |SELECT p, n_buckets, max_bucket,
+       |  CAST(cp2 // 2 AS BIGINT) AS cand_pairs,
+       |  CAST(nv >> p AS BIGINT) AS exp_occupancy,
+       |  (p = (SELECT ap FROM auto)) AS chosen
+       |FROM stats CROSS JOIN tot
+       |ORDER BY p, n_buckets, max_bucket, cand_pairs, exp_occupancy,
+       |  chosen""".stripMargin
+  }
+
   /** Per-vector LSH bucket assignment (the ANN index build). */
   def annBuckets(spark: SparkSession, dir: String, numPlanes: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

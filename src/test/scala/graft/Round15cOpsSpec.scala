@@ -89,4 +89,48 @@ class Round15cOpsSpec extends SparkSpec
     // all plans tie on (qual, cost): bands desc breaks it
     assert(got.filter(_._4).map(_._1) == List(64L), s"got $got")
   }
+
+  // ---- q270: LSH plane-count tuner --------------------------------
+
+  test("q270 per-p stats equal direct p-plane bucketing (prefix property end-to-end)") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Similarity.planePlanOn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    for (p <- Seq(8, 12)) {
+      // independent path: bucket directly with hyperplanes(p) — the
+      // low-p-bit mask of the 20-plane bucket must give identical
+      // occupancy (hyperplanes(p) is a prefix of hyperplanes(20))
+      val direct = emb.select(Similarity.lshBucket(col("embedding"),
+          Similarity.hyperplanes(p, 64)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).cast("long").as("nb"),
+          max(col("m")).cast("long").as("mx"),
+          sum(col("m") * (col("m") - 1L)).cast("long").as("cp2"))
+        .head()
+      val got = rows.find(_._1 == p.toLong).get
+      assert((got._2, got._3, got._4) ==
+        ((direct.getLong(0), direct.getLong(1), direct.getLong(2) / 2)),
+        s"p=$p: plan row $got vs direct $direct")
+    }
+  }
+
+  test("q270 chosen == autoPlanes(N); occupancy refines monotonically") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val rows = Similarity.planePlanOn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toList
+    assert(rows.map(_._1) == (8L to 20L).toList)
+    val n = emb.count()
+    assert(rows.filter(_._6).map(_._1) ==
+      List(Similarity.autoPlanes(n).toLong), s"rows $rows")
+    // refining a partition can only split buckets: candidate pairs
+    // non-increasing, bucket count non-decreasing in p
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 <= a._4, s"cand_pairs grew $a -> $b")
+      assert(b._2 >= a._2, s"n_buckets shrank $a -> $b")
+    }
+  }
 }
