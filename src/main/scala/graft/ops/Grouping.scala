@@ -423,25 +423,37 @@ object Grouping {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     val rev = revenueTerm(col("l_extendedprice"), col("l_discount"))
-    val rolled = graft.ops.Dedup.register(li
+    // r15 optimization: one FINE-GRAINED (r_name, n_name) aggregate;
+    // the region and grand-total levels re-aggregate its ~25-row
+    // persisted output — DECIMAL sums are exact and associative, so
+    // all three levels are value-identical to the former
+    // rollup(r_name, n_name)'s grouping sets. The rollup's Expand
+    // tripled every scan row into the partial aggregate, and only the
+    // FIRST of the five downstream references to the persisted rollup
+    // was cache-substituted (measured plan: 5 Expand nodes, 40
+    // parquet scans — the scan+joins+rollup executed five times).
+    // Deriving the coarser levels from the tiny frame removes both
+    // the Expand and the re-execution sensitivity.
+    val fine = graft.ops.Dedup.register(li
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
-      .agg(sum(rev).as("rev"), grouping_id().as("gid"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).as("rev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def share = "CAST((CAST(rev * 10000 AS DECIMAL(38,0)) * 1000000)" +
       " div CAST(prev * 10000 AS DECIMAL(38,0)) AS BIGINT)"
-    val nations = rolled.filter(col("gid") === 0)
-      .join(rolled.filter(col("gid") === 1)
-        .select(col("r_name").as("pr"), col("rev").as("prev")),
+    val regionAgg = fine.groupBy(col("r_name"))
+      .agg(sum(col("rev")).as("rev"))
+    val nations = fine
+      .join(broadcast(regionAgg
+        .select(col("r_name").as("pr"), col("rev").as("prev"))),
         col("r_name") === col("pr"))
       .select(col("r_name"), col("n_name"), lit("nation").as("level"),
         col("rev").cast("double").as("revenue"),
         expr(share).as("parent_share_ppm"))
-    val total = rolled.filter(col("gid") === 3)
-      .select(col("rev").as("prev"))
-    val regions = rolled.filter(col("gid") === 1)
+    val total = regionAgg.agg(sum(col("rev")).as("prev"))
+    val regions = regionAgg
       .crossJoin(broadcast(total))
       .select(col("r_name"), lit("ALL").as("n_name"),
         lit("region").as("level"),
