@@ -43,19 +43,36 @@ object TimeSeries {
     * bench cost ever grows with the data's time span, cap it — the
     * capped twin is the shape that survives 100 TB. */
   def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    // r15 optimization: the dense spine + (user, hour) shuffle join +
+    // dense LOCF window is replaced by SEGMENT EXPLODE — a lead()
+    // window over the small observed hourly table pairs each
+    // observation with its successor, and the silent interior hours
+    // of each segment are generated directly carrying the segment's
+    // own sv (exactly what the dense running carry would have filled
+    // them with; span endpoints are observed so every dense hour is
+    // covered). The only remaining fact-sized work is the hourly
+    // aggregate and the final sort: the (user, hour)-keyed exchange
+    // of the dense frame and its window pass disappear.
     val h = hourly(spark, dir)
-    val spine = h.groupBy(col("user_id"))
-      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    // hourly-sized (NOT event-sized) two-consumer frame: without the
+    // persist each union branch re-scans events and re-aggregates
+    // (the q146 multi-consumer rule; recompute here is fact-sized,
+    // unlike the narrow q149 shingle explode)
+    val seg = graft.ops.Dedup.register(
+      h.withColumn("nh", lead(col("hour"), 1).over(w))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val observed = seg.select(col("user_id"), col("hour"),
+      col("n_events"), col("sv").cast("double").as("filled_value"))
+    val interior = seg.filter(col("nh").isNotNull &&
+        col("nh") > col("hour") + expr("interval 1 hour"))
       .select(col("user_id"),
-        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
-          .as("hour"))
-    val locf = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(h, Seq("user_id", "hour"), "left")
-      .select(col("user_id"), col("hour"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("sv"), ignoreNulls = true).over(locf)
-          .cast("double").as("filled_value"))
+        explode(sequence(col("hour") + expr("interval 1 hour"),
+          col("nh") - expr("interval 1 hour"), expr("interval 1 hour")))
+          .as("hour"),
+        lit(0L).as("n_events"),
+        col("sv").cast("double").as("filled_value"))
+    observed.union(interior)
       .orderBy(col("user_id"), col("hour"), col("n_events"),
         col("filled_value"))
   }
@@ -595,36 +612,45 @@ object TimeSeries {
   /** Frame-based core of [[linearInterp]] over observed
     * (user_id, hour: timestamp, vmu: long) rows. */
   def linearInterpOf(h: DataFrame): DataFrame = {
-    val spine = h.groupBy(col("user_id"))
-      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+    // r15 optimization: SEGMENT EXPLODE replaces densify + shuffle
+    // join + two window carries. A lead() window over the OBSERVED
+    // hourly rows pairs each observation with its successor; the
+    // silent interior hours of each segment are generated directly
+    // and interpolate from that segment's own (t0,v0,t1,v1) — exactly
+    // the pair the forward/backward carries assigned them (silent
+    // hours lie strictly between consecutive observations, and span
+    // endpoints are observed by construction, so every dense hour is
+    // emitted exactly once). This removes the dense (user, hour)
+    // shuffle join and BOTH dense window sorts (the asc running carry
+    // and the desc-resorted backward carry — the r9 lesson's two
+    // O(n) passes become zero dense passes); the remaining cost is
+    // the hourly aggregate, one small lead window, and the final
+    // sort. The truncating-div formula is unchanged, so the resample
+    // is bit-identical and the oracle is untouched.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    // hourly-sized two-consumer frame — same persist rationale as
+    // gapFillLocf's seg (each union branch would otherwise re-run the
+    // event-sized hourly aggregate)
+    val seg = graft.ops.Dedup.register(h
+      .withColumn("nh", lead(col("hour"), 1).over(w))
+      .withColumn("nv", lead(col("vmu"), 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val observed = seg.select(col("user_id"), col("hour"),
+      lit(true).as("observed"), col("vmu").as("v_interp_mu"))
+    val interior = seg.filter(col("nh").isNotNull &&
+        col("nh") > col("hour") + expr("interval 1 hour"))
       .select(col("user_id"),
-        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
-          .as("hour"))
-    val j = spine.join(h, Seq("user_id", "hour"), "left")
-      .withColumn("t", expr("unix_micros(hour) div 3600000000"))
-    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the BACKWARD carry as a DESC-ordered RUNNING frame, not a
-    // [currentRow, unboundedFollowing] frame: Spark executes
-    // unbounded-FOLLOWING frames by re-scanning current→end for EVERY
-    // row (O(n²) per partition — measured 32.7 s at sf0.1, the whole
-    // bench's hottest entry), while a running frame streams O(n).
-    // last(nonNull) over t desc ≡ first(nonNull) over [current, end]
-    // in asc order (both include the current row).
-    val wNext = Window.partitionBy(col("user_id")).orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    j
-      .withColumn("pv", last(when(col("vmu").isNotNull,
-        struct(col("t").as("t0"), col("vmu").as("v0"))),
-        ignoreNulls = true).over(wPrev))
-      .withColumn("nv", last(when(col("vmu").isNotNull,
-        struct(col("t").as("t1"), col("vmu").as("v1"))),
-        ignoreNulls = true).over(wNext))
-      .select(col("user_id"), col("hour"),
-        col("vmu").isNotNull.as("observed"),
-        when(col("vmu").isNotNull, col("vmu")).otherwise(expr(
-          "pv.v0 + (nv.v1 - pv.v0) * (t - pv.t0) div (nv.t1 - pv.t0)"))
-          .as("v_interp_mu"))
+        explode(sequence(col("hour") + expr("interval 1 hour"),
+          col("nh") - expr("interval 1 hour"), expr("interval 1 hour")))
+          .as("hr"),
+        expr("unix_micros(hour) div 3600000000").as("t0"),
+        expr("unix_micros(nh) div 3600000000").as("t1"),
+        col("vmu").as("v0"), col("nv").as("v1"))
+      .select(col("user_id"), col("hr").as("hour"),
+        lit(false).as("observed"),
+        expr("v0 + (v1 - v0) * ((unix_micros(hr) div 3600000000) - t0)" +
+          " div (t1 - t0)").as("v_interp_mu"))
+    observed.union(interior)
       .orderBy(col("user_id"), col("hour"), col("observed"),
         col("v_interp_mu"))
   }
