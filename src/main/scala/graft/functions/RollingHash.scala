@@ -70,6 +70,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow8_8", exprs => WinnowFingerprints(exprs.head, 8, 8), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack8", exprs => PackedShingles(exprs.head, 8), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack8_seq",
+      exprs => PackedShingles(exprs.head, 8, distinct = false), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack8_s4",
+      exprs => PackedShingles(exprs.head, 8, stride = 4, distinct = false),
+      "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64_fnv", exprs => SimHash64(exprs.head, fnv = true), "internal")

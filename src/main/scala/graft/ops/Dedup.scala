@@ -800,11 +800,16 @@ object Dedup extends SetSimJoins with SetSimIndexing
     * bucket guard pattern) bounds hot shingles; at this corpus'
     * 16 sources it is unnecessary. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // stride-4 shingles as injectively packed longs (pack8_s4, one
+    // native pass — r15): the join/dedup identity is exactly the gram
+    // string's for NUL-free Latin-1 text, and no hash crosses engines
+    // (a pack is invertible; the q63 rule is satisfied the same way
+    // the q126 g64 pipeline satisfies it)
+    graft.functions.GraftFunctions.register(spark)
     val sh = graft.Tables.documents(spark, dir)
       .filter(length(col("text")) >= 8)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, length(text) - 7, 4)," +
-          " i -> substring(text, i, 8))")).as("g"))
+      .select(col("source"),
+        explode(call_function("pack8_s4", col("text"))).as("g"))
       .distinct()
     val a = sh.select(col("g"), col("source").as("source_a"))
     val b = sh.select(col("g"), col("source").as("source_b"))

@@ -1489,23 +1489,39 @@ object TextAnalysis {
     * Scale shape: one corpus-sized explode into a map-side-combined
     * (source, gram) count — the only data-sized shuffle; spectrum and
     * summary are vocabulary-sized aggregates on top, and the final
-    * join is 16 sources × 11 buckets. */
+    * join is 16 sources × 11 buckets. The summary derives from the
+    * spectrum aggregate (widened with Σk per bucket) rather than from
+    * a second pass over `counts`: the unshared two-consumer form ran
+    * the explode + (source, gram) count TWICE (the q65/q146 re-scan
+    * class — r15 plan diff: 2 Generate + 4 corpus-sized HashAggregate
+    * pairs → 1; hapax = the k_bucket = 1 row, types/occurrences are
+    * sums over buckets, all exact). */
   def vocabProfile(docs: DataFrame): DataFrame = {
+    // grams travel as injectively PACKED longs (pack8_seq, native one
+    // pass — the interpreted transform/substring explode was 2.6 s of
+    // the 3.4 s sf0.1 wall): type identity is preserved exactly for
+    // NUL-free Latin-1 text, so every count below is unchanged
+    GraftFunctions.register(docs.sparkSession)
     val counts = docs
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1))," +
-          " i -> substring(text, i, 8))")).as("gram"))
+      .select(col("source"),
+        explode(call_function("pack8_seq", col("text"))).as("gram"))
       .groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("k"))
-    val spectrum = counts
+    // persist the tiny (source, k_bucket) frame: a bare DataFrame
+    // lineage re-runs the corpus pipeline per consumer (plans share
+    // nothing across join sides), so without the cache boundary the
+    // summary branch would re-explode the corpus anyway
+    val spectrum = Dedup.register(counts
       .withColumn("k_bucket", least(col("k"), lit(11L)))
       .groupBy(col("source"), col("k_bucket"))
-      .agg(count(lit(1)).as("n_types"))
-    val summary = counts.groupBy(col("source"))
-      .agg(count(lit(1)).as("types_total"),
-        sum(col("k")).as("occurrences"),
-        expr("count_if(k = 1)").as("hapax"))
-    spectrum.join(summary, Seq("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("k")).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val summary = spectrum.groupBy(col("source"))
+      .agg(sum(col("n_types")).as("types_total"),
+        sum(col("occ")).as("occurrences"),
+        coalesce(sum(when(col("k_bucket") === 1L, col("n_types"))),
+          lit(0L)).as("hapax"))
+    spectrum.drop("occ").join(summary, Seq("source"))
       .select(col("source"), col("k_bucket"), col("n_types"),
         col("types_total"), col("occurrences"),
         expr("hapax * 1000000 DIV types_total").as("hapax_ppm"),

@@ -293,14 +293,15 @@ trait SetSimJoins { this: Dedup.type =>
     * broadcasts). The long order equals the byte order, so it stays a
     * valid shared total order for the prefix. Persisted + registered. */
   private[ops] def packedGrams(docs: DataFrame, idCol: String): DataFrame = {
-    val packed = (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
-      shiftleft(acc, 8) + ascii(substring(col("gram"), i, 1)).cast("long")
-    }
+    // one native pass (graft.functions.PackedShingles) — bit-identical
+    // g64 to the transform/substring explode + 8×(shiftleft+ascii)
+    // fold it replaces (PackedShinglesSpec), which allocated a
+    // substring per position and ran the lambda interpreted on the
+    // hottest corpus scan of the whole set-sim family
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     register(docs
-      .select(col(idCol).as("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1))," +
-          " i -> substring(text, i, 8))"))).as("gram"))
-      .select(col("doc_id"), packed.as("g64"))
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("pack8", col("text"))).as("g64"))
       .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
