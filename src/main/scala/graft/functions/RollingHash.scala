@@ -92,6 +92,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2mu", exprs => L2MuSq(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cell_argmin",
+      exprs => CellArgmin(exprs.head, exprs(1), exprs(2)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "varint_delta_pack",
       exprs => VarintDeltaPack(exprs.head), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

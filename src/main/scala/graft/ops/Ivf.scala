@@ -33,20 +33,15 @@ object Ivf {
     * Lloyd skew never triggers it — only degenerate mass does. */
   val MaxCell = 1024
 
-  /** Above this k the deterministic assignment switches from the
-    * unrolled per-centroid LITERAL argmin expression to a
-    * broadcast-join argmin (k-row centroid table × corpus, native
-    * `l2mu` distance, min_by per vector). Measured round 8: the
-    * literal form OOMs an 8 GB driver at k=128 (codegen/optimizer
-    * state explodes around ~260 plan nodes per centroid), while at
-    * the autoK floor (k=8..20) it beats the join by skipping a
-    * shuffle — so small k keeps the literal plan, large k joins.
-    * Both compute the identical exact-integer (d², cell) argmin. */
-  val LiteralArgminMaxK = 32
+  /** r15: the two-regime assignment (literal least() under k=32, the
+    * round-8 LiteralArgminMaxK crossover; broadcast-join argmin
+    * above) is GONE — [[argminStruct]] computes the same exact
+    * (d², cell) argmin as one native expression at every k, with
+    * neither the literal form's per-action analyzer/Janino cost nor
+    * the join form's N×k row stream. */
 
   /** Ceiling for the DETERMINISTIC index's k (round-8, verdict #5):
-    * above [[LiteralArgminMaxK]] the assignment is a broadcast-join
-    * argmin, so the remaining O(k) costs are the per-Lloyd-round
+    * the remaining O(k) costs are the per-Lloyd-round
     * k-row centroid collect, the broadcast of the k×64-long centroid
     * table (~2 MB at this ceiling), and the DuckDB verify replay's
     * N×k cross product. Since [[autoK]] grows k ∝ N, an unguarded
@@ -188,43 +183,31 @@ object Ivf {
   private def muCol: Column =
     expr("transform(embedding, v -> cast(round(cast(v as double) * 1000000, 0) as bigint))")
 
-  private def d2ToLiteral(x: Column, c: Array[Long]): Column =
-    c.indices.map { i =>
-      val diff = element_at(x, i + 1) - lit(c(i))
-      diff * diff
-    }.reduce(_ + _)
-
-  /** min-by-(d2, cell) over centroid literals: struct ordering gives
-    * the argmin with the cell id as the deterministic tie-break. */
-  private def assignCol(cents: Seq[(Long, Array[Long])]): Column =
-    least(cents.map { case (id, c) =>
-      struct(d2ToLiteral(col("x"), c).as("d"), lit(id).as("cell"))
-    }: _*).getField("cell")
+  /** The (d2, cell) argmin of `x` over a fixed centroid set as ONE
+    * native codegen expression (graft.functions.CellArgmin): the
+    * centroid matrix rides a single array literal, so the expression
+    * tree is 3 nodes whatever k is. Replaces, bit-identically
+    * (CellArgminSpec):
+    *  - the k-way least(struct(d2_literal, id)) form — whose k×64
+    *    literal tree paid an analyzer walk + Janino compile per
+    *    ACTION (the r7 q150 lesson; at sf0.1's k=8 that overhead WAS
+    *    most of q261's wall) and OOMed codegen near k≈10²;
+    *  - the broadcast-join argmin (crossJoin + min_by), which
+    *    streamed N×k rows each carrying both 64-long arrays plus a
+    *    (vec_id)-keyed aggregate and a join back — nothing N×k
+    *    exists here, and no exchange at all. */
+  private[graft] def argminStruct(x: Column,
+      cents: Seq[(Long, Array[Long])]): Column =
+    call_function("cell_argmin", x,
+      typedLit(cents.map(_._2.toSeq)), typedLit(cents.map(_._1)))
 
   /** Attach the argmin `cell` column to a frame carrying a unique
-    * `vec_id` and the micro-unit `x` array — literal expression for
-    * small k, broadcast-join argmin above [[LiteralArgminMaxK]] (see
-    * there for the measured crossover). The join form streams the
-    * N×k expansion through a BroadcastNestedLoopJoin into a
-    * map-side-combined min_by — nothing N×k is ever materialized —
-    * then joins the (vec_id, cell) verdict back on the key. */
+    * `vec_id` and the micro-unit `x` array. */
   private def withCellCol(df: DataFrame,
-      cents: Seq[(Long, Array[Long])]): DataFrame =
-    if (cents.size <= LiteralArgminMaxK) df.withColumn("cell", assignCol(cents))
-    else {
-      val spark = df.sparkSession
-      graft.functions.GraftFunctions.register(spark)
-      import spark.implicits._
-      val centDf = cents.map { case (id, c) => (id, c.toSeq) }
-        .toDF("cent_cell", "cent_x")
-      val assigned = df.select(col("vec_id"), col("x"))
-        .crossJoin(broadcast(centDf))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cent_cell"),
-          struct(call_function("l2mu", col("x"), col("cent_x")).as("d"),
-            col("cent_cell").as("c"))).as("cell"))
-      df.join(assigned, Seq("vec_id"))
-    }
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("cell", argminStruct(col("x"), cents).getField("cell"))
+  }
 
   private val detIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, DetIndex]()
@@ -1117,11 +1100,10 @@ object Ivf {
 
   /** Frame-based core of [[pqAudit]] (needs vec_id + `dim`-float
     * embedding; vec_ids 0..k−1 must exist — they seed every
-    * codebook). Assignment runs as a BROADCAST codebook join +
-    * native `l2mu` distance + min-struct aggregate — the
-    * [[LiteralArgminMaxK]] lesson: nSub·k code literals × dsub terms
-    * is far past the literal-argmin crossover (measured 16 → 1.5 s
-    * at sf0.1). */
+    * codebook). Assignment is the native [[argminStruct]] per
+    * subspace (r15 — it replaced the broadcast codebook join +
+    * min-struct aggregate, which had itself replaced the 16 s
+    * literal-argmin form in round 10). */
   def pqAuditOn(emb: DataFrame, nSub: Int = 4, k: Int = 16,
       iters: Int = 2, dim: Int = 64): DataFrame = {
     val (_, assigned, _) = pqState(emb, nSub, k, iters, dim)
@@ -1183,24 +1165,26 @@ object Ivf {
             slice(col("x"), m * dsub + 1, dsub).as("sub"))): _*)).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
 
-  /** Per-(vec_id, subspace) argmin over a broadcast codebook (native
-    * l2mu + min-struct; sub is constant across a group's k joined
-    * rows, so first() carries it through). */
+  /** Per-(vec_id, subspace) argmin over the codebook as a pure
+    * PROJECTION (r15): a per-m CASE dispatches to the native
+    * [[argminStruct]] for that subspace's codebook — no broadcast
+    * join, no N·nSub·k row stream, no (vec_id, m) exchange at all
+    * (the prior aggregate's shuffle is gone from the plan). The
+    * struct lands in one column first so both getFields read a
+    * single evaluation (the q31 CollapseProject rule: non-cheap
+    * expressions referenced twice stay in their own projection). */
   private def pqAssign(subs: DataFrame,
       cents: Map[Int, Seq[(Long, Array[Long])]]): DataFrame = {
-    val spark = subs.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-    val codebook = cents.toSeq.flatMap { case (m, cs) =>
-      cs.map { case (id, c) => (m.toLong, id, c.toSeq) }
-    }.toDF("m", "code", "cent")
-    subs.join(broadcast(codebook), Seq("m"))
-      .withColumn("d", call_function("l2mu", col("sub"), col("cent")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d"), col("code"))).as("best"),
-        first(col("sub")).as("sub"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"),
-        col("best.d").as("d2"), col("sub"))
+    graft.functions.GraftFunctions.register(subs.sparkSession)
+    val ms = cents.keys.toSeq.sorted
+    val dispatch = ms.tail.foldLeft(
+        when(col("m") === ms.head.toLong,
+          argminStruct(col("sub"), cents(ms.head)))) { (acc, m) =>
+      acc.when(col("m") === m.toLong, argminStruct(col("sub"), cents(m)))
+    }
+    subs.withColumn("best", dispatch)
+      .select(col("vec_id"), col("m"), col("best").getField("cell").as("code"),
+        col("best").getField("d2").as("d2"), col("sub"))
   }
 
   /** PQ retrain-gain audit (q223): the index-maintenance decision —

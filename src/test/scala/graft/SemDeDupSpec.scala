@@ -172,17 +172,17 @@ class SemDeDupSpec extends SparkSpec {
     assert(Ivf.autoK(Ivf.MaxDetK * Ivf.TargetCellSize + 1) == Ivf.MaxDetK + 1)
   }
 
-  test("above LiteralArgminMaxK the assignment joins — and matches the literal path") {
-    // k=256 forces the broadcast-join argmin (the literal expression
-    // OOMs an 8 GB driver at k=128 — measured round 8, the reason the
-    // switch exists). Exactness check: every vector's final cell must
-    // equal a brute-force driver replay of the same exact-long
-    // (d², cell) argmin over the index's own centroids.
+  test("k=256 assignment (native cell_argmin) matches a brute-force driver replay") {
+    // r15: one native cell_argmin serves every k (the r8 literal/join
+    // two-regime switch is gone). Exactness check at a near-ceiling
+    // k: every vector's final cell must equal a brute-force driver
+    // replay of the same exact-long (d², cell) argmin over the
+    // index's own centroids.
     val t0 = System.nanoTime()
     val idx = Ivf.deterministicIndex(spark, sf, k = 256, iters = 1)
     val n = idx.assigned.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    info(f"k=256 join-argmin build+assign: $secs%.1f s")
+    info(f"k=256 native-argmin build+assign: $secs%.1f s")
     assert(n == Tables.embeddings(spark, sf).count(), "every vector assigned")
     assert(secs < 120, f"near-ceiling build pathologically slow: $secs%.1f s")
     // exactness: replay the assignment for every vector on the driver
