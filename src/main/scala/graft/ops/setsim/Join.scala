@@ -313,6 +313,16 @@ trait SetSimJoins { this: Dedup.type =>
         count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** (doc_id, n) only — for consumers that never touch the gram
+    * ARRAYS (the fresh pre-flights: sizing stats + the rankedGrams
+    * size join). Building [[gramSetsOf]]'s sorted corpus-wide arrays
+    * just to read counts was ~2 s of q260's fresh wall (r15).
+    * Persisted + registered. */
+  private[ops] def gramCountsOf(grams: DataFrame): DataFrame =
+    register(grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Size-conditional broadcast policy for one signature table: one
     * aggregate over the persisted frame (a driver scalar) estimates
     * the broadcast payload — 8 B per packed gram + ~48 B/row array/

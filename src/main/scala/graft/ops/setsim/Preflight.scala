@@ -419,11 +419,18 @@ trait SetSimPreflights { this: Dedup.type =>
       (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
     val gramsC = packedGrams(docs.filter(col("doc_id") < cutoff), "doc_id")
     val gramsN = packedGrams(docs.filter(col("doc_id") >= cutoff), "doc_id")
-    val setsC = gramSetsOf(gramsC)
-    val setsN = gramSetsOf(gramsN)
+    // counts-only per-doc frames: this forecast never touches gram
+    // ARRAYS, and the sizer/rankedGrams only read (doc_id, n) — the
+    // sorted collect_list build was pure waste here (r15)
+    val setsC = gramCountsOf(gramsC)
+    val setsN = gramCountsOf(gramsN)
     val szC = sizer(spark, setsC)
     val szN = sizer(spark, setsN)
-    val freq = gramsC.groupBy(col("g64")).agg(count(lit(1)).as("df"))
+    // three consumers (both ranked sides + the dict ids) — persist the
+    // vocabulary-sized frequency table once
+    val freq = register(gramsC.groupBy(col("g64"))
+      .agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     incrementalPreflightOn(
       rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false),
       rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true),
@@ -471,7 +478,7 @@ trait SetSimPreflights { this: Dedup.type =>
     val newDocs = docs.filter(col("doc_id") >= cutoff)
     latin1Guard(newDocs)
     val gramsN = packedGrams(newDocs, "doc_id")
-    val setsN = gramSetsOf(gramsN)
+    val setsN = gramCountsOf(gramsN)  // counts-only (r15): no array use
     val szN = sizer(spark, setsN)
     incrementalPreflightOn(idx.ranked,
       rankedGrams(gramsN, idx.freq, setsN, szN, leftJoinFreq = true),
@@ -498,7 +505,7 @@ trait SetSimPreflights { this: Dedup.type =>
       (s, d) => Tables.documents(s, d).filter(col("doc_id") < cutoff))
     val newDocs = docs.filter(col("doc_id") >= cutoff)
     val gramsN = packedGrams(newDocs, "doc_id")
-    val setsN = gramSetsOf(gramsN)
+    val setsN = gramCountsOf(gramsN)  // counts-only (r15): no array use
     val szN = sizer(spark, setsN)
     val prefixC = register(prefixCutFilter(idx.ranked, tPpm)
       .persist(StorageLevel.MEMORY_AND_DISK))
