@@ -926,13 +926,23 @@ object Similarity {
     // exceeds 2^63. Measured at sf0.1: all-decimal per-row fold
     // 6.3 s, long products + decimal sums 5.4 s, pure long fold
     // 2.1 s (the residue is the 4M-row pair join itself).
+    // r15: per-pair n/si/sj/ssi/ssj are the per-DIM moments duplicated
+    // 63× each (every vector contributes every dim, so the pair count
+    // equals the dim count) — only the CROSS moment is pair-specific.
+    // The 4M-row fold now updates ONE aggregate instead of six; the
+    // marginals come from a 64-row aggregate broadcast back in.
+    // Verified bit-identical to the six-aggregate form (0-row
+    // exceptAll both ways at sf0.1) — same longs, same decimals.
+    val dims = flat.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("ss"))
     val mom = a.join(b, Seq("vec_id")).filter(col("pos_i") < col("pos_j"))
       .groupBy(col("pos_i"), col("pos_j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("mi")).as("si"), sum(col("mj")).as("sj"),
-        sum(col("mi") * col("mi")).as("ssi"),
-        sum(col("mj") * col("mj")).as("ssj"),
-        sum(col("mi") * col("mj")).as("sij"))
+      .agg(sum(col("mi") * col("mj")).as("sij"))
+      .join(broadcast(dims.select(col("pos").as("pos_i"), col("n"),
+        col("s").as("si"), col("ss").as("ssi"))), Seq("pos_i"))
+      .join(broadcast(dims.select(col("pos").as("pos_j"),
+        col("s").as("sj"), col("ss").as("ssj"))), Seq("pos_j"))
     val covn = d(col("n")) * d(col("sij")) - d(col("si")) * d(col("sj"))
     val vi = d(col("n")) * d(col("ssi")) - d(col("si")) * d(col("si"))
     val vj = d(col("n")) * d(col("ssj")) - d(col("sj")) * d(col("sj"))
