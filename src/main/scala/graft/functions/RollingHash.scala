@@ -70,6 +70,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow8_8", exprs => WinnowFingerprints(exprs.head, 8, 8), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "feature_buckets",
+      exprs => FeatureBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pack8", exprs => PackedShingles(exprs.head, 8), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pack8_seq",

@@ -658,19 +658,16 @@ object Sampling {
     // persisted via the dedup cache registry — unregistered it
     // re-evaluates the explode+hash per branch (the q65 lesson), which
     // tripled this query's bench time.
-    val featB = expr(
-      s"""transform(
-         |  concat(sp,
-         |    CASE WHEN size(sp) < 2
-         |         THEN array()
-         |         ELSE transform(sequence(0, size(sp) - 2),
-         |           i -> concat(element_at(sp, i + 1), ' ',
-         |                       element_at(sp, i + 2)))
-         |    END),
-         |  t -> pmod(rolling_hash(t), ${buckets}L))""".stripMargin)
+    // r15: one native pass (graft.functions.FeatureBuckets) — the
+    // interpreted transform built a concat STRING per bigram and ran
+    // pmod(rolling_hash) per element through the lambda interpreter;
+    // FNV-1a is sequential, so the native form continues each bigram
+    // hash from the left token's state (zero string allocation).
+    // Bit-identical values AND order (FeatureBucketsSpec).
     val feats = Dedup.register(docs
-      .withColumn("sp", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), explode(featB).as("b"))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("feature_buckets", col("text"),
+          lit(buckets))).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val target = feats.filter(col("source") === "src0")
     val raw = feats.filter(col("source") =!= "src0")
