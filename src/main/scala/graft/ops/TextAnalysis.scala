@@ -882,23 +882,33 @@ object TextAnalysis {
 
   /** The bigram pair-count table of a docs frame — additive (pure
     * counts), so micro-batch partials merge by sum: the streaming
-    * twin's state is exactly this table. */
+    * twin's state is exactly this table. The bigram explode is a
+    * native arrays_zip of the two shifted slices (pairs (ts[i],
+    * ts[i+1]) — identical rows to the transform/element_at lambda it
+    * replaces, which ran INTERPRETED per element on the hottest scan
+    * of the query; r16 census rule). */
   def pairCountsOf(docs: DataFrame): DataFrame = docs
     .select(split(col("text"), " ").as("ts"))
     .filter(size(col("ts")) >= 2)
-    .select(explode(expr(
-      "transform(slice(ts, 1, size(ts) - 1)," +
-        " (t, i) -> struct(t AS w1, element_at(ts, i + 2) AS w2))"))
-      .as("b"))
-    .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    .select(explode(arrays_zip(
+      expr("slice(ts, 1, size(ts) - 1)"),
+      expr("slice(ts, 2, size(ts) - 1)"))).as("b"))
+    .groupBy(col("b.0").as("w1"), col("b.1").as("w2"))
     .agg(count(lit(1)).as("n_xy"))
 
   /** Lift ranking over any (w1, w2, n_xy) pair-count table (corpus
     * build or streaming state). */
   def collocationsFromPairs(pairsRaw: DataFrame, minCount: Long = 5,
       topK: Int = 20): DataFrame = {
-    val pairCounts = Dedup.register(pairsRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // NO persist (r16, VERDICT r15 #1 — the q141 ReuseExchange rule):
+    // all four consumers sit on the SAME canonicalized (w1, w2)
+    // aggregate exchange, so AQE reuses one shuffle stage AND
+    // right-sizes its reduce partitions from actual bytes; the cache
+    // pinned the tiny pair table at shuffle.partitions partitions
+    // (32 at the bench core count), and every downstream stage then
+    // ran core-count tasks over ~1k rows — the suite's one measured
+    // anti-scaling (8-core/32-core ratio 0.52, driver r15)
+    val pairCounts = pairsRaw
     val left = pairCounts.groupBy(col("w1"))
       .agg(sum(col("n_xy")).as("n_x"))
     val right = pairCounts.groupBy(col("w2"))
