@@ -414,47 +414,76 @@ trait SetSimPreflights { this: Dedup.type =>
       dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    latin1Guard(docs)
-    val cutoff =
-      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
-    val gramsC = packedGrams(docs.filter(col("doc_id") < cutoff), "doc_id")
-    val gramsN = packedGrams(docs.filter(col("doc_id") >= cutoff), "doc_id")
+    // ONE corpus scan answers both driver questions (r16): the
+    // newest-10% cutoff AND the Latin-1 injectivity guard — the
+    // standalone latin1Guard paid its own full-text scan + action
+    // right before the cutoff scan. Same failure semantics (loud
+    // IllegalArgumentException at call time, before any heavy work);
+    // the conf opt-out skips building the rlike column at all.
+    val checkOn = spark.conf.getOption("graft.setsim.latin1Check")
+      .forall(_.toBoolean)
+    val aggCols = max(col("doc_id")).as("mx") +: (if (checkOn)
+      Seq(count(when(col("text").rlike("[^\\x00-\\xFF]"), 1)).as("bad"))
+      else Nil)
+    val hd = docs.agg(aggCols.head, aggCols.tail: _*).head()
+    if (checkOn && hd.getLong(1) > 0L)
+      throw new IllegalArgumentException(
+        "setSimJoin: corpus contains characters above U+00FF; the " +
+          "packed-long gram encoding is only injective for Latin-1 " +
+          "text. Pre-filter or transliterate the corpus first.")
+    val cutoff = (hd.getLong(0) + 1L) * 9L / 10L
+    // ONE corpus scan + pack8 explode serves BOTH sides (r16, VERDICT
+    // r15 #3 — the fresh path paid two full document scans for a
+    // row-disjoint split); sides are filters over the persisted frame
+    val grams = packedGrams(docs, "doc_id")
+    val isC = col("doc_id") < cutoff
+    val gramsC = grams.filter(isC)
+    val gramsN = grams.filter(!isC)
     // counts-only per-doc frames: this forecast never touches gram
-    // ARRAYS, and the sizer/rankedGrams only read (doc_id, n) — the
-    // sorted collect_list build was pure waste here (r15)
-    val setsC = gramCountsOf(gramsC)
-    val setsN = gramCountsOf(gramsN)
-    val szC = sizer(spark, setsC)
-    val szN = sizer(spark, setsN)
-    // three consumers (both ranked sides + the dict ids) — persist the
-    // vocabulary-sized frequency table once
+    // ARRAYS, and the sizing/rank joins only read (doc_id, n) — the
+    // sorted collect_list build was pure waste here (r15). One
+    // aggregate + ONE sizing action now covers both sides (was two
+    // frames and two driver actions).
+    val sets = gramCountsOf(grams)
+    val setsC = sets.filter(isC)
+    val setsN = sets.filter(!isC)
+    val limit = spark.conf.getOption("graft.setsim.broadcastBytes")
+      .map(_.toLong).getOrElse(1024L * 1024 * 1024)
+    val st = sets.agg(
+      count(when(isC, 1)).as("dc"),
+      sum(when(isC, col("n"))).as("gc"),
+      count(when(!isC, 1)).as("dn"),
+      sum(when(!isC, col("n"))).as("gn")).head()
+    def gb(d: Long, i: Int) =
+      (if (st.isNullAt(i)) 0L else st.getLong(i)) * 8L + d * 48L
+    val szC = SetSizer(st.getLong(0), gb(st.getLong(0), 1), limit)
+    val szN = SetSizer(st.getLong(2), gb(st.getLong(2), 3), limit)
+    // two consumers (the fused corpus pass + the batch ranking) —
+    // persist the vocabulary-sized frequency table once
     val freq = register(gramsC.groupBy(col("g64"))
       .agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    incrementalPreflightOn(
-      rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false),
-      rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true),
-      gvByteLengths(gramsC, freq),
-      szN.nDocs, szC.nDocs, szC.gramBytes)
-  }
-
-  /** Per-delta LEB128 byte lengths of the corpus gv packing WITHOUT
-    * materializing any array or binary column: dict ids, per-doc
-    * sorted-delta via a lag window, ⌈bitlen(delta)/7⌉ per row — the
-    * sum is byte-identical to Σ length(gv) over [[packedGramSetsOf]]
-    * (deltas ≥ 1 always: the first delta is the gid itself; the q259
-    * oracle certifies the formula against the real column). The
-    * forecast only needs the SUM, and building the actual arrays for
-    * it cost ~40% of q260's fresh-path wall at 10×. */
-  private[ops] def gvByteLengths(grams: DataFrame, freq: DataFrame): DataFrame = {
+    // the count pipelines and the gv-byte pass stay SEPARATE subtrees
+    // on purpose: a fused single-pass form (one dict join, two
+    // windows over one doc_id exchange, one group-by-g64 emitting
+    // counts + byte sums) was built and MEASURED SLOWER at sf0.1
+    // (6.4/5.45 med/min vs 5.4/5.36 — the second wide in-partition
+    // sort and the unfiltered aggregate cost more than the saved
+    // exchange), and AQE materializes the independent subtrees
+    // concurrently within the one final action anyway (r16,
+    // OPTIMIZATION_r16.md q260)
     import org.apache.spark.sql.expressions.Window
-    grams.join(dictIdsOf(freq), Seq("g64"))
+    val gvRows = gramsC.join(dictIdsOf(freq), Seq("g64"))
       .withColumn("delta", col("gid") - coalesce(
         lag(col("gid"), 1).over(
           Window.partitionBy(col("doc_id")).orderBy(col("gid"))),
         lit(0L)))
       .select(expr("CAST((length(bin(delta)) + 6) DIV 7 AS BIGINT)")
         .as("gvb"))
+    incrementalPreflightOn(
+      rankedGrams(gramsC, freq, setsC, szC, leftJoinFreq = false),
+      rankedGrams(gramsN, freq, setsN, szN, leftJoinFreq = true),
+      gvRows, szN.nDocs, szC.nDocs, szC.gramBytes)
   }
 
   /** Index-riding twin of [[setSimPreflightIncremental]] — the shape
@@ -523,8 +552,6 @@ trait SetSimPreflights { this: Dedup.type =>
   private[ops] def incrementalPreflightOn(rankedC: DataFrame,
       rankedN: DataFrame, gvByteRows: DataFrame, nBatchDocs: Long,
       nCorpusDocs: Long, corpusGramBytes: Long): DataFrame = {
-    val sess = rankedC.sparkSession
-    import sess.implicits._
     // each side feeds the slot join AND its own prefix-row totals —
     // persisted (vocabulary-sized) so the window stack runs once
     val cC = register(preflightGramCounts(rankedC)
@@ -533,6 +560,18 @@ trait SetSimPreflights { this: Dedup.type =>
     val cN = register(preflightGramCounts(rankedN)
       .select(col("g64") +: PreflightTs.map(t => col(s"c$t").as(s"cn$t")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK))
+    incrementalPreflightAssemble(cC, cN,
+      gvByteRows.agg(sum(col("gvb")).as("gv_bytes")),
+      nBatchDocs, nCorpusDocs, corpusGramBytes)
+  }
+
+  /** Shared assemble tail over prepared per-gram count frames (cC:
+    * (g64, cc<t>...), cN: (g64, cn<t>...)) and a 1-row gv_bytes
+    * aggregate — the slot join, totals, stacked sweep reshape and
+    * payload stats. */
+  private[ops] def incrementalPreflightAssemble(cC: DataFrame,
+      cN: DataFrame, gvBytes1: DataFrame, nBatchDocs: Long,
+      nCorpusDocs: Long, corpusGramBytes: Long): DataFrame = {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val slotAggs = PreflightTs.flatMap { t =>
       Seq(sum(dec(col(s"cn$t")) * dec(col(s"cc$t"))).as(s"sl$t"),
@@ -547,8 +586,7 @@ trait SetSimPreflights { this: Dedup.type =>
     // packed payload statistics (round 14 — the q259 methodology,
     // matching the regime-switched incremental verify): one aggregate
     // over the corpus side's per-delta gv byte lengths
-    val pay = gvByteRows
-      .agg(sum(col("gvb")).as("gv_bytes"))
+    val pay = gvBytes1
       .select(lit(nBatchDocs).as("n_batch_docs"),
         lit(nCorpusDocs).as("n_corpus_docs"),
         lit(corpusGramBytes).as("corpus_gram_bytes"), col("gv_bytes"),
