@@ -106,6 +106,20 @@ object GraftFunctions {
       exprs => SortedVarintIntersectCount(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode", exprs => BpeEncode(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scale_round",
+      exprs => ScaleRound(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].longValue()), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_grams",
+      exprs => WordGrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Boolean]), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_grams_arr",
+      exprs => WordGramsArr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Boolean]), "internal")
   }
 
   /** Plain-Scala splitmix64 reference for differential testing. */

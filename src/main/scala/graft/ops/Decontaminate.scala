@@ -279,14 +279,14 @@ object Decontaminate {
     * posexplode + (n−1)-lead window would plan a per-doc Exchange),
     * 1-based start positions. Docs under n tokens contribute no row. */
   private[graft] def gramPosFrame(docs: DataFrame, n: Int): DataFrame = {
-    val g = expr(
-      s"""CASE WHEN size(sp) < $n THEN array()
-         |     ELSE transform(sequence(1, size(sp) - ${n - 1}),
-         |       i -> concat_ws(' ', slice(sp, i, $n)))
-         |END""".stripMargin)
-    docs.withColumn("sp", split(col("text"), " "))
+    // one native pass (graft.functions.WordGrams) — bit-identical
+    // gram strings to the interpreted transform/concat_ws lambda it
+    // replaced (WordGramsSpec; the Ranking.trigramFrame swap)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), col("source"),
-        posexplode(g).as(Seq("p0", "gram")))
+        posexplode(call_function("word_grams", col("text"), lit(n),
+          lit(false))).as(Seq("p0", "gram")))
       .select(col("doc_id"), col("source"),
         (col("p0") + 1L).cast("long").as("pos"), col("gram"))
   }

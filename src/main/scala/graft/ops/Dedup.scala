@@ -158,14 +158,23 @@ object Dedup extends SetSimJoins with SetSimIndexing
     * starts at 0); short docs (n ≤ w) produce the single whole-text
     * window, like windowHashes. Shared by [[substringDedup]] and
     * [[windowNovelty]] so the window rule cannot drift. */
-  private def tokenWindows(docs: DataFrame, w: Int): DataFrame =
+  private def tokenWindows(docs: DataFrame, w: Int): DataFrame = {
+    // one native pass (graft.functions.WordGramsArr, minOne = true: a
+    // doc under w tokens contributes ONE window, the whole text — the
+    // slice-cap semantics of the interpreted array_join lambda it
+    // replaces, bit-identically; WordGramsSpec). The ARRAY-input form
+    // on purpose: with the text-input form the optimizer inlined the
+    // sibling size(split(text)) ABOVE the Generate — the split then
+    // ran once per exploded window and text rode every generated row
+    // (the round-13 CollapseProject-through-Generate class, measured
+    // 2x on q119/q120); toks referenced twice below the Generate
+    // keeps the split projection put
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .select(col("doc_id"), col("n_tokens"),
-        posexplode(expr(
-          s"""transform(sequence(0, greatest(size(toks) - $w, 0)),
-             |  i -> array_join(slice(toks, i + 1, $w), ' '))""".stripMargin))
-          .as(Seq("s", "wtext")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(call_function("word_grams_arr", col("toks"), lit(w),
+          lit(true))).as(Seq("s", "wtext")))
+  }
 
   def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

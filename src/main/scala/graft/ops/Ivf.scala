@@ -181,7 +181,10 @@ object Ivf {
       assigned: DataFrame)
 
   private def muCol: Column =
-    expr("transform(embedding, v -> cast(round(cast(v as double) * 1000000, 0) as bigint))")
+    // one native pass (graft.functions.ScaleRound) — bit-identical to
+    // the interpreted transform/round lambda it replaces
+    // (ScaleRoundSpec); every consumer registers GraftFunctions first
+    call_function("scale_round", col("embedding"), lit(1000000L))
 
   /** The (d2, cell) argmin of `x` over a fixed centroid set as ONE
     * native codegen expression (graft.functions.CellArgmin): the

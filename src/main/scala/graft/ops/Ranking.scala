@@ -131,15 +131,15 @@ object Ranking {
     * Exchange and, fed to three consumers unpersisted, was evaluated
     * three times per action (round-6 verdict's one perf defect). */
   private[graft] def trigramFrame(docs: DataFrame): DataFrame = {
-    val triB = expr(
-      """CASE WHEN size(sp) < 3 THEN array()
-        |     ELSE transform(sequence(0, size(sp) - 3),
-        |       i -> concat_ws(' ', element_at(sp, i + 1),
-        |                           element_at(sp, i + 2),
-        |                           element_at(sp, i + 3)))
-        |END""".stripMargin)
-    docs.withColumn("sp", split(col("text"), " "))
-      .select(col("doc_id"), explode(triB).as("ngram"))
+    // one native pass (graft.functions.WordGrams) — bit-identical
+    // trigram strings to the interpreted transform/concat_ws lambda
+    // it replaces (WordGramsSpec: a space-joined n-gram IS a
+    // substring of the text), which ran interpreted per position on
+    // the hottest scan of the trigram-LM family (r16 census rule)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(
+      call_function("word_grams", col("text"), lit(3), lit(false)))
+      .as("ngram"))
   }
 
   def fluencyScores(docs: DataFrame): DataFrame = {

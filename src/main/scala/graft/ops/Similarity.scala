@@ -294,8 +294,8 @@ object Similarity {
     val qEmb = emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0)
     val qCodes = qEmb.map(v => Det.halfUpLong(v.toDouble * SqScale)).toArray
-    val codes = expr(
-      s"transform(embedding, v -> cast(round(cast(v as double) * $SqScale, 0) as bigint))")
+    val codes =
+      call_function("scale_round", col("embedding"), lit(SqScale.toLong))
     val intScore = qCodes.zipWithIndex.map { case (q, i) =>
       element_at(col("__codes"), i + 1) * lit(q)
     }.reduce(_ + _)

@@ -586,28 +586,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 1, s"expected 1 JsonToStructs in the optimized plan, got $n")
   }
 
-  test("q202 pair-count cache feeds all consumers: zero direct corpus scans (plan pin)") {
-    // the q146/q65 lesson as a pin: collocations' persisted pair table
-    // must serve the marginals, the total, AND the filtered stream —
-    // every documents access in the final plan goes through the ONE
-    // cached bigram aggregate, never a second corpus scan
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
+  test("q202 pair-count exchange is runtime-shared by all consumers (plan pin)") {
+    // r16: the persist is GONE (it pinned the tiny pair table at
+    // shuffle.partitions partitions — the suite's one anti-scaling);
+    // the contract is now the q141 ReuseExchange rule: all four
+    // consumers sit on ONE canonicalized (w1, w2) aggregate exchange,
+    // so the corpus scan + bigram explode runs exactly once and AQE
+    // right-sizes the reduce side. Pin both halves: (a) the four
+    // pair-table exchanges canonicalize identically in the initial
+    // physical plan, (b) after execution the final adaptive plan shows
+    // the reuse (ReusedExchange/shared query stages), i.e. the
+    // documents parquet is scanned by exactly ONE distinct stage.
+    // NOTE the repartition(4): at sf0.001 the corpus scan is a single
+    // partition, which satisfies every clustered distribution, so NO
+    // exchange is planned at all and there is nothing to reuse — the
+    // multi-partition input is what production always has.
+    import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     try {
-      val df = graft.ops.TextAnalysis.collocations(spark, sf)
-      val p = df.queryExecution.optimizedPlan
-      val corpusScans = p.collect {
-        case l: LogicalRelation if l.toString.contains("documents") => l
-      }.size
-      assert(corpusScans == 0,
-        s"expected 0 direct documents scans above the cache, got $corpusScans")
-      val caches = p.collect {
-        case r: InMemoryRelation => r.cacheBuilder.cachedPlan
+      val docs = Tables.documents(spark, sf).repartition(4)
+      val df = graft.ops.TextAnalysis.collocationsDocs(docs)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan
+      val scans = scala.collection.mutable.Set[Int]()
+      val stages = scala.collection.mutable.Set[Int]()
+      var reused = 0
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec =>
+          if (stages.add(System.identityHashCode(q))) walk(q.plan)
+        case r: ReusedExchangeExec => reused += 1
+        case f: FileSourceScanExec =>
+          if (f.toString.contains("documents"))
+            scans += System.identityHashCode(f)
+          f.children.foreach(walk)
+        case other => other.children.foreach(walk)
       }
-      assert(caches.size >= 4,
-        s"pair table not cache-shared across the 4 consumers (${caches.size} refs)")
-      assert(caches.distinct.size == 1,
-        s"consumers reference ${caches.distinct.size} distinct caches")
+      walk(finalPlan)
+      assert(scans.size == 1,
+        s"expected exactly 1 distinct documents scan stage, got ${scans.size}")
+      assert(reused >= 3,
+        s"expected >= 3 reused exchanges across the 4 consumers, got $reused" +
+          " — runtime reuse is broken and the corpus explode re-runs per" +
+          " consumer")
     } finally Dedup.unpersistCaches()
   }
 }
