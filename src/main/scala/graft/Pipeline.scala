@@ -41,6 +41,7 @@ object Pipeline {
     // 1. narrow stages first: PII scrub (pure regexp projections) and
     // quality filter (shared scoring expression) shrink/clean the
     // corpus before anything shuffles
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val scrubbed = docs.withColumn("text",
       graft.etl.Sanitize.redactPii(col("text")))
     val scored = tapQuality(scrubbed

@@ -120,6 +120,14 @@ object GraftFunctions {
       exprs => WordGramsArr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Boolean]), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "eq_count", exprs => EqCount(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_count",
+      exprs => HammingCount(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_in_set_count",
+      exprs => TokenInSetCount(exprs.head, exprs(1)), "internal")
   }
 
   /** Plain-Scala splitmix64 reference for differential testing. */

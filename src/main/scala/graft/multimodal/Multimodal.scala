@@ -257,6 +257,7 @@ object Multimodal {
     * consumers (both sides of the candidate self-join + the verify
     * join) — the q65/q146 single-generator rule. */
   def phashDedupBands(bandsIn: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(bandsIn.sparkSession)
     val bands = graft.ops.Dedup.register(bandsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ex = bands.select(col("doc_id"),
@@ -281,8 +282,7 @@ object Multimodal {
       .join(bands.select(col("doc_id").as("doc_b"), col("bands").as("bb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("cast(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y))," +
-          " 0, (acc, v) -> acc + v) as bigint)").as("hamming"))
+        expr("hamming_count(ba, bb)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"), col("hamming"))
   }
@@ -540,6 +540,7 @@ object Multimodal {
     * (the q126 rule). */
   def phashIncrementalBands(corpusBands: DataFrame,
       batchBands: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpusBands.sparkSession)
     val cb = graft.ops.Dedup.register(corpusBands
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bb = graft.ops.Dedup.register(batchBands
@@ -553,6 +554,7 @@ object Multimodal {
     * query-lifetime registry. */
   private[graft] def phashVerdicts(cb: DataFrame, bb: DataFrame,
       maxHamming: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(cb.sparkSession)
     def exploded(bands: DataFrame) = bands.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
     val exC = exploded(cb)
@@ -565,8 +567,11 @@ object Multimodal {
       val (s2, m2) = selfSlots(exB)
       (s1 + s2, math.max(m1, m2))
     })
-    val ham = expr("cast(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y))," +
-      " 0, (acc, v) -> acc + v) as bigint)")
+    // native banded Hamming (graft.functions.HammingCount) — the
+    // aggregate/zip_with lambda pair ran interpreted per pHash
+    // candidate (r16 census rule); same value incl. null/length
+    // edges (NativeCountsSpec)
+    val ham = expr("hamming_count(ba, bb)")
     def verified(cand: DataFrame, left: DataFrame, right: DataFrame) =
       cand
         .join(left.select(col("doc_id").as("doc_id"), col("bands").as("ba")),

@@ -324,9 +324,13 @@ object Dedup extends SetSimJoins with SetSimIndexing
         col("sig").as("sig_a")), aCol)
       .join(sigsB.select(col(sigsB.columns.head).as(bCol),
         col("sig").as("sig_b")), bCol)
+      // native matching-position count (graft.functions.EqCount) —
+      // the zip_with/filter lambda pair ran interpreted per LSH
+      // candidate (r16 census rule); same count incl. null/length
+      // edges (NativeCountsSpec)
       .withColumn("est_j",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / NumHashes)
+        call_function("eq_count", col("sig_a"), col("sig_b"))
+          .cast("double") / NumHashes)
       .filter(col("est_j") >= minJaccard - 0.2)
       .select(aCol, bCol)
 
@@ -543,8 +547,7 @@ object Dedup extends SetSimJoins with SetSimIndexing
       .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
         col("sig").as("sig_b"))), Seq("doc_b"))
       .withColumn("est_ppm", expr(
-        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))" +
-          s" * 1000000L div ${NumHashes}L"))
+        s"eq_count(sig_a, sig_b) * 1000000L div ${NumHashes}L"))
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
         (abs(col("est_ppm") - col("jaccard_ppm")) <= boundPpm)
           .as("est_within"))

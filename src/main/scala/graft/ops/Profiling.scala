@@ -867,8 +867,8 @@ object Profiling {
   /** Frame-based core of [[spearman]] (needs doc_id, source, text). */
   def spearmanDocs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stop = size(filter(split(col("text"), " "),
-      tk => tk.isin("the", "a", "and", "of", "to"))).cast("long")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val stop = TextAnalysis.stopCount(col("text")).cast("long")
     val vals = docs.select(col("doc_id"), col("source"),
       length(col("text")).cast("long").as("x"), stop.as("y"))
     val wx = Window.partitionBy(col("source"))

@@ -181,12 +181,12 @@ object Sampling {
     * text). */
   def budgetSelectDocs(docs: DataFrame,
       budgetTokens: Long = 20000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val t = col("text")
     val nTok = size(split(t, " ")).cast("long")
     val punct = expr(
       "size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long")
-    val stop = size(filter(split(t, " "),
-      tk => tk.isin("the", "a", "and", "of", "to"))).cast("long")
+    val stop = TextAnalysis.stopCount(t).cast("long")
     val scored = docs.select(col("doc_id"), col("source"),
         nTok.as("n_tokens"), punct.as("punct"), stop.as("stop"),
         length(t).cast("long").as("n_chars"))

@@ -706,6 +706,7 @@ object Similarity {
     * (doc_id, text). Singleton docs (no pair) are absent by design —
     * the report is about realized cluster savings. */
   def keepBestDedupOn(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val qdocs = docs
       .select(col("doc_id").as("vec_id"),
         round(round(TextAnalysis.qualityScore(col("text")), 6)

@@ -39,12 +39,21 @@ object TextAnalysis {
   /** Composite quality score in [0,1] — THE scoring expression, shared
     * by qualityStats (rounded, oracle-checked) and Pipeline.curate
     * (raw, as a filter) so the two can't drift. */
+  /** English stopword-token count — `size(filter(split(text, ' '),
+    * tk -> tk IN (markers)))` as the native token_in_set_count kernel
+    * (NativeCountsSpec differential; the per-token isin lambda ran
+    * interpreted on every quality-gated corpus scan — r16 census
+    * rule). Callers must have GraftFunctions registered, like every
+    * other native-expression site. */
+  private[graft] def stopCount(t: Column): Column =
+    call_function("token_in_set_count", t,
+      array(markers.toMap.apply("en").map(lit): _*))
+
   def qualityScore(t: Column): Column = {
     val nTokens = size(tokens(t)).cast("double")
     val punct = size(regexp_extract_all(t, lit("[^a-z0-9 ]"), lit(0)))
       .cast("double")
-    val stop = size(filter(tokens(t),
-      tk => tk.isin(markers.toMap.apply("en"): _*))).cast("double")
+    val stop = stopCount(t).cast("double")
     lit(0.4) * least(nTokens / 100.0, lit(1.0)) +
       lit(0.3) * (lit(1.0) - punct / length(t).cast("double")) +
       lit(0.3) * least(stop / nTokens * 5.0, lit(1.0))
@@ -65,19 +74,23 @@ object TextAnalysis {
   /** Quality scoring: length, token stats, punctuation + stopword
     * ratios, composite score in [0,1]. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val t = col("text")
     val nTokens = size(tokens(t)).cast("long")
     val punct = expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long")
-    val enMarkers = markers.toMap.apply("en")
-    val stop = size(filter(tokens(t),
-      tk => tk.isin(enMarkers: _*))).cast("long")
+    val stop = stopCount(t).cast("long")
     val punctRatio = punct.cast("double") / length(t).cast("double")
     val stopRatio = stop.cast("double") / nTokens.cast("double")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         length(t).cast("long").as("n_chars_m"),
         nTokens.as("n_tokens"),
-        round(expr("aggregate(transform(split(text, ' '), x -> length(x)), 0, (acc, v) -> acc + v)")
+        // Σ token lengths = length(text) − (n_tokens − 1): tokens are
+        // the runs between single-space separators, so total chars =
+        // token chars + separator count — the aggregate(transform(…))
+        // fold this replaces ran interpreted per token (r16 census);
+        // the int arithmetic is exact, same INT sum as the old fold
+        round((length(t) - (size(tokens(t)) - lit(1)))
           .cast("double") / nTokens.cast("double"), 4).as("avg_token_len"),
         round(punctRatio, 6).as("punct_ratio"),
         round(stopRatio, 6).as("stop_ratio"),
@@ -595,7 +608,8 @@ object TextAnalysis {
 
   /** Frame-based core of [[qualityLengthBias]] (needs text,
     * n_chars). */
-  def qualityLengthBiasDocs(docs: DataFrame): DataFrame =
+  def qualityLengthBiasDocs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select((length(bin(col("n_chars"))) - 1).cast("long")
         .as("len_bin"),
@@ -606,6 +620,7 @@ object TextAnalysis {
       .select(col("len_bin"), col("n_docs"),
         expr("sq div n_docs").as("mean_q_ppm"))
       .orderBy(col("len_bin"), col("n_docs"), col("mean_q_ppm"))
+  }
 
   /** DuckDB oracle for [[qualityLengthBias]] — same scorer
     * expression, same bins. */
@@ -641,6 +656,7 @@ object TextAnalysis {
     * source, text). */
   def sourceQualityRankDocs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val scored = docs.select(col("doc_id"), col("source"),
       round(round(qualityScore(col("text")), 6) * 1000000d, 0)
         .cast("long").as("q_ppm"))
@@ -1626,13 +1642,13 @@ object TextAnalysis {
 
   /** Frame-based core of [[filterCascade]] (needs source + text). */
   def filterCascadeDocs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val t = col("text")
     val toks = tokens(t)
     val nTok = size(toks).cast("long")
     val nChar = length(t).cast("long")
     val nDis = size(array_distinct(toks)).cast("long")
-    val nStop = size(filter(toks,
-      tk => tk.isin(markers.toMap.apply("en"): _*))).cast("long")
+    val nStop = stopCount(t).cast("long")
     val flagged = docs.select(col("source"),
       (nChar >= 150L).as("s1"),
       (nChar >= 150L && nTok >= 30L).as("s2"),
