@@ -267,6 +267,43 @@ object ScaleRehearsal {
         Dedup.unpersistCaches()
         report("q41_minhash_pipeline", tPairs, nPairs)
       }
+      // q128: the value-histogram family's floor evidence (VERDICT
+      // r15 #7 — q128/q135/q122/q100/q94 share the shape): the
+      // family's cost is SEQUENTIAL aggregate rounds, not data
+      // volume. Window state is bounded by DISTINCT cent values, so
+      // N× the rows over the SAME value grid and N× the rows over an
+      // N× grid should both read near-flat if the floor claim holds.
+      // lineitem is outside the shard-isomorph corpus, so the scaled
+      // frames are derived here: N row-copies (same values) and N
+      // value-SHIFTED copies (shift = copy × (max+1): per-copy
+      // distributions identical, value-disjoint → exactly N× the
+      // distinct values). `rows` reports the distinct-value count the
+      // histogram walks actually carry.
+      if (wanted("q128")) {
+        val base = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+          graft.ops.Profiling.cents(col("l_extendedprice")).as("c"))
+        val n = shardsOf(scale)
+        val shift = base.agg(max(col("c"))).head().getLong(0) + 1L
+        def copies(valShift: Boolean): DataFrame =
+          (0 until n).map(k =>
+            if (valShift) base.select(col("l_returnflag"),
+              (col("c") + lit(k * shift)).as("c"))
+            else base).reduce(_ unionAll _)
+        val rowsF = copies(valShift = false)
+        val valsF = copies(valShift = true)
+        val dvRows = rowsF.select(col("c")).distinct().count()
+        val dvVals = valsF.select(col("c")).distinct().count()
+        val (_, tr) = timed {
+          graft.ops.Profiling.madOutliersOf(rowsF, 9L, 5L).count(): Unit
+          Dedup.unpersistCaches()
+        }
+        report("q128_rows_scaled", tr, dvRows)
+        val (_, tv) = timed {
+          graft.ops.Profiling.madOutliersOf(valsF, 9L, 5L).count(): Unit
+          Dedup.unpersistCaches()
+        }
+        report("q128_vals_scaled", tv, dvVals)
+      }
       // q126 shape: PPJoin candidates, then the full exact join —
       // GATED by its own forecast (round 14, dogfooding the q259
       // pattern): the verify exchange is exactly candidates ×
