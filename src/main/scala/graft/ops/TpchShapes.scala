@@ -117,10 +117,18 @@ object TpchShapes {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), col("l_partkey"))
       .agg(sum(rev).as("value"))
-    val w = Window.partitionBy(col("nation"))
+    // per-nation totals as a ≤25-row aggregate broadcast back (the
+    // round-13 global-window-census fix shape, r16): the per-nation
+    // WINDOW exchanged the whole (nation, part) table into 25
+    // partitions and sorted each in one task; byPart's two consumers
+    // share ONE (nation, partkey) aggregate exchange at runtime
+    // (AQE stage reuse — the q202 pin's contract), and DECIMAL sums
+    // are exact + associative, so the re-aggregated totals are
+    // value-identical to the window's
+    val totals = byPart.groupBy(col("nation"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("cnt"))
     byPart
-      .withColumn("total", sum(col("value")).over(w))
-      .withColumn("cnt", count(lit(1)).over(w))
+      .join(broadcast(totals), Seq("nation"))
       .filter(col("value") * col("cnt") > col("total") * 3)
       .select(col("nation"), col("l_partkey"),
         col("value").cast("double").as("value"))
